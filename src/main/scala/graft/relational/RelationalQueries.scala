@@ -1,0 +1,415 @@
+package graft.relational
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator battery covering SURVEY.md §2 on the TPC-H-ish
+  * fixture tables: scans (S1), projections/filters (P1-P5), every join
+  * flavor the reference executes (J1-J7: inner, left_outer, full outer with
+  * coalesced keys) plus semi/anti/cross it lacks, hash aggregation
+  * (A2/A3/A6/A7/A8), distinct (A5), windows (W1/W2 analogues), sort/limit
+  * (§2.6 gap), set operations (§2.7 gap), generators (G1/G2), and the
+  * scalar-function surface of §2.9.
+  *
+  * Scale notes (100 TB design): every filter/projection here is expressed
+  * so Catalyst pushes it into the parquet scan; small dimension tables
+  * (region/nation/supplier) are broadcast; aggregations are partial
+  * (map-side combine) by construction since we only use algebraic aggs.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1 pricing summary: scan → filter → hash agg → sort.
+    * Exercises P1 projection chains + A2-style groupBy.agg (Model:119-124).
+    * FP sums rounded on both sides; avg over integer-valued quantities. */
+  val q1PricingSummary: QueryDef = QueryDef.sql(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Filter + projection with full parquet pushdown (P5 gap; S1 scan).
+    * `.explain` must show PushedFilters on l_shipdate/l_discount/l_quantity
+    * and a 4-column ReadSchema. */
+  val q2Filter: QueryDef = QueryDef.sql(
+    "q2_filter_pushdown",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      |  AND l_discount > 0.05 AND l_quantity < 10
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1999-01-01 00:00:00")) &&
+          col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"))
+  }
+
+  /** TPC-H Q3 shape: 3-way inner join (J1/J2 analogue) + agg + top-k.
+    * customer is the small side → broadcast hint; at 100 TB the
+    * orders⋈lineitem join shuffles on orderkey (both sides huge). */
+  val q3TopRevenue: QueryDef = QueryDef.sql(
+    "q3_top_revenue",
+    """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    o.join(broadcast(c), col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Left-outer join back to the driving table with coalesce defaults —
+    * the J5 + P3/P4 pattern (Model:78-87: samples with no matched features
+    * fall back to the global bias). */
+  val q4LeftOuter: QueryDef = QueryDef.sql(
+    "q4_leftouter_fallback",
+    """SELECT o_orderkey, o_orderstatus,
+      |  coalesce(n_items, 0) AS n_items,
+      |  round(coalesce(qty, -1.0), 2) AS qty
+      |FROM orders
+      |LEFT OUTER JOIN (
+      |  SELECT l_orderkey, count(*) AS n_items, sum(l_quantity) AS qty
+      |  FROM lineitem WHERE l_quantity >= 45 GROUP BY l_orderkey
+      |) li ON o_orderkey = l_orderkey
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val liAgg = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 45)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("qty"))
+    Tables.orders(s, d)
+      .join(liAgg, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
+        round(coalesce(col("qty"), lit(-1.0)), 2).as("qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Full-outer join with coalesced key — the J6/J7 gradient⋈params merge
+    * (SGD:157-166): neither side is guaranteed to have every key, the
+    * merged key is coalesce(left, right), absent values default. */
+  val q5FullOuter: QueryDef = QueryDef.sql(
+    "q5_fullouter_merge",
+    """SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+      |  coalesce(n_supp, 0) AS n_supp, coalesce(n_cust, 0) AS n_cust,
+      |  round(coalesce(supp_bal, 0.0) + coalesce(cust_bal, 0.0), 2) AS total_bal
+      |FROM (SELECT s_nationkey, count(*) AS n_supp, sum(s_acctbal) AS supp_bal
+      |      FROM supplier GROUP BY s_nationkey) s
+      |FULL OUTER JOIN (SELECT c_nationkey, count(*) AS n_cust, sum(c_acctbal) AS cust_bal
+      |      FROM customer GROUP BY c_nationkey) c
+      |ON s_nationkey = c_nationkey
+      |ORDER BY nationkey""".stripMargin) { (s, d) =>
+    val sup = Tables.supplier(s, d).groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("s_acctbal")).as("supp_bal"))
+    val cus = Tables.customer(s, d).groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("c_acctbal")).as("cust_bal"))
+    sup.join(cus, col("s_nationkey") === col("c_nationkey"), "full_outer")
+      .select(
+        coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        round(coalesce(col("supp_bal"), lit(0.0)) +
+          coalesce(col("cust_bal"), lit(0.0)), 2).as("total_bal"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Partition-window sums — the W1/W2 pattern (Model:191, 211-212): a
+    * per-sample aggregate broadcast back onto every row of the sample.
+    * Unordered frame = whole partition; the ordered running sum uses the
+    * default RANGE frame so peer rows (duplicate keys) tie identically in
+    * both engines. */
+  val q6Window: QueryDef = QueryDef.sql(
+    "q6_window_sums",
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  sum(l_quantity) OVER (PARTITION BY l_orderkey) AS order_qty,
+      |  count(*) OVER (PARTITION BY l_orderkey) AS order_items,
+      |  sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS running_qty
+      |FROM lineitem
+      |WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, running_qty""".stripMargin) {
+    (s, d) =>
+      val byOrder = Window.partitionBy(col("l_orderkey"))
+      val running = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          sum(col("l_quantity")).over(byOrder).as("order_qty"),
+          count(lit(1)).over(byOrder).as("order_items"),
+          sum(col("l_quantity")).over(running).as("running_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("running_qty"))
+  }
+
+  /** Ranking window over a unique order key (§2.5 notes ranking is absent
+    * in the reference — added as a first-class operator here). */
+  val q7Rank: QueryDef = QueryDef.sql(
+    "q7_rank_orders",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Global sort + limit (§2.6: absent in the reference engine — added). */
+  val q8TopK: QueryDef = QueryDef.sql(
+    "q8_topk_orders",
+    """SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 15""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+  }
+
+  /** Set operations (§2.7: absent in the reference — added): customers
+    * with both open and finished orders vs. open-only. INTERSECT/EXCEPT
+    * distinct semantics match ANSI. */
+  val q9SetOps: QueryDef = QueryDef.sql(
+    "q9_setops",
+    """SELECT o_custkey, tag FROM (
+      |  SELECT o_custkey, 'both' AS tag FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |    INTERSECT
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') i
+      |  UNION ALL
+      |  SELECT o_custkey, 'open_only' AS tag FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |    EXCEPT
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') e) u
+      |ORDER BY o_custkey, tag""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val fin = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    open.intersect(fin).withColumn("tag", lit("both"))
+      .unionAll(open.except(fin).withColumn("tag", lit("open_only")))
+      .orderBy(col("o_custkey"), col("tag"))
+  }
+
+  /** Generator: explode an array column (G1/G2 — the load-bearing
+    * sparse-vector→rows trick, Model:100) as token frequency over
+    * documents. */
+  val q10Explode: QueryDef = QueryDef.sql(
+    "q10_explode_tokens",
+    """SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |      FROM documents) t
+      |GROUP BY token
+      |ORDER BY token""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("token"))
+  }
+
+  /** Distinct over a projection — A5, the initial feature-universe scan
+    * (SGD:224-232). */
+  val q11Distinct: QueryDef = QueryDef.sql(
+    "q11_distinct_keys",
+    """SELECT DISTINCT l_suppkey, l_returnflag FROM lineitem
+      |ORDER BY l_suppkey, l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_returnflag"))
+      .distinct()
+      .orderBy(col("l_suppkey"), col("l_returnflag"))
+  }
+
+  /** Scalar-function battery (§2.9): coalesce/least/greatest/abs/sign/pow/
+    * concat/split/cast — the clip (Model:131) and L1-threshold (SGD:178-179)
+    * expression shapes, plus the Sample-app string ops (Sample:107-122). */
+  val q12Scalar: QueryDef = QueryDef.sql(
+    "q12_scalar_funcs",
+    """SELECT p_partkey,
+      |  concat(p_brand, ':', p_type) AS brand_type,
+      |  least(greatest(p_size, 10), 40) AS size_clipped,
+      |  abs(p_retailprice - 1500.0) AS price_dev,
+      |  cast(sign(p_retailprice - 1500.0) AS DOUBLE) AS price_sign,
+      |  pow(p_size, 2) AS size_sq,
+      |  string_split(p_name, ' ')[1] AS first_word,
+      |  cast(p_size AS VARCHAR) AS size_str
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        least(greatest(col("p_size"), lit(10)), lit(40)).as("size_clipped"),
+        abs(col("p_retailprice") - 1500.0).as("price_dev"),
+        signum(col("p_retailprice") - 1500.0).as("price_sign"),
+        pow(col("p_size"), 2).as("size_sq"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        col("p_size").cast("string").as("size_str"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Collection aggregate — A7 `collect_set` (Sample:109-112), sorted for
+    * determinism on both sides. At scale: bounded cardinality
+    * (priorities ≤ 5) so no per-group OOM hazard here; the unbounded case
+    * is documented in SURVEY §4. */
+  val q13CollectSet: QueryDef = QueryDef.sql(
+    "q13_collect_set",
+    """SELECT o_custkey,
+      |  list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Semi/anti joins (absent in the reference, §2.3 — added): EXISTS /
+    * NOT EXISTS without materializing the right side's columns. */
+  val q14SemiAnti: QueryDef = QueryDef.sql(
+    "q14_semi_anti",
+    """SELECT c_custkey, tag FROM (
+      |  SELECT c_custkey, 'has_big_order' AS tag FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders
+      |                WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |  UNION ALL
+      |  SELECT c_custkey, 'no_orders' AS tag FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) u
+      |ORDER BY c_custkey, tag""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val big = o.filter(col("o_totalprice") > 300000)
+    c.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey")).withColumn("tag", lit("has_big_order"))
+      .unionAll(
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey")).withColumn("tag", lit("no_orders")))
+      .orderBy(col("c_custkey"), col("tag"))
+  }
+
+  /** Rollup grouping sets (absent in reference §2.4 — added). Explicit
+    * NULLS FIRST so Spark and DuckDB order the subtotal rows identically. */
+  val q15Rollup: QueryDef = QueryDef.sql(
+    "q15_rollup",
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Cross join of two tiny inputs (absent in reference — added; guarded
+    * to small cardinality by construction). */
+  val q16Cross: QueryDef = QueryDef.sql(
+    "q16_cross_join",
+    """SELECT r_name, o_orderstatus
+      |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+      |ORDER BY r_name, o_orderstatus""".stripMargin) { (s, d) =>
+    val statuses = Tables.orders(s, d).select(col("o_orderstatus")).distinct()
+    Tables.region(s, d).select(col("r_name"))
+      .crossJoin(statuses)
+      .orderBy(col("r_name"), col("o_orderstatus"))
+  }
+
+  /** Multi-way dimension join through the star schema: region→nation→
+    * customer→orders→lineitem (TPC-H Q5 shape). Dimensions broadcast;
+    * the fact-fact join shuffles on orderkey. */
+  val q17StarJoin: QueryDef = QueryDef.sql(
+    "q17_star_join",
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+    val r = Tables.region(s, d); val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Typed global aggregate — A6 (SGD:137-138 loss reduce; Sample:130-135
+    * min/max label) kept in SQL: one job, no RDD reduce. */
+  val q18GlobalAgg: QueryDef = QueryDef.sql(
+    "q18_global_agg",
+    """SELECT min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+      |  count(*) AS n, count(DISTINCT o_custkey) AS n_cust
+      |FROM orders""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .agg(min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q1PricingSummary, q2Filter, q3TopRevenue, q4LeftOuter, q5FullOuter,
+    q6Window, q7Rank, q8TopK, q9SetOps, q10Explode, q11Distinct, q12Scalar,
+    q13CollectSet, q14SemiAnti, q15Rollup, q16Cross, q17StarJoin, q18GlobalAgg)
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Dev-time self-check: mimic the driver's DuckDB-oracle comparison.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+
+For each query in <verifyOutDir>/oracle_sql.json, runs the SQL in DuckDB
+(with each fixture parquet registered as a view) and compares against the
+engine's parquet dump, after sorting rows and columns by name. Reports
+per-query PASS/FAIL with diffs. This is NOT part of the shipped library —
+it only de-risks t2 before the driver runs the real gate.
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # lists/arrays -> tuples so they sort/compare
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple)) or
+                     hasattr(v, "tolist") and not pd.api.types.is_scalar(v)).any():
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist() if hasattr(v, "tolist") else v)
+                if v is not None and not pd.api.types.is_scalar(v) else v)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> None:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            oracle = con.sql(sql).df()
+            got = pd.read_parquet(f"{out_dir}/{name}")
+            a, b = canon(got), canon(oracle)
+            if list(a.columns) != list(b.columns):
+                print(f"FAIL {name}: columns {list(a.columns)} vs oracle {list(b.columns)}")
+                n_fail += 1
+                continue
+            if len(a) != len(b):
+                print(f"FAIL {name}: rows {len(a)} vs oracle {len(b)}")
+                n_fail += 1
+                continue
+            try:
+                pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                              check_exact=True)
+                print(f"PASS {name} ({len(a)} rows)")
+                n_pass += 1
+            except AssertionError as e:
+                # retry with tolerance to show whether it's an FP-only diff
+                try:
+                    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                                  check_exact=False, rtol=1e-9)
+                    print(f"FP-ONLY-DIFF {name}: exact hash would fail; "
+                          f"values equal to 1e-9")
+                except AssertionError:
+                    print(f"FAIL {name}: {str(e)[:300]}")
+                n_fail += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name}: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
