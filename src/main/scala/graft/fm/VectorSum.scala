@@ -1,0 +1,80 @@
+package graft.fm
+
+import org.apache.spark.ml.linalg.{DenseVector, Vector}
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Element-wise sum of a `VectorUDT` column — the reference's custom UDAF
+  * (FactorizationMachines.scala:45-81) re-expressed as a typed
+  * [[Aggregator]] (the `UserDefinedAggregateFunction` API it used is
+  * removed in Spark 3+). Handles dense and sparse inputs via
+  * `foreachActive` and supports partial aggregation (map-side combine), so
+  * a groupBy over it shuffles k doubles per group, not per row.
+  *
+  * Usage parity with the reference call-site (Suite:94):
+  * `new VectorSum(3)(col("vec"))`.
+  */
+class VectorSum(val vecSize: Int)
+    extends Aggregator[Vector, Array[Double], DenseVector] with Serializable {
+
+  override def zero: Array[Double] = new Array[Double](vecSize)
+
+  override def reduce(buf: Array[Double], v: Vector): Array[Double] = {
+    // Null guard mirrors FM:57 (input.isNullAt(0) skip).
+    if (v != null) v.foreachActive((i, x) => buf(i) += x)
+    buf
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < vecSize) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Double]): DenseVector = new DenseVector(buf)
+
+  override def bufferEncoder: Encoder[Array[Double]] =
+    ExpressionEncoder[Array[Double]]()
+
+  override def outputEncoder: Encoder[DenseVector] =
+    ExpressionEncoder[DenseVector]()
+
+  /** Column form, mirroring the reference's `new VectorSum(k)('vec)`. */
+  def apply(c: Column): Column = udaf(this, ExpressionEncoder[Vector]()).apply(c)
+}
+
+/** Element-wise sum over `ArrayType(DoubleType)` — internal engine variant
+  * used where vectors have already been lowered to native arrays. */
+class ArraySum(val size: Int)
+    extends Aggregator[Array[Double], Array[Double], Array[Double]]
+    with Serializable {
+
+  override def zero: Array[Double] = new Array[Double](size)
+
+  override def reduce(buf: Array[Double], v: Array[Double]): Array[Double] = {
+    if (v != null) {
+      var i = 0
+      while (i < size) { buf(i) += v(i); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < size) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Double]): Array[Double] = buf
+
+  override def bufferEncoder: Encoder[Array[Double]] =
+    ExpressionEncoder[Array[Double]]()
+
+  override def outputEncoder: Encoder[Array[Double]] =
+    ExpressionEncoder[Array[Double]]()
+
+  def apply(c: Column): Column =
+    udaf(this, ExpressionEncoder[Array[Double]]()).apply(c)
+}
