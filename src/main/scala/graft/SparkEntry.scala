@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def modules: Seq[QueryDef] =
-    relational.RelationalQueries.all ++ fm.FmQueries.all
+    relational.RelationalQueries.all ++ fm.FmQueries.all ++
+      fm.SamplePipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: broadcast dim join + fact shuffle join + agg + top-k. */

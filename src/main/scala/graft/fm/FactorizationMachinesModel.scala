@@ -4,8 +4,8 @@ import org.apache.spark.ml.Model
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.ml.linalg.{DenseVector, Vector}
 import org.apache.spark.ml.param.ParamMap
-import org.apache.spark.ml.util.Identifiable
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -61,7 +61,7 @@ class FactorizationMachinesModel(
     val dimensionStrength: Dataset[Strength],
     val factorizedInteraction: Dataset[FactorizedInteraction])
   extends Model[FactorizationMachinesModel]
-  with FactorizationMachinesModelParams {
+  with FactorizationMachinesModelParams with MLWritable {
 
   def this(dimFactorization: Int, globalBias: Double,
       dimensionStrength: Dataset[Strength],
@@ -151,13 +151,74 @@ class FactorizationMachinesModel(
     val lower = if (lo.isNegInfinity) c else greatest(c, lit(lo))
     if (hi.isPosInfinity) lower else least(lower, lit(hi))
   }
+
+  /** Model persistence — a capability gap in the reference (SURVEY S5:
+    * no MLWritable/MLReadable anywhere). Layout under `path/`:
+    * `metadata/` (1-row JSON: uid, k, w0, params), `strengths/` and
+    * `factors/` (the two parameter tables as parquet). All writes go
+    * through Spark so the format works on any Hadoop-compatible FS —
+    * parameter tables never pass through the driver. */
+  override def write: MLWriter = new FactorizationMachinesModel.Writer(this)
 }
 
 /** One active entry of a sparse feature vector. Top-level (public) so the
   * generated code for the exploded view compiles under Janino. */
 case class ActiveEntry(featureId: Int, featureValue: Double)
 
-object FactorizationMachinesModel {
+/** Persisted model metadata row (top-level for Janino codegen). */
+case class FmModelMeta(
+    uid: String,
+    dimFactorization: Int,
+    globalBias: Double,
+    featuresCol: String,
+    predictionCol: String,
+    sampleIdCol: String,
+    minLabel: Double,
+    maxLabel: Double)
+
+object FactorizationMachinesModel extends MLReadable[FactorizationMachinesModel] {
+
+  private[fm] class Writer(model: FactorizationMachinesModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = model.dimensionStrength.sparkSession
+      import spark.implicits._
+      val meta = FmModelMeta(model.uid, model.dimFactorization, model.globalBias,
+        model.getFeaturesCol, model.getPredictionCol, model.getSampleIdCol,
+        model.getMinLabel, model.getMaxLabel)
+      // JSON via toJSON so +/-Infinity bounds survive as strings.
+      Seq(meta).toDS().toDF()
+        .withColumn("minLabel", col("minLabel").cast("string"))
+        .withColumn("maxLabel", col("maxLabel").cast("string"))
+        .coalesce(1).write.mode("overwrite").json(s"$path/metadata")
+      model.dimensionStrength.toDF()
+        .write.mode("overwrite").parquet(s"$path/strengths")
+      model.factorizedInteraction.toDF()
+        .write.mode("overwrite").parquet(s"$path/factors")
+    }
+  }
+
+  private class Reader extends MLReader[FactorizationMachinesModel] {
+    override def load(path: String): FactorizationMachinesModel = {
+      val spark = SparkSession.active
+      import spark.implicits._
+      val m = spark.read.json(s"$path/metadata").head()
+      val strengths = spark.read.parquet(s"$path/strengths").as[Strength]
+      val factors = spark.read.parquet(s"$path/factors")
+        .select(col("id"), col("vec")).as[FactorizedInteraction]
+      new FactorizationMachinesModel(
+        m.getAs[String]("uid"),
+        m.getAs[Long]("dimFactorization").toInt,
+        m.getAs[Double]("globalBias"),
+        strengths, factors)
+        .setFeaturesCol(m.getAs[String]("featuresCol"))
+        .setPredictionCol(m.getAs[String]("predictionCol"))
+        .setSampleIdCol(m.getAs[String]("sampleIdCol"))
+        .setMinLabel(m.getAs[String]("minLabel").toDouble)
+        .setMaxLabel(m.getAs[String]("maxLabel").toDouble)
+    }
+  }
+
+  override def read: MLReader[FactorizationMachinesModel] = new Reader
 
   /** Sparse/dense vector → array of its active (featureId, featureValue)
     * pairs. The single unavoidable UDF at the VectorUDT boundary
