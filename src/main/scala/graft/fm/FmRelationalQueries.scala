@@ -1,0 +1,164 @@
+package graft.fm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The FM dataflow itself as DuckDB-oracle-checked queries.
+  *
+  * Trick: weights are *deterministic integer-arithmetic functions* of the
+  * feature id — `w(id) = ((id·37) mod 19 − 9)/10`, `v(id,f) = ((id·31 +
+  * f·17) mod 23 − 11)/23` — so an independent SQL engine can reproduce
+  * the exact parameter tables, and the full scoring/gradient math
+  * (SURVEY §3.1-3.2) becomes hash-checkable end-to-end. The Spark side
+  * runs the REAL engine (FactorizationMachinesModel.transform /
+  * FactorizationMachinesSGD.step); only the oracle is plain SQL.
+  *
+  * Features derive from lineitem: sample = order, feature = partkey
+  * bucket, value = quantity sum / 10 (exact integer-valued sums).
+  * Outputs round to 6 decimals: double association-order differences are
+  * ~1e-10 absolute, far below the rounding grain.
+  */
+object FmRelationalQueries {
+
+  private val K = 4
+  private val Dim = 50
+  private val W0 = 0.5
+
+  /** Shared SQL prelude: the feature relation + parameter formulas. */
+  private val featsSql =
+    """feats AS (
+      |  SELECT l_orderkey AS sample_id,
+      |         CAST(l_partkey % 50 AS INT) AS feature_id,
+      |         sum(l_quantity)/10.0 AS x
+      |  FROM lineitem GROUP BY sample_id, feature_id)""".stripMargin
+
+  private def wSql(id: String) = s"(($id*37) % 19 - 9)/10.0"
+  private def vSql(id: String, f: Int) = s"(($id*31 + $f*17) % 23 - 11)/23.0"
+
+  /** Spark-side deterministic parameter table (id, strength, vecArr). */
+  private def paramTable(feats: DataFrame): DataFrame = {
+    val wExpr = (col("id") * 37 % 19 - 9) / 10.0
+    val vExprs = (0 until K).map(f => (col("id") * 31 + f * 17) % 23 - 11)
+      .map(c => c.cast("double") / 23.0)
+    feats.select(col("feature_id").as("id")).distinct()
+      .select(col("id"), wExpr.as("strength"), array(vExprs: _*).as("vecArr"))
+  }
+
+  /** (sample_id, feature_id, x) relation from lineitem. */
+  private def feats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("sample_id"),
+        (col("l_partkey") % 50).cast("int").as("feature_id"))
+      .agg((sum(col("l_quantity")) / 10.0).as("x"))
+
+  /** Per-sample sparse feature vectors (dim 50). */
+  private def featureVectors(f: DataFrame): DataFrame = {
+    val toVec = udf { (ids: Seq[Int], xs: Seq[Double]) =>
+      Vectors.sparse(Dim, ids.zip(xs).sortBy(_._1))
+    }
+    f.groupBy(col("sample_id"))
+      .agg(collect_list(col("feature_id")).as("ids"),
+        collect_list(col("x")).as("xs"))
+      .select(col("sample_id"), toVec(col("ids"), col("xs")).as("features"))
+  }
+
+  /** End-to-end scoring through FactorizationMachinesModel.transform,
+    * hash-checked against a pure-SQL FM implementation in DuckDB. */
+  val fmScoreSql: QueryDef = QueryDef.sql(
+    "fm_score_vs_sql_oracle",
+    s"""WITH $featsSql,
+      |terms AS (
+      |  SELECT sample_id, feature_id, x, ${wSql("feature_id")} AS w,
+      |         ${(0 until K).map(f => s"${vSql("feature_id", f)} AS v$f").mkString(", ")}
+      |  FROM feats),
+      |persample AS (
+      |  SELECT sample_id,
+      |    sum(w*x) AS wx,
+      |    ${(0 until K).map(f => s"sum(v$f*x) AS vfx$f").mkString(", ")},
+      |    sum((${(0 until K).map(f => s"v$f*v$f").mkString(" + ")}) * x * x) AS v2x2
+      |  FROM terms GROUP BY sample_id)
+      |SELECT sample_id,
+      |  round($W0 + wx + 0.5*((${(0 until K).map(f => s"vfx$f*vfx$f").mkString(" + ")}) - v2x2), 6) AS prediction
+      |FROM persample
+      |ORDER BY sample_id""".stripMargin) { (s, d) =>
+    val f = feats(s, d)
+    val params = paramTable(f)
+    import s.implicits._
+    val strengths = params.select(col("id"), col("strength")).as[Strength]
+    val factors = params
+      .select(col("id"),
+        org.apache.spark.ml.functions.array_to_vector(col("vecArr")).as("vec"))
+      .as[FactorizedInteraction]
+    val model = new FactorizationMachinesModel("fmSqlOracle", K, W0, strengths, factors)
+    model.transform(featureVectors(f))
+      .select(col("sample_id"), round(col("prediction"), 6).as("prediction"))
+      .orderBy(col("sample_id"))
+  }
+
+  /** One full SGD update step through FactorizationMachinesSGD.step —
+    * gradient reduction, full-outer merge, L1 soft-threshold — checked
+    * against the same math written as SQL. label = sample_id mod 7;
+    * lr = 0.1, regParam = 0.5 (shrinkage 0.05 actually zeroes weights,
+    * so the soft-threshold path is exercised). */
+  val fmStepSql: QueryDef = QueryDef.sql(
+    "fm_sgd_step_vs_sql_oracle",
+    s"""WITH $featsSql,
+      |terms AS (
+      |  SELECT sample_id, feature_id, x, ${wSql("feature_id")} AS w,
+      |         ${(0 until K).map(f => s"${vSql("feature_id", f)} AS v$f").mkString(", ")}
+      |  FROM feats),
+      |persample AS (
+      |  SELECT sample_id,
+      |    sum(w*x) AS wx,
+      |    ${(0 until K).map(f => s"sum(v$f*x) AS vfx$f").mkString(", ")},
+      |    sum((${(0 until K).map(f => s"v$f*v$f").mkString(" + ")}) * x * x) AS v2x2
+      |  FROM terms GROUP BY sample_id),
+      |resid AS (
+      |  SELECT sample_id,
+      |    (wx + 0.5*((${(0 until K).map(f => s"vfx$f*vfx$f").mkString(" + ")}) - v2x2))
+      |      - CAST(sample_id % 7 AS DOUBLE) AS r,
+      |    ${(0 until K).map(f => s"vfx$f").mkString(", ")}
+      |  FROM persample),
+      |n AS (SELECT count(*) AS n FROM (SELECT DISTINCT sample_id FROM feats) s),
+      |grads AS (
+      |  SELECT t.feature_id,
+      |    sum(t.x * p.r) * 0.1 / (SELECT n FROM n) AS dw,
+      |    ${(0 until K).map(f =>
+           s"sum((t.x * p.vfx$f - t.v$f * t.x * t.x) * p.r) * 0.1 / (SELECT n FROM n) AS dv$f")
+           .mkString(", ")}
+      |  FROM terms t JOIN resid p ON t.sample_id = p.sample_id
+      |  GROUP BY t.feature_id),
+      |updated AS (
+      |  SELECT t.id, t.w - g.dw AS cw,
+      |    ${(0 until K).map(f => s"t.v$f - g.dv$f AS cv$f").mkString(", ")}
+      |  FROM (SELECT DISTINCT feature_id AS id, ${wSql("feature_id")} AS w,
+      |          ${(0 until K).map(f => s"${vSql("feature_id", f)} AS v$f").mkString(", ")}
+      |        FROM feats) t
+      |  JOIN grads g ON t.id = g.feature_id)
+      |SELECT id,
+      |  round(sign(cw) * greatest(0.0, abs(cw) - 0.05), 6) AS strength,
+      |  ${(0 until K).map(f =>
+         s"round(sign(cv$f) * greatest(0.0, abs(cv$f) - 0.05), 6) AS v$f").mkString(", ")}
+      |FROM updated
+      |ORDER BY id""".stripMargin) { (s, d) =>
+    val f = feats(s, d)
+    val params = paramTable(f)
+    val batch = featureVectors(f)
+      .select((col("sample_id") % 7).cast("double").as("label"), col("features"))
+    val est = new FactorizationMachinesSGD("fmStepOracle")
+      .setDimFactorization(K).setStepSize(0.1).setRegParam(0.5)
+      .setInitialSd(0.01).setSeed(0L)
+    val Some((newParams, _)) = est.step(params, batch, iter = 1)
+    val out = newParams.select(
+      (col("id") +: round(col("strength"), 6).as("strength") +:
+        (0 until K).map(f =>
+          round(element_at(col("vecArr"), f + 1), 6).as(s"v$f"))): _*)
+      .orderBy(col("id"))
+    newParams.unpersist()
+    out
+  }
+
+  val all: Seq[QueryDef] = Seq(fmScoreSql, fmStepSql)
+}
