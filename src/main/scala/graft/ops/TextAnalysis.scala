@@ -1,0 +1,199 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (builder-prompt north star; SURVEY §2.14): tokenization + stats,
+  * n-gram-heuristic language ID, quality scoring, positional polynomial
+  * fingerprinting, and TF-IDF.
+  *
+  * Everything is native Catalyst expressions over `split`/higher-order
+  * array functions — zero UDFs, so the whole path stays in whole-stage
+  * codegen and scales linearly with input (the only shuffles are the
+  * final aggregations). Every query is DuckDB-oracle-checked; cross-engine
+  * determinism rules: no engine-specific hash functions (the fingerprint
+  * is built from length/ascii arithmetic both engines share), FP outputs
+  * rounded to 6 decimals, integer arithmetic exact.
+  */
+object TextAnalysis {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Per-document token statistics (tokenize + whitespace token count). */
+  val tokenStats: QueryDef = QueryDef.sql(
+    "ta_token_stats",
+    """SELECT doc_id,
+      |  len(toks) AS n_tokens,
+      |  len(list_distinct(toks)) AS n_distinct,
+      |  round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+      |        * 1.0 / len(toks), 6) AS avg_token_len,
+      |  length(text) AS n_chars_actual
+      |FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) t
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        round(
+          aggregate(transform(col("toks"), t => length(t)), lit(0),
+            (a, x) => a + x).cast("double") / size(col("toks")), 6)
+          .as("avg_token_len"),
+        length(col("text")).as("n_chars_actual"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID by stopword-marker counts (n-gram heuristic). Scores are
+    * exact integer counts; the argmax tie-breaks by fixed precedence so
+    * both engines pick identically. */
+  val langId: QueryDef = {
+    val markers = Seq(
+      "en" -> Seq("the", "a", "of"),
+      "de" -> Seq("der", "die", "und"),
+      "fr" -> Seq("le", "la", "et"),
+      "es" -> Seq("el", "los", "y"),
+      "zh" -> Seq("de", "shi", "le"))
+    val scoreSqls = markers.map { case (l, ws) =>
+      s"len(list_filter(toks, x -> x IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$l"
+    }
+    val caseSql = markers.map(_._1).init
+      .foldRight(s"'${markers.last._1}'") { (l, rest) =>
+        s"CASE WHEN s_$l >= ${markers.map(_._1).filter(_ != l).map(o => s"s_$o").mkString(" AND s_" + l + " >= ")} THEN '$l' ELSE $rest END"
+      }
+    QueryDef.sql(
+      "ta_langid",
+      s"""SELECT doc_id, lang AS lang_label, ${markers.map(m => s"s_${m._1}").mkString(", ")},
+        |  $caseSql AS predicted
+        |FROM (SELECT doc_id, lang, ${scoreSqls.mkString(", ")}
+        |      FROM (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents) x) y
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("lang_label"), toks.as("toks"))
+        .select(
+          (Seq(col("doc_id"), col("lang_label")) ++ markers.map { case (l, ws) =>
+            size(filter(col("toks"), t => ws.map(t === _).reduce(_ || _)))
+              .as(s"s_$l")
+          }): _*)
+      val predicted = markers.map(_._1).init
+        .foldRight(lit(markers.last._1)) { (l, rest) =>
+          val isMax = markers.map(_._1).filter(_ != l)
+            .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+          when(isMax, lit(l)).otherwise(rest)
+        }
+      scored
+        .withColumn("predicted", predicted)
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Quality scoring: length/punctuation/stopword-ratio features fused
+    * into one logistic score (all codegen'd scalar math). */
+  val quality: QueryDef = QueryDef.sql(
+    "ta_quality",
+    """SELECT doc_id,
+      |  n_tokens,
+      |  round(stop_ratio, 6) AS stop_ratio,
+      |  round(nonalpha_ratio, 6) AS nonalpha_ratio,
+      |  round(mean_len, 6) AS mean_len,
+      |  round(1.0/(1.0 + exp(-(0.3*mean_len + 2.0*stop_ratio
+      |        - 5.0*nonalpha_ratio - 0.002*n_tokens))), 6) AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |    len(toks) AS n_tokens,
+      |    len(list_filter(toks, x -> x IN ('the','a','of','and')))
+      |      * 1.0 / len(toks) AS stop_ratio,
+      |    length(regexp_replace(text, '[a-z ]', '', 'g'))
+      |      * 1.0 / length(text) AS nonalpha_ratio,
+      |    list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+      |      * 1.0 / len(toks) AS mean_len
+      |  FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents) t) q
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val stopWords = Seq("the", "a", "of", "and")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        (size(filter(col("toks"), t => stopWords.map(t === _).reduce(_ || _)))
+          .cast("double") / size(col("toks"))).as("stop_ratio"),
+        (length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") /
+          length(col("text"))).as("nonalpha_ratio"),
+        (aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x)
+          .cast("double") / size(col("toks"))).as("mean_len"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("nonalpha_ratio"), 6).as("nonalpha_ratio"),
+        round(col("mean_len"), 6).as("mean_len"),
+        round(lit(1.0) / (lit(1.0) + exp(-(lit(0.3) * col("mean_len")
+          + lit(2.0) * col("stop_ratio") - lit(5.0) * col("nonalpha_ratio")
+          - lit(0.002) * col("n_tokens")))), 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Positional polynomial fingerprint (rolling-hash family) built from
+    * arithmetic both engines share: tokval = 31·len(tok) + ascii(tok[0]);
+    * fp1 = Σ tokval·pos, fp2 = Σ tokval² (mod 1000003). Identical docs ⇒
+    * identical fingerprints; used downstream for exact-dup candidate
+    * bucketing (Dedup module). */
+  val fingerprint: QueryDef = QueryDef.sql(
+    "ta_fingerprint",
+    """SELECT doc_id,
+      |  sum(tokval * pos) % 1000003 AS fp1,
+      |  sum(tokval * tokval) % 1000003 AS fp2
+      |FROM (
+      |  SELECT doc_id,
+      |    31 * length(tok) + ascii(tok) AS tokval,
+      |    pos
+      |  FROM (SELECT doc_id, unnest(toks) AS tok,
+      |               generate_subscripts(toks, 1) AS pos
+      |        FROM (SELECT doc_id, string_split(text,' ') AS toks
+      |              FROM documents) a) b) c
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        (lit(31) * length(col("tok")) + ascii(col("tok"))).cast("long")
+          .as("tokval"))
+      .groupBy(col("doc_id"))
+      .agg(
+        (sum(col("tokval") * col("pos")) % 1000003L).as("fp1"),
+        (sum(col("tokval") * col("tokval")) % 1000003L).as("fp2"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus TF-IDF: explode → token aggregate → idf-weighted rank.
+    * Scale notes: one shuffle on token; the doc-count side is a broadcast
+    * scalar. */
+  val tfidf: QueryDef = QueryDef.sql(
+    "ta_tfidf_top",
+    """WITH toksr AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |stats AS (
+      |  SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |  FROM toksr GROUP BY tok),
+      |n AS (SELECT count(*) AS c FROM documents)
+      |SELECT tok, tf, df,
+      |  round(tf * ln((SELECT c FROM n) * 1.0 / df), 6) AS tfidf
+      |FROM stats
+      |ORDER BY tfidf DESC, tok
+      |LIMIT 30""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("c"))
+    docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"), col("tf"), col("df"),
+        round(col("tf") * log(col("c").cast("double") / col("df")), 6)
+          .as("tfidf"))
+      .orderBy(col("tfidf").desc, col("tok"))
+      .limit(30)
+  }
+
+  val all: Seq[QueryDef] = Seq(tokenStats, langId, quality, fingerprint, tfidf)
+}
