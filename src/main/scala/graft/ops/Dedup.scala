@@ -1,0 +1,339 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north star;
+  * SURVEY §2.14): exact (hash-groupBy), MinHash+LSH, SimHash, n-gram
+  * Jaccard, and embedding-cosine near-dup.
+  *
+  * The fixture corpus has no duplicates (500/500 distinct texts, max pair
+  * cosine 0.51), so each query derives a corpus with *planted* duplicates
+  * — exact copies or first-token-dropped / scaled-embedding perturbations
+  * — using arithmetic both engines reproduce, then finds exactly them.
+  * The queries are therefore self-validating against the DuckDB oracle.
+  *
+  * Cross-engine determinism: content keys use md5 (identical in Spark and
+  * DuckDB); token ids come from dense_rank over the sorted vocabulary
+  * (dictionary encoding — the realistic large-corpus design) instead of
+  * engine-specific hash functions; MinHash permutations are affine
+  * `(a·x + b) mod P` over shingle ids; all integer math is exact.
+  *
+  * Scale notes (100 TB): exact dedup and MinHash-LSH are the scale paths
+  * (linear scans + bounded-fanout band-bucket joins; no O(n²) anywhere).
+  * The SimHash-pair and brute-force cosine queries do all-pairs joins for
+  * oracle-checkability at fixture scale; their production variants band by
+  * simhash prefix / LSH bucket exactly like the MinHash flow (see
+  * Similarity module for the banded embedding path).
+  */
+object Dedup {
+
+  private val P = 1000003L
+  private val NumHashes = 16
+  private val Bands = 4
+  private val RowsPerBand = NumHashes / Bands
+
+  // ------------------------------------------------------------ corpora --
+
+  /** Docs ∪ exact copies of every 10th doc (ids shifted by 10000). */
+  private def corpusExactSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 10 = 0)""".stripMargin
+
+  private def corpusExact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+
+  /** Docs ∪ near-dup copies of every 20th doc (first token dropped). */
+  private def corpusNearSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id,
+      |         substr(text, strpos(text, ' ') + 1) AS text
+      |  FROM documents WHERE doc_id % 20 = 0)""".stripMargin
+
+  private def corpusNear(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+
+  /** Tokenized corpus with 1-based positions and dictionary-encoded token
+    * ids (dense_rank over the sorted vocabulary). */
+  private def encodedToks(c: DataFrame): DataFrame = {
+    val toksr = c.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val vocab = toksr.select(col("tok")).distinct()
+      .select(col("tok"), dense_rank().over(Window.orderBy(col("tok"))).as("tid"))
+    toksr.join(broadcast(vocab), Seq("tok"))
+      .select(col("doc_id"), col("pos"), col("tid"))
+  }
+
+  private val encodedToksSql =
+    """toksr AS (
+      |  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus) a),
+      |vocab AS (
+      |  SELECT tok, dense_rank() OVER (ORDER BY tok) AS tid
+      |  FROM (SELECT DISTINCT tok FROM toksr) v),
+      |enc AS (
+      |  SELECT t.doc_id, t.pos, v.tid FROM toksr t JOIN vocab v ON t.tok = v.tok),
+      |vsz AS (SELECT max(tid) + 1 AS vv FROM vocab)""".stripMargin
+
+  /** Distinct 3-token shingles per doc, as integers base-|vocab|. */
+  private def shingles(enc: DataFrame): DataFrame = {
+    val vsz = enc.agg((max(col("tid")) + 1).as("vv"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    enc
+      .select(col("doc_id"), col("pos"), col("tid"),
+        lead(col("tid"), 1).over(w).as("t2"),
+        lead(col("tid"), 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .crossJoin(broadcast(vsz))
+      .select(col("doc_id"),
+        ((col("tid") * col("vv") + col("t2")) * col("vv") + col("t3")).as("x"))
+      .distinct()
+  }
+
+  private val shinglesSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    (tid * (SELECT vv FROM vsz) + t2) * (SELECT vv FROM vsz) + t3 AS x
+      |  FROM (
+      |    SELECT doc_id, pos, tid,
+      |      lead(tid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+      |      lead(tid, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+      |    FROM enc) s
+      |  WHERE t3 IS NOT NULL)""".stripMargin
+
+  // ------------------------------------------------------------- queries --
+
+  /** Exact dedup: hash-groupBy on md5(text). One shuffle on the content
+    * hash — the canonical 100 TB exact-dedup plan. */
+  val exact: QueryDef = QueryDef.sql(
+    "dedup_exact",
+    s"""WITH $corpusExactSql
+      |SELECT md5(text) AS content_hash, min(doc_id) AS canonical,
+      |  count(*) AS n_copies, list_sort(list(doc_id)) AS members
+      |FROM corpus
+      |GROUP BY md5(text)
+      |HAVING count(*) > 1
+      |ORDER BY canonical""".stripMargin) { (s, d) =>
+    corpusExact(Tables.documents(s, d))
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical"),
+        count(lit(1)).as("n_copies"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("canonical"))
+  }
+
+  /** MinHash signatures + banded LSH candidate pairs: shingle → 16 affine
+    * min-hashes → 4 bands of 4 → bucket self-join. Linear in corpus size;
+    * the only joins are bounded band-bucket joins. */
+  val minHashLsh: QueryDef = {
+    val mhSql = (0 until NumHashes)
+      .map(j => s"min((x * ${2 * j + 3} + ${5 * j + 7}) % $P) AS mh$j")
+      .mkString(", ")
+    val bandSql = (0 until Bands).map { b =>
+      val base = b * RowsPerBand
+      (1 until RowsPerBand)
+        .foldLeft(s"mh$base")((acc, i) => s"($acc * 1009 + mh${base + i})") +
+        s" AS band$b"
+    }.mkString(", ")
+    val eqCount = (0 until NumHashes)
+      .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    QueryDef.sql(
+      "dedup_minhash_lsh",
+      s"""WITH $corpusNearSql,
+        |$encodedToksSql,
+        |$shinglesSql,
+        |sig AS (
+        |  SELECT doc_id, $mhSql FROM sh GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, $bandSql FROM sig),
+        |cand AS (
+        |  ${(0 until Bands).map(b =>
+             s"SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM banded a JOIN banded b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
+             .mkString("\n  UNION\n  ")}),
+        |pairs AS (
+        |  SELECT c.doc1, c.doc2, ($eqCount) AS n_match
+        |  FROM cand c
+        |  JOIN sig a ON a.doc_id = c.doc1
+        |  JOIN sig b ON b.doc_id = c.doc2)
+        |SELECT doc1, doc2, n_match, n_match / 16.0 AS est_jaccard
+        |FROM pairs
+        |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+      val sh = shingles(encodedToks(corpusNear(Tables.documents(s, d))))
+      val mhCols = (0 until NumHashes).map(j =>
+        min((col("x") * (2 * j + 3) + (5 * j + 7)) % P).as(s"mh$j"))
+      val sig = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+        .persist()
+      val banded = sig.select(
+        (col("doc_id") +: (0 until Bands).map { b =>
+          val base = b * RowsPerBand
+          (1 until RowsPerBand)
+            .foldLeft(col(s"mh$base"))((acc, i) => acc * 1009 + col(s"mh${base + i}"))
+            .as(s"band$b")
+        }): _*)
+      val cand = (0 until Bands).map { b =>
+        val a = banded.as("a"); val bb = banded.as("b")
+        a.join(bb, col(s"a.band$b") === col(s"b.band$b") &&
+          col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      }.reduce(_ union _).distinct()
+      val sa = sig.as("sa"); val sb = sig.as("sb")
+      val nMatch = (0 until NumHashes)
+        .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(sa, col("sa.doc_id") === col("doc1"))
+        .join(sb, col("sb.doc_id") === col("doc2"))
+        .select(col("doc1"), col("doc2"), nMatch.as("n_match"))
+        .withColumn("est_jaccard", col("n_match") / 16.0)
+        .orderBy(col("doc1"), col("doc2"))
+    }
+  }
+
+  /** 16-bit SimHash per doc (tf-weighted bit votes over dictionary-encoded
+    * tokens spread by a Knuth multiplier), then near-dup pairs at Hamming
+    * distance <= 3. All-pairs join here for oracle-checkability; the scale
+    * variant bands on a simhash prefix first (same flow as MinHash LSH). */
+  val simHash: QueryDef = {
+    val bitsSql = (0 until 16)
+      .map(i => s"CASE WHEN sum(CASE WHEN (h >> $i) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1 << i} ELSE 0 END")
+      .mkString(" + ")
+    QueryDef.sql(
+      "dedup_simhash",
+      s"""WITH $corpusNearSql,
+        |$encodedToksSql,
+        |spread AS (
+        |  SELECT doc_id, (tid * 2654435761) % 2147483648 AS h FROM enc),
+        |sig AS (
+        |  SELECT doc_id, $bitsSql AS simhash
+        |  FROM spread GROUP BY doc_id)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |  bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 3
+        |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+      val enc = encodedToks(corpusNear(Tables.documents(s, d)))
+      val spread = enc.select(col("doc_id"),
+        ((col("tid") * 2654435761L) % 2147483648L).as("h"))
+      val simhash = (0 until 16)
+        .map(i => when(
+          sum(when(shiftright(col("h"), i) % 2 === 1, 1).otherwise(-1)) > 0,
+          1 << i).otherwise(0))
+        .reduce(_ + _)
+      val sig = spread.groupBy(col("doc_id")).agg(simhash.as("simhash"))
+      val a = sig.as("a"); val b = sig.as("b")
+      val hamming = bit_count(col("a.simhash").cast("long")
+        .bitwiseXOR(col("b.simhash").cast("long")))
+      a.join(b, col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+          hamming.as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("doc1"), col("doc2"))
+    }
+  }
+
+  /** Exact 3-gram Jaccard over shingle sets for pairs sharing >= 1
+    * shingle, thresholded at 0.5. The shared-shingle join IS the
+    * candidate generation (inverted index on shingle), so complexity is
+    * output-bound, not n². */
+  val ngramJaccard: QueryDef = QueryDef.sql(
+    "dedup_ngram_jaccard",
+    s"""WITH $corpusNearSql,
+      |$encodedToksSql,
+      |$shinglesSql,
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.x = b.x AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT i.doc1, i.doc2, i.inter, s1.sz AS sz1, s2.sz AS sz2,
+      |  round(i.inter * 1.0 / (s1.sz + s2.sz - i.inter), 6) AS jaccard
+      |FROM inter i
+      |JOIN sizes s1 ON s1.doc_id = i.doc1
+      |JOIN sizes s2 ON s2.doc_id = i.doc2
+      |WHERE i.inter * 1.0 / (s1.sz + s2.sz - i.inter) >= 0.5
+      |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+    val sh = shingles(encodedToks(corpusNear(Tables.documents(s, d)))).persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.x") === col("b.x") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("s1"), col("s1.doc_id") === col("doc1"))
+      .join(sizes.as("s2"), col("s2.doc_id") === col("doc2"))
+      .select(col("doc1"), col("doc2"), col("inter"),
+        col("s1.sz").as("sz1"), col("s2.sz").as("sz2"),
+        round(col("inter").cast("double") /
+          (col("s1.sz") + col("s2.sz") - col("inter")), 6).as("jaccard"))
+      .filter(col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")) >= 0.5)
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** Embedding-cosine near-dup: planted scaled copies (cos ~ 1) against a
+    * background whose max natural pair cosine is 0.51, so threshold 0.99
+    * recovers exactly the planted pairs. Brute-force all-pairs with
+    * per-vector norms precomputed; the banded/bucketed scale path lives in
+    * the Similarity module. */
+  val embeddingCos: QueryDef = QueryDef.sql(
+    "dedup_embedding_cos",
+    """WITH corpus AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000 AS vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01 + 0.0001) AS v
+      |  FROM embeddings WHERE vec_id % 25 = 0),
+      |flat AS (
+      |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
+      |  FROM corpus),
+      |norms AS (
+      |  SELECT vec_id, sqrt(sum(e * e)) AS nrm FROM flat GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2, sum(a.e * b.e) AS dot
+      |  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      |  GROUP BY a.vec_id, b.vec_id)
+      |SELECT v1, v2, round(dot / (n1.nrm * n2.nrm), 6) AS cos
+      |FROM dots
+      |JOIN norms n1 ON n1.vec_id = v1
+      |JOIN norms n2 ON n2.vec_id = v2
+      |WHERE dot / (n1.nrm * n2.nrm) >= 0.99
+      |ORDER BY v1, v2""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val planted = emb.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double") * 1.01 + 0.0001).as("v"))
+    val corpus = base.unionAll(planted)
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .persist()
+    val a = corpus.as("a"); val b = corpus.as("b")
+    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        (dot / (col("a.nrm") * col("b.nrm"))).as("rawcos"))
+      .filter(col("rawcos") >= 0.99)
+      .select(col("v1"), col("v2"), round(col("rawcos"), 6).as("cos"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  val all: Seq[QueryDef] = Seq(exact, minHashLsh, simHash, ngramJaccard, embeddingCos)
+}
