@@ -13,7 +13,8 @@ object SparkEntry {
   private def modules: Seq[QueryDef] =
     relational.RelationalQueries.all ++ fm.FmQueries.all ++
       fm.SamplePipeline.all ++ fm.FmRelationalQueries.all ++
-      ops.TextAnalysis.all ++ ops.Dedup.all ++ ops.Similarity.all
+      ops.TextAnalysis.all ++ ops.Dedup.all ++ ops.Similarity.all ++
+      ops.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: broadcast dim join + fact shuffle join + agg + top-k. */

@@ -1,0 +1,208 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (north star; SURVEY §2.14): image/audio/
+  * video as opaque `binary` payloads with typed metadata, plus the
+  * decode / feature-extract / resize / frame-sample operators a training
+  * pipeline needs.
+  *
+  * The actual codecs (libjpeg etc.) are NOT in this container, so the
+  * byte-level decode is a clearly-marked deterministic STUB: payloads
+  * follow a planted header convention (4-byte big-endian width/height)
+  * and a formulaic body (`byte[i] = (media_id·31 + i) mod 251`), standing
+  * in for real image data. Everything around the stub is real and tested:
+  * the binary schema, the typed metadata struct, partition-preserving
+  * batched processing (`mapPartitions` over row batches — the Scala
+  * analogue of `mapInPandas` batch shape), and the explode of sampled
+  * frames. Because the payload is formulaic, the DuckDB oracle can verify
+  * the *binary round-trip* (Spark decodes real bytes; the oracle
+  * recomputes the same checksums from pure arithmetic).
+  *
+  * Scale notes (100 TB of media): payloads never pass through the driver;
+  * decode/extract are narrow map-side transforms; frame explode is the
+  * only fan-out and carries its own frame ids for downstream shuffles.
+  */
+object Multimodal {
+
+  private val BodyMod = 251
+  private val FrameSize = 256
+
+  /** Deterministic synthetic media over documents: kind by id mod 3,
+    * planted header (width, height), formulaic body of width·height bytes
+    * (capped for 'video' which gets 4·FrameSize so frame sampling has
+    * multiple frames). */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val makePayload = udf { (id: Long, w: Int, h: Int, bodyLen: Int) =>
+      val out = new Array[Byte](4 + bodyLen)
+      out(0) = ((w >> 8) & 0xff).toByte
+      out(1) = (w & 0xff).toByte
+      out(2) = ((h >> 8) & 0xff).toByte
+      out(3) = (h & 0xff).toByte
+      var i = 0
+      while (i < bodyLen) {
+        out(4 + i) = (((id * 31 + i) % BodyMod) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+    docs.select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        (lit(16) + col("doc_id") % 48).cast("int").as("w"),
+        (lit(16) + (col("doc_id") * 7) % 32).cast("int").as("h"))
+      .withColumn("body_len",
+        when(col("kind") === "video", lit(4 * FrameSize))
+          .otherwise(col("w") * col("h")).cast("int"))
+      .select(col("media_id"), col("kind"),
+        makePayload(col("media_id"), col("w"), col("h"), col("body_len"))
+          .as("payload"),
+        struct(col("w").as("width"), col("h").as("height"),
+          lit("stub/v1").as("format")).as("meta"))
+  }
+
+  /** STUB decoder: parses the planted 4-byte header and checksums the
+    * body from the actual binary — the stand-in for a real image decode.
+    * Output: (width, height, body_len, byte_sum). */
+  def decodeStub(media: DataFrame): DataFrame = {
+    val decode = udf { (payload: Array[Byte]) =>
+      // ??? real codec goes here; this parses the stub header convention.
+      val w = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+      val h = ((payload(2) & 0xff) << 8) | (payload(3) & 0xff)
+      var s = 0L
+      var i = 4
+      while (i < payload.length) { s += (payload(i) & 0xff); i += 1 }
+      (w, h, payload.length - 4, s)
+    }
+    media.withColumn("dec", decode(col("payload")))
+      .select(col("media_id"), col("kind"),
+        col("dec._1").as("width"), col("dec._2").as("height"),
+        col("dec._3").as("body_len"), col("dec._4").as("byte_sum"))
+  }
+
+  /** Batched feature extraction via mapPartitions — the Scala analogue of
+    * mapInPandas: rows stream through in batches of `batchSize`, each
+    * batch is processed as a block (stand-in for a vectorized model
+    * forward pass), partitioning is preserved (no shuffle). Returns
+    * (media_id, features: Array[Float] of 8). */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val rows = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // Batch-shaped processing: all payloads of the batch visible at
+          // once, mirroring a vectorized decode+embed call.
+          batch.map { r =>
+            val id = r.getLong(0)
+            val p = r.getAs[Array[Byte]](1)
+            val feats = Array.tabulate(8) { f =>
+              var s = 0L
+              var i = 4 + f
+              while (i < p.length) { s += (p(i) & 0xff); i += 8 }
+              (s % 997).toFloat / 997.0f
+            }
+            Row(id, feats)
+          }
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Frame sampling for video payloads: explode fixed-size body chunks
+    * with frame indices (the binary-side G1 analogue). */
+  def frameSample(media: DataFrame): DataFrame = {
+    val frames = udf { (payload: Array[Byte]) =>
+      payload.drop(4).grouped(FrameSize).zipWithIndex
+        .map { case (bytes, idx) => (idx, bytes.length, bytes.map(_ & 0xff).map(_.toLong).sum) }
+        .toSeq
+    }
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), explode(frames(col("payload"))).as("f"))
+      .select(col("media_id"), col("f._1").as("frame_idx"),
+        col("f._2").as("frame_len"), col("f._3").as("byte_sum"))
+  }
+
+  /** Resize stub: metadata transform + payload truncation to the new
+    * dims, preserving the header convention. */
+  def resizeStub(media: DataFrame, newW: Int, newH: Int): DataFrame = {
+    val resize = udf { (payload: Array[Byte], w: Int, h: Int) =>
+      val out = new Array[Byte](4 + math.min(payload.length - 4, w * h))
+      out(0) = ((w >> 8) & 0xff).toByte; out(1) = (w & 0xff).toByte
+      out(2) = ((h >> 8) & 0xff).toByte; out(3) = (h & 0xff).toByte
+      System.arraycopy(payload, 4, out, 4, out.length - 4)
+      out
+    }
+    media.withColumn("payload", resize(col("payload"), lit(newW), lit(newH)))
+      .withColumn("meta", struct(lit(newW).as("width"), lit(newH).as("height"),
+        lit("stub/v1").as("format")))
+  }
+
+  /** Binary round-trip check: Spark decodes REAL bytes, the oracle
+    * recomputes the checksums from the planting formula — if the binary
+    * plumbing (write, schema, header packing, byte order) broke anywhere,
+    * the sums diverge. */
+  val decodeMeta: QueryDef = QueryDef.sql(
+    "mm_decode_meta",
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |    CAST(16 + doc_id % 48 AS INT) AS width,
+      |    CAST(16 + (doc_id * 7) % 32 AS INT) AS height
+      |  FROM documents),
+      |m2 AS (
+      |  SELECT media_id, kind, width, height,
+      |    CASE WHEN kind = 'video' THEN ${4 * FrameSize}
+      |         ELSE width * height END AS body_len
+      |  FROM m)
+      |SELECT media_id, kind, width, height, body_len,
+      |  CAST((SELECT sum((m2.media_id * 31 + u.i) % $BodyMod)
+      |        FROM unnest(generate_series(0, m2.body_len - 1)) u(i)) AS BIGINT)
+      |    AS byte_sum
+      |FROM m2
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    decodeStub(syntheticMedia(Tables.documents(s, d)))
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("body_len"), col("byte_sum"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Frame-sample round-trip: per-frame lengths and checksums vs the
+    * planting formula. */
+  val frames: QueryDef = QueryDef.sql(
+    "mm_frame_sample",
+    s"""WITH v AS (
+      |  SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 2),
+      |fr AS (
+      |  SELECT media_id, u.f AS frame_idx
+      |  FROM v, unnest(generate_series(0, 3)) u(f))
+      |SELECT media_id, frame_idx, $FrameSize AS frame_len,
+      |  CAST((SELECT sum((fr.media_id * 31 + i) % $BodyMod)
+      |        FROM unnest(generate_series(fr.frame_idx * $FrameSize,
+      |                    (fr.frame_idx + 1) * $FrameSize - 1)) u2(i)) AS BIGINT)
+      |    AS byte_sum
+      |FROM fr
+      |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+    frameSample(syntheticMedia(Tables.documents(s, d)))
+      .select(col("media_id"), col("frame_idx"),
+        col("frame_len").cast("int").as("frame_len"), col("byte_sum"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** Batched feature extraction — rows-only (the float math is not worth
+    * re-deriving in SQL; determinism is covered by the ScalaTest spec). */
+  val features: QueryDef = QueryDef.rowsOnly("mm_features") { (s, d) =>
+    extractFeatures(syntheticMedia(Tables.documents(s, d)))
+      .select(col("media_id"),
+        transform(col("features"), f => round(f, 6)).as("features"))
+      .orderBy(col("media_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(decodeMeta, frames, features)
+}

@@ -141,8 +141,8 @@ object TextAnalysis {
   val fingerprint: QueryDef = QueryDef.sql(
     "ta_fingerprint",
     """SELECT doc_id,
-      |  sum(tokval * pos) % 1000003 AS fp1,
-      |  sum(tokval * tokval) % 1000003 AS fp2
+      |  CAST(sum(tokval * pos) % 1000003 AS BIGINT) AS fp1,
+      |  CAST(sum(tokval * tokval) % 1000003 AS BIGINT) AS fp2
       |FROM (
       |  SELECT doc_id,
       |    31 * length(tok) + ascii(tok) AS tokval,
