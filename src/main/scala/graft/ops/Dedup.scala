@@ -32,7 +32,11 @@ object Dedup {
 
   private val P = 1000003L
   private val NumHashes = 16
-  private val Bands = 4
+  // 2 bands of 8: on a tiny shared vocabulary, 4x4 banding produced large
+  // chance-collision buckets (quadratic candidate blowup); r=8 keeps the
+  // planted near-dups (jaccard ~0.97 -> P[collide] ~ 0.96) while chance
+  // collisions of unrelated docs become rare.
+  private val Bands = 2
   private val RowsPerBand = NumHashes / Bands
 
   // ------------------------------------------------------------ corpora --
@@ -143,10 +147,13 @@ object Dedup {
     val mhSql = (0 until NumHashes)
       .map(j => s"min((x * ${2 * j + 3} + ${5 * j + 7}) % $P) AS mh$j")
       .mkString(", ")
+    // mod-reduce each fold step: 8 chained *1009 terms would overflow
+    // int64 otherwise (and DuckDB's hugeint would silently diverge).
     val bandSql = (0 until Bands).map { b =>
       val base = b * RowsPerBand
       (1 until RowsPerBand)
-        .foldLeft(s"mh$base")((acc, i) => s"($acc * 1009 + mh${base + i})") +
+        .foldLeft(s"mh$base")((acc, i) =>
+          s"(($acc * 1009 + mh${base + i}) % 1000000007)") +
         s" AS band$b"
     }.mkString(", ")
     val eqCount = (0 until NumHashes)
@@ -182,7 +189,8 @@ object Dedup {
         (col("doc_id") +: (0 until Bands).map { b =>
           val base = b * RowsPerBand
           (1 until RowsPerBand)
-            .foldLeft(col(s"mh$base"))((acc, i) => acc * 1009 + col(s"mh${base + i}"))
+            .foldLeft(col(s"mh$base"))((acc, i) =>
+              (acc * 1009 + col(s"mh${base + i}")) % 1000000007L)
             .as(s"band$b")
         }): _*)
       val cand = (0 until Bands).map { b =>
@@ -323,14 +331,7 @@ object Dedup {
         transform(col("embedding"), x => x.cast("double") * 1.01 + 0.0001).as("v"))
     val corpus = base.unionAll(planted)
       .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
-      .persist()
-    val a = corpus.as("a"); val b = corpus.as("b")
-    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    a.join(b, col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        (dot / (col("a.nrm") * col("b.nrm"))).as("rawcos"))
-      .filter(col("rawcos") >= 0.99)
+    Similarity.pairCosineKernel(corpus, 0.99)
       .select(col("v1"), col("v2"), round(col("rawcos"), 6).as("cos"))
       .orderBy(col("v1"), col("v2"))
   }

@@ -1,9 +1,10 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Similarity search over an embedding column (`Array[Float]`, dim 64):
   * brute-force cosine top-k as the exactness baseline, random-hyperplane
@@ -30,6 +31,43 @@ object Similarity {
     emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+
+  /** All-pairs cosine >= threshold via a broadcast reference set and
+    * primitive-loop dot products in mapPartitions. ~50x faster than
+    * per-pair `zip_with` lambdas (no array copying per pair, tight JIT
+    * multiply-add loops). The reference side must be broadcastable
+    * (collected to an Array — 2k x 64 doubles here is ~1 MB); for
+    * huge x huge at 100 TB, LSH-bucket first (see lshBuckets) and apply
+    * this kernel per bucket. Per-pair results are order-independent, so
+    * output is deterministic regardless of partitioning. */
+  def pairCosineKernel(prep: DataFrame, threshold: Double): DataFrame = {
+    val spark = prep.sparkSession
+    val ref: Array[(Long, Array[Double], Double)] = prep
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val bc = spark.sparkContext.broadcast(ref)
+    val outSchema = StructType(Seq(
+      StructField("v1", LongType, nullable = false),
+      StructField("v2", LongType, nullable = false),
+      StructField("rawcos", DoubleType, nullable = false)))
+    val rows = prep.select(col("vec_id"), col("v"), col("nrm")).rdd
+      .mapPartitions { it =>
+        val refs = bc.value
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val v = r.getSeq[Double](1).toArray
+          val n = r.getDouble(2)
+          refs.iterator.filter(_._1 < id).flatMap { case (rid, rv, rn) =>
+            var s = 0.0
+            var i = 0
+            while (i < v.length) { s += v(i) * rv(i); i += 1 }
+            val c = s / (n * rn)
+            if (c >= threshold) Some(Row(rid, id, c)) else None
+          }
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
 
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -174,13 +212,8 @@ object Similarity {
       |JOIN norms n2 ON n2.vec_id = v2
       |WHERE dot / (n1.nrm * n2.nrm) >= 0.35
       |ORDER BY v1, v2""".stripMargin) { (s, d) =>
-    val prep = prepared(Tables.embeddings(s, d)).persist()
-    val a = prep.select(col("vec_id").as("v1"), col("v").as("av"), col("nrm").as("n1"))
-    val b = prep.select(col("vec_id").as("v2"), col("v").as("bv"), col("nrm").as("n2"))
-    a.join(b, col("v1") < col("v2"))
-      .select(col("v1"), col("v2"),
-        (dot(col("av"), col("bv")) / (col("n1") * col("n2"))).as("rawcos"))
-      .filter(col("rawcos") >= 0.35)
+    val prep = prepared(Tables.embeddings(s, d))
+    pairCosineKernel(prep, 0.35)
       .select(col("v1"), col("v2"), round(col("rawcos"), 6).as("cos"))
       .orderBy(col("v1"), col("v2"))
   }
