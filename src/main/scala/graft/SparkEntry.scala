@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def modules: Seq[QueryDef] =
-    relational.RelationalQueries.all ++ fm.FmQueries.all ++
+    relational.RelationalQueries.all ++ relational.SourceQueries.all ++
+      fm.FmQueries.all ++
       fm.SamplePipeline.all ++ fm.FmRelationalQueries.all ++
       ops.TextAnalysis.all ++ ops.Dedup.all ++ ops.Similarity.all ++
       ops.Multimodal.all ++ streaming.EventStreams.all

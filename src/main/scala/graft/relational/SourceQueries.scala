@@ -1,0 +1,83 @@
+package graft.relational
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Source/sink coverage beyond parquet (SURVEY §2.1): the reference's S1
+  * CSV scan with header + schema inference, a JSON column parse (the
+  * `events.props` strings), and the text line format. Round-trips go
+  * through Spark writes to temp dirs so the same code path works on any
+  * Hadoop FS; oracles compute from the original parquet, proving the
+  * format round-trip is lossless.
+  */
+object SourceQueries {
+
+  private def stage(d: String, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-src-$name-" +
+      math.abs(d.hashCode)
+
+  /** CSV sink → CSV scan with header=true + inferSchema=true (the exact
+    * reference read shape, Sample:98-102) → aggregate. The oracle reads
+    * the original table: hash-equality proves the CSV round-trip loses
+    * nothing (types re-inferred, values exact). */
+  val csvRoundtrip: QueryDef = QueryDef.sql(
+    "src_csv_roundtrip",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, d) =>
+    val dir = stage(d, "csv")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    s.read.option("header", "true").option("inferSchema", "true").csv(dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  /** Semi-structured column: from_json over events.props → typed field →
+    * aggregate (JSON parsing is a first-class source capability for
+    * training-data pipelines). */
+  val jsonProps: QueryDef = QueryDef.sql(
+    "src_json_props",
+    """SELECT event_type,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("k_sum"), max(col("k")).as("k_max"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Text format: document texts written as raw lines, read back with
+    * spark.read.text, line-level stats. Oracle over the original table
+    * proves the line round-trip. */
+  val textLines: QueryDef = QueryDef.sql(
+    "src_text_lines",
+    """SELECT length(text) AS line_len, count(*) AS n
+      |FROM documents
+      |GROUP BY line_len
+      |ORDER BY line_len""".stripMargin) { (s, d) =>
+    val dir = stage(d, "text")
+    Tables.documents(s, d).select(col("text")).write.mode("overwrite").text(dir)
+    s.read.text(dir)
+      .groupBy(length(col("value")).as("line_len"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("line_len"))
+  }
+
+  val all: Seq[QueryDef] = Seq(csvRoundtrip, jsonProps, textLines)
+}
