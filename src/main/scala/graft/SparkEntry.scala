@@ -12,7 +12,7 @@ object SparkEntry {
 
   private def modules: Seq[QueryDef] =
     relational.RelationalQueries.all ++ relational.SourceQueries.all ++
-      fm.FmQueries.all ++
+      relational.AdvancedQueries.all ++ fm.FmQueries.all ++
       fm.SamplePipeline.all ++ fm.FmRelationalQueries.all ++
       ops.TextAnalysis.all ++ ops.Dedup.all ++ ops.Similarity.all ++
       ops.Multimodal.all ++ streaming.EventStreams.all

@@ -69,8 +69,17 @@ object Similarity {
     spark.createDataFrame(rows, outSchema)
   }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product by the codegen'd native expression (graft.functions.
+    * DotProduct) when the session has GraftExtensions registered
+    * (Verify/Bench/tests do), else the higher-order-function fallback.
+    * Same value either way — both are sequential left-to-right sums. */
+  private def dot(a: Column, b: Column): Column = {
+    val active = SparkSession.active
+    if (active.catalog.functionExists("dot_product"))
+      org.apache.spark.sql.functions.call_function("dot_product", a, b)
+    else
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  }
 
   /** Exact cosine top-k of `queries` against `corpus` (both prepared),
     * excluding self-matches. Rank ties broken by neighbor id. */

@@ -1,0 +1,118 @@
+package graft.relational
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced operators beyond the reference surface: as-of join, exact
+  * percentiles, pivot, and cube — each oracle-checked.
+  */
+object AdvancedQueries {
+
+  /** AS-OF JOIN — for every 'error' event, the most recent 'click' of the
+    * same user at or before it. Spark lacks a native as-of join; the
+    * scalable composition is the union+window trick: tag both streams,
+    * sort per user by time, and carry the last click forward with
+    * `last(_, ignoreNulls)` over the preceding frame. One shuffle on
+    * user_id, NO join blowup — at 100 TB this beats the naive
+    * join-filter-rank plan by orders of magnitude on skewed users.
+    * Oracle: DuckDB's native ASOF JOIN (inclusive `>=` semantics match
+    * the window ordering with clicks sorted before errors on ties). */
+  val asOfJoin: QueryDef = QueryDef.sql(
+    "adv_asof_join",
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |errors AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id AS error_id
+      |  FROM events WHERE event_type = 'error')
+      |SELECT e.error_id, e.user_id, c.click_id,
+      |  CAST((e.t - c.t) // 1000000000 AS BIGINT) AS gap_seconds
+      |FROM errors e
+      |ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.t >= c.t
+      |ORDER BY error_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("t"), col("event_id").as("click_id"),
+        lit(0).as("kind"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("t"), col("event_id").as("error_id"),
+        lit(1).as("kind"))
+    // union stream: clicks carry click_id, errors carry error_id
+    val unioned = clicks.withColumn("error_id", lit(null).cast("long"))
+      .select(col("user_id"), col("t"), col("kind"), col("click_id"),
+        col("error_id"), col("t").as("click_t"))
+      .unionAll(errors.select(col("user_id"), col("t"), col("kind"),
+        lit(null).cast("long").as("click_id"), col("error_id"),
+        lit(null).cast("long").as("click_t")))
+    // clicks (kind 0) order before errors (kind 1) on ts ties => inclusive
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_t", last(col("click_t"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("error_id"), col("user_id"),
+        col("last_click_id").as("click_id"),
+        ((col("t") - col("last_click_t")) / 1000000000L).cast("long")
+          .as("gap_seconds"))
+      .orderBy(col("error_id"))
+  }
+
+  /** Exact interpolated percentiles (Spark `percentile` == ANSI
+    * percentile_cont == DuckDB `quantile_cont`). */
+  val percentiles: QueryDef = QueryDef.sql(
+    "adv_percentiles",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"),
+        round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Pivot: linestatus columns per returnflag (oracle via CASE sums —
+    * identical semantics, engine-neutral). */
+  val pivot: QueryDef = QueryDef.sql(
+    "adv_pivot",
+    """SELECT l_returnflag,
+      |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+      |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .sum("l_quantity")
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Cube grouping sets over two dimensions. */
+  val cube: QueryDef = QueryDef.sql(
+    "adv_cube",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+  }
+
+  val all: Seq[QueryDef] = Seq(asOfJoin, percentiles, pivot, cube)
+}

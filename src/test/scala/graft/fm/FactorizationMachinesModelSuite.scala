@@ -8,6 +8,7 @@ import org.scalatest.matchers.should.Matchers
 
 trait SparkSessionSuite extends AnyFunSuite with BeforeAndAfterAll with Matchers {
   lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.functions.GraftExtensions)
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
