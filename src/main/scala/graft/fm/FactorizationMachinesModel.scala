@@ -74,6 +74,8 @@ class FactorizationMachinesModel(
   def setSampleIdCol(value: String): this.type = set(sampleIdCol, value)
   def setMinLabel(value: Double): this.type = set(minLabel, value)
   def setMaxLabel(value: Double): this.type = set(maxLabel, value)
+  def setCarryThroughScoring(value: Boolean): this.type =
+    set(carryThroughScoring, value)
 
   override def copy(extra: ParamMap): FactorizationMachinesModel = {
     val copied = new FactorizationMachinesModel(uid, dimFactorization,
@@ -84,12 +86,16 @@ class FactorizationMachinesModel(
   override def transformSchema(schema: StructType): StructType =
     validateAndTransformSchema(schema, fitting = false)
 
-  /** Scoring entry point — reference Model:69-87. The input is cached
-    * because `monotonically_increasing_id` is partition-layout dependent
-    * and the id column is referenced on both sides of the join-back; an
-    * uncached recomputation could re-assign ids. */
+  /** Scoring entry point — reference Model:69-87. Default path caches
+    * the input because `monotonically_increasing_id` is partition-layout
+    * dependent and the id column is referenced on both sides of the
+    * join-back; an uncached recomputation could re-assign ids. The
+    * carry-through path (see [[FactorizationMachinesModelParams
+    * .carryThroughScoring]]) is a single linear plan: no cache, no
+    * join-back. */
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
+    if ($(carryThroughScoring)) return transformCarryThrough(dataset)
     val df = FactorizationMachinesModel
       .addSampleId(dataset, $(sampleIdCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -101,6 +107,61 @@ class FactorizationMachinesModel(
       .withColumn($(predictionCol),
         coalesce(col($(predictionCol)), lit(globalBias)))
       .drop($(sampleIdCol))
+  }
+
+  /** One-pass scoring: input columns ride through the per-sample
+    * aggregation via first(). Feature-less samples explode into a
+    * sentinel entry (featureId −1); the param join is left_outer with
+    * zero defaults, so sentinel and unseen-feature rows contribute
+    * nothing (identical to the reference's inner-join drop), and samples
+    * with zero MATCHED features get the raw bias — matching the
+    * join-back path bit for bit, including all-unseen-feature samples. */
+  private def transformCarryThrough(dataset: Dataset[_]): DataFrame = {
+    val k = dimFactorization
+    val sid = $(sampleIdCol)
+    val inputCols = dataset.columns.toSeq
+
+    val params = dimensionStrength.toDF()
+      .join(factorizedInteraction.toDF(), Seq("id"))
+      .select(col("id"), col("strength"), vector_to_array(col("vec")).as("vecArr"))
+
+    val entries = FactorizationMachinesModel.activeEntries(col($(featuresCol)))
+    val sentinel = array(struct(lit(-1).as("featureId"), lit(0.0).as("featureValue")))
+    val exploded = dataset
+      .withColumn(sid, monotonically_increasing_id())
+      .select(col(sid) +: inputCols.map(col) :+
+        explode(when(size(entries) === 0, sentinel).otherwise(entries)).as("e"): _*)
+      .select(col(sid) +: inputCols.map(col) :+
+        col("e.featureId").as("featureId") :+
+        col("e.featureValue").as("featureValue"): _*)
+
+    val zeroArr = array_repeat(lit(0.0), k)
+    val terms = exploded
+      .join(params, col("featureId") === params("id"), "left_outer")
+      .select(col(sid) +: inputCols.map(col) :+
+        (coalesce(col("strength"), lit(0.0)) * col("featureValue")).as("wixi") :+
+        org.apache.spark.sql.functions
+          .transform(coalesce(col("vecArr"), zeroArr),
+            v => v * col("featureValue")).as("vfxi") :+
+        (aggregate(coalesce(col("vecArr"), zeroArr), lit(0.0),
+          (a, v) => a + v * v)
+          * col("featureValue") * col("featureValue")).as("vi2xi2") :+
+        when(col("id").isNotNull, 1L).otherwise(0L).as("isReal"): _*)
+
+    val aggCols =
+      inputCols.map(c => first(col(c)).as(c)) ++
+      Seq(sum(col("wixi")).as("wixiSum"),
+        sum(col("vi2xi2")).as("vi2xi2Sum"),
+        sum(col("isReal")).as("nReal")) ++
+      (0 until k).map(f => sum(element_at(col("vfxi"), f + 1)).as(s"_vf$f"))
+    val grouped = terms.groupBy(col(sid)).agg(aggCols.head, aggCols.tail: _*)
+
+    val normSq = (0 until k).map(f => col(s"_vf$f") * col(s"_vf$f")).reduce(_ + _)
+    val raw = lit(globalBias) + col("wixiSum") +
+      lit(0.5) * (normSq - col("vi2xi2Sum"))
+    grouped.select(inputCols.map(col) :+
+      when(col("nReal") === 0, lit(globalBias)).otherwise(clip(raw))
+        .as($(predictionCol)): _*)
   }
 
   /** (sampleId, prediction) for every sample with >= 1 learned feature. */

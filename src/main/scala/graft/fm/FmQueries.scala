@@ -44,7 +44,7 @@ object FmQueries {
         max(col("l_linenumber")).as("ln"))
       .select(col("l_orderkey"),
         toVec(col("q"), col("disc"), col("tax"), col("ln")).as("features"))
-    goldenModel(s).transform(input)
+    goldenModel(s).setCarryThroughScoring(true).transform(input)
       .select(col("l_orderkey"), round(col("prediction"), 6).as("prediction"))
       .orderBy(col("l_orderkey"))
   }

@@ -39,13 +39,27 @@ trait FactorizationMachinesModelParams extends Params {
     new DoubleParam(this, "maxLabel", "maximum label value (predictions clipped down to it)")
   final def getMaxLabel: Double = $(maxLabel)
 
+  /** Execution knob, not a semantic one: carry the input columns through
+    * the per-sample aggregation instead of caching the input and joining
+    * predictions back (Model:74-87's plan shape). Cheaper when the input
+    * payload is narrow — one pass, no cache, no join-back shuffle; the
+    * default join-back wins when rows are wide (payload would be
+    * replicated per active feature through the shuffle). Outputs are
+    * identical either way, including the raw-bias fallback for
+    * feature-less samples. */
+  final val carryThroughScoring: BooleanParam = new BooleanParam(this,
+    "carryThroughScoring",
+    "score in one pass carrying input columns through the aggregation")
+  final def getCarryThroughScoring: Boolean = $(carryThroughScoring)
+
   setDefault(
     featuresCol -> "features",
     labelCol -> "label",
     predictionCol -> "prediction",
     sampleIdCol -> "sampleId",
     minLabel -> Double.NegativeInfinity,
-    maxLabel -> Double.PositiveInfinity)
+    maxLabel -> Double.PositiveInfinity,
+    carryThroughScoring -> false)
 
   /** Schema contract of the reference (FactorizationMachines.scala:33-37,
     * FactorizationMachinesModel.scala:236-240): features must be VectorUDT,

@@ -114,5 +114,28 @@ object AdvancedQueries {
           col("o_orderpriority").asc_nulls_first)
   }
 
-  val all: Seq[QueryDef] = Seq(asOfJoin, percentiles, pivot, cube)
+  /** Two-phase salted aggregation — the skew-resistant pattern for hot
+    * keys at 100 TB: partial aggregate on (key, salt) spreads a hot key
+    * over N reducers, then a tiny final aggregate merges the N partials.
+    * Results are identical to the direct groupBy (the oracle computes
+    * it directly), which is exactly the point. */
+  val saltedAgg: QueryDef = QueryDef.sql(
+    "adv_salted_agg",
+    """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(8)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity")).as("q"), sum(col("l_extendedprice")).as("p"),
+        count(lit(1)).as("c"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("q")).as("sum_qty"), round(sum(col("p")), 2).as("sum_price"),
+        sum(col("c")).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[QueryDef] = Seq(asOfJoin, percentiles, pivot, cube, saltedAgg)
 }
