@@ -137,5 +137,27 @@ object AdvancedQueries {
       .orderBy(col("l_returnflag"))
   }
 
-  val all: Seq[QueryDef] = Seq(asOfJoin, percentiles, pivot, cube, saltedAgg)
+  /** Explicit ROWS-frame moving average (vs the RANGE-default running
+    * sums of q6): 3-order trailing average per customer, ordered by an
+    * unambiguous (date, key) pair so the frame contents are identical in
+    * both engines. */
+  val movingAvg: QueryDef = QueryDef.sql(
+    "adv_moving_avg",
+    """SELECT o_custkey, o_orderkey,
+      |  round(avg(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(avg(col("o_totalprice")).over(w), 4).as("mavg"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(asOfJoin, percentiles, pivot, cube, saltedAgg, movingAvg)
 }
