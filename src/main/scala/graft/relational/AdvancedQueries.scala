@@ -158,6 +158,25 @@ object AdvancedQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** The engine's SQL-string surface: fixture tables registered as temp
+    * views, the query text executed via `spark.sql` — same text the
+    * oracle runs, proving users can drive this engine with plain ANSI SQL
+    * (correlated subquery included: per-nation above-average customers). */
+  val sqlInterface: QueryDef = {
+    val sql =
+      """SELECT c.c_nationkey, count(*) AS n_above,
+        |  round(max(c.c_acctbal), 2) AS top_bal
+        |FROM customer c
+        |WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                     WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY c.c_nationkey
+        |ORDER BY c.c_nationkey""".stripMargin
+    QueryDef.sql("adv_sql_interface", sql) { (s, d) =>
+      graft.Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(sql)
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(asOfJoin, percentiles, pivot, cube, saltedAgg, movingAvg)
+    Seq(asOfJoin, percentiles, pivot, cube, saltedAgg, movingAvg, sqlInterface)
 }
