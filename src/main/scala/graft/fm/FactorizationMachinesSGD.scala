@@ -77,8 +77,22 @@ class FactorizationMachinesSGD(override val uid: String)
     * reference SGD:134-139), for diagnostics and tests. */
   @volatile var lastLossHistory: Seq[Double] = Seq.empty
 
-  /** Truncate parameter-table lineage with localCheckpoint every N iters. */
-  private val checkpointEvery = 5
+  /** Warm-start source: when set, `fit` resumes from this model's
+    * parameter tables instead of the hash-gaussian init (features absent
+    * from the warm model still lazy-init deterministically inside the
+    * loop). A capability the reference lacks — its fit always re-inits
+    * (SGD:80). */
+  @volatile private var initialModel: Option[FactorizationMachinesModel] = None
+  def setInitialModel(model: FactorizationMachinesModel): this.type = {
+    initialModel = Some(model); this
+  }
+
+  // NOTE on lineage: `params` is referenced TWICE per iteration (the
+  // exploded left-outer join and the full-outer merge), so the logical
+  // plan would double in size every iteration — persist() bounds
+  // recomputation but NOT plan size, and by ~8 accumulated iterations the
+  // plan string alone OOMs the driver. Every iteration therefore ends in
+  // an eager localCheckpoint, which truncates the plan to a leaf.
 
   override def copy(extra: ParamMap): Estimator[FactorizationMachinesModel] =
     defaultCopy(extra)
@@ -99,7 +113,15 @@ class FactorizationMachinesSGD(override val uid: String)
       .select(col($(labelCol)).as("label"), col($(featuresCol)).as("features"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var params = initialParams(data).persist(StorageLevel.MEMORY_AND_DISK)
+    var params = initialModel
+      .map { m =>
+        m.dimensionStrength.toDF()
+          .join(m.factorizedInteraction.toDF(), Seq("id"))
+          .select(col("id"), col("strength"),
+            org.apache.spark.ml.functions.vector_to_array(col("vec")).as("vecArr"))
+      }
+      .getOrElse(initialParams(data))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     params.count() // materialize the (deterministic) init
 
     val batches =
@@ -165,10 +187,10 @@ class FactorizationMachinesSGD(override val uid: String)
   }
 
   /** One SGD iteration: returns the updated combined parameter table —
-    * already materialized (persisted, or local-checkpointed every
-    * `checkpointEvery` iters to truncate lineage) so the caller can
-    * immediately drop the previous table — and the batch loss. None for
-    * an empty batch (SGD:126-128). */
+    * already eagerly local-checkpointed (materialized + plan truncated;
+    * see the lineage note above) so the caller can immediately drop the
+    * previous table — and the batch loss. None for an empty batch
+    * (SGD:126-128). */
   private[fm] def step(
       params: DataFrame, batch: DataFrame, iter: Int): Option[(DataFrame, Double)] = {
     val k = $(dimFactorization)
@@ -269,13 +291,9 @@ class FactorizationMachinesSGD(override val uid: String)
           coalesce(col("dV"), zeroArr),
           (v, g) => soft(v - g)).as("vecArr"))
 
-    val materialized =
-      if (iter % checkpointEvery == 0) newParams.localCheckpoint(true)
-      else {
-        val p = newParams.persist(StorageLevel.MEMORY_AND_DISK)
-        p.count() // materialize before the caller drops the old table
-        p
-      }
+    // Eager: materializes before the caller drops the old table AND cuts
+    // the (otherwise exponentially duplicated) logical plan to a leaf.
+    val materialized = newParams.localCheckpoint(true)
     gradRows.unpersist()
     Some((materialized, loss))
   }

@@ -79,5 +79,30 @@ object SourceQueries {
       .orderBy(col("line_len"))
   }
 
-  val all: Seq[QueryDef] = Seq(csvRoundtrip, jsonProps, textLines)
+  /** Partitioned parquet layout + partition pruning: orders written
+    * partitioned by o_orderstatus, then read back with a partition-column
+    * filter. At 100 TB this is the difference between scanning one
+    * directory and scanning all of them — the pruning itself is asserted
+    * on the physical plan in `PartitionPruningSuite`; here the pruned
+    * read's results are oracle-checked. */
+  val partitionedRoundtrip: QueryDef = QueryDef.sql(
+    "src_partitioned_pruning",
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val dir = stage(d, "part")
+    Tables.orders(s, d).write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(csvRoundtrip, jsonProps, textLines, partitionedRoundtrip)
 }

@@ -118,5 +118,19 @@ class FactorizationMachinesSGDSuite extends SparkSessionSuite {
     val baseline = data.map { case (y, _) => y * y }.sum / data.size
 
     mse should be < baseline * 0.5
+
+    // Warm start: continuing from the trained model must not be worse
+    // than the cold model, and must run through the same loop shape.
+    val warm = new FactorizationMachinesSGD()
+      .setDimFactorization(k).setMaxIter(5).setStepSize(0.1)
+      .setRegParam(1e-6).setInitialSd(0.01).setSeed(123L)
+      .setInitialModel(model)
+    val model2 = warm.fit(df)
+    val scored2 = model2.transform(df)
+      .select(col("label"), col("prediction")).collect()
+    val mse2 = scored2.map { r =>
+      val dd = r.getDouble(0) - r.getDouble(1); dd * dd
+    }.sum / scored2.length
+    mse2 should be < baseline * 0.5
   }
 }
