@@ -157,9 +157,85 @@ object FmRelationalQueries {
         (0 until K).map(f =>
           round(element_at(col("vecArr"), f + 1), 6).as(s"v$f"))): _*)
       .orderBy(col("id"))
-    newParams.unpersist()
+    // NOTE: newParams is localCheckpoint'd (lineage truncated) — it must
+    // NOT be unpersisted before `out` materializes; Verify/Bench clear
+    // the cache after each query instead.
     out
   }
 
-  val all: Seq[QueryDef] = Seq(fmScoreSql, fmStepSql)
+  /** TWO chained SGD iterations against a pure-SQL oracle — pins what the
+    * single-step query can't: the learning-rate decay schedule
+    * (stepSize/√iter), the per-iteration shrinkage, and iteration
+    * COMPOSITION (step 2 consumes step 1's already-L1-clamped weights,
+    * exact zeros included). Both iterations use the full feature relation
+    * as the batch, so every feature receives a gradient and the SQL can
+    * use inner joins. */
+  val fmTwoStepsSql: QueryDef = {
+    // One SQL iteration block: from params relation pIn(id, w, v0..) to pOut.
+    def stepSql(i: Int, pIn: String, pOut: String, lrSql: String): String = {
+      val vs = (0 until K)
+      s"""terms$i AS (
+        |  SELECT f.sample_id, f.feature_id, f.x, p.w,
+        |         ${vs.map(f => s"p.v$f").mkString(", ")}
+        |  FROM feats f JOIN $pIn p ON p.id = f.feature_id),
+        |persample$i AS (
+        |  SELECT sample_id, sum(w*x) AS wx,
+        |    ${vs.map(f => s"sum(v$f*x) AS vfx$f").mkString(", ")},
+        |    sum((${vs.map(f => s"v$f*v$f").mkString(" + ")}) * x * x) AS v2x2
+        |  FROM terms$i GROUP BY sample_id),
+        |resid$i AS (
+        |  SELECT sample_id,
+        |    (wx + 0.5*((${vs.map(f => s"vfx$f*vfx$f").mkString(" + ")}) - v2x2))
+        |      - CAST(sample_id % 7 AS DOUBLE) AS r,
+        |    ${vs.map(f => s"vfx$f").mkString(", ")}
+        |  FROM persample$i),
+        |grads$i AS (
+        |  SELECT t.feature_id,
+        |    sum(t.x * p.r) * ($lrSql) / (SELECT n FROM n) AS dw,
+        |    ${vs.map(f =>
+             s"sum((t.x * p.vfx$f - t.v$f * t.x * t.x) * p.r) * ($lrSql) / (SELECT n FROM n) AS dv$f")
+             .mkString(", ")}
+        |  FROM terms$i t JOIN resid$i p ON t.sample_id = p.sample_id
+        |  GROUP BY t.feature_id),
+        |$pOut AS (
+        |  SELECT p.id,
+        |    sign(p.w - g.dw) * greatest(0.0, abs(p.w - g.dw) - ($lrSql) * 0.5) AS w,
+        |    ${vs.map(f =>
+             s"sign(p.v$f - g.dv$f) * greatest(0.0, abs(p.v$f - g.dv$f) - ($lrSql) * 0.5) AS v$f")
+             .mkString(", ")}
+        |  FROM $pIn p JOIN grads$i g ON g.feature_id = p.id)""".stripMargin
+    }
+    QueryDef.sql(
+      "fm_sgd_two_steps_vs_sql_oracle",
+      s"""WITH $featsSql,
+        |n AS (SELECT count(*) AS n FROM (SELECT DISTINCT sample_id FROM feats) s),
+        |p0 AS (
+        |  SELECT DISTINCT feature_id AS id, ${wSql("feature_id")} AS w,
+        |    ${(0 until K).map(f => s"${vSql("feature_id", f)} AS v$f").mkString(", ")}
+        |  FROM feats),
+        |${stepSql(1, "p0", "p1", "0.1")},
+        |${stepSql(2, "p1", "p2", "0.1 / sqrt(2.0)")}
+        |SELECT id, round(w, 6) AS strength,
+        |  ${(0 until K).map(f => s"round(v$f, 6) AS v$f").mkString(", ")}
+        |FROM p2
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      val f = feats(s, d)
+      val batch = featureVectors(f)
+        .select((col("sample_id") % 7).cast("double").as("label"), col("features"))
+      val est = new FactorizationMachinesSGD("fmTwoSteps")
+        .setDimFactorization(K).setStepSize(0.1).setRegParam(0.5)
+        .setInitialSd(0.01).setSeed(0L)
+      val Some((p1, _)) = est.step(paramTable(f), batch, iter = 1)
+      val Some((p2, _)) = est.step(p1, batch, iter = 2)
+      val out = p2.select(
+        (col("id") +: round(col("strength"), 6).as("strength") +:
+          (0 until K).map(f =>
+            round(element_at(col("vecArr"), f + 1), 6).as(s"v$f"))): _*)
+        .orderBy(col("id"))
+      // p1/p2 are localCheckpoint'd: never unpersist before materializing.
+      out
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(fmScoreSql, fmStepSql, fmTwoStepsSql)
 }
