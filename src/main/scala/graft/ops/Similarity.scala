@@ -227,5 +227,56 @@ object Similarity {
       .orderBy(col("v1"), col("v2"))
   }
 
-  val all: Seq[QueryDef] = Seq(topKBrute, topKLsh, rangeSearch)
+  /** IVF-style approximate top-k with a TRAINED coarse quantizer:
+    * k-means (spark.ml) partitions the corpus into nlist cells; each
+    * query probes its nprobe nearest centroids and ranks only those
+    * cells' vectors. The 100 TB shape: centroids are tiny and broadcast,
+    * the corpus is shuffled once by cell id, and per-query work drops by
+    * ~nlist/nprobe. Rows-only check: k-means centers depend on
+    * partition layout, so cell assignments are env-dependent (unlike the
+    * arithmetic-derived LSH planes). */
+  def ivfTopK(prep: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = prep.sparkSession
+    val assembled = prep.withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(7L).setFeaturesCol("fv")
+      .setPredictionCol("cell").fit(assembled)
+    val assigned = model.transform(assembled)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val centers = model.clusterCenters.map(_.toArray)
+    val bc = spark.sparkContext.broadcast(centers)
+    val probeCells = udf { (v: Seq[Double]) =>
+      bc.value.zipWithIndex
+        .map { case (c, i) =>
+          var d = 0.0
+          var j = 0
+          while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+          (d, i)
+        }
+        .sortBy(_._1).take(nprobe).map(_._2)
+    }
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), explode(probeCells(col("v"))).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rawcos").desc, col("neighbor_id"))
+    q.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("rawcos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("rawcos"), 6).as("cos"))
+  }
+
+  val topKIvf: QueryDef = QueryDef.rowsOnly("sim_topk_ivf") { (s, d) =>
+    val prep = prepared(Tables.embeddings(s, d)).persist()
+    val queries = prep.filter(col("vec_id") % 50 === 0)
+    ivfTopK(prep, queries, 5).orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Seq[QueryDef] = Seq(topKBrute, topKLsh, rangeSearch, topKIvf)
 }

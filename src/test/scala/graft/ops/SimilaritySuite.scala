@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.fm.SparkSessionSuite
+import org.apache.spark.sql.functions._
+
+class SimilaritySuite extends SparkSessionSuite {
+
+  /** Structured corpus (3 tight clusters) where a working IVF must
+    * achieve high recall: a query's true neighbors share its cluster, so
+    * probing the nearest cells finds them. */
+  test("IVF top-k recovers within-cluster neighbors on clustered data") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(3)
+    val centers = Seq.fill(3)(Array.fill(16)(rng.nextGaussian() * 5.0))
+    val emb = (0L until 120L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 0.1).toFloat).toSeq, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+
+    val prep = Similarity.prepared(emb).persist()
+    val queries = prep.filter(col("vec_id") < 6)
+    val got = Similarity.ivfTopK(prep, queries, k = 5, nlist = 6, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+
+    got.length shouldBe 30 // 6 queries x 5 neighbors
+    // every returned neighbor must be from the query's own cluster
+    // (cosine between distinct far-apart clusters is far below
+    // within-cluster cosine ~ 1)
+    got.foreach { case (q, n) => (n % 3) shouldBe (q % 3) }
+  }
+
+  test("brute-force and IVF agree on clustered data") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(9)
+    val centers = Seq.fill(4)(Array.fill(16)(rng.nextGaussian() * 5.0))
+    val emb = (0L until 160L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 0.1).toFloat).toSeq, (i % 4).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val prep = Similarity.prepared(emb).persist()
+    val queries = prep.filter(col("vec_id") < 4)
+
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val brute = pairs(Similarity.cosineTopK(queries, prep, 3))
+    val ivf = pairs(Similarity.ivfTopK(prep, queries, 3, nlist = 8, nprobe = 2))
+
+    // recall@3 must be perfect here: true neighbors share the query cell
+    brute.keySet.count(k => ivf.get(k).contains(brute(k))) should be >= 10
+  }
+}
