@@ -89,10 +89,12 @@ class FactorizationMachinesModel(
   /** Scoring entry point — reference Model:69-87. Default path caches
     * the input because `monotonically_increasing_id` is partition-layout
     * dependent and the id column is referenced on both sides of the
-    * join-back; an uncached recomputation could re-assign ids. The
-    * carry-through path (see [[FactorizationMachinesModelParams
-    * .carryThroughScoring]]) is a single linear plan: no cache, no
-    * join-back. */
+    * join-back; an uncached recomputation could re-assign ids. The cache
+    * entry intentionally outlives the call (the result is lazy) and is
+    * NOT unpersisted — repeated transform() calls in a long-lived
+    * session accumulate cache entries (the reference leaks identically);
+    * long-running scorers should use carryThroughScoring, which caches
+    * nothing, or clear the session cache periodically. */
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
     if ($(carryThroughScoring)) return transformCarryThrough(dataset)
@@ -118,49 +120,56 @@ class FactorizationMachinesModel(
     * join-back path bit for bit, including all-unseen-feature samples. */
   private def transformCarryThrough(dataset: Dataset[_]): DataFrame = {
     val k = dimFactorization
-    val sid = $(sampleIdCol)
     val inputCols = dataset.columns.toSeq
-
+    // All internal columns carry a reserved prefix so user columns named
+    // id/strength/featureId/... can never collide (the join-back path is
+    // immune because predict() projects before joining).
+    val sid = "__fm_sid"
     val params = dimensionStrength.toDF()
       .join(factorizedInteraction.toDF(), Seq("id"))
-      .select(col("id"), col("strength"), vector_to_array(col("vec")).as("vecArr"))
+      .select(col("id").as("__fm_pid"), col("strength").as("__fm_w"),
+        vector_to_array(col("vec")).as("__fm_v"))
 
     val entries = FactorizationMachinesModel.activeEntries(col($(featuresCol)))
-    val sentinel = array(struct(lit(-1).as("featureId"), lit(0.0).as("featureValue")))
+    val sentinel = array(struct(
+      lit(-1).as("featureId"), lit(0.0).as("featureValue")))
     val exploded = dataset
       .withColumn(sid, monotonically_increasing_id())
       .select(col(sid) +: inputCols.map(col) :+
-        explode(when(size(entries) === 0, sentinel).otherwise(entries)).as("e"): _*)
+        explode(when(size(entries) === 0, sentinel).otherwise(entries))
+          .as("__fm_e"): _*)
       .select(col(sid) +: inputCols.map(col) :+
-        col("e.featureId").as("featureId") :+
-        col("e.featureValue").as("featureValue"): _*)
+        col("__fm_e.featureId").as("__fm_fid") :+
+        col("__fm_e.featureValue").as("__fm_x"): _*)
 
     val zeroArr = array_repeat(lit(0.0), k)
     val terms = exploded
-      .join(params, col("featureId") === params("id"), "left_outer")
+      .join(params, col("__fm_fid") === col("__fm_pid"), "left_outer")
       .select(col(sid) +: inputCols.map(col) :+
-        (coalesce(col("strength"), lit(0.0)) * col("featureValue")).as("wixi") :+
+        (coalesce(col("__fm_w"), lit(0.0)) * col("__fm_x")).as("__fm_wixi") :+
         org.apache.spark.sql.functions
-          .transform(coalesce(col("vecArr"), zeroArr),
-            v => v * col("featureValue")).as("vfxi") :+
-        (aggregate(coalesce(col("vecArr"), zeroArr), lit(0.0),
+          .transform(coalesce(col("__fm_v"), zeroArr),
+            v => v * col("__fm_x")).as("__fm_vfxi") :+
+        (aggregate(coalesce(col("__fm_v"), zeroArr), lit(0.0),
           (a, v) => a + v * v)
-          * col("featureValue") * col("featureValue")).as("vi2xi2") :+
-        when(col("id").isNotNull, 1L).otherwise(0L).as("isReal"): _*)
+          * col("__fm_x") * col("__fm_x")).as("__fm_vi2xi2") :+
+        when(col("__fm_pid").isNotNull, 1L).otherwise(0L).as("__fm_isReal"): _*)
 
     val aggCols =
       inputCols.map(c => first(col(c)).as(c)) ++
-      Seq(sum(col("wixi")).as("wixiSum"),
-        sum(col("vi2xi2")).as("vi2xi2Sum"),
-        sum(col("isReal")).as("nReal")) ++
-      (0 until k).map(f => sum(element_at(col("vfxi"), f + 1)).as(s"_vf$f"))
+      Seq(sum(col("__fm_wixi")).as("__fm_wixiSum"),
+        sum(col("__fm_vi2xi2")).as("__fm_vi2xi2Sum"),
+        sum(col("__fm_isReal")).as("__fm_nReal")) ++
+      (0 until k).map(f =>
+        sum(element_at(col("__fm_vfxi"), f + 1)).as(s"__fm_vf$f"))
     val grouped = terms.groupBy(col(sid)).agg(aggCols.head, aggCols.tail: _*)
 
-    val normSq = (0 until k).map(f => col(s"_vf$f") * col(s"_vf$f")).reduce(_ + _)
-    val raw = lit(globalBias) + col("wixiSum") +
-      lit(0.5) * (normSq - col("vi2xi2Sum"))
+    val normSq = (0 until k).map(f => col(s"__fm_vf$f") * col(s"__fm_vf$f"))
+      .reduce(_ + _)
+    val raw = lit(globalBias) + col("__fm_wixiSum") +
+      lit(0.5) * (normSq - col("__fm_vi2xi2Sum"))
     grouped.select(inputCols.map(col) :+
-      when(col("nReal") === 0, lit(globalBias)).otherwise(clip(raw))
+      when(col("__fm_nReal") === 0, lit(globalBias)).otherwise(clip(raw))
         .as($(predictionCol)): _*)
   }
 

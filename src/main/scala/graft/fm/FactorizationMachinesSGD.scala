@@ -280,14 +280,23 @@ class FactorizationMachinesSGD(override val uid: String)
       signum(c) * greatest(lit(0.0), abs(c) - lit(shrinkage))
 
     val zeroArr = array_repeat(lit(0.0), k)
+    // Features with a gradient but no parameter row (first touch) must be
+    // updated FROM the same deterministic lazy-init the forward pass used
+    // — not from zero. (The reference is inconsistent here: Model:170
+    // inits the forward pass randomly but SGD:171 merges against 0.0;
+    // divergence documented.)
+    val mergedKey = coalesce(col("id"), col("featureId"))
     val newParams = params
       .join(grads, col("id") === col("featureId"), "full_outer")
       .select(
-        coalesce(col("id"), col("featureId")).as("id"),
-        soft(coalesce(col("strength"), lit(0.0)) - coalesce(col("dW"), lit(0.0)))
-          .as("strength"),
+        mergedKey.as("id"),
+        soft(coalesce(col("strength"), hashGaussian(mergedKey, lit(-1), sdv) * sd)
+          - coalesce(col("dW"), lit(0.0))).as("strength"),
         zip_with(
-          coalesce(col("vecArr"), zeroArr),
+          coalesce(col("vecArr"),
+            org.apache.spark.sql.functions.transform(
+              sequence(lit(0), lit(k - 1)),
+              f => hashGaussian(mergedKey, f, sdv) * sd)),
           coalesce(col("dV"), zeroArr),
           (v, g) => soft(v - g)).as("vecArr"))
 

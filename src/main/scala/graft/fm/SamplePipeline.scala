@@ -53,7 +53,15 @@ object SamplePipeline {
     * movie at `maxUserId + maxMovieId + otherId` with weight `1/(n−1)`
     * where n counts ALL the user's ratings (including the current one). */
   def buildFeatures(ratings: DataFrame, maxUserId: Int, maxMovieId: Int): DataFrame = {
+    // The encoding writes "other movie" features at
+    // maxUserId + maxMovieId + movieId, which equals the vector dimension
+    // when movieId == maxMovieId — so the pools must STRICTLY exceed
+    // every id. (The reference has the same latent overflow; MovieLens
+    // never triggers it because its real max id is below the constant.)
     val encode = udf { (userId: Int, movieRatings: Seq[String], currentMovie: Int) =>
+      require(userId < maxUserId && currentMovie < maxMovieId,
+        s"ids must be strictly below the pools: user $userId/$maxUserId, " +
+          s"movie $currentMovie/$maxMovieId")
       val ratingMap = if (movieRatings.size < 2) {
         Map.empty[Int, Double]
       } else {

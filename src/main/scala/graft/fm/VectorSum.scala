@@ -44,37 +44,6 @@ class VectorSum(val vecSize: Int)
   /** Column form, mirroring the reference's `new VectorSum(k)('vec)`. */
   def apply(c: Column): Column = udaf(this, ExpressionEncoder[Vector]()).apply(c)
 }
-
-/** Element-wise sum over `ArrayType(DoubleType)` — internal engine variant
-  * used where vectors have already been lowered to native arrays. */
-class ArraySum(val size: Int)
-    extends Aggregator[Array[Double], Array[Double], Array[Double]]
-    with Serializable {
-
-  override def zero: Array[Double] = new Array[Double](size)
-
-  override def reduce(buf: Array[Double], v: Array[Double]): Array[Double] = {
-    if (v != null) {
-      var i = 0
-      while (i < size) { buf(i) += v(i); i += 1 }
-    }
-    buf
-  }
-
-  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
-    var i = 0
-    while (i < size) { a(i) += b(i); i += 1 }
-    a
-  }
-
-  override def finish(buf: Array[Double]): Array[Double] = buf
-
-  override def bufferEncoder: Encoder[Array[Double]] =
-    ExpressionEncoder[Array[Double]]()
-
-  override def outputEncoder: Encoder[Array[Double]] =
-    ExpressionEncoder[Array[Double]]()
-
-  def apply(c: Column): Column =
-    udaf(this, ExpressionEncoder[Array[Double]]()).apply(c)
-}
+// No array-typed UDAF twin exists on purpose: everywhere vectors are
+// lowered to native arrays, per-sample sums are expressed as k scalar
+// sum(element_at(...)) aggregates, which stay inside whole-stage codegen.

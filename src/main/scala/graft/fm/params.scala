@@ -80,6 +80,9 @@ trait FactorizationMachinesModelParams extends Params {
     }
     require(!schema.fieldNames.contains($(predictionCol)),
       s"Prediction column ${$(predictionCol)} already exists")
+    require(!schema.fieldNames.contains($(sampleIdCol)),
+      s"Column ${$(sampleIdCol)} collides with the internal sample-id " +
+        "column; rename it or setSampleIdCol to an unused name")
     StructType(schema.fields :+ StructField($(predictionCol), DoubleType, nullable = false))
   }
 }

@@ -85,8 +85,14 @@ object EventStreams {
             sorted.foreach { case (_, t, v, _) =>
               cur match {
                 case Some(s) if t - s.end <= gapSeconds =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t),
-                    s.n + 1, s.total + v))
+                  // min() so a late event (within the watermark) that
+                  // precedes the current session start extends it
+                  // backwards, matching the batch twin. (An event older
+                  // than start − gap would ideally open a separate
+                  // earlier session; that reordering is bounded by the
+                  // 30-min watermark and documented as approximate.)
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1, s.total + v))
                 case Some(s) =>
                   out ::= SessionOut(user, s.start, s.end, s.n, s.total)
                   cur = Some(SessionState(t, t, 1, v))
@@ -137,14 +143,14 @@ object EventStreams {
   }
 
   /** The fixture is a single parquet FILE; the streaming file source
-    * needs a directory, so stage it once per session via a Spark write
-    * (works on any Hadoop FS, no driver-side file IO). */
+    * needs a directory, so stage it via a Spark write (works on any
+    * Hadoop FS, no driver-side file IO). Always overwrites: a skip-if-
+    * exists check would serve stale or partial data when the fixture is
+    * regenerated or a prior run died mid-write. */
   private def streamingEvents(s: SparkSession, d: String): DataFrame = {
     val staged = s"${System.getProperty("java.io.tmpdir")}/graft-events-staged-" +
       math.abs(d.hashCode)
-    if (!new java.io.File(staged).exists()) {
-      Tables.events(s, d).write.mode("overwrite").parquet(staged)
-    }
+    Tables.events(s, d).write.mode("overwrite").parquet(staged)
     s.readStream.schema(eventSchema).parquet(staged)
   }
 

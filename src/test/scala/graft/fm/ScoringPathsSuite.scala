@@ -38,6 +38,33 @@ class ScoringPathsSuite extends SparkSessionSuite {
     score(carry = false, 5.5, 10.0)(104) shouldBe 5.0
   }
 
+  test("carry-through tolerates input columns named like internals") {
+    val s = spark
+    import s.implicits._
+    // 'id' and 'strength' collide with the raw param-table columns; the
+    // reserved __fm_ prefix must keep both paths working and agreeing.
+    val input = Seq((7L, 0.5, Vectors.dense(1.0, 2.0, 1.5, -1.0)))
+      .toDF("id", "strength", "features")
+    val joinBack = FmQueries.goldenModel(s).transform(input)
+      .select(col("prediction")).collect()(0).getDouble(0)
+    val carry = FmQueries.goldenModel(s).setCarryThroughScoring(true)
+      .transform(input)
+      .select(col("prediction")).collect()(0).getDouble(0)
+    joinBack shouldBe 23.77 +- 1e-8
+    carry shouldBe joinBack +- 1e-12
+  }
+
+  test("input colliding with sampleIdCol is rejected with a clear error") {
+    val s = spark
+    import s.implicits._
+    val input = Seq((1L, Vectors.dense(1.0, 0.0, 0.0, 0.0)))
+      .toDF("sampleId", "features")
+    val e = intercept[IllegalArgumentException] {
+      FmQueries.goldenModel(s).transform(input)
+    }
+    e.getMessage should include("sampleId")
+  }
+
   test("carry-through preserves input columns and their values") {
     val s = spark
     import s.implicits._

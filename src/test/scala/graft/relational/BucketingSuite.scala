@@ -38,11 +38,9 @@ class BucketingSuite extends SparkSessionSuite {
 
       val plan = joined.queryExecution.executedPlan.toString
       // The join itself must not re-shuffle its inputs: no Exchange
-      // between the bucketed scans and the SortMergeJoin.
+      // between the bucketed scans and the SortMergeJoin — only the
+      // final groupBy may shuffle (1), never 2+.
       plan should include("SortMergeJoin")
-      val joinSection = plan.substring(0, plan.indexOf("SortMergeJoin") +
-        plan.substring(plan.indexOf("SortMergeJoin")).length)
-      // count exchanges: only the final groupBy may shuffle (1), never 2+
       val exchanges = "Exchange hashpartitioning".r
         .findAllIn(plan).length
       exchanges should be <= 1
