@@ -8,17 +8,40 @@ import org.apache.spark.sql.functions._
 /** The FM dataflow itself as DuckDB-oracle-checked queries.
   *
   * Trick: weights are *deterministic integer-arithmetic functions* of the
-  * feature id — `w(id) = ((id·37) mod 19 − 9)/10`, `v(id,f) = ((id·31 +
-  * f·17) mod 23 − 11)/23` — so an independent SQL engine can reproduce
+  * feature id — `w(id) = ((id·37) mod 19 − 9)/16`, `v(id,f) = ((id·31 +
+  * f·17) mod 23 − 11)/32` — so an independent SQL engine can reproduce
   * the exact parameter tables, and the full scoring/gradient math
   * (SURVEY §3.1-3.2) becomes hash-checkable end-to-end. The Spark side
   * runs the REAL engine (FactorizationMachinesModel.transform /
   * FactorizationMachinesSGD.step); only the oracle is plain SQL.
   *
+  * == Exact cross-engine floating point (the r1 hash-failure fix) ==
+  *
+  * Every fixture constant is a DYADIC rational (denominators 16/32), so
+  * every product and every sum the dataflow takes is an exact binary
+  * fraction whose numerator stays far below 2^53 (worst case, the
+  * per-feature gradient reduction at sf0.1: |Σ| · 2^32 < 2^52). Exact
+  * terms make every partial sum exact, so the result is INDEPENDENT of
+  * summation order — Spark's partial-aggregation tree and DuckDB's
+  * scan order produce bit-identical doubles. Subsequent scalar ops
+  * (·lr/n, −shrinkage, sqrt) are single correctly-rounded IEEE ops, so
+  * they stay bit-identical AS LONG AS the oracle SQL applies them in
+  * the same association order as the engine (`sum * (lr/n)`, not
+  * `sum*lr/n`). Two residual hazards are handled explicitly:
+  *
+  *   - `round(x, 6)` is engine-divergent near ties (Spark rounds the
+  *     exact decimal expansion HALF_UP; DuckDB rounds `x·1e6` in FP):
+  *     the score/one-step queries therefore ship UNROUNDED bit-exact
+  *     doubles; only the two-step query (whose step-2 sums consume the
+  *     inexact ÷n of step 1 and so can differ by ulps) rounds, where
+  *     ties are measure-zero generic doubles.
+  *   - the L1 soft-threshold `sign(c)·max(0, |c|−s)` yields −0.0 for
+  *     clamped negative weights, and `round` maps (−5e-7, 0) to −0.0 in
+  *     DuckDB but +0.0 in Spark; `==`-style comparison calls them equal
+  *     but a byte-level hash does not — every output normalizes −0.0.
+  *
   * Features derive from lineitem: sample = order, feature = partkey
-  * bucket, value = quantity sum / 10 (exact integer-valued sums).
-  * Outputs round to 6 decimals: double association-order differences are
-  * ~1e-10 absolute, far below the rounding grain.
+  * bucket, value = (quantity sum mod 15 + 1)/16 ∈ [1/16, 15/16].
   */
 object FmRelationalQueries {
 
@@ -26,22 +49,33 @@ object FmRelationalQueries {
   private val Dim = 50
   private val W0 = 0.5
 
-  /** Shared SQL prelude: the feature relation + parameter formulas. */
+  /** Shared SQL prelude: the feature relation + parameter formulas.
+    * l_quantity is integer-valued DOUBLE, so the BIGINT cast is exact in
+    * both engines (trunc vs round-half-even agree on integers). */
   private val featsSql =
     """feats AS (
       |  SELECT l_orderkey AS sample_id,
       |         CAST(l_partkey % 50 AS INT) AS feature_id,
-      |         sum(l_quantity)/10.0 AS x
+      |         (CAST(sum(l_quantity) AS BIGINT) % 15 + 1) / 16.0 AS x
       |  FROM lineitem GROUP BY sample_id, feature_id)""".stripMargin
 
-  private def wSql(id: String) = s"(($id*37) % 19 - 9)/10.0"
-  private def vSql(id: String, f: Int) = s"(($id*31 + $f*17) % 23 - 11)/23.0"
+  private def wSql(id: String) = s"(($id*37) % 19 - 9)/16.0"
+  private def vSql(id: String, f: Int) = s"(($id*31 + $f*17) % 23 - 11)/32.0"
+
+  /** −0.0 → +0.0 (SQL side); see the class doc on hash-exactness. */
+  private def nzSql(e: String, as: String) =
+    s"CASE WHEN $e = 0 THEN 0.0 ELSE $e END AS $as"
+
+  /** −0.0 → +0.0 (Spark side): `===` treats −0.0 = 0.0, so the branch
+    * rewrites exactly the two zeros and nothing else. */
+  private def nz(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c === 0.0, lit(0.0)).otherwise(c)
 
   /** Spark-side deterministic parameter table (id, strength, vecArr). */
   private def paramTable(feats: DataFrame): DataFrame = {
-    val wExpr = (col("id") * 37 % 19 - 9) / 10.0
+    val wExpr = (col("id") * 37 % 19 - 9) / 16.0
     val vExprs = (0 until K).map(f => (col("id") * 31 + f * 17) % 23 - 11)
-      .map(c => c.cast("double") / 23.0)
+      .map(c => c.cast("double") / 32.0)
     feats.select(col("feature_id").as("id")).distinct()
       .select(col("id"), wExpr.as("strength"), array(vExprs: _*).as("vecArr"))
   }
@@ -51,7 +85,7 @@ object FmRelationalQueries {
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey").as("sample_id"),
         (col("l_partkey") % 50).cast("int").as("feature_id"))
-      .agg((sum(col("l_quantity")) / 10.0).as("x"))
+      .agg(((sum(col("l_quantity")).cast("long") % 15 + 1) / 16.0).as("x"))
 
   /** Per-sample sparse feature vectors (dim 50). */
   private def featureVectors(f: DataFrame): DataFrame = {
@@ -78,10 +112,13 @@ object FmRelationalQueries {
       |    sum(w*x) AS wx,
       |    ${(0 until K).map(f => s"sum(v$f*x) AS vfx$f").mkString(", ")},
       |    sum((${(0 until K).map(f => s"v$f*v$f").mkString(" + ")}) * x * x) AS v2x2
-      |  FROM terms GROUP BY sample_id)
-      |SELECT sample_id,
-      |  round($W0 + wx + 0.5*((${(0 until K).map(f => s"vfx$f*vfx$f").mkString(" + ")}) - v2x2), 6) AS prediction
-      |FROM persample
+      |  FROM terms GROUP BY sample_id),
+      |scored AS (
+      |  SELECT sample_id,
+      |    $W0 + wx + 0.5*((${(0 until K).map(f => s"vfx$f*vfx$f").mkString(" + ")}) - v2x2) AS p
+      |  FROM persample)
+      |SELECT sample_id, ${nzSql("p", "prediction")}
+      |FROM scored
       |ORDER BY sample_id""".stripMargin) { (s, d) =>
     val f = feats(s, d)
     val params = paramTable(f)
@@ -93,8 +130,9 @@ object FmRelationalQueries {
       .as[FactorizedInteraction]
     val model = new FactorizationMachinesModel("fmSqlOracle", K, W0, strengths, factors)
       .setCarryThroughScoring(true) // 3.5x cheaper, bit-identical outputs
+    // Bit-exact math (see class doc) — no rounding; only −0.0 normalized.
     model.transform(featureVectors(f))
-      .select(col("sample_id"), round(col("prediction"), 6).as("prediction"))
+      .select(col("sample_id"), nz(col("prediction")).as("prediction"))
       .orderBy(col("sample_id"))
   }
 
@@ -125,9 +163,9 @@ object FmRelationalQueries {
       |n AS (SELECT count(*) AS n FROM (SELECT DISTINCT sample_id FROM feats) s),
       |grads AS (
       |  SELECT t.feature_id,
-      |    sum(t.x * p.r) * 0.1 / (SELECT n FROM n) AS dw,
+      |    sum(t.x * p.r) * (0.1 / (SELECT n FROM n)) AS dw,
       |    ${(0 until K).map(f =>
-           s"sum((t.x * p.vfx$f - t.v$f * t.x * t.x) * p.r) * 0.1 / (SELECT n FROM n) AS dv$f")
+           s"sum((t.x * p.vfx$f - t.v$f * t.x * t.x) * p.r) * (0.1 / (SELECT n FROM n)) AS dv$f")
            .mkString(", ")}
       |  FROM terms t JOIN resid p ON t.sample_id = p.sample_id
       |  GROUP BY t.feature_id),
@@ -137,12 +175,15 @@ object FmRelationalQueries {
       |  FROM (SELECT DISTINCT feature_id AS id, ${wSql("feature_id")} AS w,
       |          ${(0 until K).map(f => s"${vSql("feature_id", f)} AS v$f").mkString(", ")}
       |        FROM feats) t
-      |  JOIN grads g ON t.id = g.feature_id)
-      |SELECT id,
-      |  round(sign(cw) * greatest(0.0, abs(cw) - 0.05), 6) AS strength,
-      |  ${(0 until K).map(f =>
-         s"round(sign(cv$f) * greatest(0.0, abs(cv$f) - 0.05), 6) AS v$f").mkString(", ")}
-      |FROM updated
+      |  JOIN grads g ON t.id = g.feature_id),
+      |thresholded AS (
+      |  SELECT id, sign(cw) * greatest(0.0, abs(cw) - 0.1 * 0.5) AS sw,
+      |    ${(0 until K).map(f =>
+         s"sign(cv$f) * greatest(0.0, abs(cv$f) - 0.1 * 0.5) AS sv$f").mkString(", ")}
+      |  FROM updated)
+      |SELECT id, ${nzSql("sw", "strength")},
+      |  ${(0 until K).map(f => nzSql(s"sv$f", s"v$f")).mkString(", ")}
+      |FROM thresholded
       |ORDER BY id""".stripMargin) { (s, d) =>
     val f = feats(s, d)
     val params = paramTable(f)
@@ -152,10 +193,12 @@ object FmRelationalQueries {
       .setDimFactorization(K).setStepSize(0.1).setRegParam(0.5)
       .setInitialSd(0.01).setSeed(0L)
     val Some((newParams, _)) = est.step(params, batch, iter = 1)
+    // Bit-exact through the gradient sums; ·(lr/n) and the soft threshold
+    // are deterministic scalar ops — no rounding, only −0.0 normalized.
     val out = newParams.select(
-      (col("id") +: round(col("strength"), 6).as("strength") +:
+      (col("id") +: nz(col("strength")).as("strength") +:
         (0 until K).map(f =>
-          round(element_at(col("vecArr"), f + 1), 6).as(s"v$f"))): _*)
+          nz(element_at(col("vecArr"), f + 1)).as(s"v$f"))): _*)
       .orderBy(col("id"))
     // NOTE: newParams is localCheckpoint'd (lineage truncated) — it must
     // NOT be unpersisted before `out` materializes; Verify/Bench clear
@@ -191,9 +234,9 @@ object FmRelationalQueries {
         |  FROM persample$i),
         |grads$i AS (
         |  SELECT t.feature_id,
-        |    sum(t.x * p.r) * ($lrSql) / (SELECT n FROM n) AS dw,
+        |    sum(t.x * p.r) * (($lrSql) / (SELECT n FROM n)) AS dw,
         |    ${vs.map(f =>
-             s"sum((t.x * p.vfx$f - t.v$f * t.x * t.x) * p.r) * ($lrSql) / (SELECT n FROM n) AS dv$f")
+             s"sum((t.x * p.vfx$f - t.v$f * t.x * t.x) * p.r) * (($lrSql) / (SELECT n FROM n)) AS dv$f")
              .mkString(", ")}
         |  FROM terms$i t JOIN resid$i p ON t.sample_id = p.sample_id
         |  GROUP BY t.feature_id),
@@ -214,10 +257,14 @@ object FmRelationalQueries {
         |    ${(0 until K).map(f => s"${vSql("feature_id", f)} AS v$f").mkString(", ")}
         |  FROM feats),
         |${stepSql(1, "p0", "p1", "0.1")},
-        |${stepSql(2, "p1", "p2", "0.1 / sqrt(2.0)")}
-        |SELECT id, round(w, 6) AS strength,
-        |  ${(0 until K).map(f => s"round(v$f, 6) AS v$f").mkString(", ")}
-        |FROM p2
+        |${stepSql(2, "p1", "p2", "0.1 / sqrt(2.0)")},
+        |rounded AS (
+        |  SELECT id, round(w, 6) AS rw,
+        |    ${(0 until K).map(f => s"round(v$f, 6) AS rv$f").mkString(", ")}
+        |  FROM p2)
+        |SELECT id, ${nzSql("rw", "strength")},
+        |  ${(0 until K).map(f => nzSql(s"rv$f", s"v$f")).mkString(", ")}
+        |FROM rounded
         |ORDER BY id""".stripMargin) { (s, d) =>
       val f = feats(s, d)
       val batch = featureVectors(f)
@@ -227,10 +274,14 @@ object FmRelationalQueries {
         .setInitialSd(0.01).setSeed(0L)
       val Some((p1, _)) = est.step(paramTable(f), batch, iter = 1)
       val Some((p2, _)) = est.step(p1, batch, iter = 2)
+      // Step 2 consumes step 1's inexact ÷n, so its sums can differ by
+      // ulps across engines: round(…,6) absorbs them (generic doubles —
+      // the decimal-tie pathology of the old ÷10/÷23 fixtures is gone),
+      // then −0.0 (from rounding tiny negatives) is normalized.
       val out = p2.select(
-        (col("id") +: round(col("strength"), 6).as("strength") +:
+        (col("id") +: nz(round(col("strength"), 6)).as("strength") +:
           (0 until K).map(f =>
-            round(element_at(col("vecArr"), f + 1), 6).as(s"v$f"))): _*)
+            nz(round(element_at(col("vecArr"), f + 1), 6)).as(s"v$f"))): _*)
         .orderBy(col("id"))
       // p1/p2 are localCheckpoint'd: never unpersist before materializing.
       out

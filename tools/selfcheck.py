@@ -55,6 +55,26 @@ def main(sf_dir: str, out_dir: str) -> None:
             try:
                 pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                               check_exact=True)
+                # check_exact uses ==, which calls -0.0 == 0.0 equal; the
+                # driver's hash is byte-level and does NOT. Re-compare
+                # float columns bitwise.
+                import numpy as np
+                bitdiff = []
+                for c in a.columns:
+                    av, bv = a[c].to_numpy(), b[c].to_numpy()
+                    if av.dtype.kind == "f" and bv.dtype.kind == "f":
+                        ab = av.astype("f8").view("u8")
+                        bb = bv.astype("f8").view("u8")
+                        nd = int((ab != bb).sum())
+                        if nd:
+                            i = int(np.nonzero(ab != bb)[0][0])
+                            bitdiff.append((c, nd, av[i], bv[i]))
+                if bitdiff:
+                    print(f"BITDIFF {name}: == equal but bytes differ: " +
+                          "; ".join(f"{c}: {nd} rows e.g. {x!r} vs {y!r}"
+                                    for c, nd, x, y in bitdiff))
+                    n_fail += 1
+                    continue
                 print(f"PASS {name} ({len(a)} rows)")
                 n_pass += 1
             except AssertionError as e:
