@@ -121,12 +121,15 @@ object Dedup {
   // ------------------------------------------------------------- queries --
 
   /** Exact dedup: hash-groupBy on md5(text). One shuffle on the content
-    * hash — the canonical 100 TB exact-dedup plan. */
+    * hash — the canonical 100 TB exact-dedup plan. The member list is
+    * serialized to a comma-joined string: the driver's comparison harness
+    * cannot sort/hash list-typed cells (r1 `err` row). */
   val exact: QueryDef = QueryDef.sql(
     "dedup_exact",
     s"""WITH $corpusExactSql
       |SELECT md5(text) AS content_hash, min(doc_id) AS canonical,
-      |  count(*) AS n_copies, list_sort(list(doc_id)) AS members
+      |  count(*) AS n_copies,
+      |  array_to_string(list_sort(list(doc_id)), ',') AS members
       |FROM corpus
       |GROUP BY md5(text)
       |HAVING count(*) > 1
@@ -135,7 +138,8 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("canonical"),
         count(lit(1)).as("n_copies"),
-        sort_array(collect_list(col("doc_id"))).as("members"))
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("members"))
       .filter(col("n_copies") > 1)
       .orderBy(col("canonical"))
   }

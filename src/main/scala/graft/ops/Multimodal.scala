@@ -195,12 +195,38 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
-  /** Batched feature extraction — rows-only (the float math is not worth
-    * re-deriving in SQL; determinism is covered by the ScalaTest spec). */
-  val features: QueryDef = QueryDef.rowsOnly("mm_features") { (s, d) =>
+  /** Batched feature extraction, hash-checked (upgraded from r1's
+    * rows-only, which also crashed the driver harness with its list
+    * column). Each feature is `(s % 997)/997` in float32 with
+    * `s % 997 < 997 << 2^24`, so `round(f·997)` recovers the exact
+    * integer checksum — the oracle recomputes it from the planting
+    * formula, pinning the whole batched mapPartitions path bit-for-bit
+    * while the output stays scalar-typed. The raw float vector remains
+    * covered by the ScalaTest spec. */
+  val features: QueryDef = QueryDef.sql(
+    "mm_features",
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |    CAST(16 + doc_id % 48 AS INT) AS width,
+      |    CAST(16 + (doc_id * 7) % 32 AS INT) AS height
+      |  FROM documents),
+      |m2 AS (
+      |  SELECT media_id,
+      |    CASE WHEN kind = 'video' THEN ${4 * FrameSize}
+      |         ELSE width * height END AS body_len
+      |  FROM m)
+      |SELECT media_id,
+      |  ${(0 until 8).map(f =>
+           s"CAST((SELECT sum((m2.media_id * 31 + u.i) % $BodyMod) " +
+           s"FROM unnest(generate_series($f, m2.body_len - 1, 8)) u(i)) % 997 AS BIGINT) AS feat$f")
+           .mkString(",\n      |  ")}
+      |FROM m2
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
     extractFeatures(syntheticMedia(Tables.documents(s, d)))
-      .select(col("media_id"),
-        transform(col("features"), f => round(f, 6)).as("features"))
+      .select(col("media_id") +: (0 until 8).map(f =>
+        round(element_at(col("features"), f + 1) * 997.0)
+          .cast("long").as(s"feat$f")): _*)
       .orderBy(col("media_id"))
   }
 

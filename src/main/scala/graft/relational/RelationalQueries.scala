@@ -294,20 +294,23 @@ object RelationalQueries {
   }
 
   /** Collection aggregate — A7 `collect_set` (Sample:109-112), sorted for
-    * determinism on both sides. At scale: bounded cardinality
-    * (priorities ≤ 5) so no per-group OOM hazard here; the unbounded case
-    * is documented in SURVEY §4. */
+    * determinism on both sides and serialized to a delimited string (the
+    * driver's comparison harness cannot sort/hash list-typed cells — r1
+    * `err` row). At scale: bounded cardinality (priorities ≤ 5) so no
+    * per-group OOM hazard here; the unbounded case is documented in
+    * SURVEY §4. */
   val q13CollectSet: QueryDef = QueryDef.sql(
     "q13_collect_set",
     """SELECT o_custkey,
-      |  list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+      |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
       |  count(*) AS n_orders
       |FROM orders
       |GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+      .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), "|")
+          .as("priorities"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_custkey"))
   }
