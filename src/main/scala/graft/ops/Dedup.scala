@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   * The queries are therefore self-validating against the DuckDB oracle.
   *
   * Cross-engine determinism: content keys use md5 (identical in Spark and
-  * DuckDB); token ids come from dense_rank over the sorted vocabulary
-  * (dictionary encoding — the realistic large-corpus design) instead of
-  * engine-specific hash functions; MinHash permutations are affine
-  * `(a·x + b) mod P` over shingle ids; all integer math is exact.
+  * DuckDB); token ids are a character-polynomial rolling hash built from
+  * primitives both engines share (ascii/substr/fold) — map-side, no
+  * vocabulary table, no engine-specific hash functions; MinHash
+  * permutations are affine `(a·x + b) mod P` over shingle ids; all
+  * integer math is exact.
   *
   * Scale notes (100 TB): exact dedup and MinHash-LSH are the scale paths
   * (linear scans + bounded-fanout band-bucket joins; no O(n²) anywhere).
@@ -69,48 +70,66 @@ object Dedup {
         .select((col("doc_id") + 10000).as("doc_id"),
           expr("substring(text, instr(text, ' ') + 1)").as("text")))
 
-  /** Tokenized corpus with 1-based positions and dictionary-encoded token
-    * ids (dense_rank over the sorted vocabulary). */
-  private def encodedToks(c: DataFrame): DataFrame = {
-    val toksr = c.select(col("doc_id"),
+  /** Modulus for token/shingle ids: collisions merge two tokens
+    * identically in BOTH engines (the id is a pure function of the
+    * string), so cross-engine determinism is unaffected; at ~1e9 id
+    * space a 100k-token vocabulary expects ~5 collisions (birthday). */
+  private val TokP = 1000000007L
+
+  /** Map-side token id: character-polynomial rolling hash
+    * `h ← (131·h + ascii(char)) mod TokP`, computed identically by both
+    * engines from shared primitives (ascii/substr/fold). Replaces r1's
+    * dense_rank-over-unpartitioned-window dictionary (a single-partition
+    * vocabulary sort plus a join — the serialization bottleneck flagged
+    * in VERDICT r1): this is per-row codegen'd arithmetic — no vocab
+    * table, no join, no shuffle, and it scales embarrassingly.
+    * Empty tokens fold to the init value 0 on both engines (Spark's
+    * sequence(1,0) would yield [1,0], hence the explicit guard). */
+  private def tokHash(tok: Column): Column =
+    when(length(tok) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(tok)),
+          i => ascii(tok.substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (h, c) => (h * 131 + c) % TokP))
+
+  /** Tokenized corpus with 1-based positions and rolling-hash token ids. */
+  private def encodedToks(c: DataFrame): DataFrame =
+    c.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
-    val vocab = toksr.select(col("tok")).distinct()
-      .select(col("tok"), dense_rank().over(Window.orderBy(col("tok"))).as("tid"))
-    toksr.join(broadcast(vocab), Seq("tok"))
-      .select(col("doc_id"), col("pos"), col("tid"))
-  }
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        tokHash(col("tok")).as("tid"))
 
   private val encodedToksSql =
-    """toksr AS (
-      |  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus) a),
-      |vocab AS (
-      |  SELECT tok, dense_rank() OVER (ORDER BY tok) AS tid
-      |  FROM (SELECT DISTINCT tok FROM toksr) v),
-      |enc AS (
-      |  SELECT t.doc_id, t.pos, v.tid FROM toksr t JOIN vocab v ON t.tok = v.tok),
-      |vsz AS (SELECT max(tid) + 1 AS vv FROM vocab)""".stripMargin
+    """enc AS (
+      |  SELECT doc_id, pos,
+      |    list_reduce(
+      |      [CAST(0 AS BIGINT)] ||
+      |      list_transform(generate_series(1, length(tok)),
+      |                     i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT)),
+      |      (h, c) -> (h * 131 + c) % 1000000007) AS tid
+      |  FROM (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus) a) b)""".stripMargin
 
-  /** Distinct 3-token shingles per doc, as integers base-|vocab|. */
+  /** Distinct 3-token shingles per doc: mod-combined rolling hash of the
+    * three token ids (each step stays far below int64). */
   private def shingles(enc: DataFrame): DataFrame = {
-    val vsz = enc.agg((max(col("tid")) + 1).as("vv"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     enc
       .select(col("doc_id"), col("pos"), col("tid"),
         lead(col("tid"), 1).over(w).as("t2"),
         lead(col("tid"), 2).over(w).as("t3"))
       .filter(col("t3").isNotNull)
-      .crossJoin(broadcast(vsz))
       .select(col("doc_id"),
-        ((col("tid") * col("vv") + col("t2")) * col("vv") + col("t3")).as("x"))
+        ((((col("tid") * 1009 + col("t2")) % TokP) * 1009 + col("t3")) % TokP)
+          .as("x"))
       .distinct()
   }
 
   private val shinglesSql =
     """sh AS (
       |  SELECT DISTINCT doc_id,
-      |    (tid * (SELECT vv FROM vsz) + t2) * (SELECT vv FROM vsz) + t3 AS x
+      |    (((tid * 1009 + t2) % 1000000007) * 1009 + t3) % 1000000007 AS x
       |  FROM (
       |    SELECT doc_id, pos, tid,
       |      lead(tid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,

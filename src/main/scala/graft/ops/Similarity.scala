@@ -32,41 +32,41 @@ object Similarity {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
 
-  /** All-pairs cosine >= threshold via a broadcast reference set and
-    * primitive-loop dot products in mapPartitions. ~50x faster than
-    * per-pair `zip_with` lambdas (no array copying per pair, tight JIT
-    * multiply-add loops). The reference side must be broadcastable
-    * (collected to an Array — 2k x 64 doubles here is ~1 MB); for
-    * huge x huge at 100 TB, LSH-bucket first (see lshBuckets) and apply
-    * this kernel per bucket. Per-pair results are order-independent, so
-    * output is deterministic regardless of partitioning. */
-  def pairCosineKernel(prep: DataFrame, threshold: Double): DataFrame = {
+  /** All-pairs cosine >= threshold, fully distributed: grid-partitioned
+    * block-pair join (the classic theta-join decomposition). Each vector
+    * lands in block `vec_id % B`; the (B·(B+1)/2) ordered block pairs are
+    * a tiny broadcast relation; left joins on b1, right on b2 — so every
+    * vector pair meets exactly once, the inherently O(n²) work spreads
+    * evenly over B·(B+1)/2 tasks, and NO row ever passes through the
+    * driver (the r1 version collect()ed the corpus — a guaranteed driver
+    * OOM at 100 TB). Per-pair dot products run in the codegen'd
+    * `dot_product` expression (sequential left-to-right sum — value-
+    * identical to the old primitive loop). For huge corpora where even
+    * distributed n² is too much, LSH/IVF-bucket first (lshBuckets /
+    * ivfCells) and run this kernel per bucket. */
+  def pairCosineKernel(prep: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
     val spark = prep.sparkSession
-    val ref: Array[(Long, Array[Double], Double)] = prep
-      .select(col("vec_id"), col("v"), col("nrm")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-    val bc = spark.sparkContext.broadcast(ref)
-    val outSchema = StructType(Seq(
-      StructField("v1", LongType, nullable = false),
-      StructField("v2", LongType, nullable = false),
-      StructField("rawcos", DoubleType, nullable = false)))
-    val rows = prep.select(col("vec_id"), col("v"), col("nrm")).rdd
-      .mapPartitions { it =>
-        val refs = bc.value
-        it.flatMap { r =>
-          val id = r.getLong(0)
-          val v = r.getSeq[Double](1).toArray
-          val n = r.getDouble(2)
-          refs.iterator.filter(_._1 < id).flatMap { case (rid, rv, rn) =>
-            var s = 0.0
-            var i = 0
-            while (i < v.length) { s += v(i) * rv(i); i += 1 }
-            val c = s / (n * rn)
-            if (c >= threshold) Some(Row(rid, id, c)) else None
-          }
-        }
-      }
-    spark.createDataFrame(rows, outSchema)
+    import spark.implicits._
+    val blockPairs = broadcast(
+      (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+        .toDF("b1", "b2"))
+    val left = prep.select(pmod(col("vec_id"), lit(blocks)).cast("int").as("b1"),
+      col("vec_id").as("v1"), col("v").as("lv"), col("nrm").as("n1"))
+    val right = prep.select(pmod(col("vec_id"), lit(blocks)).cast("int").as("b2"),
+      col("vec_id").as("v2"), col("v").as("rv"), col("nrm").as("n2"))
+    // A cross-block pair meets exactly once (blocks are disjoint and
+    // blockPairs holds b1 <= b2 only), in whichever left/right order its
+    // blocks happen to have — so only the diagonal needs the id filter,
+    // and the output normalizes id order. The cosine is order-immune:
+    // dot() sums by position, and per-position products commute exactly.
+    left.join(blockPairs, Seq("b1"))
+      .join(right, Seq("b2"))
+      .filter((col("b1") =!= col("b2")) || (col("v1") < col("v2")))
+      .select(least(col("v1"), col("v2")).as("p1"),
+        greatest(col("v1"), col("v2")).as("p2"),
+        (dot(col("lv"), col("rv")) / (col("n1") * col("n2"))).as("rawcos"))
+      .filter(col("rawcos") >= threshold)
+      .withColumnsRenamed(Map("p1" -> "v1", "p2" -> "v2"))
   }
 
   /** Dot product by the codegen'd native expression (graft.functions.
