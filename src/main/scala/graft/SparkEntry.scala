@@ -26,6 +26,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(q => q.name -> q.fn).toMap
 
+  /** Untimed setup steps (input staging): Bench/Verify run these before
+    * the timed/checked query; every fn also stands alone without them. */
+  def prepares: Map[String, (SparkSession, String) => Unit] =
+    modules.flatMap(q => q.prepare.map(q.name -> _)).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -127,44 +127,88 @@ object EventStreams {
         round(sum(col("value")), 4).as("total_value"))
   }
 
-  /** Runs a streaming aggregation to completion on the bounded fixture
-    * via memory sink + AvailableNow, returning the final table. */
-  private def runToMemory(agg: DataFrame, name: String): DataFrame = {
+  /** Runs a watermarked streaming aggregation to completion on the
+    * bounded fixture in APPEND mode into a parquet (non-driver) sink,
+    * returning the emitted result. Append + watermark is the shape that
+    * survives an unbounded stream: each window is emitted exactly once
+    * when the watermark passes its end and its state is evicted — unlike
+    * r1's Complete+memory sink, which re-materialized every window each
+    * trigger and collected the whole result into the driver. The final
+    * no-data microbatch (on by default) performs the last emission after
+    * the sentinel advances the watermark (see [[stageStreamingEvents]]).
+    * Output/checkpoint dirs are per-run unique: a reused checkpoint
+    * would replay as an empty increment and emit nothing. */
+  private def runAppendToParquet(agg: DataFrame, name: String): DataFrame = {
     val spark = agg.sparkSession
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-stream-out/" +
+      s"$name-${java.util.UUID.randomUUID}"
     val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(name)
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
+    q.awaitTermination()
+    spark.read.parquet(s"$base/data")
   }
 
-  /** The fixture is a single parquet FILE; the streaming file source
-    * needs a directory, so stage it via a Spark write (works on any
-    * Hadoop FS, no driver-side file IO). Always overwrites: a skip-if-
-    * exists check would serve stale or partial data when the fixture is
-    * regenerated or a prior run died mid-write. */
-  private def streamingEvents(s: SparkSession, d: String): DataFrame = {
-    val staged = s"${System.getProperty("java.io.tmpdir")}/graft-events-staged-" +
+  private def stagedDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-events-staged-" +
       math.abs(d.hashCode)
-    Tables.events(s, d).write.mode("overwrite").parquet(staged)
-    s.readStream.schema(eventSchema).parquet(staged)
+
+  /** Stages the bounded fixture for the streaming file source (which
+    * needs a directory, not a single file), via Spark writes only —
+    * works on any Hadoop FS, no driver-side IO. Alongside the real
+    * events it plants ONE '__flush' sentinel event 3 hours past the
+    * fixture's max ts: in Append mode a window only emits once the
+    * watermark (max event time − 1 h) passes its end, so a bounded
+    * stream would otherwise never emit its trailing windows. The
+    * sentinel is a separate group (event_type is a grouping key), so the
+    * queries drop it after aggregation without touching real groups.
+    * Registered as the untimed QueryDef.prepare; always overwrites (a
+    * skip-if-exists would serve stale data after fixture regeneration). */
+  def stageStreamingEvents(s: SparkSession, d: String): Unit = {
+    val dir = stagedDir(d)
+    val ev = Tables.events(s, d)
+    val maxTs = ev.agg(max(col("ts"))).head.getLong(0) // long nanos
+    ev.write.mode("overwrite").parquet(dir)
+    s.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(maxTs + 3L * 3600 * 1000000000L).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("__flush").as("event_type"),
+        lit(0.0).as("value"),
+        lit("").as("props"))
+      .write.mode("append").parquet(dir)
   }
 
-  /** Hourly tumbling counts through a REAL streaming plan, checked
-    * against the batch SQL oracle. */
-  val tumblingHourly: QueryDef = QueryDef.sql(
+  /** Stage-if-missing fallback so the query closures stand alone when
+    * the driver calls them without the prepare hook. */
+  private def ensureStaged(s: SparkSession, d: String): String = {
+    val dir = stagedDir(d)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) stageStreamingEvents(s, d)
+    dir
+  }
+
+  private def streamingEvents(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(eventSchema).parquet(ensureStaged(s, d))
+
+  /** Hourly tumbling counts through a REAL streaming plan (Append mode,
+    * watermark-evicted state, file sink), checked against the batch SQL
+    * oracle. */
+  val tumblingHourly: QueryDef = QueryDef.sqlPrepared(
     "st_tumbling_hourly",
     """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_epoch,
       |  event_type, count(*) AS n, round(sum(value), 4) AS total
       |FROM events
       |GROUP BY bucket_epoch, event_type
-      |ORDER BY bucket_epoch, event_type""".stripMargin) { (s, d) =>
+      |ORDER BY bucket_epoch, event_type""".stripMargin)(stageStreamingEvents) { (s, d) =>
     val agg = tumblingCounts(streamingEvents(s, d), "1 hour")
-    runToMemory(agg, "st_tumbling_hourly_sink")
+    runAppendToParquet(agg, "st_tumbling_hourly")
+      .filter(col("event_type") =!= "__flush")
       .select(unix_timestamp(col("window.start")).as("bucket_epoch"),
         col("event_type"), col("n"), round(col("total"), 4).as("total"))
       .orderBy(col("bucket_epoch"), col("event_type"))
@@ -172,7 +216,7 @@ object EventStreams {
 
   /** 1-hour windows sliding every 30 minutes through a streaming plan;
     * the oracle unions the two contributing buckets per event. */
-  val slidingHalfHour: QueryDef = QueryDef.sql(
+  val slidingHalfHour: QueryDef = QueryDef.sqlPrepared(
     "st_sliding_halfhour",
     """WITH b AS (
       |  SELECT CAST(floor(epoch(time_bucket(INTERVAL '30 minutes', ts))) AS BIGINT)
@@ -186,9 +230,10 @@ object EventStreams {
       |  round(sum(value), 4) AS total
       |FROM contrib
       |GROUP BY bucket_epoch, event_type
-      |ORDER BY bucket_epoch, event_type""".stripMargin) { (s, d) =>
+      |ORDER BY bucket_epoch, event_type""".stripMargin)(stageStreamingEvents) { (s, d) =>
     val agg = slidingCounts(streamingEvents(s, d), "1 hour", "30 minutes")
-    runToMemory(agg, "st_sliding_halfhour_sink")
+    runAppendToParquet(agg, "st_sliding_halfhour")
+      .filter(col("event_type") =!= "__flush")
       .select(unix_timestamp(col("window.start")).as("bucket_epoch"),
         col("event_type"), col("n"), round(col("total"), 4).as("total"))
       .orderBy(col("bucket_epoch"), col("event_type"))
