@@ -16,11 +16,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   *
   * Scale notes (100 TB): brute-force is O(|Q|·|C|) with the corpus
   * broadcast when small or shuffled on a bucket key otherwise; the LSH
-  * variant computes a 4-bit signature per vector (16 buckets here; at
-  * scale: more planes + multi-probe) and joins queries to their own
-  * bucket only, cutting candidates ~16x before the same top-k reduction.
-  * Hyperplanes derive from integer arithmetic on (plane, position) so the
-  * DuckDB oracle reproduces them exactly.
+  * variant computes a 4-bit signature per vector and probes the query's
+  * bucket plus its Hamming-1 neighbors (multi-probe — recall 0.56 vs
+  * 0.26 single-probe on the fixture); the IVF variant quantizes with
+  * deterministic data-point centroids and probes the nprobe nearest
+  * cells. Hyperplanes/centroids derive from arithmetic on shared
+  * primitives so the DuckDB oracle reproduces them exactly.
   */
 object Similarity {
 
@@ -152,12 +153,18 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed approximate top-5: candidates restricted to the query's
-    * own 4-bit hyperplane bucket (the IVF-style scale path). */
+  /** LSH-bucketed approximate top-5 with Hamming-1 MULTI-PROBE: each
+    * query searches its own 4-bit hyperplane bucket plus the 4 buckets
+    * one bit-flip away (a near-miss on a single hyperplane is the most
+    * likely way LSH loses a true neighbor). On the fixture this lifts
+    * recall@5 from 0.26 to 0.56 vs brute force while still pruning ~2/3
+    * of candidates; every probe is an equi-join on the bucket id, and a
+    * neighbor matches at most one mask so no dedup is needed. */
   val topKLsh: QueryDef = {
     val bitsSql = (0 until Planes)
       .map(j => s"CASE WHEN sum(e * ((($j*97 + (pos-1)*31) % 17 - 8) / 8.0)) >= 0 THEN ${1 << j} ELSE 0 END")
       .mkString(" + ")
+    val masksSql = (Seq(0) ++ (0 until Planes).map(1 << _)).mkString("[", ", ", "]")
     QueryDef.sql(
       "sim_topk_lsh",
       s"""WITH $preparedSql,
@@ -165,8 +172,11 @@ object Similarity {
         |  SELECT vec_id, $bitsSql AS bucket FROM flat GROUP BY vec_id),
         |cand AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-        |  FROM buckets q JOIN buckets c
-        |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  FROM buckets q
+        |  CROSS JOIN unnest($masksSql) m(mask)
+        |  JOIN buckets c
+        |    ON c.bucket = xor(q.bucket, CAST(m.mask AS INTEGER))
+        |   AND q.vec_id <> c.vec_id
         |  WHERE q.vec_id % 50 = 0),
         |dots AS (
         |  SELECT query_id, neighbor_id, sum(a.e * b.e) AS dot
@@ -187,14 +197,15 @@ object Similarity {
       val prep = prepared(Tables.embeddings(s, d)).persist()
       val buckets = lshBuckets(prep)
       val withB = prep.join(buckets.select(col("vec_id"), col("bucket")), Seq("vec_id"))
+      val masks = array((Seq(0) ++ (0 until Planes).map(1 << _)).map(lit): _*)
       val q = withB.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("bucket"))
+          col("nrm").as("qn"), col("bucket"), explode(masks).as("mask"))
       val c = withB.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
         col("nrm").as("cn"), col("bucket").as("cbucket"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("rawcos").desc, col("neighbor_id"))
-      q.join(c, col("bucket") === col("cbucket") &&
+      q.join(c, col("bucket").bitwiseXOR(col("mask")) === col("cbucket") &&
           col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rawcos"))
@@ -272,10 +283,96 @@ object Similarity {
         round(col("rawcos"), 6).as("cos"))
   }
 
-  val topKIvf: QueryDef = QueryDef.rowsOnly("sim_topk_ivf") { (s, d) =>
+  /** IVF with DETERMINISTIC coarse centroids: every `centroidStep`-th
+    * corpus vector serves as a centroid (data points spread across the
+    * corpus — the arithmetic-derived analogue of the LSH planes, so an
+    * independent SQL engine reproduces the quantizer exactly, unlike
+    * k-means whose centers depend on partition layout). Same IVF shape
+    * as [[ivfTopK]]: assign each vector to its nearest centroid (L2,
+    * ties by centroid id), probe the query's `nprobe` nearest cells,
+    * rank candidates by exact cosine. Centroids are a tiny broadcast
+    * side; the corpus shuffles once on the cell id. */
+  def ivfTopKDet(prep: DataFrame, queries: DataFrame, k: Int,
+      centroidStep: Int = 64, nprobe: Int = 2): DataFrame = {
+    val cent = broadcast(prep.filter(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv")))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val byDist = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d"), col("cid"))
+    val dist = prep.crossJoin(cent)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        sqDist(col("v"), col("cv")).as("d"))
+      .withColumn("rn", row_number().over(byDist))
+    val assign = dist.filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val probes = dist
+      .join(queries.select(col("vec_id")), Seq("vec_id"))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cid").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rawcos").desc, col("neighbor_id"))
+    probes.join(assign, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("rawcos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("rawcos"), 6).as("cos"))
+  }
+
+  /** Hash-checked IVF top-5 (deterministic quantizer — upgraded from
+    * r1's rows-only k-means variant, which stays available as the
+    * trained-quantizer library path [[ivfTopK]]). */
+  val topKIvf: QueryDef = QueryDef.sql(
+    "sim_topk_ivf",
+    s"""WITH $preparedSql,
+      |centflat AS (
+      |  SELECT vec_id AS cid, pos, e FROM flat WHERE vec_id % 64 = 0),
+      |dist AS (
+      |  SELECT f.vec_id, c.cid, sum((f.e - c.e) * (f.e - c.e)) AS d
+      |  FROM flat f JOIN centflat c ON c.pos = f.pos
+      |  GROUP BY f.vec_id, c.cid),
+      |ranked_cells AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |  FROM dist),
+      |assign AS (
+      |  SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
+      |probe AS (
+      |  SELECT vec_id AS query_id, cid AS cell FROM ranked_cells
+      |  WHERE rn <= 4 AND vec_id % 50 = 0),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probe p JOIN assign a ON a.cell = p.cell
+      |  WHERE a.vec_id <> p.query_id),
+      |dots AS (
+      |  SELECT query_id, neighbor_id, sum(a.e * b.e) AS dot
+      |  FROM cand
+      |  JOIN flat a ON a.vec_id = query_id
+      |  JOIN flat b ON b.vec_id = neighbor_id AND b.pos = a.pos
+      |  GROUP BY query_id, neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS rawcos,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+      |  FROM dots
+      |  JOIN norms nq ON nq.vec_id = query_id
+      |  JOIN norms nc ON nc.vec_id = neighbor_id)
+      |SELECT query_id, rank, neighbor_id, round(rawcos, 6) AS cos
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val prep = prepared(Tables.embeddings(s, d)).persist()
     val queries = prep.filter(col("vec_id") % 50 === 0)
-    ivfTopK(prep, queries, 5).orderBy(col("query_id"), col("rank"))
+    // nprobe=4 ⇒ recall@5 = 0.70 vs brute force on the (unstructured)
+    // fixture corpus; probed work is ~4·centroidStep vectors per query
+    // regardless of corpus size, so the candidate fraction shrinks as
+    // the corpus grows.
+    ivfTopKDet(prep, queries, 5, centroidStep = 64, nprobe = 4)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   val all: Seq[QueryDef] = Seq(topKBrute, topKLsh, rangeSearch, topKIvf)

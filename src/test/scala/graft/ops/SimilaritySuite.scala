@@ -31,6 +31,25 @@ class SimilaritySuite extends SparkSessionSuite {
     got.foreach { case (q, n) => (n % 3) shouldBe (q % 3) }
   }
 
+  /** Recall floors of the two approximate driver queries against the
+    * brute-force exact query, on the real (unstructured) fixture corpus:
+    * deterministic-centroid IVF (nprobe=4) >= 0.6 and multi-probe LSH
+    * >= 0.5 — the r1 numbers were 0.6 (untestable, no oracle) and 0.26. */
+  test("deterministic IVF and multi-probe LSH hit their recall floors") {
+    val dir = "/root/testdata/sf0.01"
+    def pairs(name: String): Set[(Long, Long)] =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs("sim_topk_brute")
+    val ivf = pairs("sim_topk_ivf")
+    val lsh = pairs("sim_topk_lsh")
+    val ivfRecall = (brute & ivf).size.toDouble / brute.size
+    val lshRecall = (brute & lsh).size.toDouble / brute.size
+    withClue(s"ivf recall $ivfRecall: ") { ivfRecall should be >= 0.6 }
+    withClue(s"lsh recall $lshRecall: ") { lshRecall should be >= 0.5 }
+  }
+
   test("brute-force and IVF agree on clustered data") {
     val s = spark
     import s.implicits._
