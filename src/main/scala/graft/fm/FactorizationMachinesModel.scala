@@ -86,15 +86,17 @@ class FactorizationMachinesModel(
   override def transformSchema(schema: StructType): StructType =
     validateAndTransformSchema(schema, fitting = false)
 
-  /** Scoring entry point — reference Model:69-87. Default path caches
-    * the input because `monotonically_increasing_id` is partition-layout
-    * dependent and the id column is referenced on both sides of the
-    * join-back; an uncached recomputation could re-assign ids. The cache
-    * entry intentionally outlives the call (the result is lazy) and is
-    * NOT unpersisted — repeated transform() calls in a long-lived
-    * session accumulate cache entries (the reference leaks identically);
-    * long-running scorers should use carryThroughScoring, which caches
-    * nothing, or clear the session cache periodically. */
+  /** Scoring entry point — reference Model:69-87. The default path is
+    * carry-through (one pass, caches nothing). The join-back path
+    * (carryThroughScoring=false, the reference's plan shape, better for
+    * wide-payload rows) caches the input because
+    * `monotonically_increasing_id` is partition-layout dependent and the
+    * id column is referenced on both sides of the join-back; an uncached
+    * recomputation could re-assign ids. That cache entry intentionally
+    * outlives the call (the result is lazy) and is NOT unpersisted —
+    * repeated join-back transform() calls in a long-lived session
+    * accumulate cache entries (the reference leaks identically); clear
+    * the session cache periodically if using that path. */
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
     if ($(carryThroughScoring)) return transformCarryThrough(dataset)
