@@ -163,161 +163,301 @@ object Dedup {
       .orderBy(col("canonical"))
   }
 
-  /** MinHash signatures + banded LSH candidate pairs: shingle → 16 affine
-    * min-hashes → 4 bands of 4 → bucket self-join. Linear in corpus size;
-    * the only joins are bounded band-bucket joins. */
-  val minHashLsh: QueryDef = {
-    val mhSql = (0 until NumHashes)
-      .map(j => s"min((x * ${2 * j + 3} + ${5 * j + 7}) % $P) AS mh$j")
-      .mkString(", ")
-    // mod-reduce each fold step: 8 chained *1009 terms would overflow
-    // int64 otherwise (and DuckDB's hugeint would silently diverge).
-    val bandSql = (0 until Bands).map { b =>
-      val base = b * RowsPerBand
-      (1 until RowsPerBand)
-        .foldLeft(s"mh$base")((acc, i) =>
-          s"(($acc * 1009 + mh${base + i}) % 1000000007)") +
-        s" AS band$b"
-    }.mkString(", ")
-    val eqCount = (0 until NumHashes)
-      .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    QueryDef.sql(
-      "dedup_minhash_lsh",
-      s"""WITH $corpusNearSql,
-        |$encodedToksSql,
-        |$shinglesSql,
-        |sig AS (
-        |  SELECT doc_id, $mhSql FROM sh GROUP BY doc_id),
-        |banded AS (
-        |  SELECT doc_id, $bandSql FROM sig),
-        |cand AS (
-        |  ${(0 until Bands).map(b =>
-             s"SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM banded a JOIN banded b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
-             .mkString("\n  UNION\n  ")}),
-        |pairs AS (
-        |  SELECT c.doc1, c.doc2, ($eqCount) AS n_match
-        |  FROM cand c
-        |  JOIN sig a ON a.doc_id = c.doc1
-        |  JOIN sig b ON b.doc_id = c.doc2)
-        |SELECT doc1, doc2, n_match, n_match / 16.0 AS est_jaccard
-        |FROM pairs
-        |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-      val sh = shingles(encodedToks(corpusNear(Tables.documents(s, d))))
-      val mhCols = (0 until NumHashes).map(j =>
-        min((col("x") * (2 * j + 3) + (5 * j + 7)) % P).as(s"mh$j"))
-      val sig = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-        .persist()
-      val banded = sig.select(
-        (col("doc_id") +: (0 until Bands).map { b =>
-          val base = b * RowsPerBand
-          (1 until RowsPerBand)
-            .foldLeft(col(s"mh$base"))((acc, i) =>
-              (acc * 1009 + col(s"mh${base + i}")) % 1000000007L)
-            .as(s"band$b")
-        }): _*)
-      val cand = (0 until Bands).map { b =>
-        val a = banded.as("a"); val bb = banded.as("b")
-        a.join(bb, col(s"a.band$b") === col(s"b.band$b") &&
-          col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      }.reduce(_ union _).distinct()
-      val sa = sig.as("sa"); val sb = sig.as("sb")
-      val nMatch = (0 until NumHashes)
-        .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
-        .reduce(_ + _)
-      cand
-        .join(sa, col("sa.doc_id") === col("doc1"))
-        .join(sb, col("sb.doc_id") === col("doc2"))
-        .select(col("doc1"), col("doc2"), nMatch.as("n_match"))
-        .withColumn("est_jaccard", col("n_match") / 16.0)
-        .orderBy(col("doc1"), col("doc2"))
-    }
+  // ----------------------------------------- shared MinHash-LSH pipeline --
+
+  private def mhSql = (0 until NumHashes)
+    .map(j => s"min((x * ${2 * j + 3} + ${5 * j + 7}) % $P) AS mh$j")
+    .mkString(", ")
+
+  // mod-reduce each fold step: 8 chained *1009 terms would overflow
+  // int64 otherwise (and DuckDB's hugeint would silently diverge).
+  private def bandSql = (0 until Bands).map { b =>
+    val base = b * RowsPerBand
+    (1 until RowsPerBand)
+      .foldLeft(s"mh$base")((acc, i) =>
+        s"(($acc * 1009 + mh${base + i}) % 1000000007)") +
+      s" AS band$b"
+  }.mkString(", ")
+
+  private def eqCountSql = (0 until NumHashes)
+    .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
+  /** SQL CTE block `sig, banded, cand, pairs(doc1, doc2, n_match)` —
+    * the MinHash-signature + banded-LSH candidate-pair flow over `sh`. */
+  private def lshPairsSql: String =
+    s"""sig AS (
+      |  SELECT doc_id, $mhSql FROM sh GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, $bandSql FROM sig),
+      |cand AS (
+      |  ${(0 until Bands).map(b =>
+           s"SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM banded a JOIN banded b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
+           .mkString("\n  UNION\n  ")}),
+      |pairs AS (
+      |  SELECT c.doc1, c.doc2, ($eqCountSql) AS n_match
+      |  FROM cand c
+      |  JOIN sig a ON a.doc_id = c.doc1
+      |  JOIN sig b ON b.doc_id = c.doc2)""".stripMargin
+
+  /** Spark twin of [[lshPairsSql]]: shingle set → (doc1, doc2, n_match).
+    * Linear in corpus size; the only joins are bounded band-bucket joins.
+    * Persists the signature table (used on both sides of the verify
+    * join); callers drop it via the session-level cache clear. */
+  private def lshCandidatePairs(sh: DataFrame): DataFrame = {
+    val mhCols = (0 until NumHashes).map(j =>
+      min((col("x") * (2 * j + 3) + (5 * j + 7)) % P).as(s"mh$j"))
+    val sig = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+      .persist()
+    val banded = sig.select(
+      (col("doc_id") +: (0 until Bands).map { b =>
+        val base = b * RowsPerBand
+        (1 until RowsPerBand)
+          .foldLeft(col(s"mh$base"))((acc, i) =>
+            (acc * 1009 + col(s"mh${base + i}")) % 1000000007L)
+          .as(s"band$b")
+      }): _*)
+    val cand = (0 until Bands).map { b =>
+      val a = banded.as("a"); val bb = banded.as("b")
+      a.join(bb, col(s"a.band$b") === col(s"b.band$b") &&
+        col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+    }.reduce(_ union _).distinct()
+    val sa = sig.as("sa"); val sb = sig.as("sb")
+    val nMatch = (0 until NumHashes)
+      .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sa, col("sa.doc_id") === col("doc1"))
+      .join(sb, col("sb.doc_id") === col("doc2"))
+      .select(col("doc1"), col("doc2"), nMatch.as("n_match"))
   }
 
-  /** 16-bit SimHash per doc (tf-weighted bit votes over dictionary-encoded
-    * tokens spread by a Knuth multiplier), then near-dup pairs at Hamming
-    * distance <= 3. All-pairs join here for oracle-checkability; the scale
-    * variant bands on a simhash prefix first (same flow as MinHash LSH). */
-  val simHash: QueryDef = {
-    val bitsSql = (0 until 16)
-      .map(i => s"CASE WHEN sum(CASE WHEN (h >> $i) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1 << i} ELSE 0 END")
-      .mkString(" + ")
-    QueryDef.sql(
-      "dedup_simhash",
-      s"""WITH $corpusNearSql,
-        |$encodedToksSql,
-        |spread AS (
-        |  SELECT doc_id, (tid * 2654435761) % 2147483648 AS h FROM enc),
-        |sig AS (
-        |  SELECT doc_id, $bitsSql AS simhash
-        |  FROM spread GROUP BY doc_id)
-        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-        |  bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS hamming
-        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 3
-        |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-      val enc = encodedToks(corpusNear(Tables.documents(s, d)))
-      val spread = enc.select(col("doc_id"),
-        ((col("tid") * 2654435761L) % 2147483648L).as("h"))
-      val simhash = (0 until 16)
-        .map(i => when(
-          sum(when(shiftright(col("h"), i) % 2 === 1, 1).otherwise(-1)) > 0,
-          1 << i).otherwise(0))
-        .reduce(_ + _)
-      val sig = spread.groupBy(col("doc_id")).agg(simhash.as("simhash"))
-      val a = sig.as("a"); val b = sig.as("b")
-      val hamming = bit_count(col("a.simhash").cast("long")
-        .bitwiseXOR(col("b.simhash").cast("long")))
-      a.join(b, col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-          hamming.as("hamming"))
-        .filter(col("hamming") <= 3)
-        .orderBy(col("doc1"), col("doc2"))
+  /** MinHash signatures + banded LSH candidate pairs: shingle → 16 affine
+    * min-hashes → 2 bands of 8 → bucket self-join. Linear in corpus size;
+    * the only joins are bounded band-bucket joins. */
+  val minHashLsh: QueryDef = QueryDef.sql(
+    "dedup_minhash_lsh",
+    s"""WITH $corpusNearSql,
+      |$encodedToksSql,
+      |$shinglesSql,
+      |$lshPairsSql
+      |SELECT doc1, doc2, n_match, n_match / 16.0 AS est_jaccard
+      |FROM pairs
+      |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+    val sh = shingles(encodedToks(corpusNear(Tables.documents(s, d))))
+    lshCandidatePairs(sh)
+      .withColumn("est_jaccard", col("n_match") / 16.0)
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** Three-level near-dup corpus for clustering: every 20th doc gets a
+    * drop-1-leading-token copy (+10000) and a drop-2-leading-tokens copy
+    * (+20000), so pairwise detection yields chains/triangles that only a
+    * transitive-closure step consolidates into one cluster per original. */
+  private def corpusChainSql =
+    """c1 AS (
+      |  SELECT doc_id, substr(text, strpos(text, ' ') + 1) AS text
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM c1
+      |  UNION ALL
+      |  SELECT doc_id + 20000 AS doc_id,
+      |         substr(text, strpos(text, ' ') + 1) AS text
+      |  FROM c1)""".stripMargin
+
+  private def corpusChain(docs: DataFrame): DataFrame = {
+    val dropFirst = expr("substring(text, instr(text, ' ') + 1)").as("text")
+    val c1 = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), dropFirst)
+    docs.select(col("doc_id"), col("text"))
+      .unionAll(c1.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionAll(c1.select((col("doc_id") + 20000).as("doc_id"), dropFirst))
+  }
+
+  /** Connected components over the near-dup pair graph — the
+    * consolidation step every large-scale dedup pipeline needs after
+    * pairwise detection: pairs (a,b), (b,c) must collapse into ONE
+    * cluster {a,b,c} with a canonical id even when the (a,c) edge was
+    * never emitted. Edges are the MinHash-LSH candidate pairs at
+    * n_match ≥ 8 (est. Jaccard ≥ 0.5) over the three-level chain corpus.
+    *
+    * Spark plan: iterative min-label propagation — each round joins the
+    * symmetric edge list with current labels, takes the per-node min
+    * over neighbors, and `localCheckpoint`s (truncating lineage, as the
+    * SGD loop does). Rounds = graph diameter, which for near-dup
+    * clusters is bounded by the duplicate-group size (here ≤ 2); the
+    * driver loop stops when a round changes no label. For general
+    * high-diameter graphs the alternating large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") converges in O(log n) rounds with the same join-agg
+    * primitive. The oracle states the same closure as a recursive CTE.
+    * Output: every clustered doc with its canonical (min) member id and
+    * the cluster size. */
+  val ccClusters: QueryDef = QueryDef.sql(
+    "dedup_cc_clusters",
+    s"""WITH RECURSIVE $corpusChainSql,
+      |$encodedToksSql,
+      |$shinglesSql,
+      |$lshPairsSql,
+      |edges0 AS (SELECT doc1, doc2 FROM pairs WHERE n_match >= 8),
+      |nodes AS (
+      |  SELECT doc1 AS doc_id FROM edges0
+      |  UNION SELECT doc2 AS doc_id FROM edges0),
+      |edges AS (
+      |  SELECT doc1 AS src, doc2 AS dst FROM edges0
+      |  UNION SELECT doc2 AS src, doc1 AS dst FROM edges0),
+      |reach AS (
+      |  SELECT doc_id AS a, doc_id AS b FROM nodes
+      |  UNION
+      |  SELECT r.a, e.dst AS b FROM reach r JOIN edges e ON e.src = r.b),
+      |clusters AS (
+      |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+      |SELECT c.doc_id, c.cluster_id, s.n AS cluster_size
+      |FROM clusters c
+      |JOIN (SELECT cluster_id, count(*) AS n
+      |      FROM clusters GROUP BY cluster_id) s
+      |  ON s.cluster_id = c.cluster_id
+      |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+    val sh = shingles(encodedToks(corpusChain(Tables.documents(s, d))))
+    val edges0 = lshCandidatePairs(sh)
+      .filter(col("n_match") >= 8).select(col("doc1"), col("doc2"))
+    val labels = connectedComponents(edges0)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Connected components of an undirected pair graph: (doc1, doc2)
+    * edges → (doc_id, lbl) where lbl is the component's minimum member
+    * id. Iterative min-label propagation; each round is one shuffle
+    * join + one aggregation, `localCheckpoint`ed to truncate lineage
+    * (the SGD-loop pattern). Rounds = graph diameter — small for
+    * near-dup clusters; use alternating large-star/small-star (Kiveris
+    * et al.) for general high-diameter graphs. Only nodes with ≥ 1 edge
+    * appear (singletons are their own trivial cluster by definition). */
+  def connectedComponents(edges0: DataFrame): DataFrame = {
+    val pair = edges0.toDF("doc1", "doc2")
+    val edges = pair
+      .unionAll(pair.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+      .toDF("src", "dst").persist()
+    // Min-label propagation to a fixpoint. Every node appears as a src
+    // (edges are symmetric), so the neighbor-min join is inner; the
+    // node's own label joins the min via least().
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      rounds += 1
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.as("L")
+        .join(nbrMin, col("L.doc_id") === nbrMin("src"))
+        .select(col("L.doc_id").as("doc_id"),
+          least(col("L.lbl"), col("nlbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
     }
+    edges.unpersist()
+    labels
+  }
+
+  // ----------------------------------------------- shared SimHash pieces --
+
+  /** 32 signature bits: at 16 bits (r1) ~1% of ALL pairs collided by
+    * chance (19,790 of 2M ordered pairs at sf0.01) — a quadratic output
+    * term in disguise; at 32 bits P[chance Hamming ≤ 3] ≈ 5e-6, so the
+    * pair output is bound by true near-dups. 4 bands of 8 bits keep the
+    * pigeonhole guarantee for Hamming ≤ 3. */
+  private val SimBits = 32
+  private val SimBands = 4
+  private val SimBandBits = SimBits / SimBands
+  private val HammingMax = SimBands - 1
+
+  /** SQL CTE block `spread, sig(doc_id, simhash)` over `enc`: spread each
+    * token id across 32 bits with a Knuth multiplier, then per-bit
+    * tf-weighted majority vote. */
+  private def simSigSql: String = {
+    val bitsSql = (0 until SimBits)
+      .map(i => s"CASE WHEN sum(CASE WHEN (h >> $i) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""spread AS (
+      |  SELECT doc_id, (tid * 2654435761) % 4294967296 AS h FROM enc),
+      |sig AS (
+      |  SELECT doc_id, $bitsSql AS simhash
+      |  FROM spread GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Spark twin of [[simSigSql]]: token ids → (doc_id, simhash). */
+  private def simSig(enc: DataFrame): DataFrame = {
+    val spread = enc.select(col("doc_id"),
+      ((col("tid") * 2654435761L) % 4294967296L).as("h"))
+    val simhash = (0 until SimBits)
+      .map(i => when(
+        sum(when(shiftright(col("h"), i) % 2 === 1, 1).otherwise(-1)) > 0,
+        lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    spread.groupBy(col("doc_id")).agg(simhash.as("simhash"))
+  }
+
+  private def simPairsSelectSql =
+    s"""SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+      |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+      |ORDER BY doc1, doc2""".stripMargin
+
+  /** 32-bit SimHash per doc (tf-weighted bit votes over rolling-hash
+    * token ids spread by a Knuth multiplier), then near-dup pairs at
+    * Hamming distance <= 3. All-pairs join here as the oracle-twin
+    * fixture variant; [[simHashBanded]] is the production plan. */
+  val simHash: QueryDef = QueryDef.sql(
+    "dedup_simhash",
+    s"""WITH $corpusNearSql,
+      |$encodedToksSql,
+      |$simSigSql
+      |$simPairsSelectSql""".stripMargin) { (s, d) =>
+    val sig = simSig(encodedToks(corpusNear(Tables.documents(s, d))))
+    val a = sig.as("a"); val b = sig.as("b")
+    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= HammingMax)
+      .orderBy(col("doc1"), col("doc2"))
   }
 
   /** PRODUCTION SimHash: identical semantics to [[simHash]] (Hamming <= 3
-    * pairs), but candidates come from an EQUI-join on 4-bit simhash bands
+    * pairs), but candidates come from an EQUI-join on 8-bit simhash bands
     * instead of an all-pairs inequality join. Pigeonhole makes the
-    * banding exact, not approximate: two 16-bit signatures within
+    * banding exact, not approximate: two 32-bit signatures within
     * Hamming distance 3 differ in at most 3 of the 4 bands, so they
     * agree exactly on at least one band and meet in its bucket. The plan
     * is the linear LSH shape — explode 4 band rows per doc, hash-join on
     * (band index, band value), dedup candidates, verify Hamming — with
     * no inequality-only (cartesian) join anywhere. */
-  val simHashBanded: QueryDef = {
-    val bitsSql = (0 until 16)
-      .map(i => s"CASE WHEN sum(CASE WHEN (h >> $i) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1 << i} ELSE 0 END")
-      .mkString(" + ")
+  val simHashBanded: QueryDef =
     // The oracle states the SEMANTICS (all qualifying pairs) in the
     // simplest SQL; only the Spark plan needs the scalable shape.
     QueryDef.sql(
       "dedup_simhash_banded",
       s"""WITH $corpusNearSql,
         |$encodedToksSql,
-        |spread AS (
-        |  SELECT doc_id, (tid * 2654435761) % 2147483648 AS h FROM enc),
-        |sig AS (
-        |  SELECT doc_id, $bitsSql AS simhash
-        |  FROM spread GROUP BY doc_id)
-        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-        |  bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS hamming
-        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 3
-        |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-      val enc = encodedToks(corpusNear(Tables.documents(s, d)))
-      val spread = enc.select(col("doc_id"),
-        ((col("tid") * 2654435761L) % 2147483648L).as("h"))
-      val simhash = (0 until 16)
-        .map(i => when(
-          sum(when(shiftright(col("h"), i) % 2 === 1, 1).otherwise(-1)) > 0,
-          1 << i).otherwise(0))
-        .reduce(_ + _)
-      val sig = spread.groupBy(col("doc_id")).agg(simhash.as("simhash"))
+        |$simSigSql
+        |$simPairsSelectSql""".stripMargin) { (s, d) =>
+      val sig = simSig(encodedToks(corpusNear(Tables.documents(s, d))))
       val bands = sig.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(b => struct(lit(b).as("bi"),
-          shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15)).as("bv"))): _*))
+        explode(array((0 until SimBands).map(b => struct(lit(b).as("bi"),
+          shiftright(col("simhash"), SimBandBits * b)
+            .bitwiseAND(lit((1 << SimBandBits) - 1)).as("bv"))): _*))
           .as("band"))
         .select(col("doc_id"), col("simhash"),
           col("band.bi").as("bi"), col("band.bv").as("bv"))
@@ -328,12 +468,10 @@ object Dedup {
           col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
         .distinct()
         .select(col("doc1"), col("doc2"),
-          bit_count(col("sh1").cast("long").bitwiseXOR(col("sh2").cast("long")))
-            .as("hamming"))
-        .filter(col("hamming") <= 3)
+          bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+        .filter(col("hamming") <= HammingMax)
         .orderBy(col("doc1"), col("doc2"))
     }
-  }
 
   /** Maximum document frequency a shingle may have and still participate
     * in the Jaccard inverted-index join. A shingle appearing in d docs
@@ -435,5 +573,6 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] =
-    Seq(exact, minHashLsh, simHash, simHashBanded, ngramJaccard, embeddingCos)
+    Seq(exact, minHashLsh, ccClusters, simHash, simHashBanded, ngramJaccard,
+      embeddingCos)
 }

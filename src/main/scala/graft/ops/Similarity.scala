@@ -238,6 +238,63 @@ object Similarity {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** APPROXIMATE range search — the 100 TB path for threshold pair
+    * queries: candidates come from an equi-join on 4-bit hyperplane
+    * buckets with Hamming-1 multi-probe (bucket equal, or differing in
+    * exactly one plane), instead of [[pairCosineKernel]]'s distributed
+    * all-pairs block join. Work drops from O(n²) to Σ_bucket |b|²·5/16 —
+    * and each unordered pair meets exactly once, because bucket distance
+    * ≤ 1 matches exactly one probe mask and the id inequality fixes the
+    * orientation, so no dedup stage is needed. Recall vs the exact
+    * kernel is pinned in the suite; more planes trade recall for
+    * sharper pruning. */
+  val rangeSearchLsh: QueryDef = {
+    val bitsSql = (0 until Planes)
+      .map(j => s"CASE WHEN sum(e * ((($j*97 + (pos-1)*31) % 17 - 8) / 8.0)) >= 0 THEN ${1 << j} ELSE 0 END")
+      .mkString(" + ")
+    val masksSql = (Seq(0) ++ (0 until Planes).map(1 << _)).mkString("[", ", ", "]")
+    QueryDef.sql(
+      "sim_range_search_lsh",
+      s"""WITH $preparedSql,
+        |buckets AS (
+        |  SELECT vec_id, $bitsSql AS bucket FROM flat GROUP BY vec_id),
+        |cand AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM buckets a
+        |  CROSS JOIN unnest($masksSql) m(mask)
+        |  JOIN buckets b
+        |    ON b.bucket = xor(a.bucket, CAST(m.mask AS INTEGER))
+        |   AND a.vec_id < b.vec_id),
+        |dots AS (
+        |  SELECT v1, v2, sum(a.e * b.e) AS dot
+        |  FROM cand
+        |  JOIN flat a ON a.vec_id = v1
+        |  JOIN flat b ON b.vec_id = v2 AND b.pos = a.pos
+        |  GROUP BY v1, v2)
+        |SELECT v1, v2, round(dot / (n1.nrm * n2.nrm), 6) AS cos
+        |FROM dots
+        |JOIN norms n1 ON n1.vec_id = v1
+        |JOIN norms n2 ON n2.vec_id = v2
+        |WHERE dot / (n1.nrm * n2.nrm) >= 0.35
+        |ORDER BY v1, v2""".stripMargin) { (s, d) =>
+      val prep = prepared(Tables.embeddings(s, d)).persist()
+      val withB = prep
+        .join(lshBuckets(prep).select(col("vec_id"), col("bucket")), Seq("vec_id"))
+      val masks = array((Seq(0) ++ (0 until Planes).map(1 << _)).map(lit): _*)
+      val a = withB.select(col("vec_id").as("v1"), col("v").as("av"),
+        col("nrm").as("n1"), col("bucket"), explode(masks).as("mask"))
+      val b = withB.select(col("vec_id").as("v2"), col("v").as("bv"),
+        col("nrm").as("n2"), col("bucket").as("cbucket"))
+      a.join(b, col("bucket").bitwiseXOR(col("mask")) === col("cbucket") &&
+          col("v1") < col("v2"))
+        .select(col("v1"), col("v2"),
+          (dot(col("av"), col("bv")) / (col("n1") * col("n2"))).as("rawcos"))
+        .filter(col("rawcos") >= 0.35)
+        .select(col("v1"), col("v2"), round(col("rawcos"), 6).as("cos"))
+        .orderBy(col("v1"), col("v2"))
+    }
+  }
+
   /** IVF-style approximate top-k with a TRAINED coarse quantizer:
     * k-means (spark.ml) partitions the corpus into nlist cells; each
     * query probes its nprobe nearest centroids and ranks only those
@@ -375,5 +432,6 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val all: Seq[QueryDef] = Seq(topKBrute, topKLsh, rangeSearch, topKIvf)
+  val all: Seq[QueryDef] =
+    Seq(topKBrute, topKLsh, rangeSearch, rangeSearchLsh, topKIvf)
 }

@@ -239,6 +239,65 @@ object EventStreams {
       .orderBy(col("bucket_epoch"), col("event_type"))
   }
 
+  private def stagedDedupDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-events-dup-staged-" +
+      math.abs(d.hashCode)
+
+  /** Stages a corpus with PLANTED duplicate events for the streaming
+    * dedup query: all events, plus an exact copy of every 10th event
+    * (same event_id, same payload — the at-least-once-ingestion
+    * scenario), plus the '__flush' watermark sentinel. */
+  def stageDuplicatedEvents(s: SparkSession, d: String): Unit = {
+    val dir = stagedDedupDir(d)
+    val ev = Tables.events(s, d)
+    val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
+    ev.write.mode("overwrite").parquet(dir)
+    ev.filter(col("event_id") % 10 === 0).write.mode("append").parquet(dir)
+    s.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(maxTs + 3L * 3600 * 1000000000L).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("__flush").as("event_type"),
+        lit(0.0).as("value"),
+        lit("").as("props"))
+      .write.mode("append").parquet(dir)
+  }
+
+  private def ensureDupStaged(s: SparkSession, d: String): String = {
+    val dir = stagedDedupDir(d)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) stageDuplicatedEvents(s, d)
+    dir
+  }
+
+  /** Streaming deduplication — the ingestion-dedup pattern every
+    * at-least-once pipeline needs: `dropDuplicatesWithinWatermark` on
+    * event_id emits the first occurrence of each id immediately (Append
+    * mode) and evicts its state once the watermark passes, so state
+    * stays bounded on an unbounded stream (a plain streaming
+    * dropDuplicates would keep every id forever). Planted duplicates
+    * carry identical event times, so they always fall within the
+    * watermark delay and the emitted set is exactly the distinct
+    * original events — which is what the batch oracle states. */
+  val streamDedup: QueryDef = QueryDef.sqlPrepared(
+    "st_stream_dedup",
+    """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+      |  user_id, event_type, value
+      |FROM events
+      |ORDER BY event_id""".stripMargin)(stageDuplicatedEvents) { (s, d) =>
+    val stream = s.readStream.schema(eventSchema).parquet(ensureDupStaged(s, d))
+      .withColumn("ts2", tsCol)
+      .withWatermark("ts2", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    runAppendToParquet(stream, "st_stream_dedup")
+      .filter(col("event_type") =!= "__flush")
+      // integer division: ts nanos ~1.7e18 exceeds double's 53-bit mantissa
+      .select(col("event_id"), expr("ts DIV 1000000000").as("epoch"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Batch sessionization (30-min gap), oracle-checked gaps-and-islands. */
   val sessionsBatch: QueryDef = QueryDef.sql(
     "st_sessions_batch",
@@ -269,5 +328,6 @@ object EventStreams {
       .orderBy(col("user_id"), col("sid"))
   }
 
-  val all: Seq[QueryDef] = Seq(tumblingHourly, slidingHalfHour, sessionsBatch)
+  val all: Seq[QueryDef] =
+    Seq(tumblingHourly, slidingHalfHour, streamDedup, sessionsBatch)
 }

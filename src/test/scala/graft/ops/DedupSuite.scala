@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.fm.SparkSessionSuite
+import org.apache.spark.sql.functions._
+
+class DedupSuite extends SparkSessionSuite {
+
+  test("connectedComponents merges chains transitively") {
+    val s = spark
+    import s.implicits._
+    // A 5-node path (min label must travel 4 hops), a 2-node pair, and a
+    // triangle — no (1,5) or (20,22) edge exists, so only transitive
+    // closure can produce the expected labels.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc1", "doc2")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+  }
+
+  test("cc_clusters puts every planted near-dup triple in one cluster") {
+    val df = Dedup.ccClusters.fn(spark, "/root/testdata/sf0.001")
+    val labels = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Every planted chain {d, d+10000, d+20000} that was detected at all
+    // must be fully consolidated: all present members share one label.
+    val planted = labels.keySet.filter(_ < 10000).filter(_ % 20 == 0)
+    planted should not be empty
+    planted.foreach { d =>
+      val members = Seq(d, d + 10000, d + 20000).filter(labels.contains)
+      withClue(s"chain of $d: ") {
+        members.map(labels).distinct.size shouldBe 1
+      }
+    }
+    // At least one full triple exists (cluster_size >= 3 via 3 members).
+    assert(planted.exists(d =>
+      labels.contains(d + 10000) && labels.contains(d + 20000)))
+  }
+}

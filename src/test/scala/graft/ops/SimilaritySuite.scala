@@ -50,6 +50,24 @@ class SimilaritySuite extends SparkSessionSuite {
     withClue(s"lsh recall $lshRecall: ") { lshRecall should be >= 0.5 }
   }
 
+  /** The bucketed range search must recover a solid fraction of the
+    * exact kernel's threshold pairs. 4 planes + Hamming-1 probing give
+    * P[bucket distance <= 1] ≈ p⁴ + 4p³(1−p) with p the per-plane
+    * collision probability (1 − θ/π) — ~0.5 for borderline cos 0.35
+    * pairs, higher for closer ones. */
+  test("LSH range search recalls enough exact threshold pairs") {
+    val dir = "/root/testdata/sf0.01"
+    def pairSet(name: String): Set[(Long, Long)] =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .select(col("v1"), col("v2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet("sim_range_search")
+    val approx = pairSet("sim_range_search_lsh")
+    approx.subsetOf(exact) shouldBe true // pruning only, never invention
+    val recall = (exact & approx).size.toDouble / exact.size
+    withClue(s"range-lsh recall $recall: ") { recall should be >= 0.4 }
+  }
+
   test("brute-force and IVF agree on clustered data") {
     val s = spark
     import s.implicits._
