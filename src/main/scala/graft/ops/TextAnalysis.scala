@@ -195,5 +195,47 @@ object TextAnalysis {
       .limit(30)
   }
 
-  val all: Seq[QueryDef] = Seq(tokenStats, langId, quality, fingerprint, tfidf)
+  /** PII masking — training corpora must scrub contact strings before
+    * the tokenizer sees them. The fixture has no natural emails, so
+    * every 10th doc gets one planted (every 20th gets two) via string
+    * arithmetic both engines reproduce; the masker then replaces every
+    * match with a [EMAIL] placeholder and reports the per-doc hit count.
+    * The pattern stays on regex features Java (Spark) and RE2 (DuckDB)
+    * treat identically: literal char classes and + quantifiers, no
+    * backrefs, no lookaround. Map-side only — no shuffle at all. */
+  val piiMask: QueryDef = {
+    val pat = "[a-z0-9._-]+@[a-z0-9-]+\\.[a-z]+"
+    QueryDef.sql(
+      "ta_pii_mask",
+      s"""WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 20 = 0
+        |           THEN text || ' contact user' || doc_id ||
+        |                '@example.com today or admin' || doc_id || '@test.org'
+        |         WHEN doc_id % 10 = 0
+        |           THEN text || ' contact user' || doc_id || '@example.com today'
+        |         ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '$pat')) AS n_pii,
+        |  regexp_replace(text, '$pat', '[EMAIL]', 'g') AS masked
+        |FROM corpus
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val corpus = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 20 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com today or admin"), col("doc_id"), lit("@test.org")))
+          .when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com today")))
+          .otherwise(col("text")).as("text"))
+      corpus.select(col("doc_id"),
+          regexp_count(col("text"), lit(pat)).as("n_pii"),
+          regexp_replace(col("text"), pat, "[EMAIL]").as("masked"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(tokenStats, langId, quality, fingerprint, tfidf, piiMask)
 }

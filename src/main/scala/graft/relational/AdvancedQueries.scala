@@ -71,13 +71,18 @@ object AdvancedQueries {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    // ONE array-percentile aggregate, not four scalar ones: exact
+    // percentile buffers every group value, so four separate calls
+    // buffer (and sort) the column four times over.
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
-        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"),
-        round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"))
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"),
+        round(element_at(col("ps"), 4), 4).as("p95"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -158,6 +163,36 @@ object AdvancedQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Deterministic stratified sampling — how a training pipeline carves
+    * reproducible train/eval subsets from 100 TB without a shuffle:
+    * membership is pure row-local arithmetic (`h(keys) mod 1000 <
+    * stratum rate`), so the same rows are sampled on any cluster, any
+    * partitioning, any engine — unlike `TABLESAMPLE`/`rand()`, which are
+    * layout-dependent. Rates per stratum: returnflag A 10 %, N 1 %,
+    * else 5 %. The output aggregates the sample per stratum, which
+    * hash-pins the exact membership set cross-engine. */
+  val stratifiedSample: QueryDef = QueryDef.sql(
+    "adv_stratified_sample",
+    """WITH sampled AS (
+      |  SELECT l_returnflag, l_quantity
+      |  FROM lineitem
+      |  WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 1000 <
+      |    CASE l_returnflag WHEN 'A' THEN 100 WHEN 'N' THEN 10 ELSE 50 END)
+      |SELECT l_returnflag, count(*) AS n_sampled,
+      |  sum(l_quantity) AS sum_qty
+      |FROM sampled
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val h = (col("l_orderkey") * 2654435761L + col("l_linenumber") * 40503L) % 1000L
+    val rate = when(col("l_returnflag") === "A", 100L)
+      .when(col("l_returnflag") === "N", 10L).otherwise(50L)
+    Tables.lineitem(s, d)
+      .filter(h < rate)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** The engine's SQL-string surface: fixture tables registered as temp
     * views, the query text executed via `spark.sql` — same text the
     * oracle runs, proving users can drive this engine with plain ANSI SQL
@@ -178,5 +213,6 @@ object AdvancedQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(asOfJoin, percentiles, pivot, cube, saltedAgg, movingAvg, sqlInterface)
+    Seq(asOfJoin, percentiles, pivot, cube, saltedAgg, movingAvg,
+      stratifiedSample, sqlInterface)
 }

@@ -298,6 +298,48 @@ object EventStreams {
       .orderBy(col("event_id"))
   }
 
+  /** Stream-stream INTERVAL JOIN — attribution: every click by the same
+    * user in the 30 minutes before a purchase. Both sides carry a
+    * watermark and the join condition carries the time bound, so Spark
+    * evicts join state once the watermark passes a row's reach — the
+    * shape that holds state bounded on two unbounded streams. Event
+    * times are truncated to whole seconds on BOTH engines before
+    * comparison (fixture timestamps are µs-grained; second-granularity
+    * integer bounds are engine-exact). The '__flush' sentinel passes the
+    * type filters on both sides so it can advance both watermarks; it
+    * self-joins into one sentinel row dropped after the join. */
+  val intervalJoin: QueryDef = QueryDef.sqlPrepared(
+    "st_interval_join",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+      |  FROM events)
+      |SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+      |  p.ep AS p_epoch, c.ep AS c_epoch
+      |FROM e p JOIN e c ON c.user_id = p.user_id
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ep BETWEEN p.ep - 1800 AND p.ep
+      |ORDER BY p_id, c_id""".stripMargin)(stageStreamingEvents) { (s, d) =>
+    val ev = streamingEvents(s, d)
+    def side(kind: String, idAs: String, userAs: String, tsAs: String) =
+      ev.filter(col("event_type") === kind || col("event_type") === "__flush")
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          timestamp_seconds(expr("ts DIV 1000000000")).as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val purchases = side("purchase", "p_id", "p_user", "pts")
+    val clicks = side("click", "c_id", "c_user", "cts")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
+        col("cts") <= col("pts"))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        unix_timestamp(col("pts")).as("p_epoch"),
+        unix_timestamp(col("cts")).as("c_epoch"))
+    runAppendToParquet(joined, "st_interval_join")
+      .filter(col("p_id") =!= -1L && col("c_id") =!= -1L)
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
   /** Batch sessionization (30-min gap), oracle-checked gaps-and-islands. */
   val sessionsBatch: QueryDef = QueryDef.sql(
     "st_sessions_batch",
@@ -329,5 +371,6 @@ object EventStreams {
   }
 
   val all: Seq[QueryDef] =
-    Seq(tumblingHourly, slidingHalfHour, streamDedup, sessionsBatch)
+    Seq(tumblingHourly, slidingHalfHour, streamDedup, intervalJoin,
+      sessionsBatch)
 }
