@@ -356,15 +356,16 @@ object Dedup {
       rounds += 1
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.as("L")
+      // Carry the old label through the join so the convergence count
+      // reads the SAME materialized checkpoint as the next labels — no
+      // extra join per round.
+      val joined = labels.as("L")
         .join(nbrMin, col("L.doc_id") === nbrMin("src"))
-        .select(col("L.doc_id").as("doc_id"),
+        .select(col("L.doc_id").as("doc_id"), col("L.lbl").as("old"),
           least(col("L.lbl"), col("nlbl")).as("lbl"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels = next
+      changed = joined.filter(col("lbl") =!= col("old")).count()
+      labels = joined.select(col("doc_id"), col("lbl"))
     }
     edges.unpersist()
     labels

@@ -40,6 +40,31 @@ object SourceQueries {
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
   }
 
+  /** ORC sink → ORC scan → aggregate: the second columnar format with
+    * predicate pushdown + column pruning (spark-avro is not bundled in
+    * this distribution, so ORC is the non-parquet columnar
+    * representative). The pushed filter reaches the ORC reader the same
+    * way it does parquet; the oracle reads the original table, proving
+    * the round-trip is lossless. */
+  val orcRoundtrip: QueryDef = QueryDef.sql(
+    "src_orc_roundtrip",
+    """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+      |FROM customer
+      |WHERE c_nationkey < 10
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val dir = stage(d, "orc")
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_acctbal"))
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .filter(col("c_nationkey") < 10) // pushed to the ORC scan
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Semi-structured column: from_json over events.props → typed field →
     * aggregate (JSON parsing is a first-class source capability for
     * training-data pipelines). */
@@ -104,5 +129,5 @@ object SourceQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(csvRoundtrip, jsonProps, textLines, partitionedRoundtrip)
+    Seq(csvRoundtrip, orcRoundtrip, jsonProps, textLines, partitionedRoundtrip)
 }

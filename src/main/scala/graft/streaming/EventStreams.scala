@@ -142,14 +142,26 @@ object EventStreams {
     val spark = agg.sparkSession
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-stream-out/" +
       s"$name-${java.util.UUID.randomUUID}"
-    val q = agg.writeStream
-      .outputMode(OutputMode.Append)
-      .format("parquet")
-      .option("path", s"$base/data")
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful streaming cost at fixture scale is dominated by state-store
+    // commits, and store count scales with shuffle partitions (a
+    // stream-stream join keeps FOUR stores per partition): 8 partitions
+    // instead of 32 cuts per-batch commit overhead 4x while the state
+    // itself is tiny. Size this UP with data volume on a real cluster —
+    // it is a throughput knob, not a semantics one.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val parts = math.min(8, prev.toInt)
+    try {
+      spark.conf.set(key, parts.toString)
+      val q = agg.writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", s"$base/data")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.read.parquet(s"$base/data")
   }
 
