@@ -15,7 +15,7 @@ object SparkEntry {
       relational.AdvancedQueries.all ++ fm.FmQueries.all ++
       fm.SamplePipeline.all ++ fm.FmRelationalQueries.all ++
       ops.TextAnalysis.all ++ ops.Dedup.all ++ ops.Similarity.all ++
-      ops.Multimodal.all ++ streaming.EventStreams.all
+      ops.Multimodal.all ++ ops.Pipeline.all ++ streaming.EventStreams.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: broadcast dim join + fact shuffle join + agg + top-k. */

@@ -573,7 +573,47 @@ object Dedup {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** Incremental (batch-arrival) dedup — how 100 TB corpora are actually
+    * ingested: a new batch arrives, is deduped WITHIN itself (group-by
+    * content hash, min-id canonical), then anti-joined against the
+    * existing corpus's hash index so only genuinely new content lands.
+    * The anti-join touches only (hash, id) pairs — never full text — so
+    * the state side stays narrow at scale. Fixture batch: every 5th doc
+    * re-sent verbatim (must be dropped) + every 7th doc with a ' v2
+    * update' suffix (genuinely new, must be kept). */
+  val incremental: QueryDef = QueryDef.sql(
+    "dedup_incremental",
+    """WITH incoming AS (
+      |  SELECT doc_id + 30000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 40000 AS doc_id, text || ' v2 update' AS text
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |batchdedup AS (
+      |  SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
+      |  FROM incoming GROUP BY md5(text))
+      |SELECT b.doc_id, b.content_hash
+      |FROM batchdedup b
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM documents e WHERE md5(e.text) = b.content_hash)
+      |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 30000).as("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(col("text"), lit(" v2 update")).as("text")))
+    val batchDedup = incoming
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val existingIndex = docs.select(md5(col("text")).as("content_hash"))
+    batchDedup
+      .join(existingIndex, Seq("content_hash"), "left_anti")
+      .select(col("doc_id"), col("content_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(exact, minHashLsh, ccClusters, simHash, simHashBanded, ngramJaccard,
-      embeddingCos)
+      embeddingCos, incremental)
 }
