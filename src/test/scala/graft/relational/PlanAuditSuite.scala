@@ -1,0 +1,52 @@
+package graft.relational
+
+import graft.fm.SparkSessionSuite
+
+/** Physical-plan audits for the scale-critical queries added after r1:
+  * the claims in the module Scaladoc ("no inequality-only join", "pushed
+  * to the ORC scan") are asserted here against the actual executed
+  * plans, not just stated. */
+class PlanAuditSuite extends SparkSessionSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physicalPlan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Banded/bucketed candidate generation must never degenerate into a
+    * cartesian (inequality-only) join. */
+  test("banded and bucketed pair queries contain no cartesian join") {
+    Seq("dedup_simhash_banded", "dedup_minhash_lsh", "sim_range_search_lsh")
+      .foreach { q =>
+        val plan = physicalPlan(q)
+        withClue(s"$q plan:\n$plan\n") {
+          assert(!plan.contains("CartesianProduct"))
+          assert(!plan.contains("BroadcastNestedLoopJoin"))
+        }
+      }
+  }
+
+  /** The ORC roundtrip's filter must reach the ORC reader as a pushed
+    * predicate, exactly like parquet. */
+  test("ORC scan receives the pushed filter") {
+    val df = graft.SparkEntry.queries("src_orc_roundtrip")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      assert(plan.contains("PushedFilters: [IsNotNull(c_nationkey), " +
+        "LessThan(c_nationkey,10)]"))
+    }
+  }
+
+  /** The exact range search must run the distributed grid-block kernel:
+    * no driver-side collect limit, no nested-loop join — the block-pair
+    * relation joins as a broadcast hash join on the block id. */
+  test("exact range search plan is the grid-block equi-join") {
+    val plan = physicalPlan("sim_range_search")
+    withClue(plan) {
+      assert(!plan.contains("CartesianProduct"))
+      assert(plan.contains("BroadcastHashJoin"))
+    }
+  }
+}
