@@ -236,6 +236,45 @@ object TextAnalysis {
     }
   }
 
+  /** BPE merge-candidate counting — the inner loop of byte-pair-encoding
+    * vocabulary training: count every adjacent CHARACTER pair inside
+    * every token across the corpus and rank the top merge candidates.
+    * One map-side explode (token → its length−1 overlapping 2-grams) and
+    * one count shuffle — the shape that scales to a 100 TB corpus,
+    * where each BPE training round is exactly this query over the
+    * current vocabulary. Ties rank deterministically by the pair string;
+    * top 30 with total corpus frequency. */
+  val bpePairs: QueryDef = QueryDef.sql(
+    "ta_bpe_pairs",
+    """WITH pairs AS (
+      |  SELECT substr(tok, i, 2) AS pair
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  CROSS JOIN LATERAL unnest(generate_series(1, length(tok) - 1)) s(i)
+      |  WHERE length(tok) >= 2),
+      |counted AS (
+      |  SELECT pair, count(*) AS n,
+      |    row_number() OVER (ORDER BY count(*) DESC, pair) AS rank
+      |  FROM pairs GROUP BY pair)
+      |SELECT rank, pair, n FROM counted
+      |WHERE rank <= 30
+      |ORDER BY rank""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("pair"))
+    Tables.documents(s, d)
+      .select(explode(toks).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("tok")) - 1),
+        i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      // top-30 of a tiny aggregated set: the single-partition window
+      // ranks ~|alphabet|² rows, not the corpus
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 30)
+      .select(col("rank"), col("pair"), col("n"))
+      .orderBy(col("rank"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(tokenStats, langId, quality, fingerprint, tfidf, piiMask)
+    Seq(tokenStats, langId, quality, fingerprint, tfidf, piiMask, bpePairs)
 }

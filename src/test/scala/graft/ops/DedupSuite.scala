@@ -23,6 +23,37 @@ class DedupSuite extends SparkSessionSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L)
   }
 
+  /** Property: on random graphs, the distributed label propagation must
+    * agree exactly with a driver-side union-find. */
+  test("connectedComponents matches union-find on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 20
+      val edges = Seq.fill(n)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical expected label: min member id per component
+      val byRoot = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .groupBy(find).flatMap { case (_, ms) => ms.map(_ -> ms.min) }
+      val got = Dedup.connectedComponents(edges.toDF("doc1", "doc2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"trial $trial (n=$n, ${edges.size} edges): ") {
+        got shouldBe byRoot
+      }
+    }
+  }
+
   test("cc_clusters puts every planted near-dup triple in one cluster") {
     val df = Dedup.ccClusters.fn(spark, "/root/testdata/sf0.001")
     val labels = df.collect()
