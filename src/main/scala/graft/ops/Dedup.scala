@@ -340,35 +340,49 @@ object Dedup {
     * et al.) for general high-diameter graphs. Only nodes with ≥ 1 edge
     * appear (singletons are their own trivial cluster by definition). */
   def connectedComponents(edges0: DataFrame): DataFrame = {
-    val pair = edges0.toDF("doc1", "doc2")
-    val edges = pair
-      .unionAll(pair.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
-      .toDF("src", "dst").persist()
-    // Min-label propagation to a fixpoint. Every node appears as a src
-    // (edges are symmetric), so the neighbor-min join is inner; the
-    // node's own label joins the min via least().
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("lbl"))
-      .localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      rounds += 1
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      // Carry the old label through the join so the convergence count
-      // reads the SAME materialized checkpoint as the next labels — no
-      // extra join per round.
-      val joined = labels.as("L")
-        .join(nbrMin, col("L.doc_id") === nbrMin("src"))
-        .select(col("L.doc_id").as("doc_id"), col("L.lbl").as("old"),
-          least(col("L.lbl"), col("nlbl")).as("lbl"))
+    val spark = edges0.sparkSession
+    // The edge/label tables of a near-dup pair graph are orders of
+    // magnitude smaller than the corpus, and the loop pays per-round
+    // shuffle overhead proportional to partition count: bound it while
+    // iterating (a throughput knob — size up for genuinely huge graphs),
+    // restoring the session setting afterwards.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    // Materialize the edge list BEFORE shrinking partitions: its upstream
+    // (e.g. the full MinHash pipeline over the corpus) must keep the
+    // session's full parallelism — only the tiny-label loop shrinks.
+    val pair = edges0.toDF("doc1", "doc2").localCheckpoint()
+    try {
+      spark.conf.set(key, math.min(8, prev.toInt).toString)
+      val edges = pair
+        .unionAll(pair.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+        .toDF("src", "dst").persist()
+      // Min-label propagation to a fixpoint. Every node appears as a src
+      // (edges are symmetric), so the neighbor-min join is inner; the
+      // node's own label joins the min via least().
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("lbl"))
         .localCheckpoint()
-      changed = joined.filter(col("lbl") =!= col("old")).count()
-      labels = joined.select(col("doc_id"), col("lbl"))
-    }
-    edges.unpersist()
-    labels
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        rounds += 1
+        val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+          .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+        // Carry the old label through the join so the convergence count
+        // reads the SAME materialized checkpoint as the next labels — no
+        // extra join per round.
+        val joined = labels.as("L")
+          .join(nbrMin, col("L.doc_id") === nbrMin("src"))
+          .select(col("L.doc_id").as("doc_id"), col("L.lbl").as("old"),
+            least(col("L.lbl"), col("nlbl")).as("lbl"))
+          .localCheckpoint()
+        changed = joined.filter(col("lbl") =!= col("old")).count()
+        labels = joined.select(col("doc_id"), col("lbl"))
+      }
+      edges.unpersist()
+      labels
+    } finally spark.conf.set(key, prev)
   }
 
   // ----------------------------------------------- shared SimHash pieces --
