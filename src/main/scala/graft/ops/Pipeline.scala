@@ -63,9 +63,17 @@ object Pipeline {
         .as("stop_cnt"),
       aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
         .as("char_sum"))
-    val gated = stats.filter(
-      col("n_tokens").between(30, 1000) &&
-        col("stop_cnt") * 10 >= col("n_tokens"))
+    // Pipeline observability via Dataset.observe: per-run input/kept
+    // counts ride along as CollectMetrics nodes (read from
+    // queryExecution.observedMetrics after any action; asserted in the
+    // suite) — the production way to monitor gate selectivity without a
+    // second pass over the corpus. Output rows are unaffected.
+    val gated = stats
+      .observe("pipe_in", count(lit(1)).as("n_in"))
+      .filter(
+        col("n_tokens").between(30, 1000) &&
+          col("stop_cnt") * 10 >= col("n_tokens"))
+      .observe("pipe_kept", count(lit(1)).as("n_kept"))
     val deduped = gated
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),

@@ -1,0 +1,29 @@
+package graft.ops
+
+import graft.fm.SparkSessionSuite
+import org.apache.spark.sql.functions._
+
+class PipelineSuite extends SparkSessionSuite {
+
+  test("corpus-clean pipeline reports gate selectivity via observe()") {
+    val dir = "/root/testdata/sf0.001"
+    val df = Pipeline.corpusClean.fn(spark, dir)
+    // collect() executes df's own QueryExecution — count() would build a
+    // derived plan and leave df's observed metrics empty.
+    val nOut = df.collect().length.toLong
+
+    val metrics = df.queryExecution.observedMetrics
+    val nIn = metrics("pipe_in").getAs[Long]("n_in")
+    val nKept = metrics("pipe_kept").getAs[Long]("n_kept")
+
+    // corpus = documents ∪ every-10th duplicated
+    val docs = graft.Tables.documents(spark, dir)
+    val expectedIn =
+      docs.count() + docs.filter(col("doc_id") % 10 === 0).count()
+    nIn shouldBe expectedIn
+    nKept should be < nIn
+    // dedup can only shrink the gated set
+    nOut should be <= nKept
+    nOut should be > 0L
+  }
+}

@@ -37,6 +37,35 @@ class EventStreamsSuite extends SparkSessionSuite {
     out(3L) shouldBe SessionOut(3, 100000, 100000, 1, 1.0)
   }
 
+  test("streaming dedup drops within-watermark duplicates, keeps firsts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, Long, String)] // (event_id, epoch, tag)
+    val deduped = input.toDS()
+      .toDF("event_id", "epoch", "tag")
+      .withColumn("ets", timestamp_seconds(col("epoch")))
+      .withWatermark("ets", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_test").start()
+
+    // id 1 arrives three times (same batch + next batch, all well within
+    // the watermark), id 2 once; only the first occurrence of each
+    // survives.
+    input.addData((1L, 1000L, "first"), (1L, 1000L, "dup-same-batch"),
+      (2L, 1010L, "first"))
+    q.processAllAvailable()
+    input.addData((1L, 1400L, "dup-next-batch"), (3L, 1500L, "first"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = s.table("dedup_test").select("event_id", "tag")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(1L -> "first", 2L -> "first", 3L -> "first")
+  }
+
   test("streaming tumbling agg equals batch computation on bounded input") {
     val s = spark
     import s.implicits._
