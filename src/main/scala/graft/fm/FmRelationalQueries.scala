@@ -120,8 +120,12 @@ object FmRelationalQueries {
       |SELECT sample_id, ${nzSql("p", "prediction")}
       |FROM scored
       |ORDER BY sample_id""".stripMargin) { (s, d) =>
-    val f = feats(s, d)
-    val params = paramTable(f)
+    // Persist the shared inputs: feats feeds both the param table and
+    // the feature vectors, and the model re-joins strengths⋈factors —
+    // without caching, the lineitem aggregation would run 3×. (Verify/
+    // Bench clear the session cache after every query.)
+    val f = feats(s, d).persist()
+    val params = paramTable(f).persist()
     import s.implicits._
     val strengths = params.select(col("id"), col("strength")).as[Strength]
     val factors = params
@@ -185,10 +189,14 @@ object FmRelationalQueries {
       |  ${(0 until K).map(f => nzSql(s"sv$f", s"v$f")).mkString(", ")}
       |FROM thresholded
       |ORDER BY id""".stripMargin) { (s, d) =>
-    val f = feats(s, d)
-    val params = paramTable(f)
+    // Persisted: params is referenced twice inside step() (exploded join
+    // + full-outer merge) and batch twice (count + explode) — uncached,
+    // each reference re-runs the lineitem aggregation and vector build.
+    val f = feats(s, d).persist()
+    val params = paramTable(f).persist()
     val batch = featureVectors(f)
       .select((col("sample_id") % 7).cast("double").as("label"), col("features"))
+      .persist()
     val est = new FactorizationMachinesSGD("fmStepOracle")
       .setDimFactorization(K).setStepSize(0.1).setRegParam(0.5)
       .setInitialSd(0.01).setSeed(0L)
@@ -266,13 +274,17 @@ object FmRelationalQueries {
         |  ${(0 until K).map(f => nzSql(s"rv$f", s"v$f")).mkString(", ")}
         |FROM rounded
         |ORDER BY id""".stripMargin) { (s, d) =>
-      val f = feats(s, d)
+      // Same caching rationale as the one-step query; the batch is
+      // consumed by BOTH iterations.
+      val f = feats(s, d).persist()
       val batch = featureVectors(f)
         .select((col("sample_id") % 7).cast("double").as("label"), col("features"))
+        .persist()
       val est = new FactorizationMachinesSGD("fmTwoSteps")
         .setDimFactorization(K).setStepSize(0.1).setRegParam(0.5)
         .setInitialSd(0.01).setSeed(0L)
-      val Some((p1, _)) = est.step(paramTable(f), batch, iter = 1)
+      val p0 = paramTable(f).persist()
+      val Some((p1, _)) = est.step(p0, batch, iter = 1)
       val Some((p2, _)) = est.step(p1, batch, iter = 2)
       // Step 2 consumes step 1's inexact ÷n, so its sums can differ by
       // ulps across engines: round(…,6) absorbs them (generic doubles —
