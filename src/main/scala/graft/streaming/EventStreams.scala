@@ -352,6 +352,54 @@ object EventStreams {
       .orderBy(col("p_id"), col("c_id"))
   }
 
+  private val sessionsOracleSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, t, value,
+      |    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |           OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, t, value,
+      |    sum(is_start) OVER (PARTITION BY user_id ORDER BY t
+      |                        ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id, CAST(sid AS BIGINT) AS sid,
+      |  min(t) AS session_start, max(t) AS session_end,
+      |  count(*) AS n_events, round(sum(value), 4) AS total_value
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, sid""".stripMargin
+
+  /** STREAMING sessionization as a hash-checked driver query: the
+    * `flatMapGroupsWithState` path runs against the staged stream, the
+    * flush sentinel advances the watermark 3 h past the last real event
+    * so every open session's event-time timeout fires in the trailing
+    * microbatch, and the emitted sessions hash-match the SAME
+    * gaps-and-islands oracle as the batch twin. Emission order is not
+    * deterministic, so the per-user session index is re-derived from
+    * session_start (sessions of one user never overlap); the sentinel
+    * user's never-flushed state row is dropped by the user filter. */
+  val sessionsStream: QueryDef = QueryDef.sqlPrepared(
+    "st_sessions_stream", sessionsOracleSql)(stageStreamingEvents) { (s, d) =>
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val ev = s.readStream.schema(eventSchema).parquet(ensureStaged(s, d))
+      .select(col("user_id"), expr("ts DIV 1000000000").as("epoch"),
+        col("value"))
+      .as[SessionEvent]
+    val emitted = runAppendToParquet(sessionize(ev).toDF(), "st_sessions_stream")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_start"))
+    emitted.filter(col("user_id") >= 0) // drop the '__flush' sentinel user
+      .select(col("user_id"), row_number().over(w).cast("long").as("sid"),
+        col("session_start"), col("session_end"), col("n_events"),
+        round(col("total_value"), 4).as("total_value"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+
   /** Batch sessionization (30-min gap), oracle-checked gaps-and-islands. */
   val sessionsBatch: QueryDef = QueryDef.sql(
     "st_sessions_batch",
@@ -384,5 +432,5 @@ object EventStreams {
 
   val all: Seq[QueryDef] =
     Seq(tumblingHourly, slidingHalfHour, streamDedup, intervalJoin,
-      sessionsBatch)
+      sessionsStream, sessionsBatch)
 }
