@@ -39,9 +39,14 @@ object Bench {
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       spark.catalog.clearCache() // isolate queries from each other's state
-      // One-time input staging runs OUTSIDE the timed region.
+      // One-time input staging runs OUTSIDE the timed region. A staging
+      // failure must be visible — the query would otherwise fail (or
+      // time stale data) with no indication of the real cause.
       SparkEntry.prepares.get(name)
-        .foreach(p => try p(spark, sfDir) catch { case _: Throwable => () })
+        .foreach(p => try p(spark, sfDir) catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] prepare($name) failed: ${e.getMessage}")
+        })
       val t0 = System.nanoTime()
       val ok = try { materialize(name); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -28,6 +28,26 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
 
+/** Session-level execution knobs shared across modules. */
+object Knobs {
+  /** Runs `body` with `spark.sql.shuffle.partitions` capped at `cap`,
+    * restoring the session setting afterwards. For stages whose data is
+    * orders of magnitude smaller than the session default assumes
+    * (streaming state stores, tiny-label iteration): per-partition fixed
+    * overhead dominates there, so fewer partitions are faster. A
+    * throughput knob only — semantics never depend on it. NOTE: the
+    * setting is session-global while `body` runs; materialize any
+    * full-parallelism upstream (localCheckpoint) BEFORE entering. */
+  def withShufflePartitions[T](spark: SparkSession, cap: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, math.min(cap, prev.toInt).toString)
+      body
+    } finally spark.conf.set(key, prev)
+  }
+}
+
 /** One verifiable query: a Spark dataflow plus (when SQL-expressible) the
   * equivalent ANSI SQL the driver runs in DuckDB over the same parquet.
   *

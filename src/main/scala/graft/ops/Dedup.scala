@@ -346,14 +346,11 @@ object Dedup {
     // shuffle overhead proportional to partition count: bound it while
     // iterating (a throughput knob — size up for genuinely huge graphs),
     // restoring the session setting afterwards.
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
     // Materialize the edge list BEFORE shrinking partitions: its upstream
     // (e.g. the full MinHash pipeline over the corpus) must keep the
     // session's full parallelism — only the tiny-label loop shrinks.
     val pair = edges0.toDF("doc1", "doc2").localCheckpoint()
-    try {
-      spark.conf.set(key, math.min(8, prev.toInt).toString)
+    graft.Knobs.withShufflePartitions(spark, 8) {
       val edges = pair
         .unionAll(pair.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
         .toDF("src", "dst").persist()
@@ -380,9 +377,15 @@ object Dedup {
         changed = joined.filter(col("lbl") =!= col("old")).count()
         labels = joined.select(col("doc_id"), col("lbl"))
       }
+      // Fail LOUDLY on non-convergence: returning partial labels would be
+      // a silently wrong clustering. 50 rounds = a component of diameter
+      // > 50, which near-dup graphs don't produce; a general graph that
+      // does needs the large-star/small-star O(log n) variant.
+      require(changed == 0,
+        s"connectedComponents did not converge after $rounds rounds")
       edges.unpersist()
       labels
-    } finally spark.conf.set(key, prev)
+    }
   }
 
   // ----------------------------------------------- shared SimHash pieces --

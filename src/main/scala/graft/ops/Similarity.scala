@@ -105,6 +105,16 @@ object Similarity {
   private def hcoef(j: Int, pos: Column): Column =
     (((lit(j * 97) + (pos - 1) * 31) % 17 - 8).cast("double") / 8.0)
 
+  // Shared by topKLsh and rangeSearchLsh — ONE definition of the bucket
+  // bits and the Hamming-1 probe masks per engine, so the two queries can
+  // never drift onto different buckets.
+  private val bucketBitsSql = (0 until Planes)
+    .map(j => s"CASE WHEN sum(e * ((($j*97 + (pos-1)*31) % 17 - 8) / 8.0)) >= 0 THEN ${1 << j} ELSE 0 END")
+    .mkString(" + ")
+  private val probeMasks: Seq[Int] = Seq(0) ++ (0 until Planes).map(1 << _)
+  private val probeMasksSql = probeMasks.mkString("[", ", ", "]")
+  private def probeMasksCol: Column = array(probeMasks.map(lit): _*)
+
   /** 4-bit LSH bucket id per vector (sign of dot with each hyperplane). */
   def lshBuckets(prep: DataFrame): DataFrame = {
     val flat = prep.select(col("vec_id"), col("nrm"),
@@ -161,19 +171,15 @@ object Similarity {
     * of candidates; every probe is an equi-join on the bucket id, and a
     * neighbor matches at most one mask so no dedup is needed. */
   val topKLsh: QueryDef = {
-    val bitsSql = (0 until Planes)
-      .map(j => s"CASE WHEN sum(e * ((($j*97 + (pos-1)*31) % 17 - 8) / 8.0)) >= 0 THEN ${1 << j} ELSE 0 END")
-      .mkString(" + ")
-    val masksSql = (Seq(0) ++ (0 until Planes).map(1 << _)).mkString("[", ", ", "]")
     QueryDef.sql(
       "sim_topk_lsh",
       s"""WITH $preparedSql,
         |buckets AS (
-        |  SELECT vec_id, $bitsSql AS bucket FROM flat GROUP BY vec_id),
+        |  SELECT vec_id, $bucketBitsSql AS bucket FROM flat GROUP BY vec_id),
         |cand AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
         |  FROM buckets q
-        |  CROSS JOIN unnest($masksSql) m(mask)
+        |  CROSS JOIN unnest($probeMasksSql) m(mask)
         |  JOIN buckets c
         |    ON c.bucket = xor(q.bucket, CAST(m.mask AS INTEGER))
         |   AND q.vec_id <> c.vec_id
@@ -197,10 +203,9 @@ object Similarity {
       val prep = prepared(Tables.embeddings(s, d)).persist()
       val buckets = lshBuckets(prep)
       val withB = prep.join(buckets.select(col("vec_id"), col("bucket")), Seq("vec_id"))
-      val masks = array((Seq(0) ++ (0 until Planes).map(1 << _)).map(lit): _*)
       val q = withB.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("bucket"), explode(masks).as("mask"))
+          col("nrm").as("qn"), col("bucket"), explode(probeMasksCol).as("mask"))
       val c = withB.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
         col("nrm").as("cn"), col("bucket").as("cbucket"))
       val w = Window.partitionBy(col("query_id"))
@@ -249,19 +254,15 @@ object Similarity {
     * kernel is pinned in the suite; more planes trade recall for
     * sharper pruning. */
   val rangeSearchLsh: QueryDef = {
-    val bitsSql = (0 until Planes)
-      .map(j => s"CASE WHEN sum(e * ((($j*97 + (pos-1)*31) % 17 - 8) / 8.0)) >= 0 THEN ${1 << j} ELSE 0 END")
-      .mkString(" + ")
-    val masksSql = (Seq(0) ++ (0 until Planes).map(1 << _)).mkString("[", ", ", "]")
     QueryDef.sql(
       "sim_range_search_lsh",
       s"""WITH $preparedSql,
         |buckets AS (
-        |  SELECT vec_id, $bitsSql AS bucket FROM flat GROUP BY vec_id),
+        |  SELECT vec_id, $bucketBitsSql AS bucket FROM flat GROUP BY vec_id),
         |cand AS (
         |  SELECT a.vec_id AS v1, b.vec_id AS v2
         |  FROM buckets a
-        |  CROSS JOIN unnest($masksSql) m(mask)
+        |  CROSS JOIN unnest($probeMasksSql) m(mask)
         |  JOIN buckets b
         |    ON b.bucket = xor(a.bucket, CAST(m.mask AS INTEGER))
         |   AND a.vec_id < b.vec_id),
@@ -280,9 +281,8 @@ object Similarity {
       val prep = prepared(Tables.embeddings(s, d)).persist()
       val withB = prep
         .join(lshBuckets(prep).select(col("vec_id"), col("bucket")), Seq("vec_id"))
-      val masks = array((Seq(0) ++ (0 until Planes).map(1 << _)).map(lit): _*)
       val a = withB.select(col("vec_id").as("v1"), col("v").as("av"),
-        col("nrm").as("n1"), col("bucket"), explode(masks).as("mask"))
+        col("nrm").as("n1"), col("bucket"), explode(probeMasksCol).as("mask"))
       val b = withB.select(col("vec_id").as("v2"), col("v").as("bv"),
         col("nrm").as("n2"), col("bucket").as("cbucket"))
       a.join(b, col("bucket").bitwiseXOR(col("mask")) === col("cbucket") &&
@@ -358,15 +358,20 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
     val byDist = Window.partitionBy(col("vec_id"))
       .orderBy(col("d"), col("cid"))
-    val dist = prep.crossJoin(cent)
+    // Persisted: `ranked` (the O(n·ncent) distance + window rank — the
+    // dominant stage) feeds BOTH the cell assignment and the query
+    // probes; unpersisted, the window sort would execute twice in one
+    // plan (the SQL twin shares its ranked_cells CTE the same way).
+    val ranked = prep.crossJoin(cent)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
         sqDist(col("v"), col("cv")).as("d"))
       .withColumn("rn", row_number().over(byDist))
-    val assign = dist.filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-    val probes = dist
-      .join(queries.select(col("vec_id")), Seq("vec_id"))
       .filter(col("rn") <= nprobe)
+      .persist()
+    val assign = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val probes = ranked
+      .join(queries.select(col("vec_id")), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cid").as("cell"))
     val w = Window.partitionBy(col("query_id"))

@@ -9,7 +9,8 @@ import org.apache.spark.sql.types._
 
 /** Structured Streaming over the `events` table — a capability entirely
   * absent from the reference (SURVEY §2.13) and added as a first-class
-  * extension: watermarked tumbling/sliding window aggregations and
+  * extension: watermarked tumbling/sliding window aggregations,
+  * streaming ingestion-dedup, a stream-stream interval join, and
   * stateful sessionization via `flatMapGroupsWithState`.
   *
   * The fixture's `ts` is parquet TIMESTAMP(NANOS); sessions read it as
@@ -18,18 +19,21 @@ import org.apache.spark.sql.types._
   * Query outputs use epoch seconds (BIGINT) instead of timestamps so the
   * DuckDB comparison never trips on µs-vs-ns parquet schema mismatches.
   *
-  * The windowed queries run REAL streaming plans (file source →
-  * watermark → window agg → memory sink, AvailableNow trigger) inside
-  * the driver contract, and their results hash-match batch SQL oracles.
-  * Sessionization ships twice: the streaming `flatMapGroupsWithState`
-  * version (tested with MemoryStream + watermark-driven timeouts, since
-  * open sessions only flush on event-time timeout) and a batch
-  * gaps-and-islands twin whose results ARE oracle-checkable.
+  * Every streaming query runs a REAL streaming plan (file source →
+  * watermark → stateful op → APPEND-mode parquet sink, AvailableNow
+  * trigger) inside the driver contract, with watermark-driven state
+  * eviction — the shape that survives an unbounded stream — and its
+  * results hash-match a batch SQL oracle. Sessionization is checked
+  * three ways: the streaming `flatMapGroupsWithState` path as a driver
+  * query (st_sessions_stream), the batch gaps-and-islands twin
+  * (st_sessions_batch), and a MemoryStream unit test for the timeout
+  * machinery.
   *
   * Scale notes: windowed aggs shuffle once on (window, event_type) with
   * partial aggregation upstream; sessionization shuffles once on user_id
-  * and keeps one small state row per open session; watermarks bound state
-  * size on unbounded streams.
+  * and keeps one small state row per open session; the interval join
+  * keeps two-sided watermark-evicted state; watermarks bound every
+  * state store on unbounded streams.
   */
 object EventStreams {
 
@@ -146,13 +150,8 @@ object EventStreams {
     // commits, and store count scales with shuffle partitions (a
     // stream-stream join keeps FOUR stores per partition): 8 partitions
     // instead of 32 cuts per-batch commit overhead 4x while the state
-    // itself is tiny. Size this UP with data volume on a real cluster —
-    // it is a throughput knob, not a semantics one.
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    val parts = math.min(8, prev.toInt)
-    try {
-      spark.conf.set(key, parts.toString)
+    // itself is tiny. Size this UP with data volume on a real cluster.
+    graft.Knobs.withShufflePartitions(spark, 8) {
       val q = agg.writeStream
         .outputMode(OutputMode.Append)
         .format("parquet")
@@ -161,18 +160,34 @@ object EventStreams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set(key, prev)
-    spark.read.parquet(s"$base/data")
+    }
+    // Materialize the (small: windows/sessions/pairs) result eagerly so
+    // the per-run UUID output+checkpoint dirs can be deleted NOW —
+    // otherwise repeated Bench/Verify runs accumulate them in tmp
+    // unboundedly.
+    val out = spark.read.parquet(s"$base/data").localCheckpoint(true)
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    out
   }
 
   private def stagedDir(d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-events-staged-" +
       math.abs(d.hashCode)
 
+  /** Marker written as the LAST staging step: `_SUCCESS` appears after
+    * the first write, so checking it would accept a dir whose sentinel
+    * (or duplicate batch) append never ran — a crash between writes
+    * would then silently starve the watermark and drop the trailing
+    * windows on every later stage-if-missing call. */
+  private val StagedMarker = "_GRAFT_STAGED"
+
   /** Stages the bounded fixture for the streaming file source (which
     * needs a directory, not a single file), via Spark writes only —
     * works on any Hadoop FS, no driver-side IO. Alongside the real
-    * events it plants ONE '__flush' sentinel event 3 hours past the
+    * events (plus, when `dupEvery` is set, an exact copy of every
+    * `dupEvery`-th event — the planted-duplicate corpus for the dedup
+    * query) it plants ONE '__flush' sentinel event 3 hours past the
     * fixture's max ts: in Append mode a window only emits once the
     * watermark (max event time − 1 h) passes its end, so a bounded
     * stream would otherwise never emit its trailing windows. The
@@ -180,11 +195,13 @@ object EventStreams {
     * queries drop it after aggregation without touching real groups.
     * Registered as the untimed QueryDef.prepare; always overwrites (a
     * skip-if-exists would serve stale data after fixture regeneration). */
-  def stageStreamingEvents(s: SparkSession, d: String): Unit = {
-    val dir = stagedDir(d)
+  private def stageEvents(s: SparkSession, d: String, dir: String,
+      dupEvery: Option[Int]): Unit = {
     val ev = Tables.events(s, d)
     val maxTs = ev.agg(max(col("ts"))).head.getLong(0) // long nanos
     ev.write.mode("overwrite").parquet(dir)
+    dupEvery.foreach(n => ev.filter(col("event_id") % n === 0)
+      .write.mode("append").parquet(dir))
     s.range(1).select(
         lit(-1L).as("event_id"),
         lit(maxTs + 3L * 3600 * 1000000000L).as("ts"),
@@ -193,17 +210,26 @@ object EventStreams {
         lit(0.0).as("value"),
         lit("").as("props"))
       .write.mode("append").parquet(dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, StagedMarker)
+    marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .create(marker, true).close()
   }
+
+  def stageStreamingEvents(s: SparkSession, d: String): Unit =
+    stageEvents(s, d, stagedDir(d), None)
 
   /** Stage-if-missing fallback so the query closures stand alone when
     * the driver calls them without the prepare hook. */
-  private def ensureStaged(s: SparkSession, d: String): String = {
-    val dir = stagedDir(d)
-    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+  private def ensureStagedIn(s: SparkSession, dir: String,
+      stage: => Unit): String = {
+    val marker = new org.apache.hadoop.fs.Path(dir, StagedMarker)
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) stageStreamingEvents(s, d)
+    if (!fs.exists(marker)) stage
     dir
   }
+
+  private def ensureStaged(s: SparkSession, d: String): String =
+    ensureStagedIn(s, stagedDir(d), stageStreamingEvents(s, d))
 
   private def streamingEvents(s: SparkSession, d: String): DataFrame =
     s.readStream.schema(eventSchema).parquet(ensureStaged(s, d))
@@ -255,33 +281,15 @@ object EventStreams {
     s"${System.getProperty("java.io.tmpdir")}/graft-events-dup-staged-" +
       math.abs(d.hashCode)
 
-  /** Stages a corpus with PLANTED duplicate events for the streaming
-    * dedup query: all events, plus an exact copy of every 10th event
-    * (same event_id, same payload — the at-least-once-ingestion
-    * scenario), plus the '__flush' watermark sentinel. */
-  def stageDuplicatedEvents(s: SparkSession, d: String): Unit = {
-    val dir = stagedDedupDir(d)
-    val ev = Tables.events(s, d)
-    val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
-    ev.write.mode("overwrite").parquet(dir)
-    ev.filter(col("event_id") % 10 === 0).write.mode("append").parquet(dir)
-    s.range(1).select(
-        lit(-1L).as("event_id"),
-        lit(maxTs + 3L * 3600 * 1000000000L).as("ts"),
-        lit(-1L).as("user_id"),
-        lit("__flush").as("event_type"),
-        lit(0.0).as("value"),
-        lit("").as("props"))
-      .write.mode("append").parquet(dir)
-  }
+  /** Stages the PLANTED-duplicate corpus for the streaming dedup query:
+    * all events plus an exact copy of every 10th (same event_id, same
+    * payload — the at-least-once-ingestion scenario), via the shared
+    * [[stageEvents]] (sentinel and marker included). */
+  def stageDuplicatedEvents(s: SparkSession, d: String): Unit =
+    stageEvents(s, d, stagedDedupDir(d), Some(10))
 
-  private def ensureDupStaged(s: SparkSession, d: String): String = {
-    val dir = stagedDedupDir(d)
-    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) stageDuplicatedEvents(s, d)
-    dir
-  }
+  private def ensureDupStaged(s: SparkSession, d: String): String =
+    ensureStagedIn(s, stagedDedupDir(d), stageDuplicatedEvents(s, d))
 
   /** Streaming deduplication — the ingestion-dedup pattern every
     * at-least-once pipeline needs: `dropDuplicatesWithinWatermark` on
