@@ -275,6 +275,82 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Document chunking — splitting long documents into overlapping
+    * fixed-size token windows (stride < width ⇒ overlap) is how training
+    * corpora are fed to a context-bounded model. One map-side explode of
+    * the stride grid + an array slice per chunk; no shuffle at all.
+    * chunk_len and the chunk's character sum pin the exact slice
+    * boundaries cross-engine. */
+  val chunking: QueryDef = {
+    val width = 32
+    val stride = 24
+    QueryDef.sql(
+      "ta_chunking",
+      s"""SELECT doc_id,
+        |  (s - 1) // $stride AS chunk_idx,
+        |  s AS start_pos,
+        |  len(chunk) AS chunk_len,
+        |  list_aggregate(list_transform(chunk, x -> length(x)), 'sum')
+        |    AS char_sum
+        |FROM (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks), $stride)) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) a) b
+        |CROSS JOIN LATERAL (SELECT list_slice(toks, s, least(s + ${width - 1}, len(toks))) AS chunk) c
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")), lit(stride))).as("s"))
+        .select(col("doc_id"),
+          expr(s"(s - 1) DIV $stride").as("chunk_idx"),
+          col("s").as("start_pos"),
+          slice(col("toks"), col("s"), lit(width)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
+          size(col("chunk")).as("chunk_len"),
+          aggregate(transform(col("chunk"), t => length(t)), lit(0),
+            (a, x) => a + x).as("char_sum"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }
+  }
+
+  /** Sequence packing — greedy binning of documents into
+    * context-window-sized packs. Packing is inherently sequential, so
+    * the scale-correct shape shards first (here: by language) and packs
+    * within each shard independently — the window partitions by shard
+    * and each runs in parallel; pack boundaries are a running token sum
+    * bucketed by the context size. Output: per-pack doc count and token
+    * total (exact integers). */
+  val packing: QueryDef = {
+    val ctx = 2048
+    QueryDef.sql(
+      "ta_packing",
+      s"""WITH sized AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) - n_tokens) // $ctx
+        |      AS pack_id
+        |  FROM sized)
+        |SELECT lang, pack_id, count(*) AS n_docs, sum(n_tokens) AS sum_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM packed
+        |GROUP BY lang, pack_id
+        |ORDER BY lang, pack_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), size(toks).as("n_tokens"))
+        .withColumn("pack_id",
+          expr(s"(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+            s"ROWS UNBOUNDED PRECEDING) - n_tokens) DIV $ctx"))
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("pack_id"))
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(tokenStats, langId, quality, fingerprint, tfidf, piiMask, bpePairs)
+    Seq(tokenStats, langId, quality, fingerprint, tfidf, piiMask, bpePairs,
+      chunking, packing)
 }
