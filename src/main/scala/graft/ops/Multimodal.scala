@@ -230,5 +230,29 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(decodeMeta, frames, features)
+  /** Resize round-trip: resize every payload to 8×8 (header rewritten,
+    * body truncated to 64 bytes), then decode — widths/heights must read
+    * back as the new dims and the byte sum must cover exactly the
+    * truncated prefix of the planted body. Pins the resize operator's
+    * header packing + truncation arithmetic at the driver gate (it was
+    * previously suite-only). */
+  val resize: QueryDef = QueryDef.sql(
+    "mm_resize",
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind
+      |  FROM documents)
+      |SELECT media_id, kind, 8 AS width, 8 AS height, 64 AS body_len,
+      |  CAST((SELECT sum((m.media_id * 31 + u.i) % $BodyMod)
+      |        FROM unnest(generate_series(0, 63)) u(i)) AS BIGINT)
+      |    AS byte_sum
+      |FROM m
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    decodeStub(resizeStub(syntheticMedia(Tables.documents(s, d)), 8, 8))
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("body_len"), col("byte_sum"))
+      .orderBy(col("media_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(decodeMeta, frames, features, resize)
 }
