@@ -360,6 +360,37 @@ object EventStreams {
       .orderBy(col("p_id"), col("c_id"))
   }
 
+  /** STREAM-STATIC enrichment join — the stateless counterpart of
+    * [[intervalJoin]]: each streaming event is enriched by two broadcast
+    * dimension hops (customer → nation) with NO state store at all; the
+    * static side is re-planned per microbatch and broadcast. This is the
+    * dimension-join shape for enriching a 100 TB event stream: state
+    * cost zero, throughput bounded only by the map-side hash lookups.
+    * The '__flush' sentinel (user −1) falls out of the inner join. */
+  val enrichStatic: QueryDef = QueryDef.sqlPrepared(
+    "st_enrich_static",
+    """SELECT e.event_id, CAST(floor(epoch(e.ts)) AS BIGINT) AS epoch,
+      |  e.user_id, c.c_mktsegment AS segment, n.n_name AS nation
+      |FROM events e
+      |JOIN customer c ON c.c_custkey = e.user_id
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |ORDER BY e.event_id""".stripMargin)(stageStreamingEvents) { (s, d) =>
+    val ev = s.readStream.schema(eventSchema).parquet(ensureStaged(s, d))
+      .select(col("event_id"), expr("ts DIV 1000000000").as("epoch"),
+        col("user_id"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"))
+    val enriched = ev
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("event_id"), col("epoch"), col("user_id"),
+        col("c_mktsegment").as("segment"), col("n_name").as("nation"))
+    runAppendToParquet(enriched, "st_enrich_static")
+      .orderBy(col("event_id"))
+  }
+
   private val sessionsOracleSql =
     """WITH e AS (
       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
@@ -440,5 +471,5 @@ object EventStreams {
 
   val all: Seq[QueryDef] =
     Seq(tumblingHourly, slidingHalfHour, streamDedup, intervalJoin,
-      sessionsStream, sessionsBatch)
+      enrichStatic, sessionsStream, sessionsBatch)
 }
