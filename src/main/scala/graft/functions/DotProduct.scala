@@ -15,9 +15,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Registered as SQL function `dot_product` via [[GraftExtensions]]
   * (`SparkSessionExtensions.injectFunction`, the public extension API).
-  * Null if either side is null; arrays are expected equal-length
-  * (embedding columns), extra elements on the longer side are ignored.
-  */
+  * Null if either side is null OR the lengths differ — exactly the
+  * value `aggregate(zip_with(a, b, (x,y) → x·y), 0.0, +)` produces
+  * (zip_with pads the shorter side with nulls, which poison the fold),
+  * so [[DotProductRewrite]] can swap the portable HOF form for this
+  * expression with no semantic change. The sum is sequential
+  * left-to-right, identical to the fold. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -33,11 +36,13 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -50,12 +55,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -75,5 +84,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
     e.injectFunction(TokenHash.registration)
+    e.injectOptimizerRule(_ => DotProductRewrite)
   }
 }
