@@ -39,6 +39,26 @@ class PlanAuditSuite extends SparkSessionSuite {
     }
   }
 
+  /** Spark 4's WindowGroupLimit must kick in for rank-filter top-k
+    * queries: the `row_number() <= k` filter is pushed below the window
+    * as a per-partition partial top-k, so no task ever fully sorts its
+    * whole group — the difference between "sort 100 TB per key" and
+    * "keep k rows per key" at scale. Pinned so a future query rewrite
+    * that breaks the pushdown (e.g. a non-rank predicate shape) is
+    * caught here and not in a 100× slower production run. */
+  test("top-k rank filters are pushed down as WindowGroupLimit") {
+    Seq("sim_topk_brute", "sim_topk_lsh").foreach { q =>
+      val plan = physicalPlan(q)
+      withClue(s"$q plan:\n$plan\n") {
+        assert(plan.contains("WindowGroupLimit"))
+      }
+    }
+    // and the GLOBAL top-k never materializes a window at all — it
+    // compiles straight to the per-partition-heap TakeOrderedAndProject
+    val plan = physicalPlan("q8_topk_orders")
+    withClue(plan) { assert(plan.contains("TakeOrderedAndProject")) }
+  }
+
   /** The exact range search must run the distributed grid-block kernel:
     * no driver-side collect limit, no nested-loop join — the block-pair
     * relation joins as a broadcast hash join on the block id. */
