@@ -288,10 +288,10 @@ object TextAnalysis {
       "ta_chunking",
       s"""SELECT doc_id,
         |  (s - 1) // $stride AS chunk_idx,
-        |  s AS start_pos,
-        |  len(chunk) AS chunk_len,
-        |  list_aggregate(list_transform(chunk, x -> length(x)), 'sum')
-        |    AS char_sum
+        |  CAST(s AS BIGINT) AS start_pos,
+        |  CAST(len(chunk) AS BIGINT) AS chunk_len,
+        |  CAST(list_aggregate(list_transform(chunk, x -> length(x)), 'sum')
+        |    AS BIGINT) AS char_sum
         |FROM (
         |  SELECT doc_id, toks, unnest(generate_series(1, len(toks), $stride)) AS s
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) a) b
@@ -303,11 +303,11 @@ object TextAnalysis {
           explode(sequence(lit(1), size(col("toks")), lit(stride))).as("s"))
         .select(col("doc_id"),
           expr(s"(s - 1) DIV $stride").as("chunk_idx"),
-          col("s").as("start_pos"),
+          col("s").cast("long").as("start_pos"),
           slice(col("toks"), col("s"), lit(width)).as("chunk"))
         .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
-          size(col("chunk")).as("chunk_len"),
-          aggregate(transform(col("chunk"), t => length(t)), lit(0),
+          size(col("chunk")).cast("long").as("chunk_len"),
+          aggregate(transform(col("chunk"), t => length(t)), lit(0L),
             (a, x) => a + x).as("char_sum"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     }
@@ -329,11 +329,12 @@ object TextAnalysis {
         |  FROM documents),
         |packed AS (
         |  SELECT lang, doc_id, n_tokens,
-        |    (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
         |           ROWS UNBOUNDED PRECEDING) - n_tokens) // $ctx
-        |      AS pack_id
+        |      AS BIGINT) AS pack_id
         |  FROM sized)
-        |SELECT lang, pack_id, count(*) AS n_docs, sum(n_tokens) AS sum_tokens,
+        |SELECT lang, pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM packed
         |GROUP BY lang, pack_id

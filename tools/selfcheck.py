@@ -52,6 +52,19 @@ def main(sf_dir: str, out_dir: str) -> None:
                 print(f"FAIL {name}: rows {len(a)} vs oracle {len(b)}")
                 n_fail += 1
                 continue
+            # The driver's hash normalizes integer WIDTHS (int32 vs int64
+            # both passed CORRECTNESS_r02) but not KINDS (an int column
+            # vs DuckDB HUGEINT->float64 failed it). Flag kind changes.
+            dt_mismatch = [(c, str(a[c].dtype), str(b[c].dtype))
+                           for c in a.columns
+                           if a[c].dtype.kind != b[c].dtype.kind]
+            if dt_mismatch:
+                print(f"FAIL {name}: dtype KIND mismatch (flips the "
+                      "driver's byte-level hash): " +
+                      "; ".join(f"{c}: spark {x} vs oracle {y}"
+                                for c, x, y in dt_mismatch))
+                n_fail += 1
+                continue
             try:
                 pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                               check_exact=True)
