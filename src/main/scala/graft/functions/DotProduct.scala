@@ -85,5 +85,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
     e.injectFunction(TokenHash.registration)
     e.injectOptimizerRule(_ => DotProductRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }

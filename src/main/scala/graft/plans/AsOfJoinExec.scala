@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering,
+  SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+
+/** Physical backward as-of join (planned from [[AsOfJoin]] by
+  * [[AsOfStrategy]]).
+  *
+  * Execution shape, chosen for the 100 TB case:
+  *   - `requiredChildDistribution` clusters BOTH sides on the join key —
+  *     `EnsureRequirements` inserts exactly one hash shuffle per side
+  *     (or none when an upstream exchange already clusters on the key)
+  *     and co-partitions them, the theoretical minimum data movement
+  *     for an equi-key as-of join;
+  *   - `requiredChildOrdering` asks for (key, time) sort within each
+  *     partition, so Spark's external spillable sort handles partitions
+  *     larger than memory;
+  *   - `doExecute` then merges each co-partition pair in one streaming
+  *     pass, buffering a SINGLE right row (the current best match) — no
+  *     per-key materialization, no row duplication, no window state.
+  *     Memory beyond the sorts is O(1) per partition.
+  *
+  * Contrast with the two portable emulations: join-filter-rank blows up
+  * to |L×R per key| intermediate rows on skewed keys; the union+window
+  * form (`adv_asof_join`) is near-optimal but still carries every left
+  * column through the window state and cannot null-gate the time. The
+  * merge join does neither. Tie semantics: with equal `rightTime`
+  * values the LAST right row in sort order wins (matches DuckDB ASOF
+  * on unique (key, time); keep right times unique per key for fully
+  * deterministic output). Nulls in key or time never match.
+  */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  // merge preserves the left side's partitioning and sort order
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTimeExpr.dataType))
+      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+        // current best match: the right row with the greatest time <= the
+        // left time seen so far for the key in matchedKey
+        private var matched: InternalRow = _
+        private var matchedKey: UnsafeRow = _
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lTimeRow = lTimeProj(l)
+          numOutputRows += 1
+          if (lKey.anyNull || lTimeRow.isNullAt(0)) {
+            // null key/time never matches; right cursor untouched (null
+            // keys and null times sort first, so no right row is skipped)
+            resultProj(joined(l, nullRight))
+          } else {
+            if (matched != null && keyOrd.compare(matchedKey, lKey) != 0) {
+              matched = null
+              matchedKey = null
+            }
+            var done = false
+            while (!done && rRow != null) {
+              val rKey = rKeyProj(rRow)
+              // null right keys sort first and can never match: discard
+              val c = if (rKey.anyNull) -1 else keyOrd.compare(rKey, lKey)
+              if (c < 0) {
+                rRow = if (rIter.hasNext) rIter.next() else null
+              } else if (c > 0) {
+                done = true
+              } else {
+                val rTimeRow = rTimeProj(rRow)
+                if (rTimeRow.isNullAt(0)) {
+                  rRow = if (rIter.hasNext) rIter.next() else null
+                } else if (timeOrd.compare(rTimeRow, lTimeRow) <= 0) {
+                  matched = rRow.copy()
+                  matchedKey = lKey.copy()
+                  rRow = if (rIter.hasNext) rIter.next() else null
+                } else {
+                  done = true
+                }
+              }
+            }
+            resultProj(joined(l, if (matched != null) matched else nullRight))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

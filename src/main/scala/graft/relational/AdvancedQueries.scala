@@ -212,7 +212,41 @@ object AdvancedQueries {
     }
   }
 
+  /** The same as-of semantics as [[asOfJoin]], but through the engine's
+    * OWN physical operator (`graft.plans.AsOfJoinExec`, planned from the
+    * custom `AsOfJoin` logical node by the injected `AsOfStrategy`) —
+    * the whole-operator extension point. Three-way agreement: this
+    * plan, the union+window composition above, and DuckDB's native ASOF
+    * JOIN must all hash-match. One shuffle per side + in-partition
+    * sort-merge; a single buffered right row per partition at runtime. */
+  val asOfNative: QueryDef = QueryDef.sql(
+    "adv_asof_native",
+    """WITH clicks AS (
+      |  SELECT user_id AS c_user_id, epoch_ns(ts) AS c_t,
+      |         event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |errors AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id AS error_id
+      |  FROM events WHERE event_type = 'error')
+      |SELECT e.error_id, e.user_id, c.click_id,
+      |  CAST((e.t - c.c_t) // 1000000000 AS BIGINT) AS gap_seconds
+      |FROM errors e
+      |ASOF LEFT JOIN clicks c ON e.user_id = c.c_user_id AND e.t >= c.c_t
+      |ORDER BY error_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("t"), col("event_id").as("error_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_t"),
+        col("event_id").as("click_id"))
+    graft.plans.AsOf.join(errors, clicks,
+        keys = Seq("user_id" -> "c_user_id"), leftTime = "t", rightTime = "c_t")
+      .select(col("error_id"), col("user_id"), col("click_id"),
+        ((col("t") - col("c_t")) / 1000000000L).cast("long").as("gap_seconds"))
+      .orderBy(col("error_id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(asOfJoin, percentiles, pivot, cube, saltedAgg, movingAvg,
+    Seq(asOfJoin, asOfNative, percentiles, pivot, cube, saltedAgg, movingAvg,
       stratifiedSample, sqlInterface)
 }

@@ -1,0 +1,74 @@
+package graft.plans
+
+import graft.fm.SparkSessionSuite
+import org.apache.spark.sql.Row
+
+/** Pins the custom as-of join operator: semantics on a hand-built
+  * fixture (backward match, inclusive ties, null extension, null
+  * key/time never matching), the physical plan actually using
+  * [[AsOfJoinExec]] (one exchange per side, no cartesian), and
+  * exact agreement with the union+window composition on real data. */
+class AsOfJoinSuite extends SparkSessionSuite {
+
+  test("as-of semantics on a hand fixture") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (Some(1), Some(10L), "l-t10"), // ties are inclusive: right t=10 wins
+      (Some(1), Some(5L), "l-t5"),   // backward match to right t=3
+      (Some(1), Some(2L), "l-t2"),   // nothing at or before t=2
+      (Some(2), Some(7L), "l-nokey"), // key absent on the right
+      (Some(3), Some(100L), "l-late"), // greatest time <= 100 is t=60
+      (None, Some(9L), "l-nullkey"),  // null key never matches
+      (Some(1), None, "l-nulltime")   // null time never matches
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (Some(1), Some(3L), "r-t3"),
+      (Some(1), Some(10L), "r-t10"),
+      (Some(1), None, "r-nulltime"),  // never matchable
+      (None, Some(1L), "r-nullkey"),  // never matchable
+      (Some(3), Some(50L), "r-t50"),
+      (Some(3), Some(60L), "r-t60")
+    ).toDF("rk", "rt", "rv")
+
+    val out = AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt")
+      .select("lv", "rv").collect().map(r => (r.getString(0), r.getString(1)))
+      .toMap
+
+    out shouldBe Map(
+      "l-t10" -> "r-t10",
+      "l-t5" -> "r-t3",
+      "l-t2" -> null,
+      "l-nokey" -> null,
+      "l-late" -> "r-t60",
+      "l-nullkey" -> null,
+      "l-nulltime" -> null)
+  }
+
+  test("plan uses AsOfJoinExec with one exchange per side") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1, 10L, "a")).toDF("k", "t", "lv")
+    val right = Seq((1, 3L, "b")).toDF("rk", "rt", "rv")
+    val df = AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt")
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      assert(plan.contains("AsOfJoin"))
+      assert(!plan.contains("CartesianProduct"))
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+      // exactly the two key shuffles, nothing more
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2)
+    }
+  }
+
+  test("agrees exactly with the union+window composition on events") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    def canon(rows: Array[Row]): Seq[Seq[Any]] = rows.map(_.toSeq.toIndexedSeq).toIndexedSeq
+    val native = graft.SparkEntry.queries("adv_asof_native")(s, dir).collect()
+    val windowed = graft.SparkEntry.queries("adv_asof_join")(s, dir).collect()
+    native.length should be > 0
+    canon(native) shouldBe canon(windowed)
+  }
+}
