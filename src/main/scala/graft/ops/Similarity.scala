@@ -437,6 +437,93 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** HYBRID retrieval — reciprocal-rank fusion of a lexical channel
+    * (distinct-token overlap, an inverted-index equi-join producing
+    * exact integer scores) and a vector channel (exact cosine top-k).
+    * RRF is the fusion rule production retrieval stacks use because it
+    * needs no score calibration — and here it is also the DETERMINISM
+    * rule: every fused score is `1/(60+rank_lex) + 1/(60+rank_vec)`
+    * built from small integers, so both engines compute bit-identical
+    * doubles and the final ordering cannot flip at a ulp (the playbook
+    * rule: gate rankings on integer-derived arithmetic, never raw FP
+    * sums). Scale shape: the lexical channel shuffles on token (same
+    * inverted-index plan as dedup_ngram_jaccard), the vector channel on
+    * the candidate pair; both channels keep only their per-query top-20
+    * before the full-outer fusion join, so the fused relation is
+    * O(|queries|·40) regardless of corpus size. */
+  val hybridRrf: QueryDef = QueryDef.sql(
+    "sim_hybrid_rrf",
+    s"""WITH $preparedSql,
+      |toks AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents),
+      |lex AS (
+      |  SELECT q.doc_id AS qid, c.doc_id AS cand, count(*) AS overlap
+      |  FROM toks q JOIN toks c ON c.tok = q.tok AND c.doc_id <> q.doc_id
+      |  WHERE q.doc_id % 50 = 0
+      |  GROUP BY 1, 2),
+      |lexr AS (
+      |  SELECT qid, cand,
+      |    row_number() OVER (PARTITION BY qid
+      |                       ORDER BY overlap DESC, cand) AS rl
+      |  FROM lex QUALIFY rl <= 20),
+      |dots AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.e * c.e) AS dot
+      |  FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+      |  WHERE q.vec_id % 50 = 0
+      |  GROUP BY 1, 2),
+      |vecr AS (
+      |  SELECT qid, cand,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY dot / (nq.nrm * nc.nrm) DESC, cand) AS rv
+      |  FROM dots
+      |  JOIN norms nq ON nq.vec_id = qid
+      |  JOIN norms nc ON nc.vec_id = cand
+      |  QUALIFY rv <= 20),
+      |fused AS (
+      |  SELECT coalesce(l.qid, v.qid) AS qid,
+      |    coalesce(l.cand, v.cand) AS cand,
+      |    coalesce(CAST(1 AS DOUBLE) / (60 + l.rl), CAST(0 AS DOUBLE)) +
+      |    coalesce(CAST(1 AS DOUBLE) / (60 + v.rv), CAST(0 AS DOUBLE)) AS rrf
+      |  FROM lexr l
+      |  FULL OUTER JOIN vecr v ON v.qid = l.qid AND v.cand = l.cand)
+      |SELECT qid AS query_id,
+      |  row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cand) AS rank,
+      |  cand AS doc_id, round(rrf, 6) AS rrf_score
+      |FROM fused QUALIFY rank <= 10
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val qt = toks.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"), col("tok"))
+    val ct = toks.select(col("doc_id").as("cand"), col("tok"))
+    val wl = Window.partitionBy(col("qid"))
+      .orderBy(col("overlap").desc, col("cand"))
+    val lexr = qt.join(ct, Seq("tok"))
+      .filter(col("cand") =!= col("qid"))
+      .groupBy(col("qid"), col("cand")).agg(count(lit(1)).as("overlap"))
+      .withColumn("rl", row_number().over(wl)).filter(col("rl") <= 20)
+      .select(col("qid"), col("cand"), col("rl"))
+    val prep = prepared(Tables.embeddings(s, d)).persist()
+    val vecr = cosineTopK(prep.filter(col("vec_id") % 50 === 0), prep, 20)
+      .select(col("query_id").as("vqid"), col("neighbor_id").as("vcand"),
+        col("rank").as("rv"))
+    val fused = lexr.join(vecr,
+        col("qid") === col("vqid") && col("cand") === col("vcand"),
+        "full_outer")
+      .select(coalesce(col("qid"), col("vqid")).as("fqid"),
+        coalesce(col("cand"), col("vcand")).as("fcand"),
+        (coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))).as("rrf"))
+    val wf = Window.partitionBy(col("fqid"))
+      .orderBy(col("rrf").desc, col("fcand"))
+    fused.withColumn("rank", row_number().over(wf)).filter(col("rank") <= 10)
+      .select(col("fqid").as("query_id"), col("rank"),
+        col("fcand").as("doc_id"), round(col("rrf"), 6).as("rrf_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(topKBrute, topKLsh, rangeSearch, rangeSearchLsh, topKIvf)
+    Seq(topKBrute, topKLsh, rangeSearch, rangeSearchLsh, topKIvf, hybridRrf)
 }
