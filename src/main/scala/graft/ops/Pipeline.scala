@@ -89,5 +89,72 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(corpusClean)
+  /** DOMAIN MIXING — rebalance a corpus to target language proportions
+    * (the "data mixture" step of a training run: e.g. 40 % en, 15 %
+    * each of de/es/fr/zh, over a budget of half the corpus). Per-lang
+    * sampling rates derive from the available counts with exact integer
+    * arithmetic (permille rates, integer division), and membership is
+    * the same deterministic multiplicative hash the stratified sampler
+    * uses — so the selected SET is identical on any engine, any
+    * partitioning, any cluster size. Scale shape: one count
+    * aggregation, a broadcast of the per-lang rate table (|langs|
+    * rows), a map-side hash filter, one final aggregation — the corpus
+    * itself is scanned twice and shuffled once (the count pass can be
+    * replaced by catalog statistics at 100 TB). */
+  val domainMix: QueryDef = QueryDef.sql(
+    "pipe_domain_mix",
+    """WITH counts AS (
+      |  SELECT lang, count(*) AS n_avail FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(sum(n_avail) AS BIGINT) AS n_total FROM counts),
+      |rates AS (
+      |  SELECT lang, n_avail,
+      |    CAST(((SELECT n_total FROM tot) // 2)
+      |      * (CASE WHEN lang = 'en' THEN 400 ELSE 150 END) // 1000
+      |      AS BIGINT) AS n_target,
+      |    CAST(least(1000, ((SELECT n_total FROM tot) // 2)
+      |      * (CASE WHEN lang = 'en' THEN 400 ELSE 150 END) // 1000
+      |      * 1000 // n_avail) AS BIGINT) AS rate_permille
+      |  FROM counts),
+      |sel AS (
+      |  SELECT d.lang, d.doc_id
+      |  FROM documents d JOIN rates r ON r.lang = d.lang
+      |  WHERE (d.doc_id * 2654435761) % 1000 < r.rate_permille)
+      |SELECT r.lang, r.n_avail, r.n_target, r.rate_permille,
+      |  count(s.doc_id) AS n_selected,
+      |  coalesce(min(s.doc_id), -1) AS first_doc,
+      |  coalesce(max(s.doc_id), -1) AS last_doc
+      |FROM rates r LEFT JOIN sel s ON s.lang = r.lang
+      |GROUP BY r.lang, r.n_avail, r.n_target, r.rate_permille
+      |ORDER BY r.lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_avail"))
+    // |langs| rows: the unpartitioned window is a tiny aggregated
+    // relation, same class as the BPE rank table
+    val withTotal = counts.withColumn("n_total",
+      sum(col("n_avail")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy()))
+    val share = when(col("lang") === "en", 400L).otherwise(150L)
+    val rates = withTotal.select(col("lang"), col("n_avail"),
+        expr("n_total DIV 2").multiply(share).as("budget_share"))
+      .select(col("lang"), col("n_avail"),
+        expr("budget_share DIV 1000").as("n_target"))
+      .select(col("lang"), col("n_avail"), col("n_target"),
+        least(lit(1000L), expr("n_target * 1000 DIV n_avail"))
+          .as("rate_permille"))
+    val sel = docs.select(col("lang"), col("doc_id"))
+      .join(broadcast(rates.select(col("lang"), col("rate_permille"))), Seq("lang"))
+      .filter((col("doc_id") * 2654435761L) % 1000L < col("rate_permille"))
+    rates.join(sel.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_selected"),
+          min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx")),
+        Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_avail"), col("n_target"),
+        col("rate_permille"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("mn"), lit(-1L)).as("first_doc"),
+        coalesce(col("mx"), lit(-1L)).as("last_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[QueryDef] = Seq(corpusClean, domainMix)
 }

@@ -351,7 +351,95 @@ object TextAnalysis {
     }
   }
 
+  /** Repetition-based quality filters (the Gopher/MassiveText family):
+    * duplicate-token fraction, most-frequent-bigram and -trigram mass,
+    * and duplicated-trigram mass, plus a composite pass/fail gate.
+    * Repetitious text is the strongest single signal of low-quality /
+    * machine-generated content in web corpora, and these filters are
+    * pure counting — exact integers end to end. The GATE compares
+    * cross-multiplied integers (`max_bi * 5 <= n_bi`, never
+    * `max_bi/n_bi <= 0.2`), so membership can never flip at a FP ulp;
+    * the reported fractions are informational round-6 doubles. Scale
+    * shape: one explode + two-level aggregation per n-gram order —
+    * everything partitions by doc_id, no cross-doc state at all.
+    * (Fixture corpus guarantees >= 10 tokens/doc, so every doc has
+    * bigrams and trigrams and the joins below are total.) */
+  val repetition: QueryDef = QueryDef.sql(
+    "ta_repetition",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |base AS (
+      |  SELECT doc_id, len(toks) AS n_tokens,
+      |    len(list_distinct(toks)) AS n_distinct
+      |  FROM t),
+      |bic AS (
+      |  SELECT doc_id, g, count(*) AS c
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(generate_series(1, len(toks) - 1),
+      |                 i -> toks[i] || ' ' || toks[i + 1])) AS g
+      |        FROM t) b
+      |  GROUP BY doc_id, g),
+      |bimax AS (
+      |  SELECT doc_id, max(c) AS max_bi, CAST(sum(c) AS BIGINT) AS n_bi
+      |  FROM bic GROUP BY doc_id),
+      |tric AS (
+      |  SELECT doc_id, g, count(*) AS c
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(generate_series(1, len(toks) - 2),
+      |                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+      |        FROM t) b
+      |  GROUP BY doc_id, g),
+      |trimax AS (
+      |  SELECT doc_id, max(c) AS max_tri, CAST(sum(c) AS BIGINT) AS n_tri,
+      |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_tri
+      |  FROM tric GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_tokens,
+      |  round((b.n_tokens - b.n_distinct) * 1.0 / b.n_tokens, 6)
+      |    AS dup_token_frac,
+      |  round(m.max_bi * 1.0 / m.n_bi, 6) AS top_bigram_frac,
+      |  round(tm.max_tri * 1.0 / tm.n_tri, 6) AS top_trigram_frac,
+      |  round(tm.dup_tri * 1.0 / tm.n_tri, 6) AS dup_trigram_frac,
+      |  ((b.n_tokens - b.n_distinct) * 20 <= 11 * b.n_tokens
+      |    AND m.max_bi * 10 <= m.n_bi
+      |    AND tm.dup_tri * 20 <= tm.n_tri) AS gopher_pass
+      |FROM base b
+      |JOIN bimax m ON m.doc_id = b.doc_id
+      |JOIN trimax tm ON tm.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val t = docs.select(col("doc_id"), toks.as("toks"))
+    val base = t.select(col("doc_id"), size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_distinct"))
+    def grams(n: Int): DataFrame = {
+      val parts = (0 until n).map(o => element_at(col("toks"), col("i") + o))
+      val g = concat(parts.flatMap(p => Seq(p, lit(" "))).dropRight(1): _*)
+      t.select(col("doc_id"),
+          explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"),
+          col("toks"))
+        .select(col("doc_id"), g.as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    }
+    val bimax = grams(2).groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_bi"), sum(col("c")).as("n_bi"))
+    val trimax = grams(3).groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_tri"), sum(col("c")).as("n_tri"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tri"))
+    base.join(bimax, Seq("doc_id")).join(trimax, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        round((col("n_tokens") - col("n_distinct")).cast("double")
+          / col("n_tokens"), 6).as("dup_token_frac"),
+        round(col("max_bi").cast("double") / col("n_bi"), 6)
+          .as("top_bigram_frac"),
+        round(col("max_tri").cast("double") / col("n_tri"), 6)
+          .as("top_trigram_frac"),
+        round(col("dup_tri").cast("double") / col("n_tri"), 6)
+          .as("dup_trigram_frac"),
+        ((col("n_tokens") - col("n_distinct")) * 20 <= col("n_tokens") * 11 &&
+          col("max_bi") * 10 <= col("n_bi") &&
+          col("dup_tri") * 20 <= col("n_tri")).as("gopher_pass"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(tokenStats, langId, quality, fingerprint, tfidf, piiMask, bpePairs,
-      chunking, packing)
+      chunking, packing, repetition)
 }
