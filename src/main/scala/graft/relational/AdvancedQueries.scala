@@ -246,7 +246,62 @@ object AdvancedQueries {
       .orderBy(col("error_id"))
   }
 
+  /** RANGE (interval-containment) JOIN, bucketized — count the
+    * lineitems shipped inside each sampled order's 7-day window. A
+    * naive `s <= p AND p < e` join has no equi-key, so Spark plans a
+    * nested-loop/cartesian — quadratic at scale. The classic fix: chunk
+    * the time axis at the interval width, replicate each interval into
+    * the (at most 2) chunks it overlaps, bucket each point into its one
+    * chunk, and equi-join on the chunk id with the range predicate as a
+    * residual filter. Work becomes |points| + |intervals|·2 rows through
+    * one hash/sort-merge join — linear, skew-safe, AQE-compatible. All
+    * arithmetic in integer epoch-microseconds (exact in both engines;
+    * `DIV` floors identically on the positive epoch range). */
+  val rangeJoinBucketed: QueryDef = QueryDef.sql(
+    "adv_range_join_bucketed",
+    """WITH iv AS (
+      |  SELECT o_orderkey AS ok, epoch_us(o_orderdate) AS s,
+      |         epoch_us(o_orderdate) + 604800000000 AS e
+      |  FROM orders WHERE o_orderkey % 100 = 0),
+      |ivc AS (
+      |  SELECT DISTINCT ok, s, e, c
+      |  FROM iv, unnest([s // 604800000000, (e - 1) // 604800000000]) t(c)),
+      |pts AS (
+      |  SELECT epoch_us(l_shipdate) AS p,
+      |         epoch_us(l_shipdate) // 604800000000 AS c
+      |  FROM lineitem),
+      |joined AS (
+      |  SELECT i.ok, count(*) AS n_in_window
+      |  FROM ivc i JOIN pts x ON x.c = i.c AND x.p >= i.s AND x.p < i.e
+      |  GROUP BY i.ok)
+      |SELECT i.ok AS o_orderkey,
+      |  CAST(coalesce(j.n_in_window, 0) AS BIGINT) AS n_in_window
+      |FROM iv i LEFT JOIN joined j ON j.ok = i.ok
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val week = 604800000000L
+    val iv = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey").as("ok"),
+        // parquet stores NTZ; the session is pinned UTC so the cast to
+        // the instant type is the identity both engines apply
+        unix_micros(col("o_orderdate").cast("timestamp")).as("s"))
+      .withColumn("e", col("s") + week)
+    val ivc = iv.select(col("ok"), col("s"), col("e"),
+      explode(array_distinct(array(
+        expr(s"s DIV ${week}L"), expr(s"(e - 1) DIV ${week}L")))).as("c"))
+    val pts = Tables.lineitem(s, d)
+      .select(unix_micros(col("l_shipdate").cast("timestamp")).as("p"))
+      .withColumn("c", expr(s"p DIV ${week}L"))
+    val joined = ivc.join(pts, Seq("c"))
+      .filter(col("p") >= col("s") && col("p") < col("e"))
+      .groupBy(col("ok")).agg(count(lit(1)).as("n_in_window"))
+    iv.select(col("ok")).join(joined, Seq("ok"), "left_outer")
+      .select(col("ok").as("o_orderkey"),
+        coalesce(col("n_in_window"), lit(0L)).as("n_in_window"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(asOfJoin, asOfNative, percentiles, pivot, cube, saltedAgg, movingAvg,
-      stratifiedSample, sqlInterface)
+      stratifiedSample, sqlInterface, rangeJoinBucketed)
 }

@@ -18,7 +18,8 @@ class PlanAuditSuite extends SparkSessionSuite {
   /** Banded/bucketed candidate generation must never degenerate into a
     * cartesian (inequality-only) join. */
   test("banded and bucketed pair queries contain no cartesian join") {
-    Seq("dedup_simhash_banded", "dedup_minhash_lsh", "sim_range_search_lsh")
+    Seq("dedup_simhash_banded", "dedup_minhash_lsh", "sim_range_search_lsh",
+      "adv_range_join_bucketed")
       .foreach { q =>
         val plan = physicalPlan(q)
         withClue(s"$q plan:\n$plan\n") {
