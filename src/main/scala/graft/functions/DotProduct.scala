@@ -84,6 +84,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
     e.injectFunction(TokenHash.registration)
+    e.injectFunction(CountMinSketchAgg.registration)
     e.injectOptimizerRule(_ => DotProductRewrite)
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }

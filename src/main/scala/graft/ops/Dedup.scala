@@ -89,7 +89,7 @@ object Dedup {
     * property-tested in TokenHashSuite). Empty tokens fold to the init
     * value 0 on both engines and in both implementations (Spark's
     * sequence(1,0) would yield [1,0], hence the explicit guard). */
-  private def tokHash(tok: Column): Column = {
+  private[graft] def tokHash(tok: Column): Column = {
     val active = org.apache.spark.sql.SparkSession.active
     if (active.catalog.functionExists("token_hash"))
       call_function("token_hash", tok)

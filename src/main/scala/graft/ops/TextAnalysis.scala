@@ -439,7 +439,82 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Count-Min-Sketch frequency estimation over the whole token stream
+    * (one pass, 8 KiB more state than a count — see
+    * [[graft.functions.CountMinSketchAgg]]). The query builds the
+    * sketch with the custom TypedImperativeAggregate, probes six tokens
+    * (five present, one absent), and reports the estimate next to the
+    * exact count. The oracle reproduces the sketch cells arithmetically:
+    * an estimate is `min_i |{tok : bucket_i(tok) = bucket_i(probe)}|`,
+    * a LEFT JOIN + count per (probe, hash-row). Overestimate-only is
+    * asserted in the suite (`est >= exact` always, by construction). */
+  val cmsHeavy: QueryDef = {
+    import graft.functions.CountMinSketchAgg.{A, B, D, P, W}
+    val probes = Seq("the", "a", "table", "spark", "value", "zzqx")
+    val probesSql = probes.map(p => s"'$p'").mkString("[", ", ", "]")
+    val hashRowsSql = (0 until D)
+      .map(i => s"($i, ${A(i)}, ${B(i)})").mkString(", ")
+    QueryDef.sql(
+      "ta_cms_heavy",
+      s"""WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |th AS (
+        |  SELECT list_reduce(
+        |    [CAST(0 AS BIGINT)] ||
+        |    list_transform(generate_series(1, length(tok)),
+        |                   i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT)),
+        |    (h, c) -> (h * 131 + c) % $P) AS tid
+        |  FROM toks),
+        |ph AS (
+        |  SELECT probe, list_reduce(
+        |    [CAST(0 AS BIGINT)] ||
+        |    list_transform(generate_series(1, length(probe)),
+        |                   i -> CAST(ascii(substr(probe, i, 1)) AS BIGINT)),
+        |    (h, c) -> (h * 131 + c) % $P) AS pid
+        |  FROM (SELECT unnest($probesSql) AS probe) p),
+        |rows_ AS (SELECT i, a, b FROM (VALUES $hashRowsSql) t(i, a, b)),
+        |cells AS (
+        |  SELECT p.probe, r.i, r.a, r.b,
+        |    ((p.pid * r.a + r.b) % $P) % $W AS pb
+        |  FROM ph p CROSS JOIN rows_ r),
+        |cnt AS (
+        |  SELECT c.probe, c.i, count(t.tid) AS n
+        |  FROM cells c
+        |  LEFT JOIN th t ON ((t.tid * c.a + c.b) % $P) % $W = c.pb
+        |  GROUP BY c.probe, c.i),
+        |est AS (SELECT probe, CAST(min(n) AS BIGINT) AS est
+        |        FROM cnt GROUP BY probe),
+        |exact AS (
+        |  SELECT p.probe, CAST(count(t.tid) AS BIGINT) AS exact
+        |  FROM ph p LEFT JOIN th t ON t.tid = p.pid
+        |  GROUP BY p.probe)
+        |SELECT e.probe, e.est, x.exact
+        |FROM est e JOIN exact x ON x.probe = e.probe
+        |ORDER BY e.probe""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val tids = Tables.documents(s, d)
+        .select(explode(toks).as("tok"))
+        .select(Dedup.tokHash(col("tok")).as("tid"))
+      val sketch = tids.agg(call_function("cms_sketch", col("tid")).as("sk"))
+      val ph = probes.toDF("probe")
+        .select(col("probe"), Dedup.tokHash(col("probe")).as("pid"))
+      val est = ph.crossJoin(broadcast(sketch))
+        .select(col("probe"), col("pid"),
+          least((0 until D).map { i =>
+            element_at(col("sk"),
+              (((col("pid") * A(i) + B(i)) % P) % W).cast("int") + i * W + 1)
+          }: _*).as("est"))
+      val exact = ph.join(
+          tids.groupBy(col("tid")).agg(count(lit(1)).as("c")),
+          col("pid") === col("tid"), "left_outer")
+        .select(col("probe").as("xprobe"), coalesce(col("c"), lit(0L)).as("exact"))
+      est.join(exact, col("probe") === col("xprobe"))
+        .select(col("probe"), col("est"), col("exact"))
+        .orderBy(col("probe"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(tokenStats, langId, quality, fingerprint, tfidf, piiMask, bpePairs,
-      chunking, packing, repetition)
+      chunking, packing, repetition, cmsHeavy)
 }
