@@ -103,8 +103,11 @@ object CountMinSketchAgg {
   val A: Array[Long] = Array(37L, 41L, 43L, 47L)
   val B: Array[Long] = Array(17L, 29L, 57L, 71L)
 
+  /** floorMod keeps the map total for negative ids (e.g. sentinel rows
+    * in streams); on the nonnegative token_hash/user_id range it is
+    * bit-identical to the SQL `%` the oracle applies. */
   def bucket(tid: Long, i: Int): Int =
-    (((tid * A(i) + B(i)) % P) % W).toInt
+    Math.floorMod(Math.floorMod(tid * A(i) + B(i), P), W.toLong).toInt
 
   /** Registration triple for [[GraftExtensions]]. */
   val registration: (org.apache.spark.sql.catalyst.FunctionIdentifier,

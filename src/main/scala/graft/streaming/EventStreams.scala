@@ -469,7 +469,76 @@ object EventStreams {
       .orderBy(col("user_id"), col("sid"))
   }
 
+  /** Per-window Count-Min user-frequency sketching through a REAL
+    * streaming plan — the custom TypedImperativeAggregate
+    * (`graft.functions.CountMinSketchAgg`) running inside a watermarked
+    * Append-mode windowed aggregation, proving the extension point
+    * composes with Structured Streaming's partial/merge protocol and
+    * state-store eviction. Each emitted 2-hour window carries one 8 KiB
+    * sketch; a batch post-pass probes six user ids and reports scalar
+    * estimates (the sketch itself never leaves the sink). The oracle
+    * reproduces every probed cell arithmetically — user_id is already a
+    * long, so the affine bucket maps apply to it directly. The sentinel
+    * advances the watermark THROUGH the `withWatermark` node but is
+    * filtered before the aggregation, so no sentinel window reaches the
+    * sink. */
+  val cmsUsers: QueryDef = {
+    import graft.functions.CountMinSketchAgg.{A, B, D, P, W}
+    val probes = Seq(0L, 1L, 7L, 42L, 99L, 123L)
+    val probesSql = probes.mkString("[", ", ", "]")
+    val hashRowsSql = (0 until D)
+      .map(i => s"($i, ${A(i)}, ${B(i)})").mkString(", ")
+    QueryDef.sqlPrepared(
+      "st_cms_users",
+      s"""WITH rows_ AS (SELECT i, a, b FROM (VALUES $hashRowsSql) t(i, a, b)),
+        |ev AS (
+        |  SELECT CAST(floor(epoch(time_bucket(INTERVAL '2 hours', ts))) AS BIGINT)
+        |           AS bucket_epoch, user_id
+        |  FROM events),
+        |cells AS (
+        |  SELECT p.probe_user, r.i, r.a, r.b,
+        |    ((p.probe_user * r.a + r.b) % $P) % $W AS pb
+        |  FROM (SELECT unnest($probesSql) AS probe_user) p
+        |  CROSS JOIN rows_ r),
+        |grid AS (
+        |  SELECT b.bucket_epoch, c.probe_user, c.i, c.a, c.b, c.pb
+        |  FROM (SELECT DISTINCT bucket_epoch FROM ev) b CROSS JOIN cells c),
+        |cnt AS (
+        |  SELECT g.bucket_epoch, g.probe_user, g.i, count(e.user_id) AS n
+        |  FROM grid g
+        |  LEFT JOIN ev e ON e.bucket_epoch = g.bucket_epoch
+        |    AND ((e.user_id * g.a + g.b) % $P) % $W = g.pb
+        |  GROUP BY g.bucket_epoch, g.probe_user, g.i)
+        |SELECT bucket_epoch, probe_user, CAST(min(n) AS BIGINT) AS est
+        |FROM cnt
+        |GROUP BY bucket_epoch, probe_user
+        |ORDER BY bucket_epoch, probe_user""".stripMargin)(stageStreamingEvents) { (s, d) =>
+      // The sentinel stays in the stream (a pre-agg filter would be
+      // pushed below the watermark node and starve it): it lands in its
+      // OWN 2-hour window, whose end sits a full hour past the final
+      // watermark (sentinel ts + 2h-align > sentinel ts > watermark =
+      // sentinel ts − 1h), so Append mode never emits it — the sink
+      // holds exactly the real windows.
+      val agg = streamingEvents(s, d)
+        .withColumn("ts2", tsCol)
+        .withWatermark("ts2", "1 hour")
+        .groupBy(window(col("ts2"), "2 hours"))
+        .agg(call_function("cms_sketch", col("user_id")).as("sk"))
+      val sk = runAppendToParquet(agg, "st_cms_users")
+      import s.implicits._
+      sk.crossJoin(probes.toDF("probe_user"))
+        .select(unix_timestamp(col("window.start")).as("bucket_epoch"),
+          col("probe_user"),
+          least((0 until D).map { i =>
+            element_at(col("sk"),
+              (((col("probe_user") * A(i) + B(i)) % P) % W).cast("int")
+                + i * W + 1)
+          }: _*).as("est"))
+        .orderBy(col("bucket_epoch"), col("probe_user"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(tumblingHourly, slidingHalfHour, streamDedup, intervalJoin,
-      enrichStatic, sessionsStream, sessionsBatch)
+      enrichStatic, sessionsStream, sessionsBatch, cmsUsers)
 }
