@@ -34,6 +34,11 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // drop any stale dump from an earlier run: a leftover parquet
+        // would make the compare silently grade OLD code
+        val stale = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+        stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(stale, true)
       }
       // Queries persist intermediates; drop them so no state leaks
       // across queries (memory pressure distorts later ones).
