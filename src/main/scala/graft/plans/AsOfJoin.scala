@@ -34,7 +34,8 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    tolerance: Option[Long]) extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length,
     "as-of join needs the same number of keys on both sides")
@@ -52,8 +53,8 @@ case class AsOfJoin(
   * `injectPlannerStrategy`. */
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -61,15 +62,19 @@ object AsOfStrategy extends SparkStrategy {
 /** User-facing constructor for the as-of join. */
 object AsOf {
   /** `left` as-of joins `right` on equal `keys` with the most recent
-    * `rightTime <= leftTime`. Column names must be disjoint between the
-    * two sides (rename before joining, as with any Spark self-join).
+    * `rightTime <= leftTime`; with `tolerance = Some(t)` the match must
+    * additionally satisfy `leftTime - rightTime <= t` (in the time
+    * column's native unit — pandas `merge_asof(tolerance=...)`
+    * semantics). Column names must be disjoint between the two sides
+    * (rename before joining, as with any Spark self-join).
     *
     * The right plan's attributes are re-aliased with fresh expression
     * ids so self-joins (both sides reading the same table) bind
     * correctly.
     */
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String,
+           tolerance: Option[Long] = None): DataFrame = {
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"as-of join requires disjoint column names; " +
       s"shared: ${dup.mkString(", ")}")
@@ -87,7 +92,7 @@ object AsOf {
       lPlan, rPlan,
       keys.map { case (l, _) => res(lPlan.output, l) },
       keys.map { case (_, r) => res(rOut, r) },
-      res(lPlan.output, leftTime), res(rOut, rightTime))
+      res(lPlan.output, leftTime), res(rOut, rightTime), tolerance)
     org.apache.spark.sql.graftshim.Shim.ofRows(left.sparkSession, node)
   }
 }

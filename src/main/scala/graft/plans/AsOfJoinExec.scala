@@ -40,8 +40,20 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
+
+  // tolerance subtracts raw time values, so it needs a long-backed time
+  // type (LongType, TimestampType, TimestampNTZType all store micros or
+  // user units in a long slot)
+  require(tolerance.isEmpty || Seq(leftTime.dataType, rightTime.dataType)
+    .forall {
+      case org.apache.spark.sql.types.LongType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }, "as-of tolerance requires long-backed time columns")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -81,12 +93,15 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
 
+      val tol = tolerance
+
       new Iterator[InternalRow] {
         private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
         // current best match: the right row with the greatest time <= the
         // left time seen so far for the key in matchedKey
         private var matched: InternalRow = _
         private var matchedKey: UnsafeRow = _
+        private var matchedTime: Long = _
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -120,13 +135,18 @@ case class AsOfJoinExec(
                 } else if (timeOrd.compare(rTimeRow, lTimeRow) <= 0) {
                   matched = rRow.copy()
                   matchedKey = lKey.copy()
+                  matchedTime = if (tol.isDefined) rTimeRow.getLong(0) else 0L
                   rRow = if (rIter.hasNext) rIter.next() else null
                 } else {
                   done = true
                 }
               }
             }
-            resultProj(joined(l, if (matched != null) matched else nullRight))
+            // the buffered match is the greatest time <= lTime; if even
+            // it is outside the tolerance window, nothing matches
+            val withinTol = matched != null &&
+              tol.forall(t => lTimeRow.getLong(0) - matchedTime <= t)
+            resultProj(joined(l, if (withinTol) matched else nullRight))
           }
         }
       }

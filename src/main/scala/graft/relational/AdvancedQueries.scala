@@ -301,7 +301,46 @@ object AdvancedQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** [[asOfNative]] with a 10-minute TOLERANCE (pandas merge_asof
+    * semantics): the most recent click still counts only when it is at
+    * most 600 s old, else the error null-extends. DuckDB's ASOF has no
+    * tolerance, so the oracle applies it post-hoc to the ASOF result —
+    * exactly the operator's contract (the buffered best match is the
+    * greatest time <= t; if even it is too old, nothing matches). */
+  val asOfTolerance: QueryDef = QueryDef.sql(
+    "adv_asof_tolerance",
+    """WITH clicks AS (
+      |  SELECT user_id AS c_user_id, epoch_ns(ts) AS c_t,
+      |         event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |errors AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id AS error_id
+      |  FROM events WHERE event_type = 'error'),
+      |m AS (
+      |  SELECT e.error_id, e.user_id, c.click_id, e.t, c.c_t
+      |  FROM errors e
+      |  ASOF LEFT JOIN clicks c ON e.user_id = c.c_user_id AND e.t >= c.c_t)
+      |SELECT error_id, user_id,
+      |  CASE WHEN c_t IS NOT NULL AND t - c_t <= 600000000000
+      |       THEN click_id END AS click_id,
+      |  CASE WHEN c_t IS NOT NULL AND t - c_t <= 600000000000
+      |       THEN CAST((t - c_t) // 1000000000 AS BIGINT) END AS gap_seconds
+      |FROM m ORDER BY error_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("t"), col("event_id").as("error_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_t"),
+        col("event_id").as("click_id"))
+    graft.plans.AsOf.join(errors, clicks,
+        keys = Seq("user_id" -> "c_user_id"), leftTime = "t", rightTime = "c_t",
+        tolerance = Some(600000000000L))
+      .select(col("error_id"), col("user_id"), col("click_id"),
+        ((col("t") - col("c_t")) / 1000000000L).cast("long").as("gap_seconds"))
+      .orderBy(col("error_id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(asOfJoin, asOfNative, percentiles, pivot, cube, saltedAgg, movingAvg,
-      stratifiedSample, sqlInterface, rangeJoinBucketed)
+    Seq(asOfJoin, asOfNative, asOfTolerance, percentiles, pivot, cube,
+      saltedAgg, movingAvg, stratifiedSample, sqlInterface, rangeJoinBucketed)
 }

@@ -45,6 +45,22 @@ class AsOfJoinSuite extends SparkSessionSuite {
       "l-nulltime" -> null)
   }
 
+  test("tolerance bounds the match window") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1, 100L, "fresh"), (1, 205L, "edge"), (1, 300L, "stale"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1, 95L, "r95"), (1, 105L, "r105")).toDF("rk", "rt", "rv")
+    val out = AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
+        tolerance = Some(100L))
+      .select("lv", "rv").collect().map(r => (r.getString(0), r.getString(1)))
+      .toMap
+    out shouldBe Map(
+      "fresh" -> "r95",  // gap 5, well inside
+      "edge" -> "r105",  // gap exactly 100: tolerance is inclusive
+      "stale" -> null)   // best match r105 has gap 195 > 100
+  }
+
   test("plan uses AsOfJoinExec with one exchange per side") {
     val s = spark
     import s.implicits._
