@@ -87,5 +87,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(CountMinSketchAgg.registration)
     e.injectOptimizerRule(_ => DotProductRewrite)
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinOptimization.PushLeftFilters)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinOptimization.PruneChildColumns)
   }
 }
