@@ -128,6 +128,41 @@ object SourceQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** SCHEMA EVOLUTION — a corpus written over time gains columns; the
+    * engine must read old and new files together. Batch 1 (even keys)
+    * lacks `o_orderpriority`; batch 2 (odd keys) carries it;
+    * `mergeSchema=true` unions the file footers and null-fills the
+    * legacy rows — precisely DuckDB's `union_by_name`, which the oracle
+    * reproduces with a CASE on the original table. At 100 TB schema
+    * merge reads each footer once (no data rewrite), which is why
+    * additive evolution beats table-wide migrations. */
+  val schemaMerge: QueryDef = QueryDef.sql(
+    "src_schema_merge",
+    """WITH m AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+      |      AS o_orderpriority
+      |  FROM orders)
+      |SELECT coalesce(o_orderpriority, '<legacy>') AS priority,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM m
+      |GROUP BY priority
+      |ORDER BY priority""".stripMargin) { (s, d) =>
+    val dir = stage(d, "merge")
+    val orders = Tables.orders(s, d)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/b1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/b2")
+    s.read.option("mergeSchema", "true").parquet(s"$dir/b1", s"$dir/b2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("<legacy>")).as("priority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("priority"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(csvRoundtrip, orcRoundtrip, jsonProps, textLines, partitionedRoundtrip)
+    Seq(csvRoundtrip, orcRoundtrip, jsonProps, textLines, partitionedRoundtrip,
+      schemaMerge)
 }

@@ -538,7 +538,71 @@ object EventStreams {
     }
   }
 
+  /** STREAMING UPSERT (CDC-style materialized state) via `foreachBatch`
+    * — the incremental-refresh pattern a continuously-updated corpus
+    * needs: each microbatch merges into a keyed parquet state keeping
+    * the LATEST event per user, so downstream consumers read a small
+    * materialized table instead of replaying the log. `foreachBatch` is
+    * the remaining Structured Streaming sink surface (arbitrary batch
+    * logic per epoch with exactly-once offsets). The per-batch merge
+    * (union old state + batch, keep row_number()=1 by (ts, event_id)
+    * desc per user) is associative, so the final state is independent
+    * of how the source chunks into batches — `maxFilesPerTrigger`
+    * forces several real upsert rounds over growing state. State
+    * shuffles once per batch on user_id; at scale this is the
+    * standard merge-on-read compaction shape. */
+  val upsertState: QueryDef = QueryDef.sqlPrepared(
+    "st_upsert",
+    """SELECT user_id,
+      |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS last_sec,
+      |  event_id AS last_event_id, event_type AS last_type
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |                           ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin)(stageStreamingEvents) { (s, d) =>
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-upsert-" +
+      java.util.UUID.randomUUID
+    val state = s"$base/state"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val stream = s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 8)
+      .parquet(ensureStaged(s, d))
+    graft.Knobs.withShufflePartitions(s, 8) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val incoming = batch.filter(col("event_type") =!= "__flush")
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type"))
+          val statePath = new org.apache.hadoop.fs.Path(state)
+          val merged = (if (fs.exists(statePath))
+              s.read.parquet(state).unionByName(incoming)
+            else incoming)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+            // materialize BEFORE overwriting the dir being read
+            .localCheckpoint(true)
+          merged.write.mode("overwrite").parquet(state)
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val out = s.read.parquet(state)
+      .select(col("user_id"), expr("ts DIV 1000000000").as("last_sec"),
+        col("event_id").as("last_event_id"), col("event_type").as("last_type"))
+      .orderBy(col("user_id"))
+      .localCheckpoint(true)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    out
+  }
+
   val all: Seq[QueryDef] =
     Seq(tumblingHourly, slidingHalfHour, streamDedup, intervalJoin,
-      enrichStatic, sessionsStream, sessionsBatch, cmsUsers)
+      enrichStatic, sessionsStream, sessionsBatch, cmsUsers, upsertState)
 }
