@@ -156,5 +156,51 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
-  val all: Seq[QueryDef] = Seq(corpusClean, domainMix)
+  /** SMALL-FILE COMPACTION — the operational chore every long-running
+    * ingest pipeline needs: a directory accumulated from many tiny
+    * appends (here: the documents table scattered into per-lang-chunk
+    * fragments) is rewritten into a bounded number of size-targeted
+    * files, clustered by (lang, doc_id) via repartition + in-partition
+    * sort so parquet row-group stats become selective for both columns.
+    * At 100 TB the small-files problem dominates NameNode/driver
+    * planning time and per-file open cost; compaction is a metadata-
+    * bounded rewrite (one shuffle, no logic). The oracle checks content
+    * preservation — the aggregate over the compacted copy must
+    * hash-match the original table; the file-count bound itself is
+    * asserted in the suite (the driver's SQL oracle cannot see file
+    * systems). */
+  val compact: QueryDef = QueryDef.sql(
+    "pipe_compact",
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-compact-" +
+      math.abs(d.hashCode)
+    val docs = Tables.documents(s, d)
+    // fragment: many tiny files, as an append-heavy ingest would leave
+    docs.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
+    compactDir(s, s"$base/frag", s"$base/packed", Seq("lang", "doc_id"),
+      targetFiles = 4)
+    s.read.parquet(s"$base/packed")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"))
+  }
+
+  /** Rewrites `in` into at most `targetFiles` files clustered on
+    * `clusterBy` (repartition on the leading key, sort within
+    * partitions on the full key so row-group min/max stats are tight
+    * for data skipping). */
+  def compactDir(s: org.apache.spark.sql.SparkSession, in: String,
+      out: String, clusterBy: Seq[String], targetFiles: Int): Unit =
+    s.read.parquet(in)
+      .repartition(targetFiles, col(clusterBy.head))
+      .sortWithinPartitions(clusterBy.map(col): _*)
+      .write.mode("overwrite").parquet(out)
+
+  val all: Seq[QueryDef] = Seq(corpusClean, domainMix, compact)
 }

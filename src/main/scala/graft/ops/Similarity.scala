@@ -524,6 +524,66 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** PERSISTED IVF INDEX — build once, query many (the ANN index
+    * lifecycle a serving stack needs; neither transient variant above
+    * survives the session). `saveIvfIndex` writes the tiny centroid
+    * table plus the corpus assigned to cells, PARTITIONED BY cell: a
+    * probe joins on the partition column, so dynamic partition pruning
+    * reads only the probed cells' files — at 100 TB the query touches
+    * nprobe/nlist of the corpus bytes, not just rows.
+    * `topKFromIvfIndex` reproduces [[ivfTopKDet]]'s math exactly
+    * (same deterministic quantizer, same tie rules) — equality is
+    * pinned in the suite. */
+  def saveIvfIndex(prep: DataFrame, dir: String, centroidStep: Int = 64): Unit = {
+    val cent = prep.filter(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val byDist = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d"), col("cid"))
+    prep.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        sqDist(col("v"), col("cv")).as("d"))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+  }
+
+  /** Top-k cosine against a [[saveIvfIndex]] directory. Queries are
+    * `prepared` rows; each probes its `nprobe` nearest centroids. */
+  def topKFromIvfIndex(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val cent = broadcast(s.read.parquet(s"$dir/centroids"))
+    val corpus = s.read.parquet(s"$dir/corpus")
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val byDist = Window.partitionBy(col("query_id"))
+      .orderBy(col("d"), col("cid"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      .crossJoin(cent)
+      .withColumn("d", sqDist(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("cid").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rawcos").desc, col("neighbor_id"))
+    probes.join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("rawcos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("rawcos"), 6).as("cos"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(topKBrute, topKLsh, rangeSearch, rangeSearchLsh, topKIvf, hybridRrf)
 }

@@ -26,4 +26,23 @@ class PipelineSuite extends SparkSessionSuite {
     nOut should be <= nKept
     nOut should be > 0L
   }
+
+  test("compaction bounds file count and preserves content") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    (1 to 1000).map(i => (i.toLong, s"p$i", i % 7))
+      .toDF("id", "payload", "bucket")
+      .repartition(50).write.parquet(s"$base/frag")
+    def parquetFiles(dir: String): Int =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    parquetFiles(s"$base/frag") should be >= 40
+
+    Pipeline.compactDir(spark, s"$base/frag", s"$base/packed",
+      Seq("bucket", "id"), targetFiles = 4)
+    parquetFiles(s"$base/packed") should be <= 4
+    val ids = spark.read.parquet(s"$base/packed")
+      .select("id").collect().map(_.getLong(0)).sorted
+    ids shouldBe (1L to 1000L).toArray
+  }
 }

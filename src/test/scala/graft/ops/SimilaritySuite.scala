@@ -88,4 +88,27 @@ class SimilaritySuite extends SparkSessionSuite {
     // recall@3 must be perfect here: true neighbors share the query cell
     brute.keySet.count(k => ivf.get(k).contains(brute(k))) should be >= 10
   }
+
+  test("persisted IVF index answers identically to the transient form") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    val prep = Similarity.prepared(graft.Tables.embeddings(s, dir)).persist()
+    val queries = prep.filter(col("vec_id") % 50 === 0)
+
+    Similarity.saveIvfIndex(prep, base, centroidStep = 64)
+    val fromIndex = Similarity.topKFromIvfIndex(s, base, queries, k = 5,
+        nprobe = 4)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq)
+    val transient = Similarity.ivfTopKDet(prep, queries, 5,
+        centroidStep = 64, nprobe = 4)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq)
+
+    fromIndex should not be empty
+    fromIndex shouldBe transient
+    // the index layout is one directory per cell (partition pruning unit)
+    val cells = new java.io.File(s"$base/corpus").listFiles()
+      .count(_.getName.startsWith("cell="))
+    cells should be > 1
+  }
 }
