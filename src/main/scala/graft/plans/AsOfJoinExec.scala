@@ -89,7 +89,11 @@ case class AsOfJoinExec(
       val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTimeExpr.dataType))
-      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // bind against OUTPUT attributes, not child attributes: the right
+      // side must read as nullable (null-extension) even when the child
+      // column is non-nullable, else the projection skips the null
+      // check and emits the slot's zero value
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
 
