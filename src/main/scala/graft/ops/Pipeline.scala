@@ -134,6 +134,9 @@ object Pipeline {
       sum(col("n_avail")).over(org.apache.spark.sql.expressions.Window
         .partitionBy()))
     val share = when(col("lang") === "en", 400L).otherwise(150L)
+    // |langs| rows but derived from a full corpus scan: persist so the
+    // membership filter AND the final report both reuse it (3 corpus
+    // scans -> 2)
     val rates = withTotal.select(col("lang"), col("n_avail"),
         expr("n_total DIV 2").multiply(share).as("budget_share"))
       .select(col("lang"), col("n_avail"),
@@ -141,6 +144,7 @@ object Pipeline {
       .select(col("lang"), col("n_avail"), col("n_target"),
         least(lit(1000L), expr("n_target * 1000 DIV n_avail"))
           .as("rate_permille"))
+      .persist()
     val sel = docs.select(col("lang"), col("doc_id"))
       .join(broadcast(rates.select(col("lang"), col("rate_permille"))), Seq("lang"))
       .filter((col("doc_id") * 2654435761L) % 1000L < col("rate_permille"))

@@ -279,6 +279,8 @@ object AdvancedQueries {
       |FROM iv i LEFT JOIN joined j ON j.ok = i.ok
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     val week = 604800000000L
+    // tiny interval relation referenced twice (chunk replication + the
+    // final null-preserving join): persist to avoid a second orders scan
     val iv = Tables.orders(s, d)
       .filter(col("o_orderkey") % 100 === 0)
       .select(col("o_orderkey").as("ok"),
@@ -286,6 +288,7 @@ object AdvancedQueries {
         // the instant type is the identity both engines apply
         unix_micros(col("o_orderdate").cast("timestamp")).as("s"))
       .withColumn("e", col("s") + week)
+      .persist()
     val ivc = iv.select(col("ok"), col("s"), col("e"),
       explode(array_distinct(array(
         expr(s"s DIV ${week}L"), expr(s"(e - 1) DIV ${week}L")))).as("c"))
