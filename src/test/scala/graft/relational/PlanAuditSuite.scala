@@ -70,4 +70,20 @@ class PlanAuditSuite extends SparkSessionSuite {
       assert(plan.contains("BroadcastHashJoin"))
     }
   }
+
+  /** Shuffle-count ceilings for headline plans — a regression here means
+    * a rewrite introduced an extra full-data exchange (the unit of cost
+    * at 100 TB). Bounds are ceilings, not exact counts, so AQE/planner
+    * improvements can only lower them. */
+  test("headline queries stay within their shuffle budgets") {
+    def hashExchanges(q: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(physicalPlan(q)).size
+    // scan → partial agg → ONE exchange → final agg (+ sort exchange)
+    assert(hashExchanges("q1_pricing_summary") <= 1)
+    // star join: every dim broadcast, never sort-merge
+    val star = physicalPlan("q17_star_join")
+    withClue(star) { assert(!star.contains("SortMergeJoin")) }
+    // chunked range join: one exchange per side of the equi-join + agg
+    assert(hashExchanges("adv_range_join_bucketed") <= 4)
+  }
 }
