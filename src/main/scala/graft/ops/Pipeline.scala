@@ -206,5 +206,42 @@ object Pipeline {
       .sortWithinPartitions(clusterBy.map(col): _*)
       .write.mode("overwrite").parquet(out)
 
-  val all: Seq[QueryDef] = Seq(corpusClean, domainMix, compact)
+  /** BENCHMARK DECONTAMINATION — the training-data hygiene stage: any
+    * corpus document sharing a 4-token shingle with the benchmark set
+    * (here: every 100th doc plays the benchmark) is flagged with its
+    * overlap count, ready for an anti-join drop. Scale shape: the
+    * benchmark is small BY NATURE (eval sets are thousands of docs, the
+    * corpus is billions), so its distinct-shingle set BROADCASTS and
+    * the corpus side is a map-side hash probe — zero corpus shuffle
+    * until the tiny per-contaminated-doc aggregation. Counting is
+    * exact-integer; determinism is engine-independent. */
+  val decontaminate: QueryDef = QueryDef.sql(
+    "pipe_decontaminate",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 3),
+      |      i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS g
+      |  FROM toks),
+      |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 100 = 0)
+      |SELECT s.doc_id, CAST(count(DISTINCT s.g) AS BIGINT) AS n_shared
+      |FROM sh s JOIN bench b ON b.g = s.g
+      |WHERE s.doc_id % 100 <> 0
+      |GROUP BY s.doc_id
+      |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 3),
+          i => array_join(slice(col("toks"), i, lit(4)), " "))).as("g"))
+    val bench = sh.filter(col("doc_id") % 100 === 0).select(col("g")).distinct()
+    sh.filter(col("doc_id") % 100 =!= 0)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("g")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(corpusClean, domainMix, compact, decontaminate)
 }
