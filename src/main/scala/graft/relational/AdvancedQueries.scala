@@ -343,7 +343,29 @@ object AdvancedQueries {
       .orderBy(col("error_id"))
   }
 
+  /** EXACT-SIZE deterministic sample — "exactly k rows, reproducibly":
+    * the k smallest values of a uniform hash. Rate-based sampling
+    * ([[stratifiedSample]]) cannot hit a size target exactly; hash
+    * top-k can, stays layout/engine-independent, and compiles to
+    * TakeOrderedAndProject — per-partition k-heaps then a k-merge, no
+    * global sort, no shuffle of the corpus (the plan-audit suite pins
+    * that shape for order-limit queries). Tie-broken by the unique key
+    * so hash collisions cannot make membership ambiguous. */
+  val sampleExactK: QueryDef = QueryDef.sql(
+    "adv_sample_exact_k",
+    """SELECT o_orderkey, o_orderstatus
+      |FROM orders
+      |ORDER BY (o_orderkey * 2654435761) % 1000000007, o_orderkey
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy((col("o_orderkey") * 2654435761L) % 1000000007L,
+        col("o_orderkey"))
+      .limit(100)
+  }
+
   val all: Seq[QueryDef] =
     Seq(asOfJoin, asOfNative, asOfTolerance, percentiles, pivot, cube,
-      saltedAgg, movingAvg, stratifiedSample, sqlInterface, rangeJoinBucketed)
+      saltedAgg, movingAvg, stratifiedSample, sqlInterface, rangeJoinBucketed,
+      sampleExactK)
 }
