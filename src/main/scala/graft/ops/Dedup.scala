@@ -557,13 +557,10 @@ object Dedup {
       .orderBy(col("doc1"), col("doc2"))
   }
 
-  /** Embedding-cosine near-dup: planted scaled copies (cos ~ 1) against a
-    * background whose max natural pair cosine is 0.51, so threshold 0.99
-    * recovers exactly the planted pairs. Brute-force all-pairs with
-    * per-vector norms precomputed; the banded/bucketed scale path lives in
-    * the Similarity module. */
-  val embeddingCos: QueryDef = QueryDef.sql(
-    "dedup_embedding_cos",
+  /** Oracle for BOTH embedding-cos queries: all qualifying pairs, stated
+    * in the simplest all-pairs SQL (the semantics, not the plan — the
+    * dedup_simhash/dedup_simhash_banded pattern). */
+  private val embCosOracleSql =
     """WITH corpus AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings
@@ -585,19 +582,51 @@ object Dedup {
       |JOIN norms n1 ON n1.vec_id = v1
       |JOIN norms n2 ON n2.vec_id = v2
       |WHERE dot / (n1.nrm * n2.nrm) >= 0.99
-      |ORDER BY v1, v2""".stripMargin) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
+      |ORDER BY v1, v2""".stripMargin
+
+  /** Corpus with planted scaled near-dup embeddings (cos ~ 1) against a
+    * background whose max natural pair cosine is 0.51, so threshold 0.99
+    * recovers exactly the planted pairs. */
+  private def corpusScaledEmb(emb: DataFrame): DataFrame = {
     val base = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val planted = emb.filter(col("vec_id") % 25 === 0)
       .select((col("vec_id") + 10000).as("vec_id"),
         transform(col("embedding"), x => x.cast("double") * 1.01 + 0.0001).as("v"))
-    val corpus = base.unionAll(planted)
+    base.unionAll(planted)
       .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
-    Similarity.pairCosineKernel(corpus, 0.99)
-      .select(col("v1"), col("v2"), round(col("rawcos"), 6).as("cos"))
-      .orderBy(col("v1"), col("v2"))
   }
+
+  /** Embedding-cosine near-dup, EXACT twin: brute-force all-pairs via the
+    * distributed grid-block kernel, with per-vector norms precomputed.
+    * O(n²) compute by definition — kept as the oracle-checkable exactness
+    * baseline; [[embeddingCosBanded]] is the production plan. */
+  val embeddingCos: QueryDef =
+    QueryDef.sql("dedup_embedding_cos", embCosOracleSql) { (s, d) =>
+      Similarity.pairCosineKernel(
+          corpusScaledEmb(Tables.embeddings(s, d)), 0.99)
+        .select(col("v1"), col("v2"), round(col("rawcos"), 6).as("cos"))
+        .orderBy(col("v1"), col("v2"))
+    }
+
+  /** PRODUCTION embedding near-dup: identical semantics to
+    * [[embeddingCos]] (cosine ≥ 0.99 pairs), but candidates come from an
+    * equi-join on 4-bit hyperplane LSH buckets with Hamming-1 multi-probe
+    * (`Similarity.bandedPairCosine`) instead of the all-pairs block join —
+    * the linear LSH shape, no inequality-only join anywhere (plan-audited).
+    * At 0.99 the pair's angle is ~8°, so a planted near-dup flips a
+    * hyperplane sign only when the original sits within that sliver of a
+    * plane — and a single flip is still caught by the Hamming-1 probe. The
+    * oracle states all-pairs semantics; the CORRECTNESS row pins banded ≡
+    * exact on the fixture. */
+  val embeddingCosBanded: QueryDef =
+    QueryDef.sql("dedup_embedding_cos_banded", embCosOracleSql) { (s, d) =>
+      Similarity.bandedPairCosine(
+          corpusScaledEmb(Tables.embeddings(s, d)).persist())
+        .filter(col("rawcos") >= 0.99)
+        .select(col("v1"), col("v2"), round(col("rawcos"), 6).as("cos"))
+        .orderBy(col("v1"), col("v2"))
+    }
 
   /** Incremental (batch-arrival) dedup — how 100 TB corpora are actually
     * ingested: a new batch arrives, is deduped WITHIN itself (group-by
@@ -641,5 +670,5 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(exact, minHashLsh, ccClusters, simHash, simHashBanded, ngramJaccard,
-      embeddingCos, incremental)
+      embeddingCos, embeddingCosBanded, incremental)
 }

@@ -243,6 +243,29 @@ object Similarity {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** LSH-bucketed candidate pairs with EXACT cosine — the shared engine
+    * of [[rangeSearchLsh]] and `Dedup.embeddingCosBanded`: candidates
+    * come from an equi-join on 4-bit hyperplane buckets with Hamming-1
+    * multi-probe (bucket equal, or differing in exactly one plane); each
+    * unordered pair meets exactly once because bucket distance ≤ 1
+    * matches exactly one probe mask and the id inequality fixes the
+    * orientation. Returns (v1, v2, rawcos) for every candidate pair —
+    * callers apply their own threshold. The dot is order-immune (summed
+    * by position; per-position products commute exactly), so the value
+    * is bit-identical to the all-pairs kernel's for any pair both emit. */
+  def bandedPairCosine(prep: DataFrame): DataFrame = {
+    val withB = prep
+      .join(lshBuckets(prep).select(col("vec_id"), col("bucket")), Seq("vec_id"))
+    val a = withB.select(col("vec_id").as("v1"), col("v").as("av"),
+      col("nrm").as("n1"), col("bucket"), explode(probeMasksCol).as("mask"))
+    val b = withB.select(col("vec_id").as("v2"), col("v").as("bv"),
+      col("nrm").as("n2"), col("bucket").as("cbucket"))
+    a.join(b, col("bucket").bitwiseXOR(col("mask")) === col("cbucket") &&
+        col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        (dot(col("av"), col("bv")) / (col("n1") * col("n2"))).as("rawcos"))
+  }
+
   /** APPROXIMATE range search — the 100 TB path for threshold pair
     * queries: candidates come from an equi-join on 4-bit hyperplane
     * buckets with Hamming-1 multi-probe (bucket equal, or differing in
@@ -279,16 +302,7 @@ object Similarity {
         |WHERE dot / (n1.nrm * n2.nrm) >= 0.35
         |ORDER BY v1, v2""".stripMargin) { (s, d) =>
       val prep = prepared(Tables.embeddings(s, d)).persist()
-      val withB = prep
-        .join(lshBuckets(prep).select(col("vec_id"), col("bucket")), Seq("vec_id"))
-      val a = withB.select(col("vec_id").as("v1"), col("v").as("av"),
-        col("nrm").as("n1"), col("bucket"), explode(probeMasksCol).as("mask"))
-      val b = withB.select(col("vec_id").as("v2"), col("v").as("bv"),
-        col("nrm").as("n2"), col("bucket").as("cbucket"))
-      a.join(b, col("bucket").bitwiseXOR(col("mask")) === col("cbucket") &&
-          col("v1") < col("v2"))
-        .select(col("v1"), col("v2"),
-          (dot(col("av"), col("bv")) / (col("n1") * col("n2"))).as("rawcos"))
+      bandedPairCosine(prep)
         .filter(col("rawcos") >= 0.35)
         .select(col("v1"), col("v2"), round(col("rawcos"), 6).as("cos"))
         .orderBy(col("v1"), col("v2"))

@@ -514,7 +514,67 @@ object TextAnalysis {
     }
   }
 
+  /** TEXT NORMALIZATION — the first stage of every real corpus pipeline:
+    * case-fold, strip punctuation/symbols, collapse whitespace, trim.
+    * The fixture corpus is already clean lowercase ASCII, so the query
+    * derives a MESSY corpus first (upper-case every 3rd doc, swap spaces
+    * for " , " on every 4th, wrap all in pad/bang noise) using string
+    * primitives both engines share — then normalizes it back. Round-trip
+    * equality against the pristine text makes the operator
+    * self-validating: `is_roundtrip` must be 1 for every row.
+    *
+    * Determinism notes (the regex-dialect hazard from ADVICE r1): only
+    * explicit ASCII character classes (`[^a-z0-9 ]`, ` +`) — identical
+    * under Java regex and DuckDB's RE2 — and `lower`/`upper` on pure
+    * ASCII where the engines agree by definition. DuckDB's
+    * `regexp_replace` is first-match-only by default, hence the 'g'
+    * flag on the oracle side; Spark's is always global. NFC is a no-op
+    * on ASCII and documented as out of fixture scope. */
+  val normalize: QueryDef = QueryDef.sql(
+    "ta_normalize",
+    """WITH messy AS (
+      |  SELECT doc_id,
+      |    '  !' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END) ||
+      |    '!!  ' AS raw
+      |  FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN doc_id % 4 = 0 THEN replace(text, ' ', ' , ')
+      |           ELSE text END AS text
+      |    FROM documents) a),
+      |norm AS (
+      |  SELECT doc_id, raw,
+      |    trim(regexp_replace(
+      |      regexp_replace(lower(raw), '[^a-z0-9 ]', ' ', 'g'),
+      |      ' +', ' ', 'g')) AS normalized
+      |  FROM messy)
+      |SELECT n.doc_id, length(n.raw) AS raw_len,
+      |  length(n.normalized) AS norm_len, n.normalized,
+      |  CASE WHEN n.normalized = d.text THEN 1 ELSE 0 END AS is_roundtrip
+      |FROM norm n JOIN documents d ON d.doc_id = n.doc_id
+      |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val messy = docs.select(col("doc_id"), col("text"),
+        when(col("doc_id") % 4 === 0,
+          regexp_replace(col("text"), " ", " , "))
+          .otherwise(col("text")).as("t1"))
+      .select(col("doc_id"), col("text"),
+        concat(lit("  !"),
+          when(col("doc_id") % 3 === 0, upper(col("t1"))).otherwise(col("t1")),
+          lit("!!  ")).as("raw"))
+    messy
+      .withColumn("normalized",
+        trim(regexp_replace(
+          regexp_replace(lower(col("raw")), "[^a-z0-9 ]", " "),
+          " +", " ")))
+      .select(col("doc_id"), length(col("raw")).as("raw_len"),
+        length(col("normalized")).as("norm_len"), col("normalized"),
+        when(col("normalized") === col("text"), 1).otherwise(0)
+          .as("is_roundtrip"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(tokenStats, langId, quality, fingerprint, tfidf, piiMask, bpePairs,
-      chunking, packing, repetition, cmsHeavy)
+      chunking, packing, repetition, cmsHeavy, normalize)
 }

@@ -19,7 +19,7 @@ class PlanAuditSuite extends SparkSessionSuite {
     * cartesian (inequality-only) join. */
   test("banded and bucketed pair queries contain no cartesian join") {
     Seq("dedup_simhash_banded", "dedup_minhash_lsh", "sim_range_search_lsh",
-      "adv_range_join_bucketed")
+      "adv_range_join_bucketed", "dedup_embedding_cos_banded")
       .foreach { q =>
         val plan = physicalPlan(q)
         withClue(s"$q plan:\n$plan\n") {
