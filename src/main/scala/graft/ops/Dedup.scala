@@ -103,13 +103,13 @@ object Dedup {
   }
 
   /** Tokenized corpus with 1-based positions and rolling-hash token ids. */
-  private def encodedToks(c: DataFrame): DataFrame =
+  private[ops] def encodedToks(c: DataFrame): DataFrame =
     c.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"),
         tokHash(col("tok")).as("tid"))
 
-  private val encodedToksSql =
+  private[ops] val encodedToksSql =
     """enc AS (
       |  SELECT doc_id, pos,
       |    list_reduce(
@@ -122,7 +122,7 @@ object Dedup {
 
   /** Distinct 3-token shingles per doc: mod-combined rolling hash of the
     * three token ids (each step stays far below int64). */
-  private def shingles(enc: DataFrame): DataFrame = {
+  private[ops] def shingles(enc: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     enc
       .select(col("doc_id"), col("pos"), col("tid"),
@@ -135,7 +135,7 @@ object Dedup {
       .distinct()
   }
 
-  private val shinglesSql =
+  private[ops] val shinglesSql =
     """sh AS (
       |  SELECT DISTINCT doc_id,
       |    (((tid * 1009 + t2) % 1000000007) * 1009 + t3) % 1000000007 AS x
@@ -508,7 +508,7 @@ object Dedup {
     * while bounding every bucket's fanout by DfCap²/2. Near-dup pairs
     * lose hot shingles from both sides symmetrically, so their Jaccard
     * barely moves. */
-  private val DfCap = 20
+  private[ops] val DfCap = 20
 
   /** Exact 3-gram Jaccard over (df-capped) shingle sets for pairs sharing
     * >= 1 surviving shingle, thresholded at 0.5. The shared-shingle join

