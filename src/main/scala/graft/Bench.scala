@@ -37,7 +37,12 @@ object Bench {
     Seq("q1_pricing_summary", "q17_star_join", "q6_window_sums")
       .foreach(n => try materialize(n) catch { case _: Throwable => () })
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // Optional subset (regex on query name) for targeted re-measures.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val selected = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.findFirstIn(n).isDefined))
+
+    val results = selected.map { name =>
       spark.catalog.clearCache() // isolate queries from each other's state
       // One-time input staging runs OUTSIDE the timed region. A staging
       // failure must be visible — the query would otherwise fail (or
@@ -55,7 +60,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures stdout with a bounded tail that can truncate the
+    // per-query map; persist the complete map so timings stay auditable
+    // round-over-round.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -214,28 +214,25 @@ object FmRelationalQueries {
     out
   }
 
-  /** TWO chained SGD iterations against a pure-SQL oracle — pins what the
-    * single-step query can't: the learning-rate decay schedule
-    * (stepSize/√iter), the per-iteration shrinkage, and iteration
-    * COMPOSITION (step 2 consumes step 1's already-L1-clamped weights,
-    * exact zeros included). Both iterations use the full feature relation
-    * as the batch, so every feature receives a gradient and the SQL can
-    * use inner joins. */
-  val fmTwoStepsSql: QueryDef = {
-    // One SQL iteration block: from params relation pIn(id, w, v0..) to pOut.
-    def stepSql(i: Int, pIn: String, pOut: String, lrSql: String): String = {
+  /** One SQL iteration block: from params relation pIn(id, w, v0..) to
+    * pOut — the exact engine math of one [[FactorizationMachinesSGD.step]]
+    * (per-sample sums, residual, gradient reduction ·lr/n, L1 soft
+    * threshold). `resid$i` also carries the per-sample row count so the
+    * loss twin ([[fmTrainLossSql]]) can reproduce the engine's
+    * Σ_rows r²/cnt as the SAME multiset of addends. */
+  private def stepSql(i: Int, pIn: String, pOut: String, lrSql: String): String = {
       val vs = (0 until K)
       s"""terms$i AS (
         |  SELECT f.sample_id, f.feature_id, f.x, p.w,
         |         ${vs.map(f => s"p.v$f").mkString(", ")}
         |  FROM feats f JOIN $pIn p ON p.id = f.feature_id),
         |persample$i AS (
-        |  SELECT sample_id, sum(w*x) AS wx,
+        |  SELECT sample_id, sum(w*x) AS wx, count(*) AS cnt,
         |    ${vs.map(f => s"sum(v$f*x) AS vfx$f").mkString(", ")},
         |    sum((${vs.map(f => s"v$f*v$f").mkString(" + ")}) * x * x) AS v2x2
         |  FROM terms$i GROUP BY sample_id),
         |resid$i AS (
-        |  SELECT sample_id,
+        |  SELECT sample_id, cnt,
         |    (wx + 0.5*((${vs.map(f => s"vfx$f*vfx$f").mkString(" + ")}) - v2x2))
         |      - CAST(sample_id % 7 AS DOUBLE) AS r,
         |    ${vs.map(f => s"vfx$f").mkString(", ")}
@@ -255,7 +252,12 @@ object FmRelationalQueries {
              s"sign(p.v$f - g.dv$f) * greatest(0.0, abs(p.v$f - g.dv$f) - ($lrSql) * 0.5) AS v$f")
              .mkString(", ")}
         |  FROM $pIn p JOIN grads$i g ON g.feature_id = p.id)""".stripMargin
-    }
+  }
+
+  /** TWO chained SGD iterations against a pure-SQL oracle — pins the
+    * learning-rate decay schedule, per-iteration shrinkage, and
+    * iteration COMPOSITION (see [[stepSql]]). */
+  val fmTwoStepsSql: QueryDef =
     QueryDef.sql(
       "fm_sgd_two_steps_vs_sql_oracle",
       s"""WITH $featsSql,
@@ -298,7 +300,114 @@ object FmRelationalQueries {
       // p1/p2 are localCheckpoint'd: never unpersist before materializing.
       out
     }
+
+  /** The full `fit()` driver loop end-to-end under the SQL oracle —
+    * closes the four-round `no_oracle` gap on `fm_train_quick`. The
+    * estimator warm-starts from the deterministic integer-arithmetic
+    * parameter table ([[paramTable]] via `setInitialModel`), trains one
+    * full-batch iteration (`maxIter=1`, `miniBatchFraction=1.0` — the
+    * one split randomSplit leaves deterministic because every row
+    * passes), and the LEARNED MODEL's parameter tables are compared
+    * bit-exactly (step-1 math is exact dyadic; see class doc) against
+    * one [[stepSql]] iteration. This pins what the raw-step queries
+    * can't: fit's warm-start ingestion (vec→array round-trip),
+    * randomSplit batching, the iteration driver, and model assembly. */
+  val fmTrainQuickSql: QueryDef = QueryDef.sql(
+    "fm_train_quick",
+    s"""WITH $featsSql,
+      |n AS (SELECT count(*) AS n FROM (SELECT DISTINCT sample_id FROM feats) s),
+      |p0 AS (
+      |  SELECT DISTINCT feature_id AS id, ${wSql("feature_id")} AS w,
+      |    ${(0 until K).map(f => s"${vSql("feature_id", f)} AS v$f").mkString(", ")}
+      |  FROM feats),
+      |${stepSql(1, "p0", "p1", "0.1")}
+      |SELECT id, ${nzSql("w", "strength")},
+      |  ${(0 until K).map(f => nzSql(s"v$f", s"v$f")).mkString(", ")}
+      |FROM p1
+      |ORDER BY id""".stripMargin) { (s, d) =>
+    val f = feats(s, d).persist()
+    val params = paramTable(f).persist()
+    import s.implicits._
+    val strengths = params.select(col("id"), col("strength")).as[Strength]
+    val factors = params
+      .select(col("id"),
+        org.apache.spark.ml.functions.array_to_vector(col("vecArr")).as("vec"))
+      .as[FactorizedInteraction]
+    val warm = new FactorizationMachinesModel("fmTrainWarm", K, 0.0, strengths, factors)
+    val batch = featureVectors(f)
+      .select((col("sample_id") % 7).cast("double").as("label"), col("features"))
+    val est = new FactorizationMachinesSGD("fmTrainQuick")
+      .setDimFactorization(K).setMaxIter(1).setMiniBatchFraction(1.0)
+      .setStepSize(0.1).setRegParam(0.5).setInitialSd(0.01).setSeed(0L)
+      .setInitialModel(warm)
+    val model = est.fit(batch)
+    model.dimensionStrength.toDF()
+      .join(model.factorizedInteraction.toDF()
+        .select(col("id"),
+          org.apache.spark.ml.functions.vector_to_array(col("vec")).as("vecArr")),
+        Seq("id"))
+      .select(
+        (col("id") +: nz(col("strength")).as("strength") +:
+          (0 until K).map(f =>
+            nz(element_at(col("vecArr"), f + 1)).as(s"v$f"))): _*)
+      .orderBy(col("id"))
   }
 
-  val all: Seq[QueryDef] = Seq(fmScoreSql, fmStepSql, fmTwoStepsSql)
+  /** Per-iteration TRAINING LOSS history over three chained full-batch
+    * iterations, hash-checked against SQL — the loss-curve surface of
+    * `fit` (reference SGD:134-139). The engine computes each batch loss
+    * as Σ_rows residual²/cnt (one value per exploded feature row); the
+    * oracle reproduces the SAME MULTISET of addends (terms⋈resid gives
+    * cnt copies of r²/cnt per sample), so the engines differ only in
+    * accumulation order. The grain is round(…,2), chosen from MEASURED
+    * margins: losses are O(2e5) where a 1e-6 grain left only ~1e-7 to
+    * the nearest rounding boundary vs ~1e-6 worst-case order noise;
+    * at 0.01 grain the measured boundary margins are ≥1.2e-3 —
+    * three orders of magnitude of headroom. */
+  val fmTrainLossSql: QueryDef = QueryDef.sql(
+    "fm_train_loss_vs_sql_oracle",
+    s"""WITH $featsSql,
+      |n AS (SELECT count(*) AS n FROM (SELECT DISTINCT sample_id FROM feats) s),
+      |p0 AS (
+      |  SELECT DISTINCT feature_id AS id, ${wSql("feature_id")} AS w,
+      |    ${(0 until K).map(f => s"${vSql("feature_id", f)} AS v$f").mkString(", ")}
+      |  FROM feats),
+      |${stepSql(1, "p0", "p1", "0.1")},
+      |${stepSql(2, "p1", "p2", "0.1 / sqrt(2.0)")},
+      |${stepSql(3, "p2", "p3", "0.1 / sqrt(3.0)")},
+      |losses(iter, raw) AS (
+      |  SELECT 1, (SELECT sum(p.r*p.r/p.cnt) FROM terms1 t
+      |             JOIN resid1 p ON t.sample_id = p.sample_id)
+      |  UNION ALL
+      |  SELECT 2, (SELECT sum(p.r*p.r/p.cnt) FROM terms2 t
+      |             JOIN resid2 p ON t.sample_id = p.sample_id)
+      |  UNION ALL
+      |  SELECT 3, (SELECT sum(p.r*p.r/p.cnt) FROM terms3 t
+      |             JOIN resid3 p ON t.sample_id = p.sample_id))
+      |SELECT CAST(iter AS BIGINT) AS iter, round(raw, 2) AS loss
+      |FROM losses
+      |ORDER BY iter""".stripMargin) { (s, d) =>
+    val f = feats(s, d).persist()
+    val batch = featureVectors(f)
+      .select((col("sample_id") % 7).cast("double").as("label"), col("features"))
+      .persist()
+    val est = new FactorizationMachinesSGD("fmTrainLoss")
+      .setDimFactorization(K).setStepSize(0.1).setRegParam(0.5)
+      .setInitialSd(0.01).setSeed(0L)
+    var params = paramTable(f)
+    val losses = (1 to 3).map { iter =>
+      val Some((next, loss)) = est.step(params, batch, iter)
+      params = next
+      loss
+    }
+    import s.implicits._
+    losses.zipWithIndex
+      .map { case (l, i) => ((i + 1).toLong, l) }
+      .toDF("iter", "raw")
+      .select(col("iter"), nz(round(col("raw"), 2)).as("loss"))
+      .orderBy(col("iter"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(fmScoreSql, fmStepSql, fmTwoStepsSql, fmTrainQuickSql, fmTrainLossSql)
 }

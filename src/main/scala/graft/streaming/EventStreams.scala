@@ -538,6 +538,48 @@ object EventStreams {
     }
   }
 
+  /** Hash-bucket count for the upsert state layout. Fixed so bucket
+    * assignment (a pure function of user_id) never changes across
+    * batches; at cluster scale this would be sized so one bucket's
+    * state fits an executor's merge comfortably (e.g. 4096). */
+  val UpsertBuckets = 16
+
+  /** One incremental upsert round: merge `incoming` (user_id, ts,
+    * event_id, event_type) into the bucketed keyed parquet state at
+    * `state`, keeping the latest event per user. INCREMENTAL by
+    * construction: state is hash-partitioned on
+    * `bucket = pmod(hash(user_id), UpsertBuckets)`; the merge reads
+    * ONLY the buckets present in the batch (partition-pruned scan) and
+    * dynamic partition overwrite rewrites ONLY those bucket
+    * directories — untouched buckets' files stay byte-identical
+    * (asserted in UpsertIncrementalSuite). Per-batch cost is
+    * O(batch + state-of-touched-buckets), not O(|state|). */
+  def upsertMerge(s: SparkSession, state: String, incoming: DataFrame): Unit = {
+    val withBucket = incoming
+      .withColumn("bucket", pmod(hash(col("user_id")), lit(UpsertBuckets)))
+    // ≤ UpsertBuckets small ints — a driver-safe collect by design.
+    val touched = withBucket.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val statePath = new org.apache.hadoop.fs.Path(state)
+    val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val merged = (if (fs.exists(statePath))
+        s.read.parquet(state)
+          .filter(col("bucket").isin(touched: _*)) // partition-pruned read
+          .unionByName(withBucket)
+      else withBucket)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      // materialize BEFORE overwriting the partitions being read
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(state)
+  }
+
   /** STREAMING UPSERT (CDC-style materialized state) via `foreachBatch`
     * — the incremental-refresh pattern a continuously-updated corpus
     * needs: each microbatch merges into a keyed parquet state keeping
@@ -545,12 +587,14 @@ object EventStreams {
     * materialized table instead of replaying the log. `foreachBatch` is
     * the remaining Structured Streaming sink surface (arbitrary batch
     * logic per epoch with exactly-once offsets). The per-batch merge
-    * (union old state + batch, keep row_number()=1 by (ts, event_id)
-    * desc per user) is associative, so the final state is independent
-    * of how the source chunks into batches — `maxFilesPerTrigger`
-    * forces several real upsert rounds over growing state. State
-    * shuffles once per batch on user_id; at scale this is the
-    * standard merge-on-read compaction shape. */
+    * ([[upsertMerge]]: union touched-bucket state + batch, keep
+    * row_number()=1 by (ts, event_id) desc per user) is associative,
+    * so the final state is independent of how the source chunks into
+    * batches — `maxFilesPerTrigger` forces several real upsert rounds
+    * over growing state. Each round shuffles only the touched buckets
+    * once on user_id and rewrites only those bucket directories
+    * (dynamic partition overwrite) — O(batch) not O(|state|) per
+    * batch, the shape that survives continuous corpus refresh. */
   val upsertState: QueryDef = QueryDef.sqlPrepared(
     "st_upsert",
     """SELECT user_id,
@@ -565,9 +609,6 @@ object EventStreams {
     val state = s"$base/state"
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
     val stream = s.readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", 8)
       .parquet(ensureStaged(s, d))
@@ -577,16 +618,7 @@ object EventStreams {
           val incoming = batch.filter(col("event_type") =!= "__flush")
             .select(col("user_id"), col("ts"), col("event_id"),
               col("event_type"))
-          val statePath = new org.apache.hadoop.fs.Path(state)
-          val merged = (if (fs.exists(statePath))
-              s.read.parquet(state).unionByName(incoming)
-            else incoming)
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).drop("rn")
-            // materialize BEFORE overwriting the dir being read
-            .localCheckpoint(true)
-          merged.write.mode("overwrite").parquet(state)
-          ()
+          upsertMerge(s, state, incoming)
         }
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(Trigger.AvailableNow())
