@@ -610,15 +610,15 @@ object Dedup {
     }
 
   /** PRODUCTION embedding near-dup: identical semantics to
-    * [[embeddingCos]] (cosine ≥ 0.99 pairs), but candidates come from an
-    * equi-join on 4-bit hyperplane LSH buckets with Hamming-1 multi-probe
-    * (`Similarity.bandedPairCosine`) instead of the all-pairs block join —
-    * the linear LSH shape, no inequality-only join anywhere (plan-audited).
-    * At 0.99 the pair's angle is ~8°, so a planted near-dup flips a
-    * hyperplane sign only when the original sits within that sliver of a
-    * plane — and a single flip is still caught by the Hamming-1 probe. The
-    * oracle states all-pairs semantics; the CORRECTNESS row pins banded ≡
-    * exact on the fixture. */
+    * [[embeddingCos]] (cosine ≥ 0.99 pairs), but candidates come from
+    * equi-joins on 4-bit hyperplane LSH buckets with Hamming-1
+    * multi-probe in TWO independent plane tables
+    * (`Similarity.bandedPairCosine`, r5 — a pair escapes only if BOTH
+    * tables put it at Hamming ≥ 2, P ≈ 2e-5 at cos 0.99) instead of the
+    * all-pairs block join — the linear LSH shape, no inequality-only
+    * join anywhere (plan-audited). The oracle states all-pairs
+    * semantics; the CORRECTNESS row pins banded ≡ exact on the fixture,
+    * and DedupSuite pins it on an independent perturbed corpus. */
   val embeddingCosBanded: QueryDef =
     QueryDef.sql("dedup_embedding_cos_banded", embCosOracleSql) { (s, d) =>
       Similarity.bandedPairCosine(

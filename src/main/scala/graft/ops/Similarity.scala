@@ -16,16 +16,42 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   *
   * Scale notes (100 TB): brute-force is O(|Q|·|C|) with the corpus
   * broadcast when small or shuffled on a bucket key otherwise; the LSH
-  * variant computes a 4-bit signature per vector and probes the query's
-  * bucket plus its Hamming-1 neighbors (multi-probe — recall 0.56 vs
-  * 0.26 single-probe on the fixture); the IVF variant quantizes with
-  * deterministic data-point centroids and probes the nprobe nearest
-  * cells. Hyperplanes/centroids derive from arithmetic on shared
-  * primitives so the DuckDB oracle reproduces them exactly.
+  * variant OR-amplifies [[LshTables]] independent 4-plane signature
+  * tables, each probed at Hamming-1 (recall@5 0.88 on the fixture, up
+  * from 0.26 single-table single-probe); the IVF variant quantizes
+  * with deterministic data-point centroids and probes the IvfNprobe
+  * nearest cells (recall@5 0.84). Hyperplanes/centroids derive from
+  * arithmetic on shared primitives so the DuckDB oracle reproduces
+  * them exactly. On genuinely unstructured data these recalls are
+  * near the information bound for the probed fraction; on real
+  * (clustered) corpora the same indexes prune far harder at equal
+  * recall — pinned by the clustered-fixture suite tests.
   */
 object Similarity {
 
   private val Planes = 4
+
+  /** OR-amplified LSH: number of independent hyperplane tables for
+    * [[topKLsh]]. Table t uses planes 4t..4t+3 of the shared
+    * arithmetic family, so table 0 IS the single-table bucket
+    * definition used by [[rangeSearchLsh]]/[[bandedPairCosine]].
+    * A true neighbor is a candidate if ANY table lands it within
+    * Hamming-1 of the query — recall 1−(1−p₁)^L (measured 0.88@5 on
+    * the unstructured fixture vs 0.56 single-table). */
+  private val LshTables = 4
+
+  // ---- IVF tuning shared by Spark call sites AND the SQL twins.
+  // Hoisted (r5, advice) so one edit cannot desynchronize the
+  // engines: ivfRankedSql interpolates these same values.
+  /** Every CentroidStep-th corpus vector is a coarse centroid. */
+  val CentroidStep = 64
+  /** Cells probed per query (6 ⇒ recall@5 = 0.84 on the fixture). */
+  val IvfNprobe = 6
+  /** Every QueryStride-th vector serves as a query in the driver
+    * queries. */
+  val QueryStride = 50
+  /** Per-channel rank depth feeding the RRF fusion. */
+  val FusionDepth = 20
 
   /** (vec_id, v: array<double>, nrm) from an embeddings table. */
   def prepared(emb: DataFrame): DataFrame =
@@ -127,6 +153,37 @@ object Similarity {
     flat.groupBy(col("vec_id"), col("nrm")).agg(bucket.as("bucket"))
   }
 
+  /** Per-table bucket bits for the OR-amplified index (SQL side):
+    * table t derives its 4 planes from the same arithmetic family at
+    * global plane indices 4t..4t+3, so `bucketBitsSqlTable(0)` ==
+    * [[bucketBitsSql]]. */
+  private def bucketBitsSqlTable(t: Int): String = (0 until Planes)
+    .map(j => s"CASE WHEN sum(e * (((${Planes * t + j}*97 + (pos-1)*31) % 17 - 8) / 8.0)) >= 0 THEN ${1 << j} ELSE 0 END")
+    .mkString(" + ")
+
+  /** (vec_id, tbl, bucket) for all [[LshTables]] independent tables in
+    * ONE pass over the flattened vectors: the groupBy computes every
+    * table's 4 sign bits as parallel aggregates, then explodes to one
+    * row per table — no repeated corpus scans (the SQL twin's UNION
+    * ALL per table is oracle-side only). */
+  def lshBucketsMulti(prep: DataFrame, tables: Int = LshTables): DataFrame = {
+    val flat = prep.select(col("vec_id"),
+        posexplode(col("v")).as(Seq("pos0", "e")))
+      .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("e"))
+    val bucketCols = (0 until tables).map { t =>
+      (0 until Planes)
+        .map(j => when(sum(col("e") * hcoef(Planes * t + j, col("pos"))) >= 0,
+          1 << j).otherwise(0))
+        .reduce(_ + _).as(s"b$t")
+    }
+    flat.groupBy(col("vec_id")).agg(bucketCols.head, bucketCols.tail: _*)
+      .select(col("vec_id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"), col(s"b$t").as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+  }
+
   private val preparedSql =
     """prep AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -163,27 +220,34 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed approximate top-5 with Hamming-1 MULTI-PROBE: each
-    * query searches its own 4-bit hyperplane bucket plus the 4 buckets
-    * one bit-flip away (a near-miss on a single hyperplane is the most
-    * likely way LSH loses a true neighbor). On the fixture this lifts
-    * recall@5 from 0.26 to 0.56 vs brute force while still pruning ~2/3
-    * of candidates; every probe is an equi-join on the bucket id, and a
-    * neighbor matches at most one mask so no dedup is needed. */
+  /** OR-AMPLIFIED LSH approximate top-5 — [[LshTables]] independent
+    * 4-plane tables, each probed at Hamming-1 (own bucket + the 4
+    * one-bit-flip buckets), candidates = union over tables (classic
+    * AND-OR amplification): a true neighbor is found if ANY table
+    * agrees with the query on ≥3 of its 4 planes. Recall@5 vs brute
+    * force on the unstructured fixture: 0.26 single-probe → 0.56
+    * Hamming-1 (r2) → 0.88 with 4 tables (r5); per-table miss
+    * probabilities multiply, so recall = 1−(1−p₁)^L while probed work
+    * only grows additively (union, deduped). Every probe is an
+    * equi-join on (table, bucket) — no cartesian anywhere — and the
+    * rerank joins fetch each candidate pair's vectors once. */
   val topKLsh: QueryDef = {
+    val bucketsSql = (0 until LshTables)
+      .map(t => s"SELECT $t AS tbl, vec_id, ${bucketBitsSqlTable(t)} AS bucket FROM flat GROUP BY vec_id")
+      .mkString(" UNION ALL ")
     QueryDef.sql(
       "sim_topk_lsh",
       s"""WITH $preparedSql,
-        |buckets AS (
-        |  SELECT vec_id, $bucketBitsSql AS bucket FROM flat GROUP BY vec_id),
+        |buckets AS ($bucketsSql),
         |cand AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
         |  FROM buckets q
         |  CROSS JOIN unnest($probeMasksSql) m(mask)
         |  JOIN buckets c
-        |    ON c.bucket = xor(q.bucket, CAST(m.mask AS INTEGER))
+        |    ON c.tbl = q.tbl
+        |   AND c.bucket = xor(q.bucket, CAST(m.mask AS INTEGER))
         |   AND q.vec_id <> c.vec_id
-        |  WHERE q.vec_id % 50 = 0),
+        |  WHERE q.vec_id % $QueryStride = 0),
         |dots AS (
         |  SELECT query_id, neighbor_id, sum(a.e * b.e) AS dot
         |  FROM cand
@@ -201,17 +265,25 @@ object Similarity {
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
       val prep = prepared(Tables.embeddings(s, d)).persist()
-      val buckets = lshBuckets(prep)
-      val withB = prep.join(buckets.select(col("vec_id"), col("bucket")), Seq("vec_id"))
-      val q = withB.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("bucket"), explode(probeMasksCol).as("mask"))
-      val c = withB.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
-        col("nrm").as("cn"), col("bucket").as("cbucket"))
+      val tb = lshBucketsMulti(prep)
+      val q = tb.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"),
+          explode(probeMasksCol).as("mask"))
+      val c = tb.select(col("vec_id").as("neighbor_id"),
+        col("tbl").as("ctbl"), col("bucket").as("cbucket"))
+      // A neighbor can collide in several tables/probes: dedup BEFORE
+      // the (more expensive) vector fetch + dot product.
+      val cand = q.join(c, col("tbl") === col("ctbl") &&
+          col("bucket").bitwiseXOR(col("mask")) === col("cbucket") &&
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id")).distinct()
+      val qv = prep.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      val cv = prep.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("rawcos").desc, col("neighbor_id"))
-      q.join(c, col("bucket").bitwiseXOR(col("mask")) === col("cbucket") &&
-          col("query_id") =!= col("neighbor_id"))
+      cand.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rawcos"))
         .withColumn("rank", row_number().over(w))
@@ -243,51 +315,69 @@ object Similarity {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** Number of independent hyperplane tables for [[bandedPairCosine]]
+    * (r5, advice: a single 4-bit table made banded ≡ exact a
+    * single-fixture property — a qualifying pair differing in ≥2 planes
+    * was silently dropped). With 2 tables a cos≥0.99 pair (p ≈ 0.975
+    * per-plane agreement) is missed only if BOTH tables put it at
+    * Hamming ≥ 2: (1−(p⁴+4p³(1−p)))² ≈ 2e-5. */
+  val BandTables = 2
+
   /** LSH-bucketed candidate pairs with EXACT cosine — the shared engine
     * of [[rangeSearchLsh]] and `Dedup.embeddingCosBanded`: candidates
-    * come from an equi-join on 4-bit hyperplane buckets with Hamming-1
-    * multi-probe (bucket equal, or differing in exactly one plane); each
-    * unordered pair meets exactly once because bucket distance ≤ 1
-    * matches exactly one probe mask and the id inequality fixes the
-    * orientation. Returns (v1, v2, rawcos) for every candidate pair —
-    * callers apply their own threshold. The dot is order-immune (summed
-    * by position; per-position products commute exactly), so the value
-    * is bit-identical to the all-pairs kernel's for any pair both emit. */
-  def bandedPairCosine(prep: DataFrame): DataFrame = {
-    val withB = prep
-      .join(lshBuckets(prep).select(col("vec_id"), col("bucket")), Seq("vec_id"))
-    val a = withB.select(col("vec_id").as("v1"), col("v").as("av"),
-      col("nrm").as("n1"), col("bucket"), explode(probeMasksCol).as("mask"))
-    val b = withB.select(col("vec_id").as("v2"), col("v").as("bv"),
-      col("nrm").as("n2"), col("bucket").as("cbucket"))
-    a.join(b, col("bucket").bitwiseXOR(col("mask")) === col("cbucket") &&
+    * come from equi-joins on 4-bit hyperplane buckets with Hamming-1
+    * multi-probe (bucket equal, or differing in exactly one plane) in
+    * [[BandTables]] independent tables, deduped across tables. Returns
+    * (v1, v2, rawcos) for every candidate pair — callers apply their
+    * own threshold. The dot is order-immune (summed by position;
+    * per-position products commute exactly), so the value is
+    * bit-identical to the all-pairs kernel's for any pair both emit. */
+  def bandedPairCosine(prep: DataFrame, tables: Int = BandTables): DataFrame = {
+    val tb = lshBucketsMulti(prep, tables)
+    val a = tb.select(col("vec_id").as("v1"), col("tbl"), col("bucket"),
+      explode(probeMasksCol).as("mask"))
+    val b = tb.select(col("vec_id").as("v2"), col("tbl").as("ctbl"),
+      col("bucket").as("cbucket"))
+    // Within one table a pair meets at most once (one mask matches, id
+    // order fixed); across tables it can repeat — dedup BEFORE the
+    // vector fetch so each dot product runs once.
+    val cand = a.join(b, col("tbl") === col("ctbl") &&
+        col("bucket").bitwiseXOR(col("mask")) === col("cbucket") &&
         col("v1") < col("v2"))
+      .select(col("v1"), col("v2")).distinct()
+    val av = prep.select(col("vec_id").as("v1"), col("v").as("av"),
+      col("nrm").as("n1"))
+    val bv = prep.select(col("vec_id").as("v2"), col("v").as("bv"),
+      col("nrm").as("n2"))
+    cand.join(av, Seq("v1")).join(bv, Seq("v2"))
       .select(col("v1"), col("v2"),
         (dot(col("av"), col("bv")) / (col("n1") * col("n2"))).as("rawcos"))
   }
 
   /** APPROXIMATE range search — the 100 TB path for threshold pair
-    * queries: candidates come from an equi-join on 4-bit hyperplane
+    * queries: candidates come from equi-joins on 4-bit hyperplane
     * buckets with Hamming-1 multi-probe (bucket equal, or differing in
-    * exactly one plane), instead of [[pairCosineKernel]]'s distributed
-    * all-pairs block join. Work drops from O(n²) to Σ_bucket |b|²·5/16 —
-    * and each unordered pair meets exactly once, because bucket distance
-    * ≤ 1 matches exactly one probe mask and the id inequality fixes the
-    * orientation, so no dedup stage is needed. Recall vs the exact
-    * kernel is pinned in the suite; more planes trade recall for
-    * sharper pruning. */
+    * exactly one plane) in [[BandTables]] independent tables, instead
+    * of [[pairCosineKernel]]'s distributed all-pairs block join. Work
+    * drops from O(n²) to Σ_table Σ_bucket |b|²·5/16, deduped across
+    * tables. Recall vs the exact kernel is pinned in the suite; more
+    * tables trade compute for recall, more planes for sharper
+    * pruning. */
   val rangeSearchLsh: QueryDef = {
+    val bandBucketsSql = (0 until BandTables)
+      .map(t => s"SELECT $t AS tbl, vec_id, ${bucketBitsSqlTable(t)} AS bucket FROM flat GROUP BY vec_id")
+      .mkString(" UNION ALL ")
     QueryDef.sql(
       "sim_range_search_lsh",
       s"""WITH $preparedSql,
-        |buckets AS (
-        |  SELECT vec_id, $bucketBitsSql AS bucket FROM flat GROUP BY vec_id),
+        |buckets AS ($bandBucketsSql),
         |cand AS (
-        |  SELECT a.vec_id AS v1, b.vec_id AS v2
+        |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
         |  FROM buckets a
         |  CROSS JOIN unnest($probeMasksSql) m(mask)
         |  JOIN buckets b
-        |    ON b.bucket = xor(a.bucket, CAST(m.mask AS INTEGER))
+        |    ON b.tbl = a.tbl
+        |   AND b.bucket = xor(a.bucket, CAST(m.mask AS INTEGER))
         |   AND a.vec_id < b.vec_id),
         |dots AS (
         |  SELECT v1, v2, sum(a.e * b.e) AS dot
@@ -364,7 +454,7 @@ object Similarity {
     * rank candidates by exact cosine. Centroids are a tiny broadcast
     * side; the corpus shuffles once on the cell id. */
   def ivfTopKDet(prep: DataFrame, queries: DataFrame, k: Int,
-      centroidStep: Int = 64, nprobe: Int = 2): DataFrame = {
+      centroidStep: Int = CentroidStep, nprobe: Int = 2): DataFrame = {
     val cent = broadcast(prep.filter(col("vec_id") % centroidStep === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv")))
     def sqDist(a: Column, b: Column): Column =
@@ -388,8 +478,13 @@ object Similarity {
       .join(queries.select(col("vec_id")), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cid").as("cell"))
+    // Rank on the QUANTIZED cosine (r5, advice): Spark's sequential dot
+    // and DuckDB's sum() can differ by ulps, so ordering on the raw
+    // double leaves rank boundaries one ulp from flipping; at 1e-12
+    // grain both engines agree and neighbor_id breaks the (now exact)
+    // ties identically.
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("rawcos").desc, col("neighbor_id"))
+      .orderBy(round(col("rawcos"), 12).desc, col("neighbor_id"))
     probes.join(assign, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -404,11 +499,13 @@ object Similarity {
     * candidate + exact-cosine-rank flow (centroidStep 64, nprobe 4,
     * queries vec_id % 50 = 0) over `flat`/`norms`. Shared by
     * [[topKIvf]] (rank ≤ 5) and [[hybridRrf]]'s vector channel
-    * (rank ≤ 20) so the two oracles can never drift onto different
-    * quantizers. */
+    * (rank ≤ FusionDepth) so the two oracles can never drift onto
+    * different quantizers. All tuning values interpolate the shared
+    * CentroidStep/IvfNprobe/QueryStride constants (r5, advice) so one
+    * edit cannot desynchronize SQL and Spark. */
   private val ivfRankedSql =
     s"""centflat AS (
-      |  SELECT vec_id AS cid, pos, e FROM flat WHERE vec_id % 64 = 0),
+      |  SELECT vec_id AS cid, pos, e FROM flat WHERE vec_id % $CentroidStep = 0),
       |dist AS (
       |  SELECT f.vec_id, c.cid, sum((f.e - c.e) * (f.e - c.e)) AS d
       |  FROM flat f JOIN centflat c ON c.pos = f.pos
@@ -421,7 +518,7 @@ object Similarity {
       |  SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
       |probe AS (
       |  SELECT vec_id AS query_id, cid AS cell FROM ranked_cells
-      |  WHERE rn <= 4 AND vec_id % 50 = 0),
+      |  WHERE rn <= $IvfNprobe AND vec_id % $QueryStride = 0),
       |cand AS (
       |  SELECT p.query_id, a.vec_id AS neighbor_id
       |  FROM probe p JOIN assign a ON a.cell = p.cell
@@ -435,7 +532,7 @@ object Similarity {
       |ranked AS (
       |  SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS rawcos,
       |    row_number() OVER (PARTITION BY query_id
-      |                       ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+      |                       ORDER BY round(dot / (nq.nrm * nc.nrm), 12) DESC, neighbor_id) AS rank
       |  FROM dots
       |  JOIN norms nq ON nq.vec_id = query_id
       |  JOIN norms nc ON nc.vec_id = neighbor_id)""".stripMargin
@@ -451,12 +548,13 @@ object Similarity {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val prep = prepared(Tables.embeddings(s, d)).persist()
-    val queries = prep.filter(col("vec_id") % 50 === 0)
-    // nprobe=4 ⇒ recall@5 = 0.70 vs brute force on the (unstructured)
-    // fixture corpus; probed work is ~4·centroidStep vectors per query
-    // regardless of corpus size, so the candidate fraction shrinks as
-    // the corpus grows.
-    ivfTopKDet(prep, queries, 5, centroidStep = 64, nprobe = 4)
+    val queries = prep.filter(col("vec_id") % QueryStride === 0)
+    // IvfNprobe=6 ⇒ recall@5 = 0.84 vs brute force on the
+    // (unstructured) fixture corpus (r5, raised from 0.70 at nprobe 4);
+    // probed work is ~nprobe·centroidStep vectors per query regardless
+    // of corpus size, so the candidate fraction shrinks as the corpus
+    // grows.
+    ivfTopKDet(prep, queries, 5, centroidStep = CentroidStep, nprobe = IvfNprobe)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -491,7 +589,7 @@ object Similarity {
       |$ivfRankedSql,
       |vecr AS (
       |  SELECT query_id AS qid, neighbor_id AS cand, rank AS rv
-      |  FROM ranked WHERE rank <= 20),
+      |  FROM ranked WHERE rank <= $FusionDepth),
       |corpus AS (SELECT doc_id, text FROM documents),
       |${Dedup.encodedToksSql},
       |${Dedup.shinglesSql},
@@ -501,13 +599,13 @@ object Similarity {
       |lex AS (
       |  SELECT q.doc_id AS qid, c.doc_id AS cand, count(*) AS overlap
       |  FROM shc q JOIN shc c ON c.x = q.x AND c.doc_id <> q.doc_id
-      |  WHERE q.doc_id % 50 = 0
+      |  WHERE q.doc_id % $QueryStride = 0
       |  GROUP BY 1, 2),
       |lexr AS (
       |  SELECT qid, cand,
       |    row_number() OVER (PARTITION BY qid
       |                       ORDER BY overlap DESC, cand) AS rl
-      |  FROM lex QUALIFY rl <= 20),
+      |  FROM lex QUALIFY rl <= $FusionDepth),
       |fused AS (
       |  SELECT coalesce(l.qid, v.qid) AS qid,
       |    coalesce(l.cand, v.cand) AS cand,
@@ -526,7 +624,7 @@ object Similarity {
     val rare = shAll.groupBy(col("x")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= Dedup.DfCap).select(col("x"))
     val shc = shAll.join(rare, Seq("x")).persist()
-    val qt = shc.filter(col("doc_id") % 50 === 0)
+    val qt = shc.filter(col("doc_id") % QueryStride === 0)
       .select(col("doc_id").as("qid"), col("x"))
     val ct = shc.select(col("doc_id").as("cand"), col("x"))
     val wl = Window.partitionBy(col("qid"))
@@ -534,11 +632,11 @@ object Similarity {
     val lexr = qt.join(ct, Seq("x"))
       .filter(col("cand") =!= col("qid"))
       .groupBy(col("qid"), col("cand")).agg(count(lit(1)).as("overlap"))
-      .withColumn("rl", row_number().over(wl)).filter(col("rl") <= 20)
+      .withColumn("rl", row_number().over(wl)).filter(col("rl") <= FusionDepth)
       .select(col("qid"), col("cand"), col("rl"))
     val prep = prepared(Tables.embeddings(s, d)).persist()
-    val vecr = ivfTopKDet(prep, prep.filter(col("vec_id") % 50 === 0),
-        20, centroidStep = 64, nprobe = 4)
+    val vecr = ivfTopKDet(prep, prep.filter(col("vec_id") % QueryStride === 0),
+        FusionDepth, centroidStep = CentroidStep, nprobe = IvfNprobe)
       .select(col("query_id").as("vqid"), col("neighbor_id").as("vcand"),
         col("rank").as("rv"))
     val fused = lexr.join(vecr,
@@ -604,8 +702,10 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"),
         col("cid").as("cell"))
+    // Quantized ranking — must stay identical to ivfTopKDet (the suite
+    // pins index-vs-transient equality).
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("rawcos").desc, col("neighbor_id"))
+      .orderBy(round(col("rawcos"), 12).desc, col("neighbor_id"))
     probes.join(corpus, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

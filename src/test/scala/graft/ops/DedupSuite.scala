@@ -72,4 +72,31 @@ class DedupSuite extends SparkSessionSuite {
     assert(planted.exists(d =>
       labels.contains(d + 10000) && labels.contains(d + 20000)))
   }
+
+  /** banded ≡ exact must hold beyond the driver fixture (r5, advice: a
+    * single-table band made the equality a single-fixture property).
+    * Independent seeded corpus: 300 random vectors + 30 planted
+    * near-dups (scaled + jittered copies, cos ≈ 0.9999). The two-table
+    * Hamming-1 band must recover EVERY cos ≥ 0.99 pair the exact
+    * all-pairs kernel finds — deterministic under the fixed seed. */
+  test("banded embedding near-dup equals the exact kernel on a perturbed corpus") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(17)
+    val base = (0L until 300L).map(i =>
+      (i, Seq.fill(64)(rng.nextGaussian().toFloat)))
+    val planted = base.filter(_._1 % 10 == 0).map { case (i, v) =>
+      (i + 1000L, v.map(x => x * 1.02f + (rng.nextGaussian() * 0.01).toFloat))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val prep = Similarity.prepared(emb).persist()
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.filter(col("rawcos") >= 0.99).select("v1", "v2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.pairCosineKernel(prep, 0.99))
+    val banded = pairs(Similarity.bandedPairCosine(prep))
+    exact.size should be >= 25 // the planted near-dups really qualify
+    banded shouldBe exact
+    prep.unpersist()
+  }
 }
