@@ -35,7 +35,8 @@ case class AsOfJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    tolerance: Option[Long]) extends BinaryNode {
+    tolerance: Option[Long],
+    broadcastRight: Option[Boolean] = None) extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length,
     "as-of join needs the same number of keys on both sides")
@@ -49,12 +50,21 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoin]] into [[AsOfJoinExec]]. Injected via
+/** Plans [[AsOfJoin]] into [[BroadcastAsOfJoinExec]] when the right
+  * side fits the session's broadcast threshold (same stats test as
+  * Spark's own JoinSelection) or the caller forced it, else the
+  * shuffle-sort-merge [[AsOfJoinExec]]. `broadcastRight = Some(false)`
+  * pins the shuffle form regardless of stats. Injected via
   * `injectPlannerStrategy`. */
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, bcast) =>
+      val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val broadcast = bcast.getOrElse(thr > 0 && r.stats.sizeInBytes <= thr)
+      if (broadcast)
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -72,9 +82,13 @@ object AsOf {
     * ids so self-joins (both sides reading the same table) bind
     * correctly.
     */
+  /** `broadcastRight`: None (default) lets the planner choose by the
+    * right side's size statistics vs `autoBroadcastJoinThreshold`;
+    * Some(true)/Some(false) force the broadcast / shuffle form. */
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
            leftTime: String, rightTime: String,
-           tolerance: Option[Long] = None): DataFrame = {
+           tolerance: Option[Long] = None,
+           broadcastRight: Option[Boolean] = None): DataFrame = {
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"as-of join requires disjoint column names; " +
       s"shared: ${dup.mkString(", ")}")
@@ -92,7 +106,8 @@ object AsOf {
       lPlan, rPlan,
       keys.map { case (l, _) => res(lPlan.output, l) },
       keys.map { case (_, r) => res(rOut, r) },
-      res(lPlan.output, leftTime), res(rOut, rightTime), tolerance)
+      res(lPlan.output, leftTime), res(rOut, rightTime), tolerance,
+      broadcastRight)
     org.apache.spark.sql.graftshim.Shim.ofRows(left.sparkSession, node)
   }
 }

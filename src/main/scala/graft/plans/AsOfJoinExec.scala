@@ -161,3 +161,131 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 }
+
+/** Broadcast backward as-of join — picked by [[AsOfStrategy]] when the
+  * right side fits the broadcast threshold (or the caller forces it):
+  * the LEFT side keeps its partitioning and ordering untouched (zero
+  * shuffles, zero sorts), the right side ships once per executor via a
+  * broadcast exchange — the single exchange in the whole plan. Each
+  * task builds a key → time-sorted-rows index from the broadcast array
+  * (O(|R| log |R|), tiny by admission) and answers every left row with
+  * a binary search for the greatest rightTime <= leftTime.
+  *
+  * This is the as-of analogue of BroadcastHashJoin vs SortMergeJoin:
+  * for a small dimension-like right side (price marks, config epochs,
+  * calibration tables) the shuffle variant's two exchanges + two sorts
+  * are pure overhead. Tie semantics match the merge variant's contract
+  * (an arbitrary max-time row among duplicate (key, time) right rows;
+  * keep them unique for full determinism — fixture queries do). */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    tolerance: Option[Long],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  require(tolerance.isEmpty || Seq(leftTime.dataType, rightTime.dataType)
+    .forall {
+      case org.apache.spark.sql.types.LongType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }, "as-of tolerance requires long-backed time columns")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) :: Nil
+
+  // left rows stream through untouched, in their incoming order
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val outAttrs = output
+    val tol = tolerance
+
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions({ lIter =>
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(rTimeExpr.dataType))
+      // key -> right rows with their time rows, time-ascending (stable
+      // sort: among duplicate times the later broadcast row wins, the
+      // analogue of the merge variant's last-buffered-wins)
+      val index = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]()
+      broadcastRows.value.foreach { r =>
+        val k = rKeyProj(r)
+        val t = rTimeProj(r)
+        if (!k.anyNull && !t.isNullAt(0)) {
+          var buf = index.get(k)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer
+              .empty[(UnsafeRow, InternalRow)]
+            index.put(k.copy(), buf)
+          }
+          buf += ((t.copy(), r))
+        }
+      }
+      index.values.forEach(buf =>
+        buf.sortInPlaceWith((a, b) => timeOrd.compare(a._1, b._1) < 0))
+
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+
+      lIter.map { l =>
+        numOutputRows += 1
+        val lKey = lKeyProj(l)
+        val lTimeRow = lTimeProj(l)
+        if (lKey.anyNull || lTimeRow.isNullAt(0)) {
+          resultProj(joined(l, nullRight))
+        } else {
+          val buf = index.get(lKey)
+          var best: InternalRow = null
+          if (buf != null) {
+            // rightmost entry with time <= lTime; the merge variant's
+            // contract: if even the max-time match is outside the
+            // tolerance window, nothing matches
+            var ans = -1
+            var lo = 0
+            var hi = buf.length - 1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (timeOrd.compare(buf(mid)._1, lTimeRow) <= 0) {
+                ans = mid; lo = mid + 1
+              } else hi = mid - 1
+            }
+            if (ans >= 0 && tol.forall(t =>
+                lTimeRow.getLong(0) - buf(ans)._1.getLong(0) <= t))
+              best = buf(ans)._2
+          }
+          resultProj(joined(l, if (best != null) best else nullRight))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

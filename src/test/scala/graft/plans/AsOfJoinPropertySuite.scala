@@ -70,19 +70,27 @@ class AsOfJoinPropertySuite extends SparkSessionSuite {
       val left = l.toDF("k", "t", "lid")
       val right = r.map { case (k, t, id) => (k, t, id) }
         .toDF("rk", "rt", "rid")
-      val got = AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt", tol)
-        .select("lid", "rid").collect()
-        .map(row => row.getInt(0) ->
-          (if (row.isNullAt(1)) None else Some(row.getInt(1))))
-        .toMap
+      // Both physical forms (alternating per case to bound runtime,
+      // both pinned on the first cases) must satisfy the same
+      // reference semantics.
+      val forms: Seq[Boolean] =
+        if (i < 10) Seq(false, true) else Seq(i % 2 == 1)
       val expect = reference(l, r, tol)
-      withClue(s"case $i: left=$l right=$r tol=$tol\n") {
-        got.keySet shouldBe expect.keySet // exactly one row per left row
-        got.foreach { case (lid, rid) =>
-          withClue(s"lid=$lid got=$rid acceptable=${expect(lid)}: ") {
-            rid match {
-              case Some(r0) => assert(expect(lid).contains(r0))
-              case None => assert(expect(lid).isEmpty)
+      forms.foreach { bcast =>
+        val got = AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt", tol,
+            broadcastRight = Some(bcast))
+          .select("lid", "rid").collect()
+          .map(row => row.getInt(0) ->
+            (if (row.isNullAt(1)) None else Some(row.getInt(1))))
+          .toMap
+        withClue(s"case $i (broadcast=$bcast): left=$l right=$r tol=$tol\n") {
+          got.keySet shouldBe expect.keySet // exactly one row per left row
+          got.foreach { case (lid, rid) =>
+            withClue(s"lid=$lid got=$rid acceptable=${expect(lid)}: ") {
+              rid match {
+                case Some(r0) => assert(expect(lid).contains(r0))
+                case None => assert(expect(lid).isEmpty)
+              }
             }
           }
         }

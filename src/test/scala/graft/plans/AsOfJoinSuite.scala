@@ -61,20 +61,64 @@ class AsOfJoinSuite extends SparkSessionSuite {
       "stale" -> null)   // best match r105 has gap 195 > 100
   }
 
-  test("plan uses AsOfJoinExec with one exchange per side") {
+  test("shuffle plan uses AsOfJoinExec with one exchange per side") {
     val s = spark
     import s.implicits._
     val left = Seq((1, 10L, "a")).toDF("k", "t", "lv")
     val right = Seq((1, 3L, "b")).toDF("rk", "rt", "rv")
-    val df = AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt")
+    val df = AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
+      broadcastRight = Some(false))
     val plan = df.queryExecution.executedPlan.toString
     withClue(plan) {
       assert(plan.contains("AsOfJoin"))
+      assert(!plan.contains("BroadcastAsOfJoin"))
       assert(!plan.contains("CartesianProduct"))
       assert(!plan.contains("BroadcastNestedLoopJoin"))
       // exactly the two key shuffles, nothing more
       assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2)
     }
+  }
+
+  test("small right side auto-selects the broadcast form: zero shuffles") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1, 10L, "a"), (2, 7L, "b")).toDF("k", "t", "lv")
+    val right = Seq((1, 3L, "x"), (2, 9L, "y")).toDF("rk", "rt", "rv")
+    // tiny in-memory right side is far under autoBroadcastJoinThreshold
+    val df = AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt")
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      assert(plan.contains("BroadcastAsOfJoin"))
+      assert(plan.contains("BroadcastExchange"))
+      assert(!"Exchange hashpartitioning".r.findFirstIn(plan).isDefined)
+    }
+    df.select("lv", "rv").collect().map(r =>
+      (r.getString(0), r.getString(1))).toMap shouldBe
+      Map("a" -> "x", "b" -> null) // rt 9 > t 7 for key 2
+  }
+
+  test("broadcast and shuffle forms are bit-identical on events") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(s, dir)
+    val errors = ev.filter(org.apache.spark.sql.functions.col("event_type") === "error")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts").as("t"),
+        org.apache.spark.sql.functions.col("event_id").as("error_id"))
+    val clicks = ev.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select(org.apache.spark.sql.functions.col("user_id").as("c_user_id"),
+        org.apache.spark.sql.functions.col("ts").as("c_t"),
+        org.apache.spark.sql.functions.col("event_id").as("click_id"))
+    def run(bcast: Boolean): Seq[Seq[Any]] =
+      AsOf.join(errors, clicks, Seq("user_id" -> "c_user_id"), "t", "c_t",
+          tolerance = None, broadcastRight = Some(bcast))
+        .orderBy("error_id").collect()
+        .map(_.toSeq.toIndexedSeq).toIndexedSeq
+    val shuffleForm = run(false)
+    val broadcastForm = run(true)
+    shuffleForm.length should be > 0
+    broadcastForm shouldBe shuffleForm
   }
 
   test("agrees exactly with the union+window composition on events") {
