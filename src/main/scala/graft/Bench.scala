@@ -43,6 +43,7 @@ object Bench {
       .filter(n => only.forall(_.findFirstIn(n).isDefined))
 
     val results = selected.map { name =>
+      InternalCaches.releaseAll() // paired release of operator-internal persists
       spark.catalog.clearCache() // isolate queries from each other's state
       // One-time input staging runs OUTSIDE the timed region. A staging
       // failure must be visible — the query would otherwise fail (or

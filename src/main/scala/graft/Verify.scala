@@ -41,7 +41,10 @@ object Verify {
           .delete(stale, true)
       }
       // Queries persist intermediates; drop them so no state leaks
-      // across queries (memory pressure distorts later ones).
+      // across queries (memory pressure distorts later ones). The
+      // registry drain is the library-consumer release path exercised
+      // here too; clearCache sweeps whatever else a query pinned.
+      InternalCaches.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -216,8 +216,9 @@ object Dedup {
   private def lshCandidatePairs(sh: DataFrame): DataFrame = {
     val mhCols = (0 until NumHashes).map(j =>
       min((col("x") * (2 * j + 3) + (5 * j + 7)) % P).as(s"mh$j"))
-    val sig = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-      .persist()
+    val sig = graft.InternalCaches.register(
+      sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+        .persist())
     val banded = sig.select(
       (col("doc_id") +: (0 until Bands).map { b =>
         val base = b * RowsPerBand
@@ -362,7 +363,7 @@ object Dedup {
     graft.Knobs.withShufflePartitions(spark, 8) {
       val edges = pair
         .unionAll(pair.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
-        .toDF("src", "dst").persist()
+        .toDF("src", "dst").persist() // paired: edges.unpersist() below
       // Min-label propagation to a fixpoint. Every node appears as a src
       // (edges are symmetric), so the neighbor-min join is inner; the
       // node's own label joins the min via least().
@@ -538,7 +539,7 @@ object Dedup {
     val shAll = shingles(encodedToks(corpusNear(Tables.documents(s, d))))
     val rare = shAll.groupBy(col("x")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select(col("x"))
-    val sh = shAll.join(rare, Seq("x")).persist()
+    val sh = graft.InternalCaches.register(shAll.join(rare, Seq("x")).persist())
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.x") === col("b.x") &&
@@ -622,7 +623,8 @@ object Dedup {
   val embeddingCosBanded: QueryDef =
     QueryDef.sql("dedup_embedding_cos_banded", embCosOracleSql) { (s, d) =>
       Similarity.bandedPairCosine(
-          corpusScaledEmb(Tables.embeddings(s, d)).persist())
+          graft.InternalCaches.register(
+            corpusScaledEmb(Tables.embeddings(s, d)).persist()))
         .filter(col("rawcos") >= 0.99)
         .select(col("v1"), col("v2"), round(col("rawcos"), 6).as("cos"))
         .orderBy(col("v1"), col("v2"))

@@ -214,7 +214,8 @@ object Similarity {
       |SELECT query_id, rank, neighbor_id, round(rawcos, 6) AS cos
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-    val prep = prepared(Tables.embeddings(s, d)).persist()
+    val prep = graft.InternalCaches.register(
+      prepared(Tables.embeddings(s, d)).persist())
     val queries = prep.filter(col("vec_id") % 50 === 0)
     cosineTopK(queries, prep, 5)
       .orderBy(col("query_id"), col("rank"))
@@ -264,7 +265,8 @@ object Similarity {
         |SELECT query_id, rank, neighbor_id, round(rawcos, 6) AS cos
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-      val prep = prepared(Tables.embeddings(s, d)).persist()
+      val prep = graft.InternalCaches.register(
+      prepared(Tables.embeddings(s, d)).persist())
       val tb = lshBucketsMulti(prep)
       val q = tb.filter(col("vec_id") % QueryStride === 0)
         .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"),
@@ -391,7 +393,8 @@ object Similarity {
         |JOIN norms n2 ON n2.vec_id = v2
         |WHERE dot / (n1.nrm * n2.nrm) >= 0.35
         |ORDER BY v1, v2""".stripMargin) { (s, d) =>
-      val prep = prepared(Tables.embeddings(s, d)).persist()
+      val prep = graft.InternalCaches.register(
+      prepared(Tables.embeddings(s, d)).persist())
       bandedPairCosine(prep)
         .filter(col("rawcos") >= 0.35)
         .select(col("v1"), col("v2"), round(col("rawcos"), 6).as("cos"))
@@ -472,6 +475,7 @@ object Similarity {
       .withColumn("rn", row_number().over(byDist))
       .filter(col("rn") <= nprobe)
       .persist()
+    graft.InternalCaches.register(ranked)
     val assign = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
     val probes = ranked
@@ -547,7 +551,8 @@ object Similarity {
       |SELECT query_id, rank, neighbor_id, round(rawcos, 6) AS cos
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-    val prep = prepared(Tables.embeddings(s, d)).persist()
+    val prep = graft.InternalCaches.register(
+      prepared(Tables.embeddings(s, d)).persist())
     val queries = prep.filter(col("vec_id") % QueryStride === 0)
     // IvfNprobe=6 ⇒ recall@5 = 0.84 vs brute force on the
     // (unstructured) fixture corpus (r5, raised from 0.70 at nprobe 4);
@@ -623,7 +628,7 @@ object Similarity {
       docs.select(col("doc_id"), col("text"))))
     val rare = shAll.groupBy(col("x")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= Dedup.DfCap).select(col("x"))
-    val shc = shAll.join(rare, Seq("x")).persist()
+    val shc = graft.InternalCaches.register(shAll.join(rare, Seq("x")).persist())
     val qt = shc.filter(col("doc_id") % QueryStride === 0)
       .select(col("doc_id").as("qid"), col("x"))
     val ct = shc.select(col("doc_id").as("cand"), col("x"))
@@ -634,7 +639,8 @@ object Similarity {
       .groupBy(col("qid"), col("cand")).agg(count(lit(1)).as("overlap"))
       .withColumn("rl", row_number().over(wl)).filter(col("rl") <= FusionDepth)
       .select(col("qid"), col("cand"), col("rl"))
-    val prep = prepared(Tables.embeddings(s, d)).persist()
+    val prep = graft.InternalCaches.register(
+      prepared(Tables.embeddings(s, d)).persist())
     val vecr = ivfTopKDet(prep, prep.filter(col("vec_id") % QueryStride === 0),
         FusionDepth, centroidStep = CentroidStep, nprobe = IvfNprobe)
       .select(col("query_id").as("vqid"), col("neighbor_id").as("vcand"),
