@@ -230,16 +230,39 @@ class FactorizationMachinesSGD(override val uid: String)
       (aggregate(col("vecArr"), lit(0.0), (a, v) => a + v * v)
         * col("x") * col("x")).as("vi2xi2"))
 
-    // Per-sample sums broadcast back onto every feature row — W1/W2 as
-    // k+3 scalar window sums (one shuffle+sort on sampleId).
-    val vfCols = (0 until k).map(f =>
-      sum(element_at(col("vfxi"), f + 1)).over(w).as(s"_vfs$f"))
-    val withSums = terms.select(
-      (Seq(col("label"), col("sampleId"), col("featureId"), col("x"),
-        col("vecArr"),
-        sum(col("wixi")).over(w).as("wixiSum"),
-        sum(col("vi2xi2")).over(w).as("vi2xi2Sum"),
-        count(lit(1)).over(w).as("cnt")) ++ vfCols): _*)
+    // Per-sample sums broadcast back onto every feature row. Two
+    // value-identical shapes (both accumulate doubles in arbitrary
+    // within-sample order; the SGD oracles and golden gradient tests
+    // gate bit-equality):
+    //  - WINDOW (default): k+3 scalar window sums — ONE shuffle of the
+    //    exploded rows on sampleId plus an in-partition sort.
+    //  - GROUPBY+JOIN (env GRAFT_FM_GROUPBY_SUMS=true): partial-
+    //    aggregated groupBy (small shuffle) + an equi-join back onto
+    //    the exploded rows (second full shuffle, no sort).
+    // Measured at sf0.1 (COVERAGE.md r5): the window form wins —
+    // the join-back's second full shuffle costs more than the window
+    // sort saves. Kept switchable for re-measurement on other shapes.
+    val withSums = if (sys.env.get("GRAFT_FM_GROUPBY_SUMS").contains("true")) {
+      val aggs = Seq(
+        sum(col("wixi")).as("wixiSum"),
+        sum(col("vi2xi2")).as("vi2xi2Sum"),
+        count(lit(1)).as("cnt")) ++
+        (0 until k).map(f => sum(element_at(col("vfxi"), f + 1)).as(s"_vfs$f"))
+      val persample = terms.groupBy(col("sampleId"))
+        .agg(aggs.head, aggs.tail: _*)
+      terms.select(col("label"), col("sampleId"), col("featureId"),
+          col("x"), col("vecArr"))
+        .join(persample, Seq("sampleId"))
+    } else {
+      val vfCols = (0 until k).map(f =>
+        sum(element_at(col("vfxi"), f + 1)).over(w).as(s"_vfs$f"))
+      terms.select(
+        (Seq(col("label"), col("sampleId"), col("featureId"), col("x"),
+          col("vecArr"),
+          sum(col("wixi")).over(w).as("wixiSum"),
+          sum(col("vi2xi2")).over(w).as("vi2xi2Sum"),
+          count(lit(1)).over(w).as("cnt")) ++ vfCols): _*)
+    }
 
     val normSq = (0 until k).map(f => col(s"_vfs$f") * col(s"_vfs$f")).reduce(_ + _)
     // Training prediction is UNCLIPPED (Model:221 — calcLossGrad has no clip).
