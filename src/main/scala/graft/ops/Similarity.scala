@@ -420,21 +420,28 @@ object Similarity {
       .setPredictionCol("cell").fit(assembled)
     val assigned = model.transform(assembled)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    val centers = model.clusterCenters.map(_.toArray)
-    val bc = spark.sparkContext.broadcast(centers)
-    val probeCells = udf { (v: Seq[Double]) =>
-      bc.value.zipWithIndex
-        .map { case (c, i) =>
-          var d = 0.0
-          var j = 0
-          while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-          (d, i)
-        }
-        .sortBy(_._1).take(nprobe).map(_._2)
-    }
+    // Probe-cell selection as a broadcast crossJoin + window rank over
+    // the tiny centroid table (r5 — replaces a per-row Scala UDF over a
+    // broadcast array with the same codegen'd zip_with/aggregate shape
+    // ivfTopKDet uses; ties broken by cell id for determinism).
+    import spark.implicits._
+    val cent = broadcast(model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("pcell", "cv"))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val byDist = Window.partitionBy(col("query_id"))
+      .orderBy(col("pd"), col("pcell"))
     val q = queries
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), explode(probeCells(col("v"))).as("cell"))
+        col("nrm").as("qn"))
+      .crossJoin(cent)
+      .withColumn("pd", sqDist(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(byDist))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("pcell").as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rawcos").desc, col("neighbor_id"))
     q.join(assigned, Seq("cell"))
