@@ -18,8 +18,10 @@ class PlanAuditSuite extends SparkSessionSuite {
   /** Banded/bucketed candidate generation must never degenerate into a
     * cartesian (inequality-only) join. */
   test("banded and bucketed pair queries contain no cartesian join") {
+    // sim_topk_lsh joined the list in r5: the OR-amplified multi-table
+    // candidates are still pure (table, bucket) equi-joins.
     Seq("dedup_simhash_banded", "dedup_minhash_lsh", "sim_range_search_lsh",
-      "adv_range_join_bucketed", "dedup_embedding_cos_banded")
+      "adv_range_join_bucketed", "dedup_embedding_cos_banded", "sim_topk_lsh")
       .foreach { q =>
         val plan = physicalPlan(q)
         withClue(s"$q plan:\n$plan\n") {
@@ -27,6 +29,26 @@ class PlanAuditSuite extends SparkSessionSuite {
           assert(!plan.contains("BroadcastNestedLoopJoin"))
         }
       }
+    // IVF's centroid stages are bounded broadcast crossJoins against
+    // the tiny centroid table (inherent to IVF assignment) — but never
+    // a corpus-by-corpus cartesian.
+    val ivf = physicalPlan("sim_topk_ivf")
+    withClue(s"sim_topk_ivf plan:\n$ivf\n") {
+      assert(!ivf.contains("CartesianProduct"))
+      assert("BroadcastNestedLoopJoin".r.findAllIn(ivf).size <= 2)
+    }
+  }
+
+  /** The native as-of query must plan one of the two custom operators
+    * (stats pick broadcast or shuffle-merge) and never a cartesian. */
+  test("as-of query plans a custom as-of operator, no cartesian") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val plan = physicalPlan("adv_asof_native")
+    withClue(plan) {
+      assert(plan.contains("AsOfJoin")) // either physical form
+      assert(!plan.contains("CartesianProduct"))
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+    }
   }
 
   /** The ORC roundtrip's filter must reach the ORC reader as a pushed
