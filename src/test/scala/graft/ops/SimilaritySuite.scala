@@ -90,6 +90,22 @@ class SimilaritySuite extends SparkSessionSuite {
     brute.keySet.count(k => ivf.get(k).contains(brute(k))) should be >= 10
   }
 
+  /** The r5 scale-killer: centroids grew as n/64, so the broadcast
+    * centroid table and the assignment crossJoin were O(n²/64). The
+    * fixed-budget rule must yield ~IvfNlist centroids at EVERY corpus
+    * size — asserted here on two corpora 4× apart. */
+  test("IVF centroid budget is independent of corpus size") {
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val prep = Similarity.prepared(graft.Tables.embeddings(spark, dir))
+      val n = prep.count()
+      val stride = Similarity.ivfStride(n)
+      val cents = prep.filter(col("vec_id") % stride === 0).count()
+      withClue(s"$dir n=$n stride=$stride: ") {
+        cents shouldBe Similarity.IvfNlist.toLong
+      }
+    }
+  }
+
   test("persisted IVF index answers identically to the transient form") {
     val s = spark
     val dir = "/root/testdata/sf0.001"
@@ -97,12 +113,12 @@ class SimilaritySuite extends SparkSessionSuite {
     val prep = Similarity.prepared(graft.Tables.embeddings(s, dir)).persist()
     val queries = prep.filter(col("vec_id") % 50 === 0)
 
-    Similarity.saveIvfIndex(prep, base, centroidStep = 64)
+    Similarity.saveIvfIndex(prep, base, nlist = 8)
     val fromIndex = Similarity.topKFromIvfIndex(s, base, queries, k = 5,
         nprobe = 4)
       .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq)
     val transient = Similarity.ivfTopKDet(prep, queries, 5,
-        centroidStep = 64, nprobe = 4)
+        nlist = 8, nprobe = 4)
       .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq)
 
     fromIndex should not be empty

@@ -39,6 +39,22 @@ class PlanAuditSuite extends SparkSessionSuite {
     }
   }
 
+  /** The IVF assignment's broadcast side must be the FIXED-BUDGET
+    * centroid table — the filter deriving it uses the count-derived
+    * stride (ceil(n/IvfNlist)), not a constant step whose centroid
+    * count would grow with the corpus (the r5 scale-killer). */
+  test("IVF assignment broadcasts the fixed-budget centroid table") {
+    val n = graft.Tables.embeddings(spark, dir).count()
+    val stride = graft.ops.Similarity.ivfStride(n)
+    val plan = physicalPlan("sim_topk_ivf")
+    withClue(plan) {
+      assert(plan.contains("BroadcastExchange"))
+      // the centroid-selection filter with the derived stride sits on
+      // the broadcast (build) side of the assignment crossJoin
+      assert(plan.contains(s"% $stride)"))
+    }
+  }
+
   /** The native as-of query must plan one of the two custom operators
     * (stats pick broadcast or shuffle-merge) and never a cartesian. */
   test("as-of query plans a custom as-of operator, no cartesian") {
