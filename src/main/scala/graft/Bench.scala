@@ -65,14 +65,18 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The driver captures stdout with a bounded tail that can truncate the
     // per-query map; persist the complete map so timings stay auditable
-    // round-over-round.
+    // round-over-round. A SPARK_GRAFT_ONLY subset must never clobber the
+    // committed full-bench record (r6, advice) — partial runs default to
+    // BENCH_SUBSET.json unless an output path is given explicitly.
+    val defaultOut =
+      if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+      val out = java.nio.file.Paths.get(outPath)
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}")
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     println(line)
     spark.stop()

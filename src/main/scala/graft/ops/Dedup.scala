@@ -209,30 +209,59 @@ object Dedup {
       |  JOIN sig a ON a.doc_id = c.doc1
       |  JOIN sig b ON b.doc_id = c.doc2)""".stripMargin
 
+  /** Maximum docs a single (band, value) bucket may hold and still
+    * self-join in [[lshCandidatePairs]] (r6, verdict): a bucket of b
+    * docs emits b·(b−1)/2 candidates, so one boilerplate-heavy cluster
+    * (thousands of near-identical docs) turns the band join quadratic —
+    * the same stop-phrase failure mode [[DfCap]] guards the Jaccard
+    * index against. Hot buckets are dropped WITH A LOGGED COUNT; the
+    * default is far above any fixture bucket (max observed 3), so the
+    * uncapped SQL oracle stays bit-identical. A production corpus that
+    * trips it should consolidate the hot cluster by exact-hash dedup
+    * first — docs identical enough to share a full band at that volume
+    * are usually byte-identical. */
+  private[ops] val BandBucketCap = 64
+
   /** Spark twin of [[lshPairsSql]]: shingle set → (doc1, doc2, n_match).
-    * Linear in corpus size; the only joins are bounded band-bucket joins.
-    * Persists the signature table (used on both sides of the verify
-    * join); callers drop it via the session-level cache clear. */
-  private def lshCandidatePairs(sh: DataFrame): DataFrame = {
+    * Linear in corpus size; the only joins are bounded band-bucket joins
+    * — per-bucket fanout capped by [[BandBucketCap]] (hot buckets are
+    * anti-joined out, logged). Persists the signature table (used on
+    * both sides of the verify join); callers drop it via the
+    * session-level cache clear. */
+  private[ops] def lshCandidatePairs(sh: DataFrame,
+      bucketCap: Int = BandBucketCap): DataFrame = {
     val mhCols = (0 until NumHashes).map(j =>
       min((col("x") * (2 * j + 3) + (5 * j + 7)) % P).as(s"mh$j"))
     val sig = graft.InternalCaches.register(
       sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
         .persist())
-    val banded = sig.select(
-      (col("doc_id") +: (0 until Bands).map { b =>
+    val bandRows = sig.select(col("doc_id"),
+      explode(array((0 until Bands).map { b =>
         val base = b * RowsPerBand
-        (1 until RowsPerBand)
-          .foldLeft(col(s"mh$base"))((acc, i) =>
-            (acc * 1009 + col(s"mh${base + i}")) % 1000000007L)
-          .as(s"band$b")
-      }): _*)
-    val cand = (0 until Bands).map { b =>
-      val a = banded.as("a"); val bb = banded.as("b")
-      a.join(bb, col(s"a.band$b") === col(s"b.band$b") &&
-        col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-    }.reduce(_ union _).distinct()
+        struct(lit(b).as("bi"),
+          (1 until RowsPerBand)
+            .foldLeft(col(s"mh$base"))((acc, i) =>
+              (acc * 1009 + col(s"mh${base + i}")) % 1000000007L)
+            .as("bv"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.bi").as("bi"), col("band.bv").as("bv"))
+    // Hot-bucket guard: count each (band, value) bucket, drop buckets
+    // over the cap before the self-join. The hot list is tiny (it takes
+    // >cap identical-band docs to enter), so the anti-join broadcasts.
+    val hot = bandRows.groupBy(col("bi"), col("bv"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > bucketCap)
+      .select(col("bi"), col("bv"))
+    val nHot = hot.count()
+    if (nHot > 0)
+      System.err.println(s"[dedup] lshCandidatePairs: dropped $nHot " +
+        s"band bucket(s) larger than $bucketCap docs (candidates from " +
+        "them would be quadratic; exact-dedup the hot cluster instead)")
+    val kept = bandRows.join(broadcast(hot), Seq("bi", "bv"), "left_anti")
+    val a = kept.as("a"); val bb = kept.as("b")
+    val cand = a.join(bb, col("a.bi") === col("b.bi") &&
+        col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
     val sa = sig.as("sa"); val sb = sig.as("sb")
     val nMatch = (0 until NumHashes)
       .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
@@ -349,6 +378,11 @@ object Dedup {
     * near-dup clusters; use alternating large-star/small-star (Kiveris
     * et al.) for general high-diameter graphs. Only nodes with ≥ 1 edge
     * appear (singletons are their own trivial cluster by definition). */
+  /** Round budget for min-label propagation before falling back to the
+    * O(log n) star algorithm (a component of diameter > this is not a
+    * near-dup cluster shape). */
+  private val PropagationRounds = 50
+
   def connectedComponents(edges0: DataFrame): DataFrame = {
     val spark = edges0.sparkSession
     // The edge/label tables of a near-dup pair graph are orders of
@@ -360,6 +394,11 @@ object Dedup {
     // (e.g. the full MinHash pipeline over the corpus) must keep the
     // session's full parallelism — only the tiny-label loop shrinks.
     val pair = edges0.toDF("doc1", "doc2").localCheckpoint()
+    // Flag to force the O(log n) variant outright (e.g. a caller that
+    // KNOWS its graph is high-diameter and wants to skip the doomed
+    // propagation rounds).
+    if (sys.env.get("GRAFT_CC_STAR").contains("true"))
+      return connectedComponentsStar(pair)
     graft.Knobs.withShufflePartitions(spark, 8) {
       val edges = pair
         .unionAll(pair.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
@@ -372,7 +411,7 @@ object Dedup {
         .localCheckpoint()
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 50) {
+      while (changed > 0 && rounds < PropagationRounds) {
         rounds += 1
         val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
           .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
@@ -387,14 +426,84 @@ object Dedup {
         changed = joined.filter(col("lbl") =!= col("old")).count()
         labels = joined.select(col("doc_id"), col("lbl"))
       }
-      // Fail LOUDLY on non-convergence: returning partial labels would be
-      // a silently wrong clustering. 50 rounds = a component of diameter
-      // > 50, which near-dup graphs don't produce; a general graph that
-      // does needs the large-star/small-star O(log n) variant.
-      require(changed == 0,
-        s"connectedComponents did not converge after $rounds rounds")
       edges.unpersist()
-      labels
+      if (changed == 0) labels
+      else {
+        // Diameter exceeded the propagation budget (r1–r5 failed loudly
+        // here): hand the SAME edge list to the alternating-star
+        // algorithm, which converges in O(log n) rounds regardless of
+        // diameter (r6, verdict).
+        System.err.println("[dedup] connectedComponents: diameter > " +
+          s"$PropagationRounds propagation rounds — switching to " +
+          "large-star/small-star")
+        connectedComponentsStar(pair)
+      }
+    }
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the O(log n)-round variant for general (high-diameter) graphs;
+    * same contract as [[connectedComponents]]: (doc1, doc2) edges →
+    * (doc_id, lbl) with lbl the component minimum.
+    *
+    * Each round rewires edges toward the component minimum:
+    * LARGE-STAR links every neighbor v > u to m = min(Γ(u) ∪ {u})
+    * (over the symmetrized graph); SMALL-STAR links every smaller
+    * neighbor — and u itself — to the minimum of u's smaller
+    * neighborhood. Both steps are one groupBy-min + one equi-join on
+    * the edge list (the same shuffle primitive as propagation, just
+    * O(log n) of them); a path graph halves its height every
+    * iteration. Fixpoint = the edge set is stable, at which point it
+    * is a union of stars centered on component minima and the edge
+    * list IS the label map. */
+  private[ops] def connectedComponentsStar(pair0: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    val spark = pair0.sparkSession
+    val pair = pair0.toDF("doc1", "doc2")
+      .filter(col("doc1") =!= col("doc2")).localCheckpoint()
+    graft.Knobs.withShufflePartitions(spark, 8) {
+      // invariant: edges held as (u, v) with u > v, deduped
+      var edges = pair
+        .select(greatest(col("doc1"), col("doc2")).as("u"),
+          least(col("doc1"), col("doc2")).as("v"))
+        .distinct().localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < maxRounds) {
+        rounds += 1
+        // LARGE-STAR over the symmetrized neighborhoods
+        val sym = edges.unionAll(
+          edges.select(col("v").as("u"), col("u").as("v")))
+        val minsL = sym.groupBy(col("u"))
+          .agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        val large = sym.join(minsL, Seq("u"))
+          .filter(col("v") > col("u"))
+          // emitted (v, m) already satisfies v > u ≥ m; drop self-loops
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .distinct().localCheckpoint()
+        // SMALL-STAR over the larger→smaller directed edges
+        val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+        val next = large.join(minsS, Seq("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+          .unionAll(minsS.select(col("u").as("a"), col("m").as("b")))
+          .filter(col("a") =!= col("b"))
+          .select(greatest(col("a"), col("b")).as("u"),
+            least(col("a"), col("b")).as("v"))
+          .distinct().localCheckpoint()
+        changed =
+          next.join(edges, Seq("u", "v"), "left_anti").count() +
+          edges.join(next, Seq("u", "v"), "left_anti").count()
+        edges = next
+      }
+      require(changed == 0,
+        s"connectedComponentsStar did not converge after $rounds rounds")
+      // stable star graph: every edge points member → component min
+      edges.select(col("u").as("doc_id"), col("v").as("lbl"))
+        .unionAll(edges.select(col("v").as("doc_id"), col("v").as("lbl"))
+          .distinct())
     }
   }
 

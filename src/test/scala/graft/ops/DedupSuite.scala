@@ -54,6 +54,72 @@ class DedupSuite extends SparkSessionSuite {
     }
   }
 
+  /** A boilerplate-heavy corpus (1000 byte-identical docs) puts all
+    * 1000 in ONE band bucket — uncapped, that is ~500k candidate pairs
+    * from a single bucket. The cap must drop the hot bucket (logging
+    * it) while leaving cold buckets' pairs intact. */
+  test("MinHash band buckets over the cap are dropped and logged") {
+    val s = spark
+    import s.implicits._
+    val hot = (0L until 1000L).map((_, "alpha beta gamma delta epsilon"))
+    val pairDocs = Seq(
+      (2000L, "zeta eta theta iota kappa"),
+      (2001L, "zeta eta theta iota kappa"))
+    val corpus = (hot ++ pairDocs).toDF("doc_id", "text")
+    val sh = Dedup.shingles(Dedup.encodedToks(corpus))
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true))
+    val got =
+      try Dedup.lshCandidatePairs(sh).collect()
+      finally System.setErr(oldErr)
+    // bounded: ONLY the cold 2-doc bucket's pair survives — not 499,500
+    // hot-bucket pairs
+    got.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((2000L, 2001L))
+    errBuf.toString should include("band bucket")
+    // and a cap above the bucket size leaves the corpus uncapped
+    Dedup.lshCandidatePairs(sh, bucketCap = 2000).count() shouldBe
+      (1000L * 999 / 2 + 1)
+  }
+
+  /** A 100-node path is the propagation worst case (min label needs 99
+    * rounds — past the 50-round budget): the public API must auto-switch
+    * to the star algorithm and still produce exact labels, and the star
+    * form alone must converge in O(log n) rounds (12 ≫ log₂ 100 ≈ 7,
+    * but ≪ the 99 propagation needs). */
+  test("high-diameter path falls back to large-star/small-star") {
+    val s = spark
+    import s.implicits._
+    val path = (0L until 99L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val expected = (0L until 100L).map(_ -> 0L).toMap
+    val viaStar = Dedup.connectedComponentsStar(path, maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaStar shouldBe expected
+    val viaApi = Dedup.connectedComponents(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaApi shouldBe expected
+  }
+
+  /** The two CC forms must be interchangeable: bit-identical label maps
+    * on graphs where both converge. */
+  test("star labels are identical to propagation labels") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("doc1", "doc2")
+      val prop = Dedup.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.connectedComponentsStar(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"trial $trial (n=$n): ") { star shouldBe prop }
+    }
+  }
+
   test("cc_clusters puts every planted near-dup triple in one cluster") {
     val df = Dedup.ccClusters.fn(spark, "/root/testdata/sf0.001")
     val labels = df.collect()
