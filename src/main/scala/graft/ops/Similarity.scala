@@ -125,14 +125,18 @@ object Similarity {
   }
 
   /** Exact cosine top-k of `queries` against `corpus` (both prepared),
-    * excluding self-matches. Rank ties broken by neighbor id. */
+    * excluding self-matches. Ranks on the 1e-12-quantized cosine (r6,
+    * advice — the same grain the IVF path adopted in r5: Spark's
+    * sequential dot and DuckDB's sum() can differ by ulps, so ordering
+    * on the raw double leaves rank boundaries one ulp from flipping);
+    * ties broken by neighbor id. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("nrm").as("qn"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
       col("nrm").as("cn"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("rawcos").desc, col("neighbor_id"))
+      .orderBy(round(col("rawcos"), 12).desc, col("neighbor_id"))
     q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rawcos"))
@@ -223,7 +227,7 @@ object Similarity {
       |  SELECT query_id, neighbor_id,
       |    dot / (nq.nrm * nc.nrm) AS rawcos,
       |    row_number() OVER (PARTITION BY query_id
-      |                       ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+      |                       ORDER BY round(dot / (nq.nrm * nc.nrm), 12) DESC, neighbor_id) AS rank
       |  FROM dots
       |  JOIN norms nq ON nq.vec_id = query_id
       |  JOIN norms nc ON nc.vec_id = neighbor_id)
@@ -274,7 +278,7 @@ object Similarity {
         |ranked AS (
         |  SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS rawcos,
         |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+        |                       ORDER BY round(dot / (nq.nrm * nc.nrm), 12) DESC, neighbor_id) AS rank
         |  FROM dots
         |  JOIN norms nq ON nq.vec_id = query_id
         |  JOIN norms nc ON nc.vec_id = neighbor_id)
@@ -299,8 +303,9 @@ object Similarity {
         col("nrm").as("qn"))
       val cv = prep.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
         col("nrm").as("cn"))
+      // 1e-12-quantized rank, as in the brute/IVF paths (r6, advice)
       val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("rawcos").desc, col("neighbor_id"))
+        .orderBy(round(col("rawcos"), 12).desc, col("neighbor_id"))
       cand.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rawcos"))

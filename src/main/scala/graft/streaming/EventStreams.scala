@@ -563,8 +563,13 @@ object EventStreams {
     if (touched.isEmpty) return
     val statePath = new org.apache.hadoop.fs.Path(state)
     val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // event_type as a FINAL deterministic tiebreaker (r6, advice): on
+    // an exact (ts, event_id) tie between a state row and an incoming
+    // row, the surviving non-key columns must not depend on which batch
+    // chunking delivered them — without it the associativity claim
+    // below ("state independent of batch boundaries") had a hole.
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+      .orderBy(col("ts").desc, col("event_id").desc, col("event_type").desc)
     val merged = (if (fs.exists(statePath))
         s.read.parquet(state)
           .filter(col("bucket").isin(touched: _*)) // partition-pruned read
@@ -602,7 +607,8 @@ object EventStreams {
       |  event_id AS last_event_id, event_type AS last_type
       |FROM events
       |QUALIFY row_number() OVER (PARTITION BY user_id
-      |                           ORDER BY ts DESC, event_id DESC) = 1
+      |                           ORDER BY ts DESC, event_id DESC,
+      |                                    event_type DESC) = 1
       |ORDER BY user_id""".stripMargin)(stageStreamingEvents) { (s, d) =>
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-upsert-" +
       java.util.UUID.randomUUID
