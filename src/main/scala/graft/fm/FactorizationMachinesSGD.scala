@@ -26,8 +26,15 @@ import scala.collection.mutable.ArrayBuffer
   *   - gradient-descent update `θ ← θ − lr · Σ_batch grad / n` via a
   *     per-feature reduction joined full-outer back onto the parameter
   *     table with zero defaults (SGD:148-176);
-  *   - the global bias w0 is fixed at 0.0 and never trained (SGD:246,
-  *     SURVEY M2).
+  *   - the global bias w0 defaults to 0.0 and untrained (SGD:246,
+  *     SURVEY M2 — reference parity); `setFitIntercept(true)` (r6)
+  *     opts into training it by the batch-mean residual gradient
+  *     `w0 ← w0 − lr·Σ_batch residual / n` each iteration (no L1 on
+  *     the intercept — shrinking the bias toward 0 is never wanted).
+  *     The residual sum rides the per-sample stage the gradient pass
+  *     already computes; per-sample residuals are exact dyadic
+  *     rationals under the oracle fixtures, so Σ is order-independent
+  *     and the update stays hash-checkable.
   *
   * Deliberate divergences (each flagged in SURVEY §7):
   *   - the reference's gradient `deltaWi·pred − label` (SGD:145) is an
@@ -72,6 +79,7 @@ class FactorizationMachinesSGD(override val uid: String)
   def setMaxLabel(value: Double): this.type = set(maxLabel, value)
   def setInitialSd(value: Double): this.type = set(initialSd, value)
   def setSeed(value: Long): this.type = set(seed, value)
+  def setFitIntercept(value: Boolean): this.type = set(fitIntercept, value)
 
   /** Per-iteration training losses of the last `fit` (Σ_batch (ŷ−y)²,
     * reference SGD:134-139), for diagnostics and tests. */
@@ -127,13 +135,16 @@ class FactorizationMachinesSGD(override val uid: String)
     val batches =
       data.randomSplit(Array.fill($(maxIter))($(miniBatchFraction)), $(seed))
 
+    // Warm starts resume the bias too; cold starts at the reference's 0.0.
+    var w0 = initialModel.map(_.globalBias).getOrElse(0.0)
     val losses = ArrayBuffer.empty[Double]
     batches.zipWithIndex.foreach { case (batch, idx) =>
       val iter = idx + 1
-      step(params, batch, iter) match {
-        case Some((newParams, loss)) =>
+      stepW0(params, batch, iter, w0) match {
+        case Some((newParams, loss, newW0)) =>
           params.unpersist() // newParams is already materialized by step()
           params = newParams
+          w0 = newW0
           losses += loss
           logInfo(s"FM SGD iteration $iter/${$(maxIter)}: loss=$loss")
         case None =>
@@ -147,7 +158,7 @@ class FactorizationMachinesSGD(override val uid: String)
     val factors = params
       .select(col("id"), array_to_vector(col("vecArr")).as("vec"))
       .as[FactorizedInteraction]
-    val model = new FactorizationMachinesModel(uid, k, 0.0, strengths, factors)
+    val model = new FactorizationMachinesModel(uid, k, w0, strengths, factors)
       .setMinLabel($(minLabel)).setMaxLabel($(maxLabel))
       .setFeaturesCol($(featuresCol)).setPredictionCol($(predictionCol))
       .setSampleIdCol($(sampleIdCol))
@@ -186,13 +197,22 @@ class FactorizationMachinesSGD(override val uid: String)
           f => hashGaussian(col("id"), f, s) * sd).as("vecArr"))
   }
 
+  /** One SGD iteration at the reference's fixed w0 = 0.0 — the shape
+    * every oracle query pins. See [[stepW0]]. */
+  private[fm] def step(
+      params: DataFrame, batch: DataFrame, iter: Int): Option[(DataFrame, Double)] =
+    stepW0(params, batch, iter, 0.0).map { case (p, l, _) => (p, l) }
+
   /** One SGD iteration: returns the updated combined parameter table —
     * already eagerly local-checkpointed (materialized + plan truncated;
     * see the lineage note above) so the caller can immediately drop the
-    * previous table — and the batch loss. None for an empty batch
-    * (SGD:126-128). */
-  private[fm] def step(
-      params: DataFrame, batch: DataFrame, iter: Int): Option[(DataFrame, Double)] = {
+    * previous table — the batch loss, and the (possibly updated) global
+    * bias. w0 enters the training prediction; it is only UPDATED when
+    * `fitIntercept` is set (by the batch-mean residual gradient, no L1).
+    * None for an empty batch (SGD:126-128). */
+  private[fm] def stepW0(
+      params: DataFrame, batch: DataFrame, iter: Int,
+      w0: Double): Option[(DataFrame, Double, Double)] = {
     val k = $(dimFactorization)
     val sd = $(initialSd)
     val sdv = $(seed)
@@ -265,27 +285,48 @@ class FactorizationMachinesSGD(override val uid: String)
     }
 
     val normSq = (0 until k).map(f => col(s"_vfs$f") * col(s"_vfs$f")).reduce(_ + _)
-    // Training prediction is UNCLIPPED (Model:221 — calcLossGrad has no clip).
-    val pred = col("wixiSum") + lit(0.5) * (normSq - col("vi2xi2Sum")) // w0 = 0.0
+    // Training prediction is UNCLIPPED (Model:221 — calcLossGrad has no
+    // clip). w0 is added only when nonzero so the default path's doubles
+    // stay bit-identical to r1–r5 (0.0 + x flips a −0.0 x).
+    val basePred = col("wixiSum") + lit(0.5) * (normSq - col("vi2xi2Sum"))
+    val pred = if (w0 == 0.0) basePred else lit(w0) + basePred
+    val fitW0 = $(fitIntercept)
     // CORRECT gradient: deltaWi·(pred − label); the reference's SGD:145
     // computes deltaWi·pred − label (precedence bug, documented).
+    // sampleId rides along only when the intercept pass needs the
+    // per-sample residual below.
+    val interceptCols =
+      if (fitW0) Seq(col("sampleId"), col("residual").as("r")) else Seq.empty
     val gradRows = withSums
       .withColumn("residual", pred - col("label"))
       .select(
-        col("featureId"),
-        (col("x") * col("residual")).as("gw"),
-        org.apache.spark.sql.functions.transform(
-          sequence(lit(0), lit(k - 1)),
-          f => (col("x") * element_at(array((0 until k).map(i => col(s"_vfs$i")): _*), f + 1)
-            - element_at(col("vecArr"), f + 1) * col("x") * col("x"))
-            * col("residual")).as("gv"),
-        (col("residual") * col("residual") / col("cnt")).as("lossShare"))
+        (Seq(
+          col("featureId"),
+          (col("x") * col("residual")).as("gw"),
+          org.apache.spark.sql.functions.transform(
+            sequence(lit(0), lit(k - 1)),
+            f => (col("x") * element_at(array((0 until k).map(i => col(s"_vfs$i")): _*), f + 1)
+              - element_at(col("vecArr"), f + 1) * col("x") * col("x"))
+              * col("residual")).as("gv"),
+          (col("residual") * col("residual") / col("cnt")).as("lossShare"))
+          ++ interceptCols): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Batch loss Σ_samples (ŷ−y)² — computed as Σ_rows residual²/cnt in a
     // single SQL job (replaces the reference's groupBy(first)+RDD reduce,
     // SGD:134-138 / SURVEY A4+A6).
     val loss = gradRows.agg(sum(col("lossShare"))).head.getDouble(0)
+
+    // Intercept update (opt-in): w0 ← w0 − Σ_samples residual · (lr/n).
+    // The per-sample residual is replicated across a sample's exploded
+    // rows bit-identically (window values), so distinct() recovers ONE
+    // exact row per sample and the sum is order-independent under the
+    // dyadic fixtures — same association order as the SQL twin
+    // (`sum · (lr/n)`). No shrinkage: L1 never applies to the bias.
+    val newW0 =
+      if (!fitW0) w0
+      else w0 - gradRows.select(col("sampleId"), col("r")).distinct()
+        .agg(sum(col("r"))).head.getDouble(0) * (lr / n)
 
     // Per-feature gradient reduction (A3) then full-outer merge back onto
     // the parameter table with zero defaults + L1 soft-threshold
@@ -327,6 +368,6 @@ class FactorizationMachinesSGD(override val uid: String)
     // the (otherwise exponentially duplicated) logical plan to a leaf.
     val materialized = newParams.localCheckpoint(true)
     gradRows.unpersist()
-    Some((materialized, loss))
+    Some((materialized, loss, newW0))
   }
 }

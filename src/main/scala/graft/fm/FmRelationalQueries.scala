@@ -214,6 +214,78 @@ object FmRelationalQueries {
     out
   }
 
+  /** [[fmStepSql]] with INTERCEPT TRAINING on (r6, verdict #5): the
+    * prediction carries w0 = 0.5, shifting every residual (so every
+    * gradient, so every updated weight differs from the w0-less twin),
+    * and the output also pins the trained bias
+    * `w0' = w0 − Σ_samples r · (lr/n)` as a constant column. All terms
+    * stay exact dyadic rationals (0.5 is exact; per-sample residuals
+    * are exact, so their sum is order-independent), hence bit-exact
+    * cross-engine with no rounding — only −0.0 normalized. */
+  val fmStepInterceptSql: QueryDef = QueryDef.sql(
+    "fm_sgd_step_intercept_vs_sql_oracle",
+    s"""WITH $featsSql,
+      |terms AS (
+      |  SELECT sample_id, feature_id, x, ${wSql("feature_id")} AS w,
+      |         ${(0 until K).map(f => s"${vSql("feature_id", f)} AS v$f").mkString(", ")}
+      |  FROM feats),
+      |persample AS (
+      |  SELECT sample_id,
+      |    sum(w*x) AS wx,
+      |    ${(0 until K).map(f => s"sum(v$f*x) AS vfx$f").mkString(", ")},
+      |    sum((${(0 until K).map(f => s"v$f*v$f").mkString(" + ")}) * x * x) AS v2x2
+      |  FROM terms GROUP BY sample_id),
+      |resid AS (
+      |  SELECT sample_id,
+      |    ($W0 + (wx + 0.5*((${(0 until K).map(f => s"vfx$f*vfx$f").mkString(" + ")}) - v2x2)))
+      |      - CAST(sample_id % 7 AS DOUBLE) AS r,
+      |    ${(0 until K).map(f => s"vfx$f").mkString(", ")}
+      |  FROM persample),
+      |n AS (SELECT count(*) AS n FROM (SELECT DISTINCT sample_id FROM feats) s),
+      |grads AS (
+      |  SELECT t.feature_id,
+      |    sum(t.x * p.r) * (0.1 / (SELECT n FROM n)) AS dw,
+      |    ${(0 until K).map(f =>
+           s"sum((t.x * p.vfx$f - t.v$f * t.x * t.x) * p.r) * (0.1 / (SELECT n FROM n)) AS dv$f")
+           .mkString(", ")}
+      |  FROM terms t JOIN resid p ON t.sample_id = p.sample_id
+      |  GROUP BY t.feature_id),
+      |updated AS (
+      |  SELECT t.id, t.w - g.dw AS cw,
+      |    ${(0 until K).map(f => s"t.v$f - g.dv$f AS cv$f").mkString(", ")}
+      |  FROM (SELECT DISTINCT feature_id AS id, ${wSql("feature_id")} AS w,
+      |          ${(0 until K).map(f => s"${vSql("feature_id", f)} AS v$f").mkString(", ")}
+      |        FROM feats) t
+      |  JOIN grads g ON t.id = g.feature_id),
+      |thresholded AS (
+      |  SELECT id, sign(cw) * greatest(0.0, abs(cw) - 0.1 * 0.5) AS sw,
+      |    ${(0 until K).map(f =>
+         s"sign(cv$f) * greatest(0.0, abs(cv$f) - 0.1 * 0.5) AS sv$f").mkString(", ")}
+      |  FROM updated)
+      |SELECT id, ${nzSql("sw", "strength")},
+      |  ${(0 until K).map(f => nzSql(s"sv$f", s"v$f")).mkString(", ")},
+      |  (SELECT $W0 - sum(r) * (0.1 / (SELECT n FROM n)) FROM resid) AS w0_new
+      |FROM thresholded
+      |ORDER BY id""".stripMargin) { (s, d) =>
+    val f = feats(s, d).persist()
+    val params = paramTable(f).persist()
+    val batch = featureVectors(f)
+      .select((col("sample_id") % 7).cast("double").as("label"), col("features"))
+      .persist()
+    val est = new FactorizationMachinesSGD("fmStepIntercept")
+      .setDimFactorization(K).setStepSize(0.1).setRegParam(0.5)
+      .setInitialSd(0.01).setSeed(0L).setFitIntercept(true)
+    val Some((newParams, _, newW0)) = est.stepW0(params, batch, iter = 1, w0 = W0)
+    val out = newParams.select(
+      (col("id") +: nz(col("strength")).as("strength") +:
+        (0 until K).map(f =>
+          nz(element_at(col("vecArr"), f + 1)).as(s"v$f")) :+
+        lit(newW0).as("w0_new")): _*)
+      .orderBy(col("id"))
+    // newParams is localCheckpoint'd — not unpersisted before out runs.
+    out
+  }
+
   /** One SQL iteration block: from params relation pIn(id, w, v0..) to
     * pOut — the exact engine math of one [[FactorizationMachinesSGD.step]]
     * (per-sample sums, residual, gradient reduction ·lr/n, L1 soft
@@ -409,5 +481,6 @@ object FmRelationalQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(fmScoreSql, fmStepSql, fmTwoStepsSql, fmTrainQuickSql, fmTrainLossSql)
+    Seq(fmScoreSql, fmStepSql, fmStepInterceptSql, fmTwoStepsSql,
+      fmTrainQuickSql, fmTrainLossSql)
 }

@@ -127,11 +127,14 @@ trait FactorizationMachinesParams extends FactorizationMachinesModelParams {
     ParamValidators.gt(0))
   final def getInitialSd: Double = $(initialSd)
 
-  /** Present for reference parity (FM:17 mixes in HasFitIntercept) but —
-    * as in the reference — the global bias w0 is never trained (SGD:246
-    * fixes it at 0.0; the update loop never touches it, SURVEY M2). */
+  /** Default false for reference parity (FM:17 mixes in HasFitIntercept
+    * but SGD:246 fixes w0 at 0.0 and the update loop never touches it,
+    * SURVEY M2 — a documented wart: non-centered labels silently lose
+    * model quality). Since r6, `true` opts into training the bias by the
+    * batch-mean residual gradient each iteration
+    * (FactorizationMachinesSGD.stepW0). */
   final val fitIntercept: BooleanParam = new BooleanParam(this, "fitIntercept",
-    "whether to fit the global bias term (reference never trains it)")
+    "whether to fit the global bias term (reference default: never)")
   final def getFitIntercept: Boolean = $(fitIntercept)
 
   final val seed: LongParam = new LongParam(this, "seed",

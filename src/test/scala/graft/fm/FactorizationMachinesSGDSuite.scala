@@ -133,4 +133,54 @@ class FactorizationMachinesSGDSuite extends SparkSessionSuite {
     }.sum / scored2.length
     mse2 should be < baseline * 0.5
   }
+
+  /** Opt-in intercept training (r6): on labels with a large constant
+    * offset — the case the reference's fixed w0 = 0.0 silently mishandles
+    * (SURVEY M2) — fitIntercept must learn a bias near the offset and
+    * beat the interceptless model, while the default stays reference-
+    * parity (w0 exactly 0.0, untouched by the loop). */
+  test("fitIntercept learns a constant label offset") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val dim = 12
+    val offset = 5.0
+    val trueW = Array.fill(dim)(rng.nextGaussian() * 0.2)
+    val data = (0 until 300).map { _ =>
+      val active = rng.shuffle((0 until dim).toList).take(3)
+      val xs = active.map(_ -> (rng.nextInt(3) + 1.0)).sortBy(_._1)
+      val y = offset + xs.map { case (i, x) => trueW(i) * x }.sum
+      (y, Vectors.sparse(dim, xs))
+    }
+    val df = data.toDF("label", "features")
+
+    // Strong L1: the soft-threshold keeps the feature weights from
+    // absorbing the constant offset (w0 is never regularized), so the
+    // ONLY way to fit these labels is a trained bias — isolating
+    // exactly what fitIntercept adds.
+    def fitMse(intercept: Boolean): (Double, Double) = {
+      val est = new FactorizationMachinesSGD()
+        .setDimFactorization(2).setMaxIter(8).setMiniBatchFraction(0.125)
+        .setStepSize(0.5).setRegParam(0.3).setInitialSd(0.01).setSeed(11L)
+        .setFitIntercept(intercept)
+      val model = est.fit(df)
+      val scored = model.transform(df)
+        .select(col("label"), col("prediction")).collect()
+      val mse = scored.map { r =>
+        val d = r.getDouble(0) - r.getDouble(1); d * d
+      }.sum / scored.length
+      (model.globalBias, mse)
+    }
+    val (w0Off, mseOff) = fitMse(intercept = false)
+    val (w0On, mseOn) = fitMse(intercept = true)
+
+    w0Off shouldBe 0.0 // reference parity: the loop never touches w0
+    // the bias must travel decisively toward the planted offset (the
+    // 1/sqrt(iter) decay and the first iterations' weight overshoot —
+    // the weights chase the offset too until L1 reins them in — cap the
+    // travel at ~2.3 of 5.0 in 8 iterations)…
+    w0On should be > 2.0
+    // …and the intercept model must fit the offset data far better
+    mseOn should be < mseOff * 0.5
+  }
 }
