@@ -3,10 +3,13 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering,
-  SortOrder, UnsafeProjection, UnsafeRow}
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, CodeGenerator, ExprCode, GenerateUnsafeProjection, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Physical backward as-of join (planned from [[AsOfJoin]] by
@@ -162,14 +165,122 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-executor key → time-sorted-rows index over a broadcast as-of
+  * right side: `lookup` answers the backward-as-of probe (greatest
+  * rightTime <= leftTime, within tolerance) by binary search. Built
+  * ONCE PER EXECUTOR ([[BroadcastAsOfJoinExec.getOrBuild]]) — r5 built
+  * it inside mapPartitions, i.e. once per TASK, O(P·|R| log |R|) total
+  * (r6, advice). Thread-safe after construction (read-only). */
+final class AsOfBroadcastIndex(
+    index: java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]],
+    timeOrd: Ordering[InternalRow],
+    tol: Option[Long]) {
+
+  /** Greatest-time right row with this key and time <= `lTimeRow` (and
+    * within tolerance when set), or null. */
+  def lookup(key: UnsafeRow, lTimeRow: InternalRow): InternalRow = {
+    val buf = index.get(key)
+    if (buf == null) return null
+    var ans = -1
+    var lo = 0
+    var hi = buf.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (timeOrd.compare(buf(mid)._1, lTimeRow) <= 0) {
+        ans = mid; lo = mid + 1
+      } else hi = mid - 1
+    }
+    if (ans >= 0 && tol.forall(t =>
+        lTimeRow.getLong(0) - buf(ans)._1.getLong(0) <= t))
+      buf(ans)._2
+    else null
+  }
+}
+
+/** Serializable executor-side provider of the memoized
+  * [[AsOfBroadcastIndex]] — shared by the interpreted and codegen
+  * paths of [[BroadcastAsOfJoinExec]]. */
+final class AsOfIndexHolder(
+    bc: org.apache.spark.broadcast.Broadcast[Array[InternalRow]],
+    rKeyExprs: Seq[Expression],
+    rOut: Seq[Attribute],
+    rTimeExpr: Expression,
+    tol: Option[Long]) extends Serializable {
+
+  def get(): AsOfBroadcastIndex =
+    BroadcastAsOfJoinExec.getOrBuild(bc.id, () => {
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+      val timeOrd =
+        RowOrdering.createNaturalAscendingOrdering(Seq(rTimeExpr.dataType))
+      // key -> right rows with their time rows, time-ascending (stable
+      // sort: among duplicate times the later broadcast row wins, the
+      // analogue of the merge variant's last-buffered-wins)
+      val staging = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]()
+      bc.value.foreach { r =>
+        val k = rKeyProj(r)
+        val t = rTimeProj(r)
+        if (!k.anyNull && !t.isNullAt(0)) {
+          var buf = staging.get(k)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer
+              .empty[(UnsafeRow, InternalRow)]
+            staging.put(k.copy(), buf)
+          }
+          buf += ((t.copy(), r))
+        }
+      }
+      val index =
+        new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]](
+          staging.size())
+      staging.forEach { (k, buf) =>
+        index.put(k,
+          buf.sortInPlaceWith((a, b) => timeOrd.compare(a._1, b._1) < 0)
+            .toArray)
+      }
+      new AsOfBroadcastIndex(index, timeOrd, tol)
+    })
+}
+
+object BroadcastAsOfJoinExec {
+  // broadcast id -> soft ref to the built index. Soft so memory pressure
+  // can reclaim an index whose broadcast was dropped; a cleared ref just
+  // rebuilds. Entries are a few words each — unbounded growth is not a
+  // concern (one per broadcast as-of right side per executor lifetime).
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[
+    Long, java.lang.ref.SoftReference[AsOfBroadcastIndex]]()
+
+  private[plans] def getOrBuild(
+      id: Long, build: () => AsOfBroadcastIndex): AsOfBroadcastIndex = {
+    var idx: AsOfBroadcastIndex = null
+    while (idx == null) {
+      // compute() is atomic per key: exactly one thread builds
+      val ref = indexCache.compute(id, (_, old) =>
+        if (old != null && old.get() != null) old
+        else new java.lang.ref.SoftReference(build()))
+      idx = ref.get()
+    }
+    idx
+  }
+}
+
 /** Broadcast backward as-of join — picked by [[AsOfStrategy]] when the
   * right side fits the broadcast threshold (or the caller forces it):
   * the LEFT side keeps its partitioning and ordering untouched (zero
   * shuffles, zero sorts), the right side ships once per executor via a
-  * broadcast exchange — the single exchange in the whole plan. Each
-  * task builds a key → time-sorted-rows index from the broadcast array
-  * (O(|R| log |R|), tiny by admission) and answers every left row with
-  * a binary search for the greatest rightTime <= leftTime.
+  * broadcast exchange — the single exchange in the whole plan. The
+  * key → time-sorted-rows index is built once per executor
+  * ([[AsOfIndexHolder]], r6) and every left row probes it with a
+  * binary search for the greatest rightTime <= leftTime.
+  *
+  * Participates in WHOLE-STAGE CODEGEN (r6, verdict #6): the left side
+  * streams through the generated loop with no per-row materialization
+  * boundary — key/time projection is generated code, the probe is one
+  * virtual call into the shared index, and output columns flow on as
+  * codegen variables. The interpreted doExecute remains as the
+  * fallback shape (codegen disabled / fallback paths), sharing the
+  * same index and contract.
   *
   * This is the as-of analogue of BroadcastHashJoin vs SortMergeJoin:
   * for a small dimension-like right side (price marks, config epochs,
