@@ -202,13 +202,18 @@ final class AsOfBroadcastIndex(
   * paths of [[BroadcastAsOfJoinExec]]. */
 final class AsOfIndexHolder(
     bc: org.apache.spark.broadcast.Broadcast[Array[InternalRow]],
+    // broadcast ids restart at 0 per SparkContext, so the cache key
+    // must carry the application id too — a bare id collides across
+    // contexts in one JVM (multiple sessions, or suite-per-context
+    // tests) and would serve a stale index from the previous context
+    cacheKey: String,
     rKeyExprs: Seq[Expression],
     rOut: Seq[Attribute],
     rTimeExpr: Expression,
     tol: Option[Long]) extends Serializable {
 
   def get(): AsOfBroadcastIndex =
-    BroadcastAsOfJoinExec.getOrBuild(bc.id, () => {
+    BroadcastAsOfJoinExec.getOrBuild(cacheKey, () => {
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
       val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
       val timeOrd =
@@ -249,10 +254,10 @@ object BroadcastAsOfJoinExec {
   // rebuilds. Entries are a few words each — unbounded growth is not a
   // concern (one per broadcast as-of right side per executor lifetime).
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[
-    Long, java.lang.ref.SoftReference[AsOfBroadcastIndex]]()
+    String, java.lang.ref.SoftReference[AsOfBroadcastIndex]]()
 
   private[plans] def getOrBuild(
-      id: Long, build: () => AsOfBroadcastIndex): AsOfBroadcastIndex = {
+      id: String, build: () => AsOfBroadcastIndex): AsOfBroadcastIndex = {
     var idx: AsOfBroadcastIndex = null
     while (idx == null) {
       // compute() is atomic per key: exactly one thread builds
@@ -295,7 +300,7 @@ case class BroadcastAsOfJoinExec(
     rightTime: Expression,
     tolerance: Option[Long],
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   require(tolerance.isEmpty || Seq(leftTime.dataType, rightTime.dataType)
     .forall {
@@ -320,44 +325,28 @@ case class BroadcastAsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  /** Driver-side: triggers the broadcast exchange (once — `lazy`) and
+    * wraps it with the executor-side index memoizer shared by the
+    * interpreted and codegen paths. */
+  private lazy val indexHolder: AsOfIndexHolder = {
+    val bc = right.executeBroadcast[Array[InternalRow]]()
+    new AsOfIndexHolder(bc, s"${sparkContext.applicationId}#${bc.id}",
+      rightKeys, right.output, rightTime, tolerance)
+  }
+
+  /** Interpreted fallback (codegen disabled / fallback paths) — same
+    * memoized index and probe contract as the generated loop. */
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
     val lKeyExprs = leftKeys
-    val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
-    val rTimeExpr = rightTime
     val outAttrs = output
-    val tol = tolerance
-
-    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    val holder = indexHolder
 
     left.execute().mapPartitions({ lIter =>
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
-      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
-      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(rTimeExpr.dataType))
-      // key -> right rows with their time rows, time-ascending (stable
-      // sort: among duplicate times the later broadcast row wins, the
-      // analogue of the merge variant's last-buffered-wins)
-      val index = new java.util.HashMap[UnsafeRow,
-        scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]()
-      broadcastRows.value.foreach { r =>
-        val k = rKeyProj(r)
-        val t = rTimeProj(r)
-        if (!k.anyNull && !t.isNullAt(0)) {
-          var buf = index.get(k)
-          if (buf == null) {
-            buf = scala.collection.mutable.ArrayBuffer
-              .empty[(UnsafeRow, InternalRow)]
-            index.put(k.copy(), buf)
-          }
-          buf += ((t.copy(), r))
-        }
-      }
-      index.values.forEach(buf =>
-        buf.sortInPlaceWith((a, b) => timeOrd.compare(a._1, b._1) < 0))
-
+      val index = holder.get()
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -368,32 +357,75 @@ case class BroadcastAsOfJoinExec(
         numOutputRows += 1
         val lKey = lKeyProj(l)
         val lTimeRow = lTimeProj(l)
-        if (lKey.anyNull || lTimeRow.isNullAt(0)) {
-          resultProj(joined(l, nullRight))
-        } else {
-          val buf = index.get(lKey)
-          var best: InternalRow = null
-          if (buf != null) {
-            // rightmost entry with time <= lTime; the merge variant's
-            // contract: if even the max-time match is outside the
-            // tolerance window, nothing matches
-            var ans = -1
-            var lo = 0
-            var hi = buf.length - 1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (timeOrd.compare(buf(mid)._1, lTimeRow) <= 0) {
-                ans = mid; lo = mid + 1
-              } else hi = mid - 1
-            }
-            if (ans >= 0 && tol.forall(t =>
-                lTimeRow.getLong(0) - buf(ans)._1.getLong(0) <= t))
-              best = buf(ans)._2
-          }
-          resultProj(joined(l, if (best != null) best else nullRight))
-        }
+        val best =
+          if (lKey.anyNull || lTimeRow.isNullAt(0)) null
+          else index.lookup(lKey, lTimeRow)
+        resultProj(joined(l, if (best != null) best else nullRight))
       }
     }, preservesPartitioning = true)
+  }
+
+  // ---- whole-stage codegen: the left side streams through the
+  // generated loop; the probe is one virtual call into the shared
+  // per-executor index ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override def doProduce(ctx: CodegenContext): String =
+    left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  // one output row per input row — no extra buffering beyond the child's
+  override def needCopyResult: Boolean =
+    left.asInstanceOf[CodegenSupport].needCopyResult
+
+  override def doConsume(
+      ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    val holderRef = ctx.addReferenceObj(
+      "asofHolder", indexHolder, classOf[AsOfIndexHolder].getName)
+    val indexTerm = ctx.addMutableState(
+      classOf[AsOfBroadcastIndex].getName, "asofIndex",
+      v => s"$v = $holderRef.get();")
+
+    // generated UnsafeRow projections of the left key and time, fed by
+    // the incoming codegen variables
+    ctx.currentVars = input
+    val keyEv = GenerateUnsafeProjection.createCode(
+      ctx, BindReferences.bindReferences(leftKeys, left.output))
+    val timeEv = GenerateUnsafeProjection.createCode(
+      ctx, Seq(BindReferences.bindReference(leftTime, left.output)))
+
+    val matched = ctx.freshName("asofMatched")
+    val rowCls = classOf[InternalRow].getName
+    val numOutput = metricTerm(ctx, "numOutputRows")
+
+    // right-side output columns as codegen variables read out of the
+    // matched row (null-extended when nothing matched)
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofValue")
+      val javaType = CodeGenerator.javaType(a.dataType)
+      val valCode = CodeGenerator.getValue(matched, a.dataType, i.toString)
+      val varCode = code"""
+        |boolean $isNull = ($matched == null) || $matched.isNullAt($i);
+        |$javaType $value = $isNull ?
+        |  ${CodeGenerator.defaultValue(a.dataType)} : ($valCode);
+       """.stripMargin
+      ExprCode(varCode,
+        JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
+
+    s"""
+       |${keyEv.code}
+       |${timeEv.code}
+       |$rowCls $matched = null;
+       |if (!${keyEv.value}.anyNull() && !${timeEv.value}.isNullAt(0)) {
+       |  $matched = $indexTerm.lookup(${keyEv.value}, ${timeEv.value});
+       |}
+       |$numOutput.add(1);
+       |${evaluateVariables(rightVars)}
+       |${consume(ctx, input ++ rightVars)}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

@@ -97,6 +97,58 @@ class AsOfJoinSuite extends SparkSessionSuite {
       Map("a" -> "x", "b" -> null) // rt 9 > t 7 for key 2
   }
 
+  test("broadcast form participates in whole-stage codegen") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1, 10L, "a"), (2, 7L, "b")).toDF("k", "t", "lv")
+    val right = Seq((1, 3L, "x"), (2, 9L, "y")).toDF("rk", "rt", "rv")
+    val df = AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
+      broadcastRight = Some(true))
+    // the generated loop produces the right answers...
+    df.collect().map(r => (r.getString(2), r.getString(5))).toMap shouldBe
+      Map("a" -> "x", "b" -> null)
+    // ...and the AQE-finalized plan (inspected post-materialization; the
+    // codegen'd exec sits inside a ResultQueryStage, a leaf to TreeNode
+    // traversal, so match the rendered `*(N)` codegen-stage prefix)
+    val finalPlan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    withClue(finalPlan) {
+      assert("""\*\(\d+\) BroadcastAsOfJoin""".r.findFirstIn(finalPlan).isDefined,
+        "BroadcastAsOfJoinExec not inside a WholeStageCodegen stage")
+    }
+  }
+
+  test("generated and interpreted broadcast paths are bit-identical") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(s, dir)
+    val errors = ev.filter(org.apache.spark.sql.functions.col("event_type") === "error")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts").as("t"),
+        org.apache.spark.sql.functions.col("event_id").as("error_id"))
+    val clicks = ev.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select(org.apache.spark.sql.functions.col("user_id").as("c_user_id"),
+        org.apache.spark.sql.functions.col("ts").as("c_t"),
+        org.apache.spark.sql.functions.col("event_id").as("click_id"))
+    def run(): Seq[Seq[Any]] =
+      AsOf.join(errors, clicks, Seq("user_id" -> "c_user_id"), "t", "c_t",
+          tolerance = Some(3600L * 1000000L), broadcastRight = Some(true))
+        .orderBy("error_id").collect()
+        .map(_.toSeq.toIndexedSeq).toIndexedSeq
+    val generated = run()
+    val interpreted =
+      try {
+        s.conf.set("spark.sql.codegen.wholeStage", "false")
+        run()
+      } finally s.conf.set("spark.sql.codegen.wholeStage", "true")
+    generated.length should be > 0
+    interpreted shouldBe generated
+  }
+
   test("broadcast and shuffle forms are bit-identical on events") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
