@@ -697,7 +697,7 @@ object Dedup {
   /** Corpus with planted scaled near-dup embeddings (cos ~ 1) against a
     * background whose max natural pair cosine is 0.51, so threshold 0.99
     * recovers exactly the planted pairs. */
-  private def corpusScaledEmb(emb: DataFrame): DataFrame = {
+  private[ops] def corpusScaledEmb(emb: DataFrame): DataFrame = {
     val base = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val planted = emb.filter(col("vec_id") % 25 === 0)
@@ -737,6 +737,131 @@ object Dedup {
         .filter(col("rawcos") >= 0.99)
         .select(col("v1"), col("v2"), round(col("rawcos"), 6).as("cos"))
         .orderBy(col("v1"), col("v2"))
+    }
+
+  // ------------------------------------------------- semantic (SemDeDup) --
+
+  /** Cell assignment for semantic dedup: every vector lands in the cell
+    * of its L2-nearest deterministic centroid (fixed `nlist` budget via
+    * [[Similarity.ivfStride]] — centroid count independent of n, r6;
+    * ties broken by centroid id). Shared by [[semanticDedup]] and the
+    * invariant tests. Output: (vec_id, v, nrm, cell). */
+  private[ops] def semanticAssign(prep: DataFrame,
+      nlist: Int = Similarity.IvfNlist): DataFrame = {
+    val stride = Similarity.ivfStride(prep.count(), nlist)
+    val cent = broadcast(prep.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv")))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val byDist = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d"), col("cid"))
+    prep.crossJoin(cent)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        sqDist(col("v"), col("cv")).as("d"))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings, then drop any document
+    * whose cosine to a LOWER-ID document in the SAME cluster is >=
+    * `threshold` — near-duplicate detection scoped to clusters so the
+    * quadratic pair work is bounded per cell instead of corpus-wide.
+    * Output: the surviving (vec_id, cell) rows.
+    *
+    * Semantics notes (both deliberate, matching the published greedy):
+    * cross-cluster near-dups are NOT found (that recall trade is the
+    * point of clustering); and the min-id keep rule is independent of
+    * whether the lower-id neighbor itself survives (a chain A<B<C with
+    * cos(A,B), cos(B,C) >= t but cos(A,C) < t keeps only A). Survivors
+    * are therefore pairwise below the threshold within every cell.
+    *
+    * 100 TB shape: the assignment is O(n·nlist) against a bounded
+    * broadcast centroid table (the r6 fixed-budget rule), the corpus
+    * shuffles once on the cell id, and the pair stage is an EQUI-join
+    * on cell — quadratic only within a cell, which is the deployment
+    * knob: SemDeDup at scale runs ~100k clusters precisely so cells
+    * stay small and the per-cell quadratic is constant-bounded. No
+    * all-pairs join anywhere. */
+  private[ops] def semanticDedup(prep: DataFrame, threshold: Double,
+      nlist: Int = Similarity.IvfNlist): DataFrame = {
+    val assign = graft.InternalCaches.register(
+      semanticAssign(prep, nlist).persist())
+    val a1 = assign.select(col("cell"), col("vec_id").as("v1"),
+      col("v").as("lv"), col("nrm").as("n1"))
+    val a2 = assign.select(col("cell"), col("vec_id").as("v2"),
+      col("v").as("rv"), col("nrm").as("n2"))
+    val drops = a1.join(a2, Seq("cell"))
+      .filter(col("v1") < col("v2"))
+      .filter(Similarity.dot(col("lv"), col("rv")) /
+        (col("n1") * col("n2")) >= threshold)
+      .select(col("v2").as("vec_id")).distinct()
+    assign.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val SemThreshold = 0.99
+
+  /** Oracle: the same cluster-scoped greedy stated in plain SQL over the
+    * same planted corpus — the stride/assignment CTEs mirror
+    * [[Similarity]]'s ivfRankedSql quantizer (integer stride from
+    * count(*), argmin-L2 with cid tiebreak) so the two engines cannot
+    * drift onto different clusterings. */
+  private val semanticOracleSql =
+    s"""WITH corpus AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000 AS vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01 + 0.0001) AS v
+      |  FROM embeddings WHERE vec_id % 25 = 0),
+      |flat AS (
+      |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
+      |  FROM corpus),
+      |norms AS (
+      |  SELECT vec_id, sqrt(sum(e * e)) AS nrm FROM flat GROUP BY vec_id),
+      |strd AS (
+      |  SELECT (count(*) + ${Similarity.IvfNlist - 1}) // ${Similarity.IvfNlist} AS s
+      |  FROM corpus),
+      |centflat AS (
+      |  SELECT vec_id AS cid, pos, e FROM flat
+      |  WHERE vec_id % (SELECT s FROM strd) = 0),
+      |dist AS (
+      |  SELECT f.vec_id, c.cid, sum((f.e - c.e) * (f.e - c.e)) AS d
+      |  FROM flat f JOIN centflat c ON c.pos = f.pos
+      |  GROUP BY f.vec_id, c.cid),
+      |assign AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM dist)
+      |  WHERE rn = 1),
+      |dots AS (
+      |  SELECT x.vec_id AS v1, y.vec_id AS v2, sum(fx.e * fy.e) AS dot
+      |  FROM assign x
+      |  JOIN assign y ON y.cell = x.cell AND x.vec_id < y.vec_id
+      |  JOIN flat fx ON fx.vec_id = x.vec_id
+      |  JOIN flat fy ON fy.vec_id = y.vec_id AND fy.pos = fx.pos
+      |  GROUP BY x.vec_id, y.vec_id),
+      |drops AS (
+      |  SELECT DISTINCT v2 FROM dots
+      |  JOIN norms n1 ON n1.vec_id = v1
+      |  JOIN norms n2 ON n2.vec_id = v2
+      |  WHERE dot / (n1.nrm * n2.nrm) >= $SemThreshold)
+      |SELECT a.vec_id, a.cell FROM assign a
+      |WHERE a.vec_id NOT IN (SELECT v2 FROM drops)
+      |ORDER BY a.vec_id""".stripMargin
+
+  /** Cluster-scoped semantic dedup over the planted near-dup corpus:
+    * keeps every document with no lower-id cosine-0.99 neighbor in its
+    * cell. The planted scaled copies that co-cluster with their sources
+    * are exactly the drops. */
+  val semantic: QueryDef =
+    QueryDef.sql("dedup_semantic", semanticOracleSql) { (s, d) =>
+      semanticDedup(corpusScaledEmb(Tables.embeddings(s, d)), SemThreshold)
     }
 
   /** Incremental (batch-arrival) dedup — how 100 TB corpora are actually
@@ -781,5 +906,5 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(exact, minHashLsh, ccClusters, simHash, simHashBanded, ngramJaccard,
-      embeddingCos, embeddingCosBanded, incremental)
+      embeddingCos, embeddingCosBanded, semantic, incremental)
 }

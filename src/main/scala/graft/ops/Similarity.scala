@@ -116,7 +116,7 @@ object Similarity {
     * DotProduct) when the session has GraftExtensions registered
     * (Verify/Bench/tests do), else the higher-order-function fallback.
     * Same value either way — both are sequential left-to-right sums. */
-  private def dot(a: Column, b: Column): Column = {
+  private[ops] def dot(a: Column, b: Column): Column = {
     val active = SparkSession.active
     if (active.catalog.functionExists("dot_product"))
       org.apache.spark.sql.functions.call_function("dot_product", a, b)

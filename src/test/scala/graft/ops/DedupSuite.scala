@@ -165,4 +165,38 @@ class DedupSuite extends SparkSessionSuite {
     banded shouldBe exact
     prep.unpersist()
   }
+
+  test("semantic dedup: survivors pairwise below threshold per cell; " +
+      "co-clustered planted copies dropped") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prep = Dedup.corpusScaledEmb(
+      graft.Tables.embeddings(s, "/root/testdata/sf0.001")).persist()
+    val assign = Dedup.semanticAssign(prep).persist()
+    val survivors = Dedup.semanticDedup(prep, 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // planted ids (+10000) that landed in their source's cell MUST be
+    // dropped (source id is lower, cosine ~ 1), and some must exist for
+    // the test to mean anything
+    val cells = assign.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val coClustered = cells.keys.filter(id =>
+      id >= 10000L && cells.get(id - 10000L) == cells.get(id)).toSet
+    coClustered.size should be >= 5
+    coClustered.intersect(survivors) shouldBe empty
+
+    // the keep rule's invariant: no two SURVIVORS in one cell at >= 0.99
+    val sv = assign.filter(col("vec_id").isin(survivors.toSeq: _*))
+    val p1 = sv.select(col("cell"), col("vec_id").as("v1"),
+      col("v").as("lv"), col("nrm").as("n1"))
+    val p2 = sv.select(col("cell"), col("vec_id").as("v2"),
+      col("v").as("rv"), col("nrm").as("n2"))
+    val maxCos = p1.join(p2, Seq("cell")).filter(col("v1") < col("v2"))
+      .select(max(Similarity.dot(col("lv"), col("rv")) /
+        (col("n1") * col("n2"))).as("m"))
+      .head().getDouble(0)
+    maxCos should be < 0.99
+    assign.unpersist(); prep.unpersist()
+  }
 }
