@@ -55,6 +55,28 @@ class PlanAuditSuite extends SparkSessionSuite {
     }
   }
 
+  /** Semantic dedup's pair stage must be an equi-join on the cell id
+    * (quadratic only within a cell), with the centroid assignment the
+    * only broadcast-nested-loop (the bounded fixed-budget crossJoin)
+    * and no corpus-level cartesian anywhere. */
+  test("semantic dedup pairs via cell equi-join, bounded centroid broadcast") {
+    val plan = physicalPlan("dedup_semantic")
+    withClue(plan) {
+      assert(!plan.contains("CartesianProduct"))
+      // the assignment (with its one bounded centroid crossJoin) is a
+      // SINGLE cached stage: every textual BroadcastNestedLoopJoin is
+      // the InMemoryRelation printing its cached plan at a reuse site,
+      // so occurrences never exceed the cached-scan count
+      assert(plan.contains("InMemoryTableScan"))
+      assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <=
+        "InMemoryTableScan".r.findAllIn(plan).size)
+      assert(plan.contains("BroadcastExchange"))
+      // the pair stage joins on the cell column (hash or sort-merge)
+      assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*cell".r
+        .findFirstIn(plan).isDefined)
+    }
+  }
+
   /** The native as-of query must plan one of the two custom operators
     * (stats pick broadcast or shuffle-merge) and never a cartesian. */
   test("as-of query plans a custom as-of operator, no cartesian") {
