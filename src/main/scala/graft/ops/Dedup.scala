@@ -228,14 +228,17 @@ object Dedup {
     * anti-joined out, logged). Persists the signature table (used on
     * both sides of the verify join); callers drop it via the
     * session-level cache clear. */
-  private[ops] def lshCandidatePairs(sh: DataFrame,
-      bucketCap: Int = BandBucketCap): DataFrame = {
+  /** MinHash signature table (mh0..mh15 per doc) over a shingle set. */
+  private def signatures(sh: DataFrame): DataFrame = {
     val mhCols = (0 until NumHashes).map(j =>
       min((col("x") * (2 * j + 3) + (5 * j + 7)) % P).as(s"mh$j"))
-    val sig = graft.InternalCaches.register(
-      sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-        .persist())
-    val bandRows = sig.select(col("doc_id"),
+    sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+  }
+
+  /** One (doc_id, bi, bv) row per band of each signature — the band
+    * index both the self-join and the incremental batch probe join on. */
+  private def bandRowsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
       explode(array((0 until Bands).map { b =>
         val base = b * RowsPerBand
         struct(lit(b).as("bi"),
@@ -245,6 +248,11 @@ object Dedup {
             .as("bv"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.bi").as("bi"), col("band.bv").as("bv"))
+
+  private[ops] def lshCandidatePairs(sh: DataFrame,
+      bucketCap: Int = BandBucketCap): DataFrame = {
+    val sig = graft.InternalCaches.register(signatures(sh).persist())
+    val bandRows = bandRowsOf(sig)
     // Hot-bucket guard: count each (band, value) bucket, drop buckets
     // over the cap before the self-join. The hot list is tiny (it takes
     // >cap identical-band docs to enter), so the anti-join broadcasts.
@@ -904,7 +912,92 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental NEAR-dup dedup (batch-arrival LSH): an incoming batch
+    * is probed against the existing corpus's MinHash band index; a
+    * batch doc sharing a band with an existing doc AND agreeing on >=
+    * 8/16 signature rows (estimated Jaccard >= 0.5) is rejected as a
+    * near-dup; the rest are genuinely new. The incoming fixture plants
+    * both kinds: drop-1-token variants of every 20th doc (near-dups —
+    * all rejected) and synthetic id-token docs (no shingle overlap —
+    * all admitted).
+    *
+    * 100 TB shape: this is ingestion-time near-dup dedup — the corpus
+    * side's signature/band index is computed ONCE and persisted (the
+    * [[Similarity.saveIvfIndex]] pattern; here it is built inline so
+    * the oracle can state the whole flow), each arriving batch computes
+    * only its own signatures (linear in the batch), and the probe is a
+    * (band, value) equi-join against the index — batch-sized output,
+    * never corpus-quadratic. The hot-bucket cap from
+    * [[lshCandidatePairs]] applies to the index side unchanged in
+    * production; the fixture's buckets are far below it. */
+  val incrementalLsh: QueryDef = QueryDef.sql(
+    "dedup_incremental_lsh",
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 50000 AS doc_id,
+      |         substr(text, strpos(text, ' ') + 1) AS text
+      |  FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 60000 AS doc_id,
+      |         concat('q', CAST(doc_id AS VARCHAR), ' r', CAST(doc_id AS VARCHAR),
+      |                ' s', CAST(doc_id AS VARCHAR), ' t', CAST(doc_id AS VARCHAR),
+      |                ' u', CAST(doc_id AS VARCHAR)) AS text
+      |  FROM documents WHERE doc_id % 20 = 10),
+      |$encodedToksSql,
+      |$shinglesSql,
+      |sig AS (
+      |  SELECT doc_id, $mhSql FROM sh GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, $bandSql FROM sig),
+      |cand AS (
+      |  ${(0 until Bands).map(b =>
+           s"SELECT a.doc_id AS existing_id, b.doc_id AS incoming_id FROM banded a JOIN banded b ON a.band$b = b.band$b AND a.doc_id < 50000 AND b.doc_id >= 50000")
+           .mkString("\n  UNION\n  ")}),
+      |rejected AS (
+      |  SELECT DISTINCT c.incoming_id
+      |  FROM cand c
+      |  JOIN sig a ON a.doc_id = c.existing_id
+      |  JOIN sig b ON b.doc_id = c.incoming_id
+      |  WHERE ($eqCountSql) >= 8)
+      |SELECT doc_id FROM corpus
+      |WHERE doc_id >= 50000
+      |  AND doc_id NOT IN (SELECT incoming_id FROM rejected)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+      .unionAll(docs.filter(col("doc_id") % 20 === 10)
+        .select((col("doc_id") + 60000).as("doc_id"),
+          concat(lit("q"), col("doc_id"), lit(" r"), col("doc_id"),
+            lit(" s"), col("doc_id"), lit(" t"), col("doc_id"),
+            lit(" u"), col("doc_id")).as("text")))
+    val sig = graft.InternalCaches.register(
+      signatures(shingles(encodedToks(corpus))).persist())
+    val bandRows = bandRowsOf(sig)
+    val idx = bandRows.filter(col("doc_id") < 50000)
+      .withColumnRenamed("doc_id", "existing_id")
+    val probe = bandRows.filter(col("doc_id") >= 50000)
+      .withColumnRenamed("doc_id", "incoming_id")
+    val cand = idx.join(probe, Seq("bi", "bv"))
+      .select(col("existing_id"), col("incoming_id")).distinct()
+    val sa = sig.as("sa"); val sb = sig.as("sb")
+    val nMatch = (0 until NumHashes)
+      .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val rejected = cand
+      .join(sa, col("sa.doc_id") === col("existing_id"))
+      .join(sb, col("sb.doc_id") === col("incoming_id"))
+      .filter(nMatch >= 8)
+      .select(col("incoming_id").as("doc_id")).distinct()
+    corpus.filter(col("doc_id") >= 50000).select(col("doc_id"))
+      .join(rejected, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(exact, minHashLsh, ccClusters, simHash, simHashBanded, ngramJaccard,
-      embeddingCos, embeddingCosBanded, semantic, incremental)
+      embeddingCos, embeddingCosBanded, semantic, incremental, incrementalLsh)
 }

@@ -199,4 +199,21 @@ class DedupSuite extends SparkSessionSuite {
     maxCos should be < 0.99
     assign.unpersist(); prep.unpersist()
   }
+
+  test("incremental LSH: synthetic new docs admitted, near-dup variants rejected") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = graft.SparkEntry.queries("dedup_incremental_lsh")(
+      s, "/root/testdata/sf0.001")
+    val survivors = out.collect().map(_.getLong(0)).toSet
+    val synthetic = survivors.filter(_ >= 60000L)
+    val nearDupSurvivors = survivors.filter(id => id >= 50000L && id < 60000L)
+    // every genuinely-new synthetic doc is admitted (no shingle overlap
+    // with the corpus, so it can never band-collide into a rejection)
+    synthetic.size shouldBe 25
+    // near-dup variants are rejected at the banding's expected recall:
+    // a drop-1-token variant at Jaccard ~0.9+ escapes BOTH 8-row bands
+    // only with small probability, so at most a few of the 25 survive
+    nearDupSurvivors.size should be <= 3
+  }
 }
