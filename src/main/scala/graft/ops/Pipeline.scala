@@ -243,5 +243,38 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(corpusClean, domainMix, compact, decontaminate)
+  /** Deterministic train/val/test split: each doc's bucket is the first
+    * 4 hex chars of md5(doc_id-as-string) mod 100 — buckets 0-89 train,
+    * 90-94 val, 95-99 test. The property that matters at 100 TB (and
+    * that `randomSplit` does NOT have): the assignment is a pure
+    * function of the doc's own key, so a doc's split NEVER changes as
+    * the corpus grows, re-partitions, or re-orders — no leakage of val
+    * docs into train across ingestion runs. Map-side arithmetic only:
+    * no shuffle, no state, embarrassingly parallel at any scale. */
+  val trainSplit: QueryDef = QueryDef.sql(
+    "pipe_split",
+    """WITH assigned AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100
+      |      AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 90 THEN 'train'
+      |       WHEN bucket < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM assigned
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(corpusClean, domainMix, compact, decontaminate, trainSplit)
 }
