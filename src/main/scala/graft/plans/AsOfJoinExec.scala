@@ -45,7 +45,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     tolerance: Option[Long],
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   // tolerance subtracts raw time values, so it needs a long-backed time
   // type (LongType, TimestampType, TimestampNTZType all store micros or
@@ -158,6 +158,157 @@ case class AsOfJoinExec(
         }
       }
     }
+  }
+
+  // ---- whole-stage codegen (r6): the merge loop is GENERATED, owning
+  // both sorted input iterators directly (the SortMergeJoin produce
+  // pattern) — per left row it advances the right cursor with inlined
+  // key/time comparisons, buffers the single best match, and streams
+  // the joined columns to the parent as codegen variables. The
+  // interpreted doExecute above stays as the codegen-off fallback. ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // the single result-row buffer is reused across left rows; downstream
+  // buffering operators must copy (same contract as SortMergeJoin)
+  override def needCopyResult: Boolean = true
+
+  override def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofRightInput", v => s"$v = inputs[1];")
+    val rowCls = classOf[InternalRow].getName
+    val unsafeCls = classOf[UnsafeRow].getName
+    // merge state carried across processNext() calls
+    val rRow = ctx.addMutableState(rowCls, "asofRRow")
+    val matched = ctx.addMutableState(rowCls, "asofMatched")
+    val matchedKey = ctx.addMutableState(unsafeCls, "asofMatchedKey")
+    val matchedTime = ctx.addMutableState("long", "asofMatchedTime")
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+
+    // ---- per-left-row evaluations (against leftRow) ----
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val lKeyVars = BindReferences.bindReferences(leftKeys, left.output)
+      .map(_.genCode(ctx))
+    val lTimeVar = BindReferences.bindReference(leftTime, left.output)
+      .genCode(ctx)
+    val lNull = (lKeyVars.map(_.isNull.code) :+ lTimeVar.isNull.code)
+      .filter(_ != "false").mkString(" || ") match {
+        case "" => "false"
+        case s => s
+      }
+    // UnsafeRow of the left key — stored (copied) with a buffered match
+    // so a later left row can detect the key change bytewise (UnsafeRow
+    // writers normalize -0.0/NaN, so bytewise == semantic equality)
+    val keyEv = GenerateUnsafeProjection.createCode(
+      ctx, BindReferences.bindReferences(leftKeys, left.output))
+
+    // ---- per-right-row evaluations (against rRow, inside the cursor
+    // loop) ----
+    ctx.INPUT_ROW = rRow
+    val rKeyVars = BindReferences.bindReferences(rightKeys, right.output)
+      .map(_.genCode(ctx))
+    val rTimeVar = BindReferences.bindReference(rightTime, right.output)
+      .genCode(ctx)
+    val rKeyNull = rKeyVars.map(_.isNull.code).filter(_ != "false")
+      .mkString(" || ") match { case "" => "false"; case s => s }
+    val comp = ctx.freshName("asofComp")
+    val keyComps = leftKeys.zip(rKeyVars).zip(lKeyVars).map {
+      case ((lk, rkEv), lkEv) =>
+        s"""$comp = ${ctx.genComp(lk.dataType, rkEv.value.code, lkEv.value.code)};
+           |if ($comp != 0) break;""".stripMargin
+    }.mkString("\n")
+    val timeComp =
+      ctx.genComp(leftTime.dataType, rTimeVar.value.code, lTimeVar.value.code)
+    val bufferTime = tolerance match {
+      case Some(_) => s"$matchedTime = (long) ${rTimeVar.value};"
+      case None => ""
+    }
+
+    // ---- emit: tolerance gate + output variables ----
+    val hasMatch = ctx.freshName("asofHasMatch")
+    val tolCheck = tolerance match {
+      case Some(t) =>
+        s" && (((long) ${lTimeVar.value}) - $matchedTime <= ${t}L)"
+      case None => ""
+    }
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofValue")
+      val javaType = CodeGenerator.javaType(a.dataType)
+      val valCode = CodeGenerator.getValue(matched, a.dataType, i.toString)
+      val varCode = code"""
+        |boolean $isNull = !$hasMatch || $matched.isNullAt($i);
+        |$javaType $value = $isNull ?
+        |  ${CodeGenerator.defaultValue(a.dataType)} : ($valCode);
+       """.stripMargin
+      ExprCode(varCode,
+        JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
+    ctx.INPUT_ROW = leftRow
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      org.apache.spark.sql.catalyst.expressions
+        .BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+
+    val done = ctx.freshName("asofDone")
+    s"""
+       |while (${limitNotReachedCond} $leftInput.hasNext()) {
+       |  $rowCls $leftRow = ($rowCls) $leftInput.next();
+       |  ${lKeyVars.map(_.code).mkString("\n")}
+       |  ${lTimeVar.code}
+       |  if (!($lNull)) {
+       |    ${keyEv.code}
+       |    if ($matched != null && !$matchedKey.equals(${keyEv.value})) {
+       |      $matched = null;
+       |      $matchedKey = null;
+       |    }
+       |    boolean $done = false;
+       |    while (!$done) {
+       |      if ($rRow == null) {
+       |        if ($rightInput.hasNext()) {
+       |          $rRow = ($rowCls) $rightInput.next();
+       |        } else {
+       |          break;
+       |        }
+       |      }
+       |      ${rKeyVars.map(_.code).mkString("\n")}
+       |      ${rTimeVar.code}
+       |      int $comp = 0;
+       |      if ($rKeyNull) {
+       |        $comp = -1; // null right keys never match: discard
+       |      } else {
+       |        do {
+       |          $keyComps
+       |        } while (false);
+       |      }
+       |      if ($comp < 0) {
+       |        $rRow = null;
+       |      } else if ($comp > 0) {
+       |        $done = true;
+       |      } else if (${rTimeVar.isNull}) {
+       |        $rRow = null; // null right time never matches: discard
+       |      } else if (($timeComp) <= 0) {
+       |        $matched = $rRow.copy();
+       |        $matchedKey = ${keyEv.value}.copy();
+       |        $bufferTime
+       |        $rRow = null;
+       |      } else {
+       |        $done = true;
+       |      }
+       |    }
+       |  }
+       |  boolean $hasMatch = $matched != null && !($lNull)$tolCheck;
+       |  $numOutput.add(1);
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

@@ -149,6 +149,83 @@ class AsOfJoinSuite extends SparkSessionSuite {
     interpreted shouldBe generated
   }
 
+  test("merge form participates in whole-stage codegen (no fallback)") {
+    val s = spark
+    import s.implicits._
+    // fallback=false turns a generated-code compile failure into a hard
+    // error instead of a silent interpreted fallback
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val left = Seq(
+        (Some(1), Some(10L), "l-t10"), (Some(1), Some(5L), "l-t5"),
+        (Some(1), Some(2L), "l-t2"), (Some(2), Some(7L), "l-nokey"),
+        (Some(3), Some(100L), "l-late"), (None, Some(9L), "l-nullkey"),
+        (Some(1), None, "l-nulltime")).toDF("k", "t", "lv")
+      val right = Seq(
+        (Some(1), Some(3L), "r-t3"), (Some(1), Some(10L), "r-t10"),
+        (Some(1), None, "r-nulltime"), (None, Some(1L), "r-nullkey"),
+        (Some(3), Some(50L), "r-t50"), (Some(3), Some(60L), "r-t60"))
+        .toDF("rk", "rt", "rv")
+      val df = AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
+        broadcastRight = Some(false))
+      df.select("lv", "rv").collect().map(r =>
+        (r.getString(0), r.getString(1))).toMap shouldBe Map(
+        "l-t10" -> "r-t10", "l-t5" -> "r-t3", "l-t2" -> null,
+        "l-nokey" -> null, "l-late" -> "r-t60", "l-nullkey" -> null,
+        "l-nulltime" -> null)
+      // with tolerance too (the long-subtraction gate is generated code)
+      val tl = Seq((1, 100L, "fresh"), (1, 205L, "edge"), (1, 300L, "stale"))
+        .toDF("k", "t", "lv")
+      val tr = Seq((1, 95L, "r95"), (1, 105L, "r105")).toDF("rk", "rt", "rv")
+      AsOf.join(tl, tr, Seq("k" -> "rk"), "t", "rt",
+          tolerance = Some(100L), broadcastRight = Some(false))
+        .select("lv", "rv").collect().map(r =>
+          (r.getString(0), r.getString(1))).toMap shouldBe Map(
+        "fresh" -> "r95", "edge" -> "r105", "stale" -> null)
+      // and the AQE-finalized plan shows the codegen'd stage
+      val dfp = AsOf.join(tl, tr, Seq("k" -> "rk"), "t", "rt",
+        broadcastRight = Some(false))
+      dfp.collect()
+      val finalPlan = (dfp.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }).toString
+      withClue(finalPlan) {
+        assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(finalPlan).isDefined,
+          "AsOfJoinExec not inside a WholeStageCodegen stage")
+      }
+    } finally s.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("generated and interpreted merge paths are bit-identical on events") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(s, dir)
+    val errors = ev.filter(org.apache.spark.sql.functions.col("event_type") === "error")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts").as("t"),
+        org.apache.spark.sql.functions.col("event_id").as("error_id"))
+    val clicks = ev.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select(org.apache.spark.sql.functions.col("user_id").as("c_user_id"),
+        org.apache.spark.sql.functions.col("ts").as("c_t"),
+        org.apache.spark.sql.functions.col("event_id").as("click_id"))
+    def run(): Seq[Seq[Any]] =
+      AsOf.join(errors, clicks, Seq("user_id" -> "c_user_id"), "t", "c_t",
+          tolerance = Some(3600L * 1000000L), broadcastRight = Some(false))
+        .orderBy("error_id").collect()
+        .map(_.toSeq.toIndexedSeq).toIndexedSeq
+    val generated = run()
+    val interpreted =
+      try {
+        s.conf.set("spark.sql.codegen.wholeStage", "false")
+        run()
+      } finally s.conf.set("spark.sql.codegen.wholeStage", "true")
+    generated.length should be > 0
+    interpreted shouldBe generated
+  }
+
   test("broadcast and shuffle forms are bit-identical on events") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
