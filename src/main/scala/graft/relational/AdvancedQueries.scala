@@ -364,8 +364,61 @@ object AdvancedQueries {
       .limit(100)
   }
 
+  /** Z-ORDER LAYOUT — multi-dimensional write clustering: interleave
+    * the bits of two key columns into one z-value and sort the data by
+    * it, so every contiguous run of rows (a parquet row group, a file)
+    * covers a BOUNDED RECTANGLE in (dim1, dim2) space — min/max column
+    * stats then prune scans filtered on EITHER dimension, which a
+    * single-column sort only gives for its leading column. This is the
+    * standard lakehouse layout technique for 100 TB fact tables
+    * (`df.repartitionByRange(col("z")).sortWithinPartitions(col("z"))
+    * .write...`); the layout itself is exercised in the suite, and this
+    * query pins the interleave arithmetic plus the locality guarantee
+    * as data: bucketing by the z-value's high bits (shift 14 ⇒ both
+    * dims' bits ≥ 7 fixed) bounds every bucket's spans below 2^7 = 128
+    * on BOTH keys. Bit ops are exact integer arithmetic — identical in
+    * both engines. */
+  private def zBits = 16
+  private def zShift = 14
+
+  private[relational] def zCol(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until zBits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  private def zSqlExpr(a: String, b: String): String =
+    (0 until zBits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+
+  val zorderLayout: QueryDef = QueryDef.sql(
+    "adv_zorder_layout",
+    s"""WITH z AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    (${zSqlExpr("l_partkey", "l_suppkey")}) AS zval
+      |  FROM lineitem)
+      |SELECT zval >> $zShift AS zbucket, count(*) AS n_rows,
+      |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+      |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+      |FROM z
+      |GROUP BY zval >> $zShift
+      |ORDER BY zbucket""".stripMargin) { (s, d) =>
+    val z = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        zCol(col("l_partkey"), col("l_suppkey")).as("zval"))
+    z.groupBy(shiftright(col("zval"), zShift).as("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"),
+        max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"),
+        max(col("l_suppkey")).as("max_supp"))
+      .orderBy(col("zbucket"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(asOfJoin, asOfNative, asOfTolerance, percentiles, pivot, cube,
       saltedAgg, movingAvg, stratifiedSample, sqlInterface, rangeJoinBucketed,
-      sampleExactK)
+      sampleExactK, zorderLayout)
 }
