@@ -275,6 +275,66 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** DATA PROFILING — the validation pass a pipeline runs before
+    * training on a new corpus drop: per-column row/null/distinct counts
+    * and value-length bounds, emitted as one tidy (column, metric)
+    * table. One scan computes every metric (a single multi-aggregate —
+    * count/count(col)/approx-free exact distincts via count(distinct)
+    * inside one aggregation), so profiling 100 TB costs one pass; at
+    * cluster scale the same shape runs per-partition-batch and the
+    * metrics union. All metrics are exact integers — no FP, no
+    * sampling — so the profile is bit-reproducible anywhere. */
+  val profile: QueryDef = QueryDef.sql(
+    "pipe_profile",
+    """WITH m AS (
+      |  SELECT count(*) AS n_rows,
+      |    count(doc_id) AS doc_id_nn, count(DISTINCT doc_id) AS doc_id_d,
+      |    count(text) AS text_nn, count(DISTINCT text) AS text_d,
+      |    min(length(text)) AS text_minl, max(length(text)) AS text_maxl,
+      |    count(lang) AS lang_nn, count(DISTINCT lang) AS lang_d,
+      |    min(length(lang)) AS lang_minl, max(length(lang)) AS lang_maxl,
+      |    count(source) AS source_nn, count(DISTINCT source) AS source_d,
+      |    min(length(source)) AS source_minl, max(length(source)) AS source_maxl
+      |  FROM documents)
+      |SELECT * FROM (
+      |  SELECT 'doc_id' AS col, n_rows, n_rows - doc_id_nn AS n_null,
+      |    doc_id_d AS n_distinct, -1 AS min_len, -1 AS max_len FROM m
+      |  UNION ALL
+      |  SELECT 'text', n_rows, n_rows - text_nn, text_d, text_minl, text_maxl FROM m
+      |  UNION ALL
+      |  SELECT 'lang', n_rows, n_rows - lang_nn, lang_d, lang_minl, lang_maxl FROM m
+      |  UNION ALL
+      |  SELECT 'source', n_rows, n_rows - source_nn, source_d, source_minl, source_maxl FROM m)
+      |ORDER BY col""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val m = docs.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("doc_id")).as("doc_id_nn"),
+      countDistinct(col("doc_id")).as("doc_id_d"),
+      count(col("text")).as("text_nn"),
+      countDistinct(col("text")).as("text_d"),
+      min(length(col("text"))).as("text_minl"),
+      max(length(col("text"))).as("text_maxl"),
+      count(col("lang")).as("lang_nn"),
+      countDistinct(col("lang")).as("lang_d"),
+      min(length(col("lang"))).as("lang_minl"),
+      max(length(col("lang"))).as("lang_maxl"),
+      count(col("source")).as("source_nn"),
+      countDistinct(col("source")).as("source_d"),
+      min(length(col("source"))).as("source_minl"),
+      max(length(col("source"))).as("source_maxl"))
+    def row(name: String, nn: String, d: String,
+        minl: org.apache.spark.sql.Column, maxl: org.apache.spark.sql.Column) =
+      m.select(lit(name).as("col"), col("n_rows"),
+        (col("n_rows") - col(nn)).as("n_null"), col(d).as("n_distinct"),
+        minl.cast("int").as("min_len"), maxl.cast("int").as("max_len"))
+    row("doc_id", "doc_id_nn", "doc_id_d", lit(-1), lit(-1))
+      .unionAll(row("text", "text_nn", "text_d", col("text_minl"), col("text_maxl")))
+      .unionAll(row("lang", "lang_nn", "lang_d", col("lang_minl"), col("lang_maxl")))
+      .unionAll(row("source", "source_nn", "source_d", col("source_minl"), col("source_maxl")))
+      .orderBy(col("col"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(corpusClean, domainMix, compact, decontaminate, trainSplit)
+    Seq(corpusClean, domainMix, compact, decontaminate, trainSplit, profile)
 }
