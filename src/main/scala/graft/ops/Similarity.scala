@@ -146,6 +146,79 @@ object Similarity {
         round(col("rawcos"), 6).as("cos"))
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * data-prep step): for each anchor, the `k` MOST similar corpus
+    * vectors that are NOT near-duplicates — a near-dup ranked as a
+    * negative is a false negative that poisons the contrastive loss,
+    * so anything at quantized cosine >= `nearDupCut` is excluded
+    * BEFORE ranking and the next-most-similar vectors shift up. The
+    * scoring channel here is the exact kernel (the oracle-checkable
+    * twin); at 100 TB the candidate channel swaps to the IVF/LSH top-k
+    * (same output contract) exactly as the sim_topk family does, with
+    * the cut applied to the reranked candidates unchanged. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      nearDupCut: Double): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("rawcos"), 12).desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rawcos"))
+      .filter(round(col("rawcos"), 12) < nearDupCut)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("rawcos"), 6).as("cos"))
+  }
+
+  /** Hash-checked hard negatives over the planted near-dup corpus:
+    * every anchor (each 25th base vector) has a planted scaled copy at
+    * cosine ~1 that MUST be excluded; its hard negatives are the
+    * nearest background vectors (cosine <= 0.51 on this corpus). */
+  val hardNegativesQuery: QueryDef = QueryDef.sql(
+    "sim_hard_negatives",
+    """WITH corpus AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000 AS vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01 + 0.0001) AS v
+      |  FROM embeddings WHERE vec_id % 25 = 0),
+      |flat AS (
+      |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
+      |  FROM corpus),
+      |norms AS (
+      |  SELECT vec_id, sqrt(sum(e * e)) AS nrm FROM flat GROUP BY vec_id),
+      |dots AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         sum(q.e * c.e) AS dot
+      |  FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+      |  WHERE q.vec_id % 25 = 0 AND q.vec_id < 10000
+      |  GROUP BY q.vec_id, c.vec_id),
+      |scored AS (
+      |  SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS rawcos
+      |  FROM dots
+      |  JOIN norms nq ON nq.vec_id = query_id
+      |  JOIN norms nc ON nc.vec_id = neighbor_id),
+      |hard AS (
+      |  SELECT query_id, neighbor_id, rawcos,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY round(rawcos, 12) DESC, neighbor_id) AS rank
+      |  FROM scored
+      |  WHERE round(rawcos, 12) < 0.99)
+      |SELECT query_id, rank, neighbor_id, round(rawcos, 6) AS cos
+      |FROM hard WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val prep = graft.InternalCaches.register(
+      Dedup.corpusScaledEmb(Tables.embeddings(s, d)).persist())
+    val anchors = prep.filter(col("vec_id") % 25 === 0 && col("vec_id") < 10000)
+    hardNegatives(anchors, prep, 3, 0.99)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic random-hyperplane coefficient for (plane j, 1-based
     * position): ((j·97 + (pos−1)·31) mod 17 − 8) / 8. */
   private def hcoef(j: Int, pos: Column): Column =
@@ -761,5 +834,6 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] =
-    Seq(topKBrute, topKLsh, rangeSearch, rangeSearchLsh, topKIvf, hybridRrf)
+    Seq(topKBrute, topKLsh, rangeSearch, rangeSearchLsh, topKIvf, hybridRrf,
+      hardNegativesQuery)
 }

@@ -128,4 +128,23 @@ class SimilaritySuite extends SparkSessionSuite {
       .count(_.getName.startsWith("cell="))
     cells should be > 1
   }
+
+  test("hard negatives exclude the planted near-dup twin for every anchor") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = graft.SparkEntry.queries("sim_hard_negatives")(
+      s, "/root/testdata/sf0.001").collect()
+    out.length should be > 0
+    out.foreach { r =>
+      val (anchor, neighbor, cos) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      withClue(s"anchor $anchor: ") {
+        // the scaled twin (anchor + 10000) must never rank as a negative
+        neighbor should not be (anchor + 10000L)
+        // and nothing at near-dup similarity survives the cut
+        cos should be < 0.99
+      }
+    }
+    // every anchor still gets its full quota of 3 negatives
+    out.groupBy(_.getLong(0)).values.foreach(_.length shouldBe 3)
+  }
 }
