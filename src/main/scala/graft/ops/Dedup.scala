@@ -977,7 +977,20 @@ object Dedup {
     val sig = graft.InternalCaches.register(
       signatures(shingles(encodedToks(corpus))).persist())
     val bandRows = bandRowsOf(sig)
-    val idx = bandRows.filter(col("doc_id") < 50000)
+    // the same hot-bucket guard lshCandidatePairs enforces, applied to
+    // the INDEX side: a batch doc probing a boilerplate bucket of b
+    // corpus docs fans out b candidates — capped with a logged drop
+    // (fixture max bucket 3, so the uncapped oracle is unaffected)
+    val idx0 = bandRows.filter(col("doc_id") < 50000)
+    val hot = idx0.groupBy(col("bi"), col("bv"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > BandBucketCap)
+      .select(col("bi"), col("bv"))
+    val nHot = hot.count()
+    if (nHot > 0)
+      System.err.println(s"[dedup] incrementalLsh: dropped $nHot index " +
+        s"band bucket(s) larger than $BandBucketCap docs from the probe " +
+        "(exact-dedup the hot cluster instead)")
+    val idx = idx0.join(broadcast(hot), Seq("bi", "bv"), "left_anti")
       .withColumnRenamed("doc_id", "existing_id")
     val probe = bandRows.filter(col("doc_id") >= 50000)
       .withColumnRenamed("doc_id", "incoming_id")
