@@ -28,6 +28,25 @@ class ZOrderLayoutSuite extends SparkSessionSuite {
     }
   }
 
+  test("z-value interleave is a bijection on 16-bit pairs") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val pairs = Seq.fill(500)((rng.nextInt(65536).toLong, rng.nextInt(65536).toLong))
+    val out = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), AdvancedQueries.zCol(col("a"), col("b")).as("z"))
+      .collect()
+    out.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // de-interleave: even bits back to a, odd bits back to b
+      val a2 = (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).reduce(_ | _)
+      val b2 = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).reduce(_ | _)
+      (a2, b2) shouldBe ((a, b))
+    }
+    // distinct inputs => distinct z-values (injective on the sample)
+    out.map(_.getLong(2)).distinct.length shouldBe pairs.distinct.length
+  }
+
   test("z-range-partitioned files stats-prune a two-dim rectangle query") {
     val s = spark
     val li = graft.Tables.lineitem(s, dir)
