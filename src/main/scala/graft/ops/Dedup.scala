@@ -109,7 +109,7 @@ object Dedup {
       .select(col("doc_id"), (col("pos0") + 1).as("pos"),
         tokHash(col("tok")).as("tid"))
 
-  private[ops] val encodedToksSql =
+  private[graft] val encodedToksSql =
     """enc AS (
       |  SELECT doc_id, pos,
       |    list_reduce(
@@ -135,7 +135,7 @@ object Dedup {
       .distinct()
   }
 
-  private[ops] val shinglesSql =
+  private[graft] val shinglesSql =
     """sh AS (
       |  SELECT DISTINCT doc_id,
       |    (((tid * 1009 + t2) % 1000000007) * 1009 + t3) % 1000000007 AS x
@@ -174,13 +174,13 @@ object Dedup {
 
   // ----------------------------------------- shared MinHash-LSH pipeline --
 
-  private def mhSql = (0 until NumHashes)
+  private[graft] def mhSql = (0 until NumHashes)
     .map(j => s"min((x * ${2 * j + 3} + ${5 * j + 7}) % $P) AS mh$j")
     .mkString(", ")
 
   // mod-reduce each fold step: 8 chained *1009 terms would overflow
   // int64 otherwise (and DuckDB's hugeint would silently diverge).
-  private def bandSql = (0 until Bands).map { b =>
+  private[graft] def bandSql = (0 until Bands).map { b =>
     val base = b * RowsPerBand
     (1 until RowsPerBand)
       .foldLeft(s"mh$base")((acc, i) =>
@@ -188,7 +188,7 @@ object Dedup {
       s" AS band$b"
   }.mkString(", ")
 
-  private def eqCountSql = (0 until NumHashes)
+  private[graft] def eqCountSql = (0 until NumHashes)
     .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
     .mkString(" + ")
 
@@ -248,6 +248,53 @@ object Dedup {
             .as("bv"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.bi").as("bi"), col("band.bv").as("bv"))
+
+  /** Batch-chain signature table for a (doc_id, text) corpus — the
+    * explode → shingle → groupBy pipeline. */
+  private[graft] def corpusSignatures(docs: DataFrame): DataFrame =
+    signatures(shingles(encodedToks(docs)))
+
+  /** Band index rows for a signature table (streaming probe side). */
+  private[graft] def corpusBandRows(sig: DataFrame): DataFrame =
+    bandRowsOf(sig)
+
+  private[graft] val SignatureHashes: Int = NumHashes
+  private[graft] val SignatureBands: Int = Bands
+
+  /** Per-row MAP-SIDE MinHash: appends the 16 signature columns
+    * (mh0..mh15) and [[Bands]] band columns (band0..band1) to a
+    * (…, `textCol`, …) frame using ONLY array expressions — no explode,
+    * no groupBy, no shuffle. Value-identical to [[corpusSignatures]]
+    * (min over the shingle multiset equals min over the distinct set;
+    * the 3-gram and affine-permutation arithmetic is byte-for-byte the
+    * same — suite-pinned). This is the STREAMING-SAFE formulation: a
+    * stateless projection, so an arriving stream signs itself row by
+    * row and probes a static band index with zero shuffle and zero
+    * state. Docs with fewer than 3 tokens get null signatures/bands
+    * (no shingles), exactly like their absence from the batch
+    * signature table — null band values join nothing. */
+  private[graft] def withRowSignature(df: DataFrame, textCol: String): DataFrame = {
+    val tids = transform(split(col(textCol), " "), t => tokHash(t))
+    val df1 = df.withColumn("_tids", tids)
+    val shing = when(size(col("_tids")) >= 3,
+        transform(sequence(lit(1), size(col("_tids")) - 2),
+          i => ((((element_at(col("_tids"), i) * 1009
+            + element_at(col("_tids"), i + 1)) % TokP) * 1009
+            + element_at(col("_tids"), i + 2)) % TokP)))
+      .otherwise(array().cast("array<bigint>"))
+    val df2 = df1.withColumn("_shing", shing)
+    val withMh = (0 until NumHashes).foldLeft(df2)((acc, j) =>
+      acc.withColumn(s"mh$j",
+        array_min(transform(col("_shing"),
+          x => (x * (2 * j + 3) + (5 * j + 7)) % P))))
+    val withBands = (0 until Bands).foldLeft(withMh) { (acc, b) =>
+      val base = b * RowsPerBand
+      acc.withColumn(s"band$b",
+        (1 until RowsPerBand).foldLeft(col(s"mh$base"))((a2, i) =>
+          (a2 * 1009 + col(s"mh${base + i}")) % 1000000007L))
+    }
+    withBands.drop("_tids", "_shing")
+  }
 
   private[ops] def lshCandidatePairs(sh: DataFrame,
       bucketCap: Int = BandBucketCap): DataFrame = {
@@ -930,6 +977,20 @@ object Dedup {
     * never corpus-quadratic. The hot-bucket cap from
     * [[lshCandidatePairs]] applies to the index side unchanged in
     * production; the fixture's buckets are far below it. */
+  /** The planted incoming batch both incremental-LSH flavors (batch
+    * query + streaming twin) ingest: drop-1-token near-dup variants of
+    * every 20th doc (+50000, to be rejected) and genuinely-new
+    * synthetic id-token docs (+60000, to be admitted). */
+  private[graft] def incomingLshBatch(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 50000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      .unionAll(docs.filter(col("doc_id") % 20 === 10)
+        .select((col("doc_id") + 60000).as("doc_id"),
+          concat(lit("q"), col("doc_id"), lit(" r"), col("doc_id"),
+            lit(" s"), col("doc_id"), lit(" t"), col("doc_id"),
+            lit(" u"), col("doc_id")).as("text")))
+
   val incrementalLsh: QueryDef = QueryDef.sql(
     "dedup_incremental_lsh",
     s"""WITH corpus AS (
@@ -966,14 +1027,7 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val corpus = docs.select(col("doc_id"), col("text"))
-      .unionAll(docs.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 50000).as("doc_id"),
-          expr("substring(text, instr(text, ' ') + 1)").as("text")))
-      .unionAll(docs.filter(col("doc_id") % 20 === 10)
-        .select((col("doc_id") + 60000).as("doc_id"),
-          concat(lit("q"), col("doc_id"), lit(" r"), col("doc_id"),
-            lit(" s"), col("doc_id"), lit(" t"), col("doc_id"),
-            lit(" u"), col("doc_id")).as("text")))
+      .unionAll(incomingLshBatch(docs))
     val sig = graft.InternalCaches.register(
       signatures(shingles(encodedToks(corpus))).persist())
     val bandRows = bandRowsOf(sig)

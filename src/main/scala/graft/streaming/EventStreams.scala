@@ -640,7 +640,108 @@ object EventStreams {
     out
   }
 
+  // ------------------------------- streaming near-dup ingestion dedup --
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def lshStagedDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-lshbatch-staged-" +
+      math.abs(d.hashCode)
+
+  /** Stages the planted incoming doc batch (the same one
+    * `dedup_incremental_lsh` ingests) as a parquet dir for the
+    * streaming file source. */
+  def stageLshBatch(s: SparkSession, d: String): Unit = {
+    val dir = lshStagedDir(d)
+    graft.ops.Dedup.incomingLshBatch(Tables.documents(s, d))
+      .write.mode("overwrite").parquet(dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, StagedMarker)
+    marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .create(marker, true).close()
+  }
+
+  /** STREAMING near-dup ingestion dedup — the streaming twin of
+    * `dedup_incremental_lsh`: arriving docs sign themselves with the
+    * per-row MAP-SIDE MinHash ([[graft.ops.Dedup.withRowSignature]] —
+    * array expressions only, so the stream side has ZERO shuffle and
+    * ZERO state), probe the static corpus band index through two
+    * broadcast stream-static joins, and every band agreement at >=
+    * 8/16 signature rows (estimated Jaccard >= 0.5) emits a REJECTION
+    * EVIDENCE row (incoming, existing, band, n_match) in Append mode.
+    * Emitting evidence (rather than the admitted set) keeps the whole
+    * streaming plan stateless — admission is a downstream anti-join
+    * against this stream, exactly how an ingestion pipeline consumes a
+    * reject log. 100 TB shape: the corpus index is computed once and
+    * broadcast (persisted in production — the saveIvfIndex pattern);
+    * per arriving batch the work is linear map-side signing plus
+    * batch-sized probe joins. */
+  val lshDedup: QueryDef = QueryDef.sqlPrepared(
+    "st_lsh_dedup",
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 50000 AS doc_id,
+      |         substr(text, strpos(text, ' ') + 1) AS text
+      |  FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 60000 AS doc_id,
+      |         concat('q', CAST(doc_id AS VARCHAR), ' r', CAST(doc_id AS VARCHAR),
+      |                ' s', CAST(doc_id AS VARCHAR), ' t', CAST(doc_id AS VARCHAR),
+      |                ' u', CAST(doc_id AS VARCHAR)) AS text
+      |  FROM documents WHERE doc_id % 20 = 10),
+      |${graft.ops.Dedup.encodedToksSql},
+      |${graft.ops.Dedup.shinglesSql},
+      |sig AS (
+      |  SELECT doc_id, ${graft.ops.Dedup.mhSql} FROM sh GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, ${graft.ops.Dedup.bandSql} FROM sig),
+      |cand AS (
+      |  ${(0 until graft.ops.Dedup.SignatureBands).map(b =>
+           s"SELECT a.doc_id AS existing_id, b.doc_id AS incoming_id, $b AS bi FROM banded a JOIN banded b ON a.band$b = b.band$b AND a.doc_id < 50000 AND b.doc_id >= 50000")
+           .mkString("\n  UNION ALL\n  ")})
+      |SELECT c.incoming_id, c.existing_id, c.bi,
+      |  (${graft.ops.Dedup.eqCountSql}) AS n_match
+      |FROM cand c
+      |JOIN sig a ON a.doc_id = c.existing_id
+      |JOIN sig b ON b.doc_id = c.incoming_id
+      |WHERE (${graft.ops.Dedup.eqCountSql}) >= 8
+      |ORDER BY incoming_id, existing_id, bi""".stripMargin)(
+    stageLshBatch) { (s, d) =>
+    val h = graft.ops.Dedup.SignatureHashes
+    val docs = Tables.documents(s, d)
+    val sig = graft.ops.Dedup.corpusSignatures(docs)
+    val idx = graft.ops.Dedup.corpusBandRows(sig)
+      .withColumnRenamed("doc_id", "existing_id")
+    val ssig = (0 until h).foldLeft(
+      sig.withColumnRenamed("doc_id", "existing_id"))((acc, j) =>
+      acc.withColumnRenamed(s"mh$j", s"smh$j"))
+    val stream = s.readStream.schema(docSchema)
+      .parquet(ensureStagedIn(s, lshStagedDir(d), stageLshBatch(s, d)))
+    val signed = graft.ops.Dedup.withRowSignature(stream, "text")
+      .withColumnRenamed("doc_id", "incoming_id")
+    val probe = signed.select(
+      (col("incoming_id") +: (0 until h).map(j => col(s"mh$j"))) :+
+        explode(array((0 until graft.ops.Dedup.SignatureBands).map(b =>
+          struct(lit(b).as("bi"), col(s"band$b").as("bv"))): _*)).as("band"): _*)
+      .select((col("incoming_id") +: (0 until h).map(j => col(s"mh$j"))) :+
+        col("band.bi").as("bi") :+ col("band.bv").as("bv"): _*)
+    val nMatch = (0 until h)
+      .map(j => when(col(s"mh$j") === col(s"smh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val evidence = probe
+      .join(broadcast(idx), Seq("bi", "bv"))
+      .join(broadcast(ssig), Seq("existing_id"))
+      .withColumn("n_match", nMatch)
+      .filter(col("n_match") >= 8)
+      .select(col("incoming_id"), col("existing_id"), col("bi"),
+        col("n_match"))
+    runAppendToParquet(evidence, "st_lsh_dedup")
+      .orderBy(col("incoming_id"), col("existing_id"), col("bi"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(tumblingHourly, slidingHalfHour, streamDedup, intervalJoin,
-      enrichStatic, sessionsStream, sessionsBatch, cmsUsers, upsertState)
+      enrichStatic, sessionsStream, sessionsBatch, cmsUsers, upsertState,
+      lshDedup)
 }

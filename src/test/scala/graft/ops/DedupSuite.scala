@@ -200,6 +200,36 @@ class DedupSuite extends SparkSessionSuite {
     assign.unpersist(); prep.unpersist()
   }
 
+  test("per-row map-side signatures equal the batch signature chain") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    // corpus incl. the planted batch (covers the short synthetic docs)
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionAll(Dedup.incomingLshBatch(docs)).persist()
+    val h = Dedup.SignatureHashes
+    val batchSig = Dedup.corpusSignatures(corpus)
+    val rowSig = Dedup.withRowSignature(corpus, "text")
+    val sigCols = (0 until h).map(j => s"mh$j") ++
+      (0 until Dedup.SignatureBands).map(b => s"band$b")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.select((col("doc_id") +: sigCols.map(col)): _*)
+        .orderBy(col("doc_id")).collect()
+        .map(_.toSeq.toIndexedSeq).toIndexedSeq
+    val batchRows = canon(Dedup.corpusBandRows(batchSig)
+      .groupBy(col("doc_id")).pivot("bi").agg(first(col("bv")))
+      .withColumnsRenamed(Map("0" -> "band0", "1" -> "band1"))
+      .join(batchSig, Seq("doc_id")))
+    val rowRows = canon(rowSig.filter(col("band0").isNotNull))
+    batchRows.length should be > 500 // every doc with >= 3 tokens signs
+    rowRows shouldBe batchRows
+    // docs too short to shingle get null signatures — exactly the docs
+    // absent from the batch signature table
+    val nullRows = rowSig.filter(col("band0").isNull).count()
+    nullRows shouldBe (corpus.count() - batchRows.length)
+    corpus.unpersist()
+  }
+
   test("incremental LSH: synthetic new docs admitted, near-dup variants rejected") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
