@@ -752,7 +752,7 @@ object Dedup {
   /** Corpus with planted scaled near-dup embeddings (cos ~ 1) against a
     * background whose max natural pair cosine is 0.51, so threshold 0.99
     * recovers exactly the planted pairs. */
-  private[ops] def corpusScaledEmb(emb: DataFrame): DataFrame = {
+  private[graft] def corpusScaledEmb(emb: DataFrame): DataFrame = {
     val base = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val planted = emb.filter(col("vec_id") % 25 === 0)

@@ -174,6 +174,25 @@ object Similarity {
         round(col("rawcos"), 6).as("cos"))
   }
 
+  /** PRODUCTION hard negatives: same contract as [[hardNegatives]] but
+    * the candidate channel is the deterministic IVF index instead of
+    * the exact kernel — O(n·nlist) assignment + probed-cell candidates
+    * instead of all-pairs scoring. Over-fetches k+5 candidates so the
+    * near-dup exclusion can't starve the quota, then re-ranks. Recall
+    * vs the exact twin is floor-pinned in the suite (approximate by
+    * design — the sim_topk_ivf regime applies). */
+  def hardNegativesIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+      nearDupCut: Double, nprobe: Int = IvfNprobe): DataFrame = {
+    val cand = ivfTopKDet(corpus, queries, k + 5, nlist = IvfNlist,
+      nprobe = nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.filter(col("cos") < nearDupCut)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Hash-checked hard negatives over the planted near-dup corpus:
     * every anchor (each 25th base vector) has a planted scaled copy at
     * cosine ~1 that MUST be excluded; its hard negatives are the

@@ -672,10 +672,14 @@ object EventStreams {
     * Emitting evidence (rather than the admitted set) keeps the whole
     * streaming plan stateless — admission is a downstream anti-join
     * against this stream, exactly how an ingestion pipeline consumes a
-    * reject log. 100 TB shape: the corpus index is computed once and
-    * broadcast (persisted in production — the saveIvfIndex pattern);
-    * per arriving batch the work is linear map-side signing plus
-    * batch-sized probe joins. */
+    * reject log. 100 TB shape: the stream side is always linear
+    * map-side signing; the index side is broadcast HERE because the
+    * fixture corpus is dimension-sized, but a corpus-scale band index
+    * (2 rows/doc) is NOT broadcastable — production persists it
+    * hash-bucketed by (bi, bv) (the st_upsert bucketed-state pattern)
+    * and the probe becomes a shuffled equi-join where only the
+    * batch-sized stream side moves per microbatch, with bucket
+    * pruning on the index scan. */
   val lshDedup: QueryDef = QueryDef.sqlPrepared(
     "st_lsh_dedup",
     s"""WITH corpus AS (

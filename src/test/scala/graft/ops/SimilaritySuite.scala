@@ -147,4 +147,23 @@ class SimilaritySuite extends SparkSessionSuite {
     // every anchor still gets its full quota of 3 negatives
     out.groupBy(_.getLong(0)).values.foreach(_.length shouldBe 3)
   }
+
+  test("IVF hard negatives hit a recall floor vs the exact twin") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prep = Dedup.corpusScaledEmb(
+      graft.Tables.embeddings(s, "/root/testdata/sf0.001")).persist()
+    val anchors = prep.filter(col("vec_id") % 25 === 0 && col("vec_id") < 10000)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.hardNegatives(anchors, prep, 3, 0.99))
+    val ivf = pairs(Similarity.hardNegativesIvf(anchors, prep, 3, 0.99))
+    // the approximate channel never surfaces a near-dup either
+    Similarity.hardNegativesIvf(anchors, prep, 3, 0.99)
+      .agg(max(col("cos"))).head.getDouble(0) should be < 0.99
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    recall should be >= 0.6 // sim_topk_ivf regime (0.84 recall@5) applies
+    prep.unpersist()
+  }
 }
