@@ -296,6 +296,69 @@ object Dedup {
     withBands.drop("_tids", "_shing")
   }
 
+  /** Persist a corpus's MinHash signature table + band index to `dir`,
+    * hash-bucketed by band value — the PRODUCTION shape behind the
+    * incremental/streaming near-dup probes (the Similarity.saveIvfIndex
+    * pattern applied to LSH): at corpus scale the index is not
+    * broadcastable, so it lives bucketed on storage and a probe prunes
+    * to the touched buckets. Layout: `dir/sig` (doc_id, mh0..15) and
+    * `dir/bands` (doc_id, bi, bv) partitioned by
+    * `bucket = pmod(bv, nBuckets)` (band values are already uniform
+    * hashes, so modulo buckets evenly). */
+  def saveBandIndex(docs: DataFrame, dir: String, nBuckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    corpusSignatures(docs).write.mode("overwrite").parquet(s"$dir/sig")
+    val sig = spark.read.parquet(s"$dir/sig")
+    bandRowsOf(sig)
+      .withColumn("bucket", pmod(col("bv"), lit(nBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
+  }
+
+  /** Probe a [[saveBandIndex]] directory with a (doc_id, text) batch:
+    * the batch signs itself MAP-SIDE ([[withRowSignature]]), the index
+    * scan is FILTERED to the batch's touched buckets (collected — a
+    * bounded set of <= nBuckets small ints — so partition pruning
+    * happens at planning), and every band agreement verified at >=
+    * `minMatch`/16 signature rows emits a rejection-evidence row
+    * (incoming_id, existing_id, bi, n_match) — the same contract as
+    * the inline st_lsh_dedup flow, suite-pinned identical. Work per
+    * batch: linear signing + a probe join against only the touched
+    * index buckets. */
+  def probeBandIndex(s: SparkSession, dir: String, batch: DataFrame,
+      nBuckets: Int = 16, minMatch: Int = 8): DataFrame = {
+    val h = NumHashes
+    val signed = withRowSignature(batch, "text")
+      .withColumnRenamed("doc_id", "incoming_id")
+    val probe = signed.select(
+      (col("incoming_id") +: (0 until h).map(j => col(s"mh$j"))) :+
+        explode(array((0 until Bands).map(b =>
+          struct(lit(b).as("bi"), col(s"band$b").as("bv"))): _*)).as("band"): _*)
+      .select((col("incoming_id") +: (0 until h).map(j => col(s"mh$j"))) :+
+        col("band.bi").as("bi") :+ col("band.bv").as("bv"): _*)
+      .withColumn("bucket", pmod(col("bv"), lit(nBuckets)).cast("int"))
+      .persist()
+    graft.InternalCaches.register(probe)
+    // bounded by construction: at most nBuckets distinct small ints
+    val touched = probe.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx = s.read.parquet(s"$dir/bands")
+      .filter(col("bucket").isin(touched: _*))
+      .withColumnRenamed("doc_id", "existing_id")
+    val ssig = (0 until h).foldLeft(
+      s.read.parquet(s"$dir/sig").withColumnRenamed("doc_id", "existing_id"))(
+      (acc, j) => acc.withColumnRenamed(s"mh$j", s"smh$j"))
+    val nMatch = (0 until h)
+      .map(j => when(col(s"mh$j") === col(s"smh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    probe
+      .join(idx, Seq("bucket", "bi", "bv"))
+      .join(ssig, Seq("existing_id"))
+      .withColumn("n_match", nMatch)
+      .filter(col("n_match") >= minMatch)
+      .select(col("incoming_id"), col("existing_id"), col("bi"),
+        col("n_match"))
+  }
+
   private[ops] def lshCandidatePairs(sh: DataFrame,
       bucketCap: Int = BandBucketCap): DataFrame = {
     val sig = graft.InternalCaches.register(signatures(sh).persist())

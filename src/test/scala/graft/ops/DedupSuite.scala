@@ -230,6 +230,65 @@ class DedupSuite extends SparkSessionSuite {
     corpus.unpersist()
   }
 
+  test("persisted band index: probe evidence equals inline; buckets prune") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("bandidx").toString
+    Dedup.saveBandIndex(docs, dir)
+    val batch = Dedup.incomingLshBatch(docs)
+
+    // evidence from the persisted probe == evidence computed inline
+    // (the st_lsh_dedup flow) on the same batch
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy("incoming_id", "existing_id", "bi").collect()
+        .map(_.toSeq.toIndexedSeq).toIndexedSeq
+    val persisted = canon(Dedup.probeBandIndex(s, dir, batch))
+    val h = Dedup.SignatureHashes
+    val sig = Dedup.corpusSignatures(docs)
+    val idx = Dedup.corpusBandRows(sig).withColumnRenamed("doc_id", "existing_id")
+    val ssig = (0 until h).foldLeft(
+      sig.withColumnRenamed("doc_id", "existing_id"))((acc, j) =>
+      acc.withColumnRenamed(s"mh$j", s"smh$j"))
+    val signed = Dedup.withRowSignature(batch, "text")
+      .withColumnRenamed("doc_id", "incoming_id")
+    val probe = signed.select(
+      (col("incoming_id") +: (0 until h).map(j => col(s"mh$j"))) :+
+        explode(array((0 until Dedup.SignatureBands).map(b =>
+          struct(lit(b).as("bi"), col(s"band$b").as("bv"))): _*)).as("band"): _*)
+      .select((col("incoming_id") +: (0 until h).map(j => col(s"mh$j"))) :+
+        col("band.bi").as("bi") :+ col("band.bv").as("bv"): _*)
+    val nMatch = (0 until h)
+      .map(j => when(col(s"mh$j") === col(s"smh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val inline = canon(probe.join(idx, Seq("bi", "bv")).join(ssig, Seq("existing_id"))
+      .withColumn("n_match", nMatch).filter(col("n_match") >= 8)
+      .select(col("incoming_id"), col("existing_id"), col("bi"), col("n_match")))
+    inline.length should be > 10
+    persisted shouldBe inline
+
+    // a small probe touches few buckets -> the index scan prunes
+    val small = batch.orderBy("doc_id").limit(2)
+    val q = Dedup.probeBandIndex(s, dir, small)
+    q.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(q.queryExecution.executedPlan)
+      .find(_.toString.contains("bands")).get
+    val totalBuckets = new java.io.File(s"$dir/bands").listFiles()
+      .count(_.getName.startsWith("bucket="))
+    val readParts = scan.metrics("numPartitions").value
+    readParts should be <= 4L // 2 docs x 2 bands
+    readParts should be < totalBuckets.toLong
+  }
+
   test("incremental LSH: synthetic new docs admitted, near-dup variants rejected") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
