@@ -417,8 +417,67 @@ object AdvancedQueries {
       .orderBy(col("zbucket"))
   }
 
+  /** PAGERANK over a deterministic doc-link graph — the authority score
+    * a corpus-curation pipeline uses to weight domains/documents. The
+    * graph is arithmetic-derived (each doc links to (7u+1)%N, (13u+3)%N,
+    * (29u+11)%N — three affine bijections, so in-degree is exactly 3
+    * and both engines build the identical edge set), and the power
+    * iteration runs 5 rounds of r' = 0.15/N + 0.85·Σ_in r/3 with the
+    * per-iteration value ROUNDED to 1e-9 — the quantization grain that
+    * keeps the two engines' different summation orders from drifting
+    * apart across iterations (the ivf round-12 rank trick applied to an
+    * iterative fixpoint). Scale shape: each iteration is one edge⋈rank
+    * join (shuffle on src) + one dst aggregation — the canonical
+    * distributed PageRank step; at 100 TB the loop adds per-iteration
+    * localCheckpoints exactly like connectedComponents. */
+  val pagerank: QueryDef = {
+    def iterSql(prev: String, cur: String): String =
+      s"""$cur AS (
+        |  SELECT d.doc_id AS v,
+        |    round(0.15/(SELECT n FROM nn) + 0.85*coalesce(i.inc, 0.0), 9) AS r
+        |  FROM documents d LEFT JOIN (
+        |    SELECT e.dst, sum(r.r/3) AS inc
+        |    FROM edges e JOIN $prev r ON r.v = e.src GROUP BY e.dst) i
+        |  ON i.dst = d.doc_id)""".stripMargin
+    val iters = (1 to 5).map(k => iterSql(s"r${k - 1}", s"r$k"))
+      .mkString(",\n")
+    QueryDef.sql(
+      "adv_pagerank",
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+        |edges AS (
+        |  SELECT doc_id AS src, (doc_id*7 + 1) % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*13 + 3) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*29 + 11) % (SELECT n FROM nn) FROM documents),
+        |r0 AS (SELECT doc_id AS v, 1.0/(SELECT n FROM nn) AS r FROM documents),
+        |$iters
+        |SELECT v AS doc_id, round(r, 6) AS pr FROM r5
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nodes = Tables.documents(s, d).select(col("doc_id"))
+      // fixture-scale count; a production run reads catalog statistics
+      val n = nodes.count()
+      val edges = Seq((7L, 1L), (13L, 3L), (29L, 11L)).map { case (m, c) =>
+        nodes.select(col("doc_id").as("src"),
+          ((col("doc_id") * m + c) % n).as("dst"))
+      }.reduce(_ unionAll _)
+      var r = nodes.select(col("doc_id").as("v"), (lit(1.0) / n).as("r"))
+      for (_ <- 1 to 5) {
+        val contrib = edges.join(r, col("v") === col("src"))
+          .groupBy(col("dst")).agg(sum(col("r") / 3).as("inc"))
+        r = nodes.select(col("doc_id").as("v"))
+          .join(contrib, col("v") === col("dst"), "left")
+          .select(col("v"),
+            round(lit(0.15) / n + lit(0.85) * coalesce(col("inc"), lit(0.0)), 9)
+              .as("r"))
+      }
+      r.select(col("v").as("doc_id"), round(col("r"), 6).as("pr"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(asOfJoin, asOfNative, asOfTolerance, percentiles, pivot, cube,
       saltedAgg, movingAvg, stratifiedSample, sqlInterface, rangeJoinBucketed,
-      sampleExactK, zorderLayout)
+      sampleExactK, zorderLayout, pagerank)
 }
