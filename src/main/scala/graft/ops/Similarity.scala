@@ -789,6 +789,92 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** BM25 LEXICAL RANKING — the standard probabilistic lexical scorer
+    * (k1 = 1.2, b = 0.75) over the df-capped 3-gram SHINGLE inverted
+    * index (the same term space the hybrid channel uses; the fixture's
+    * 31-word token vocabulary makes word-level terms degenerate, and
+    * shingle BM25 is the standard n-gram formulation): every query
+    * doc's shingles probe the index, candidates accumulate
+    * `idf · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl))` (tf = 1 per
+    * distinct shingle — binary-tf BM25 with length normalization),
+    * top-10 by the 1e-6-quantized score. The df cap doubles as
+    * stop-phrase pruning — exactly what keeps a posting-list index
+    * linear at 100 TB (a boilerplate shingle's posting list is
+    * corpus-sized; its idf is ~0 anyway). Cross-engine determinism:
+    * tf/df/len are exact integers; idf is quantized to 1e-9 before use
+    * (ln's last-ulp may differ between libms) and the summed score to
+    * 1e-6 before ranking, ties by candidate id. Corpus stats
+    * (N, avgdl) are two scalars — catalog statistics at scale. */
+  val bm25: QueryDef = QueryDef.sql(
+    "sim_bm25",
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+      |${Dedup.encodedToksSql},
+      |${Dedup.shinglesSql},
+      |terms AS (
+      |  SELECT doc_id, x AS tid, count(*) AS tf FROM sh GROUP BY doc_id, x),
+      |lens AS (
+      |  SELECT doc_id, count(*) AS len FROM sh GROUP BY doc_id),
+      |stats AS (
+      |  SELECT count(*) AS n, round(sum(len)*1.0/count(*), 9) AS avgdl
+      |  FROM lens),
+      |kept AS (
+      |  SELECT tid,
+      |    round(ln(1 + ((SELECT n FROM stats) - df + 0.5)/(df + 0.5)), 9) AS idf
+      |  FROM (SELECT tid, count(*) AS df FROM terms GROUP BY tid)
+      |  WHERE df <= ${Dedup.DfCap}),
+      |qterms AS (
+      |  SELECT doc_id AS qid, tid FROM terms WHERE doc_id % $QueryStride = 0),
+      |scored AS (
+      |  SELECT q.qid, t.doc_id AS cand,
+      |    round(sum(k.idf * (t.tf * 2.2) /
+      |      (t.tf + 1.2*(0.25 + 0.75*l.len/(SELECT avgdl FROM stats)))), 6)
+      |      AS score
+      |  FROM qterms q
+      |  JOIN kept k ON k.tid = q.tid
+      |  JOIN terms t ON t.tid = q.tid AND t.doc_id <> q.qid
+      |  JOIN lens l ON l.doc_id = t.doc_id
+      |  GROUP BY q.qid, t.doc_id)
+      |SELECT qid AS query_id,
+      |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand) AS rank,
+      |  cand AS doc_id, score
+      |FROM scored QUALIFY rank <= 10
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val sh = Dedup.shingles(Dedup.encodedToks(docs)).withColumnRenamed("x", "tid")
+    val terms = graft.InternalCaches.register(
+      sh.groupBy(col("doc_id"), col("tid"))
+        .agg(count(lit(1)).as("tf")).persist())
+    val lens = graft.InternalCaches.register(
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("len")).persist())
+    val st = lens.agg(count(lit(1)).as("n"),
+      round(sum(col("len")) * 1.0 / count(lit(1)), 9).as("avgdl")).head()
+    val nDocs = st.getLong(0)
+    val avgdl = st.getDouble(1)
+    val kept = terms.groupBy(col("tid")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Dedup.DfCap)
+      .select(col("tid"),
+        round(log(lit(1) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)), 9)
+          .as("idf"))
+    val qterms = terms.filter(col("doc_id") % QueryStride === 0)
+      .select(col("doc_id").as("qid"), col("tid"))
+    val scored = qterms
+      .join(kept, Seq("tid"))
+      .join(terms.select(col("doc_id").as("cand"), col("tid"), col("tf")),
+        Seq("tid"))
+      .filter(col("cand") =!= col("qid"))
+      .join(lens.select(col("doc_id").as("cand"), col("len")), Seq("cand"))
+      .groupBy(col("qid"), col("cand"))
+      .agg(round(sum(col("idf") * (col("tf") * 2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / avgdl))), 6)
+        .as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cand"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("cand").as("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** PERSISTED IVF INDEX — build once, query many (the ANN index
     * lifecycle a serving stack needs; neither transient variant above
     * survives the session). `saveIvfIndex` writes the tiny centroid
@@ -854,5 +940,5 @@ object Similarity {
 
   val all: Seq[QueryDef] =
     Seq(topKBrute, topKLsh, rangeSearch, rangeSearchLsh, topKIvf, hybridRrf,
-      hardNegativesQuery)
+      hardNegativesQuery, bm25)
 }
