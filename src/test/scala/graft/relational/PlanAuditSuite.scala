@@ -21,7 +21,8 @@ class PlanAuditSuite extends SparkSessionSuite {
     // sim_topk_lsh joined the list in r5: the OR-amplified multi-table
     // candidates are still pure (table, bucket) equi-joins.
     Seq("dedup_simhash_banded", "dedup_minhash_lsh", "sim_range_search_lsh",
-      "adv_range_join_bucketed", "dedup_embedding_cos_banded", "sim_topk_lsh")
+      "adv_range_join_bucketed", "dedup_embedding_cos_banded", "sim_topk_lsh",
+      "sim_bm25", "adv_pagerank", "dedup_incremental_lsh")
       .foreach { q =>
         val plan = physicalPlan(q)
         withClue(s"$q plan:\n$plan\n") {
