@@ -254,5 +254,88 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(decodeMeta, frames, features, resize)
+  /** EXACT BINARY DEDUP of media payloads — content-addressed dedup on
+    * the bytes themselves: every payload reduces map-side to a
+    * fixed-width content key (kind, body_len, byte_sum, weighted sum
+    * mod 1e9+7), one shuffle groups identical keys, copies collapse to
+    * a canonical id + member list. The 100 TB property: PAYLOADS NEVER
+    * SHUFFLE — only the few-dozen-byte key moves, so deduping a
+    * petabyte of media costs a scan plus a key-sized exchange (the
+    * dedup_exact plan applied to binary columns). Production swaps the
+    * arithmetic key for md5(payload) — same plan; the arithmetic key is
+    * the oracle-reproducible stand-in (the mm checksum convention: the
+    * oracle recomputes it from the planting formula, so a corrupted
+    * byte anywhere in the write/read path breaks the hash match). The
+    * key UDF sits at the binary boundary like the decode stub. */
+  val binaryDedup: QueryDef = QueryDef.sql(
+    "mm_binary_dedup",
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |    CAST(16 + doc_id % 48 AS INT) AS width,
+      |    CAST(16 + (doc_id * 7) % 32 AS INT) AS height
+      |  FROM documents),
+      |m2 AS (
+      |  SELECT media_id, kind,
+      |    CASE WHEN kind = 'video' THEN ${4 * FrameSize}
+      |         ELSE width * height END AS body_len
+      |  FROM m),
+      |corpus AS (
+      |  SELECT media_id, media_id AS src, kind, body_len FROM m2
+      |  UNION ALL
+      |  SELECT media_id + 10000 AS media_id, media_id AS src, kind, body_len
+      |  FROM m2 WHERE media_id % 10 = 0),
+      |keyed AS (
+      |  SELECT media_id, kind, body_len,
+      |    CAST((SELECT sum((c.src * 31 + u.i) % $BodyMod)
+      |          FROM unnest(generate_series(0, c.body_len - 1)) u(i)) AS BIGINT)
+      |      AS byte_sum,
+      |    CAST((SELECT sum((u.i + 1) * ((c.src * 31 + u.i) % $BodyMod))
+      |          FROM unnest(generate_series(0, c.body_len - 1)) u(i))
+      |      % 1000000007 AS BIGINT) AS wsum
+      |  FROM corpus c)
+      |SELECT min(media_id) AS canonical, count(*) AS n_copies,
+      |  array_to_string(list_sort(list(media_id)), ',') AS members,
+      |  kind, body_len, byte_sum, wsum
+      |FROM keyed
+      |GROUP BY kind, body_len, byte_sum, wsum
+      |HAVING count(*) > 1
+      |ORDER BY canonical""".stripMargin) { (s, d) =>
+    val media = syntheticMedia(Tables.documents(s, d))
+      .select(col("media_id"), col("kind"), col("payload"))
+    val corpus = media.unionAll(
+      media.filter(col("media_id") % 10 === 0)
+        .select((col("media_id") + 10000).as("media_id"), col("kind"),
+          col("payload")))
+    // content key from the ACTUAL bytes (iterative mod == end mod: all
+    // terms positive and the unreduced sum stays far below int64)
+    val contentKey = udf { (payload: Array[Byte]) =>
+      var bs = 0L
+      var ws = 0L
+      var i = 4
+      while (i < payload.length) {
+        val b = (payload(i) & 0xff).toLong
+        bs += b
+        ws = (ws + (i - 4 + 1) * b) % 1000000007L
+        i += 1
+      }
+      ((payload.length - 4).toLong, bs, ws)
+    }
+    corpus.withColumn("k", contentKey(col("payload")))
+      .select(col("media_id"), col("kind"),
+        col("k._1").as("body_len"), col("k._2").as("byte_sum"),
+        col("k._3").as("wsum"))
+      .groupBy(col("kind"), col("body_len"), col("byte_sum"), col("wsum"))
+      .agg(min(col("media_id")).as("canonical"),
+        count(lit(1)).as("n_copies"),
+        array_join(transform(sort_array(collect_list(col("media_id"))),
+          _.cast("string")), ",").as("members"))
+      .filter(col("n_copies") > 1)
+      .select(col("canonical"), col("n_copies"), col("members"),
+        col("kind"), col("body_len"), col("byte_sum"), col("wsum"))
+      .orderBy(col("canonical"))
+  }
+
+  val all: Seq[QueryDef] = Seq(decodeMeta, frames, features, resize,
+    binaryDedup)
 }
