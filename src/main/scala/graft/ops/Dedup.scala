@@ -307,11 +307,18 @@ object Dedup {
     * hashes, so modulo buckets evenly). */
   def saveBandIndex(docs: DataFrame, dir: String, nBuckets: Int = 16): Unit = {
     val spark = docs.sparkSession
+    import spark.implicits._
     corpusSignatures(docs).write.mode("overwrite").parquet(s"$dir/sig")
     val sig = spark.read.parquet(s"$dir/sig")
     bandRowsOf(sig)
       .withColumn("bucket", pmod(col("bv"), lit(nBuckets)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
+    // the bucket modulus is PART OF the index — a probe under a
+    // different modulus computes different buckets and silently loses
+    // matches to the partition-pruning filter, so it is persisted and
+    // read back rather than re-supplied
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Probe a [[saveBandIndex]] directory with a (doc_id, text) batch:
@@ -325,8 +332,10 @@ object Dedup {
     * batch: linear signing + a probe join against only the touched
     * index buckets. */
   def probeBandIndex(s: SparkSession, dir: String, batch: DataFrame,
-      nBuckets: Int = 16, minMatch: Int = 8): DataFrame = {
+      minMatch: Int = 8): DataFrame = {
     val h = NumHashes
+    // the modulus travels with the index (see saveBandIndex)
+    val nBuckets = s.read.parquet(s"$dir/meta").head().getInt(0)
     val signed = withRowSignature(batch, "text")
       .withColumnRenamed("doc_id", "incoming_id")
     val probe = signed.select(
@@ -338,8 +347,11 @@ object Dedup {
       .withColumn("bucket", pmod(col("bv"), lit(nBuckets)).cast("int"))
       .persist()
     graft.InternalCaches.register(probe)
-    // bounded by construction: at most nBuckets distinct small ints
-    val touched = probe.select(col("bucket")).distinct()
+    // bounded by construction: at most nBuckets distinct small ints.
+    // Docs too short to shingle carry null bands (they can match
+    // nothing) — filtered here, not collected: a null would NPE getInt.
+    val touched = probe.select(col("bucket"))
+      .filter(col("bucket").isNotNull).distinct()
       .collect().map(_.getInt(0)).toSeq
     val idx = s.read.parquet(s"$dir/bands")
       .filter(col("bucket").isin(touched: _*))
@@ -865,22 +877,9 @@ object Dedup {
     * ties broken by centroid id). Shared by [[semanticDedup]] and the
     * invariant tests. Output: (vec_id, v, nrm, cell). */
   private[ops] def semanticAssign(prep: DataFrame,
-      nlist: Int = Similarity.IvfNlist): DataFrame = {
-    val stride = Similarity.ivfStride(prep.count(), nlist)
-    val cent = broadcast(prep.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv")))
-    def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    val byDist = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d"), col("cid"))
-    prep.crossJoin(cent)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        sqDist(col("v"), col("cv")).as("d"))
-      .withColumn("rn", row_number().over(byDist))
-      .filter(col("rn") === 1)
+      nlist: Int = Similarity.IvfNlist): DataFrame =
+    Similarity.rankedCells(prep, nlist, upTo = 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-  }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embeddings, then drop any document

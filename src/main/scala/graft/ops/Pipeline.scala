@@ -323,15 +323,24 @@ object Pipeline {
       countDistinct(col("source")).as("source_d"),
       min(length(col("source"))).as("source_minl"),
       max(length(col("source"))).as("source_maxl"))
-    def row(name: String, nn: String, d: String,
-        minl: org.apache.spark.sql.Column, maxl: org.apache.spark.sql.Column) =
-      m.select(lit(name).as("col"), col("n_rows"),
-        (col("n_rows") - col(nn)).as("n_null"), col(d).as("n_distinct"),
-        minl.cast("int").as("min_len"), maxl.cast("int").as("max_len"))
-    row("doc_id", "doc_id_nn", "doc_id_d", lit(-1), lit(-1))
-      .unionAll(row("text", "text_nn", "text_d", col("text_minl"), col("text_maxl")))
-      .unionAll(row("lang", "lang_nn", "lang_d", col("lang_minl"), col("lang_maxl")))
-      .unionAll(row("source", "source_nn", "source_d", col("source_minl"), col("source_maxl")))
+    // materialize the ONE aggregate row and shape the tidy table from
+    // its literals — a union of four selects over the lazy aggregate
+    // would plan four independent scans of documents, quietly breaking
+    // the one-pass contract this operator exists for
+    val r = m.head()
+    def g(name: String): Long = r.getLong(r.fieldIndex(name))
+    def gi(name: String): Int = r.getInt(r.fieldIndex(name))
+    val rows = Seq(
+      ("doc_id", g("n_rows"), g("n_rows") - g("doc_id_nn"), g("doc_id_d"),
+        -1, -1),
+      ("lang", g("n_rows"), g("n_rows") - g("lang_nn"), g("lang_d"),
+        gi("lang_minl"), gi("lang_maxl")),
+      ("source", g("n_rows"), g("n_rows") - g("source_nn"), g("source_d"),
+        gi("source_minl"), gi("source_maxl")),
+      ("text", g("n_rows"), g("n_rows") - g("text_nn"), g("text_d"),
+        gi("text_minl"), gi("text_maxl")))
+    import s.implicits._
+    rows.toDF("col", "n_rows", "n_null", "n_distinct", "min_len", "max_len")
       .orderBy(col("col"))
   }
 

@@ -153,9 +153,7 @@ object Similarity {
     * so anything at quantized cosine >= `nearDupCut` is excluded
     * BEFORE ranking and the next-most-similar vectors shift up. The
     * scoring channel here is the exact kernel (the oracle-checkable
-    * twin); at 100 TB the candidate channel swaps to the IVF/LSH top-k
-    * (same output contract) exactly as the sim_topk family does, with
-    * the cut applied to the reranked candidates unchanged. */
+    * twin); [[hardNegativesIvf]] is the indexed production channel. */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
       nearDupCut: Double): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -177,14 +175,19 @@ object Similarity {
   /** PRODUCTION hard negatives: same contract as [[hardNegatives]] but
     * the candidate channel is the deterministic IVF index instead of
     * the exact kernel — O(n·nlist) assignment + probed-cell candidates
-    * instead of all-pairs scoring. Over-fetches k+5 candidates so the
-    * near-dup exclusion can't starve the quota, then re-ranks. Recall
-    * vs the exact twin is floor-pinned in the suite (approximate by
-    * design — the sim_topk_ivf regime applies). */
+    * instead of all-pairs scoring. Over-fetches `k + overFetch`
+    * candidates before the near-dup exclusion, then re-ranks; SIZE
+    * `overFetch` TO THE CORPUS'S DUP DENSITY — an anchor with more
+    * than `overFetch` near-dups among its top candidates comes back
+    * with fewer than k negatives (visible to the caller as a short
+    * group, not an error). Recall vs the exact twin is floor-pinned in
+    * the suite (approximate by design — the sim_topk_ivf regime
+    * applies). */
   def hardNegativesIvf(queries: DataFrame, corpus: DataFrame, k: Int,
-      nearDupCut: Double, nprobe: Int = IvfNprobe): DataFrame = {
-    val cand = ivfTopKDet(corpus, queries, k + 5, nlist = IvfNlist,
-      nprobe = nprobe)
+      nearDupCut: Double, nprobe: Int = IvfNprobe,
+      overFetch: Int = 5): DataFrame = {
+    val cand = ivfTopKDet(corpus, queries, k + overFetch,
+      nlist = IvfNlist, nprobe = nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand.filter(col("cos") < nearDupCut)
@@ -578,8 +581,15 @@ object Similarity {
     * rank candidates by exact cosine. Centroids are a tiny,
     * CONSTANT-size broadcast side (r6 — count independent of n); the
     * corpus shuffles once on the cell id. */
-  def ivfTopKDet(prep: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = IvfNlist, nprobe: Int = 2): DataFrame = {
+  /** THE deterministic quantizer's cell ranking, in one place: every
+    * prep vector paired with its `upTo` nearest fixed-budget centroids
+    * (L2, ties by centroid id), as (vec_id, v, nrm, cid, d, rn). Shared
+    * by [[ivfTopKDet]] (upTo = nprobe) and `Dedup.semanticAssign`
+    * (upTo = 1) so the two operators can never drift onto different
+    * clusterings — the single-definition rule the SQL twins already
+    * follow via their shared CTE block. */
+  private[ops] def rankedCells(prep: DataFrame, nlist: Int,
+      upTo: Int): DataFrame = {
     val stride = ivfStride(prep.count(), nlist)
     val cent = broadcast(prep.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv")))
@@ -588,16 +598,20 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
     val byDist = Window.partitionBy(col("vec_id"))
       .orderBy(col("d"), col("cid"))
+    prep.crossJoin(cent)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        sqDist(col("v"), col("cv")).as("d"))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") <= upTo)
+  }
+
+  def ivfTopKDet(prep: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = IvfNlist, nprobe: Int = 2): DataFrame = {
     // Persisted: `ranked` (the O(n·ncent) distance + window rank — the
     // dominant stage) feeds BOTH the cell assignment and the query
     // probes; unpersisted, the window sort would execute twice in one
     // plan (the SQL twin shares its ranked_cells CTE the same way).
-    val ranked = prep.crossJoin(cent)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        sqDist(col("v"), col("cv")).as("d"))
-      .withColumn("rn", row_number().over(byDist))
-      .filter(col("rn") <= nprobe)
-      .persist()
+    val ranked = rankedCells(prep, nlist, nprobe).persist()
     graft.InternalCaches.register(ranked)
     val assign = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))

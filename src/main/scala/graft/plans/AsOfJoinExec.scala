@@ -400,10 +400,15 @@ final class AsOfIndexHolder(
 }
 
 object BroadcastAsOfJoinExec {
-  // broadcast id -> soft ref to the built index. Soft so memory pressure
+  // cache key -> soft ref to the built index. Soft so memory pressure
   // can reclaim an index whose broadcast was dropped; a cleared ref just
-  // rebuilds. Entries are a few words each — unbounded growth is not a
-  // concern (one per broadcast as-of right side per executor lifetime).
+  // rebuilds. NOTE the retention tradeoff: an entry pins a copy of the
+  // materialized right side (the index arrays reference the broadcast
+  // rows) until GC pressure clears the soft ref — one right-side copy
+  // per distinct broadcast as-of join per executor lifetime. That is
+  // the same order of footprint as Spark's own broadcast block cache;
+  // a session churning many large distinct as-of dimensions reclaims
+  // them only under pressure.
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[
     String, java.lang.ref.SoftReference[AsOfBroadcastIndex]]()
 
@@ -481,7 +486,13 @@ case class BroadcastAsOfJoinExec(
     * interpreted and codegen paths. */
   private lazy val indexHolder: AsOfIndexHolder = {
     val bc = right.executeBroadcast[Array[InternalRow]]()
-    new AsOfIndexHolder(bc, s"${sparkContext.applicationId}#${bc.id}",
+    // the key carries the probe SHAPE too: two as-of joins over the same
+    // right table (different keys/time/tolerance) share one broadcast id
+    // when ReuseExchange dedupes the IdentityBroadcastMode exchange — a
+    // bare id would hand the second join the first join's index
+    val shape = (rightKeys.map(_.canonicalized), rightTime.canonicalized,
+      tolerance).hashCode()
+    new AsOfIndexHolder(bc, s"${sparkContext.applicationId}#${bc.id}#$shape",
       rightKeys, right.output, rightTime, tolerance)
   }
 

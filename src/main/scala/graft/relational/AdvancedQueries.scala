@@ -378,7 +378,13 @@ object AdvancedQueries {
     * dims' bits ≥ 7 fixed) bounds every bucket's spans below 2^7 = 128
     * on BOTH keys. Bit ops are exact integer arithmetic — identical in
     * both engines. */
-  private def zBits = 16
+  // 31 bits per dimension (62-bit z-value, fits a long): covers TPC-H
+  // key domains through SF100 — 16 bits would silently alias keys
+  // >= 65536 (x and x+65536 interleave identically), voiding the
+  // locality bound exactly when scale makes it matter. Keys at or
+  // beyond 2^31 would alias the same way; none of the engine's key
+  // domains approach that.
+  private def zBits = 31
   private def zShift = 14
 
   private[relational] def zCol(a: org.apache.spark.sql.Column,

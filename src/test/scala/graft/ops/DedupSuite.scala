@@ -267,8 +267,12 @@ class DedupSuite extends SparkSessionSuite {
     inline.length should be > 10
     persisted shouldBe inline
 
-    // a small probe touches few buckets -> the index scan prunes
+    // a small probe touches few buckets -> the index scan prunes.
+    // The planted 1-token doc has no shingles (null bands) — it must
+    // neither crash the touched-bucket collection nor emit evidence.
+    import s.implicits._
     val small = batch.orderBy("doc_id").limit(2)
+      .unionAll(Seq((99999L, "short")).toDF("doc_id", "text"))
     val q = Dedup.probeBandIndex(s, dir, small)
     q.collect()
     def scans(p: org.apache.spark.sql.execution.SparkPlan):

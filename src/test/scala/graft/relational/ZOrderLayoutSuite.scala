@@ -28,19 +28,22 @@ class ZOrderLayoutSuite extends SparkSessionSuite {
     }
   }
 
-  test("z-value interleave is a bijection on 16-bit pairs") {
+  test("z-value interleave is a bijection on 31-bit pairs") {
     val s = spark
     import s.implicits._
     val rng = new scala.util.Random(7)
-    val pairs = Seq.fill(500)((rng.nextInt(65536).toLong, rng.nextInt(65536).toLong))
+    // mix of small (fixture-sized) and large (SF100-key-sized) values —
+    // 16-bit interleave would alias the latter (x vs x + 65536)
+    val pairs = Seq.fill(250)((rng.nextInt(65536).toLong, rng.nextInt(65536).toLong)) ++
+      Seq.fill(250)((rng.nextInt(Int.MaxValue).toLong, rng.nextInt(Int.MaxValue).toLong))
     val out = pairs.toDF("a", "b")
       .select(col("a"), col("b"), AdvancedQueries.zCol(col("a"), col("b")).as("z"))
       .collect()
     out.foreach { r =>
       val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
       // de-interleave: even bits back to a, odd bits back to b
-      val a2 = (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).reduce(_ | _)
-      val b2 = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).reduce(_ | _)
+      val a2 = (0 until 31).map(i => ((z >> (2 * i)) & 1L) << i).reduce(_ | _)
+      val b2 = (0 until 31).map(i => ((z >> (2 * i + 1)) & 1L) << i).reduce(_ | _)
       (a2, b2) shouldBe ((a, b))
     }
     // distinct inputs => distinct z-values (injective on the sample)
@@ -65,11 +68,13 @@ class ZOrderLayoutSuite extends SparkSessionSuite {
       .collect()
     val nFiles = rects.length
     nFiles should be >= 8
-    // a 64x64 rectangle query in the middle of both key ranges
+    // a 64x64 rectangle query in the middle of both key ranges; a file
+    // must be READ iff its [min,max] box INTERSECTS the rectangle on
+    // both dims (containment would undercount and pass vacuously)
     val (pLo, pHi, sLo, sHi) = (512L, 575L, 32L, 95L)
     val intersecting = rects.count { r =>
-      r.getLong(1) >= pLo && r.getLong(2) <= pHi &&
-        r.getLong(3) >= sLo && r.getLong(4) <= sHi
+      r.getLong(2) >= pLo && r.getLong(1) <= pHi &&
+        r.getLong(4) >= sLo && r.getLong(3) <= sHi
     }
     // z-layout: only the files whose z-range covers the rectangle's
     // interleaved prefix can intersect — a strict minority. A
