@@ -220,7 +220,7 @@ object Dedup {
     * trips it should consolidate the hot cluster by exact-hash dedup
     * first — docs identical enough to share a full band at that volume
     * are usually byte-identical. */
-  private[ops] val BandBucketCap = 64
+  private[graft] val BandBucketCap = 64
 
   /** Spark twin of [[lshPairsSql]]: shingle set → (doc1, doc2, n_match).
     * Linear in corpus size; the only joins are bounded band-bucket joins
@@ -310,15 +310,93 @@ object Dedup {
     import spark.implicits._
     corpusSignatures(docs).write.mode("overwrite").parquet(s"$dir/sig")
     val sig = spark.read.parquet(s"$dir/sig")
-    bandRowsOf(sig)
+    val bands = bandRowsOf(sig)
       .withColumn("bucket", pmod(col("bv"), lit(nBuckets)).cast("int"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
+    bands.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
     // the bucket modulus is PART OF the index — a probe under a
     // different modulus computes different buckets and silently loses
     // matches to the partition-pruning filter, so it is persisted and
     // read back rather than re-supplied
     Seq(nBuckets).toDF("n_buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")
+    // per-(band, value) bucket counts, partitioned like the band rows:
+    // the incremental path ([[appendToBandIndex]]) merges ONLY the
+    // touched partitions, so the over-cap list stays maintainable at
+    // O(batch) without rescanning the corpus
+    val counts = spark.read.parquet(s"$dir/bands")
+      .groupBy(col("bucket"), col("bi"), col("bv"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/counts")
+    // the over-cap (bi, bv) list TRAVELS WITH THE INDEX (r7, advice):
+    // without it, [[probeBandIndex]] and the streaming probe fanned out
+    // unbounded on a boilerplate bucket while the inline batch flavor
+    // enforced [[BandBucketCap]] — three 'same contract' flavors with
+    // diverging admission. The list is tiny by construction (it takes
+    // > cap identical-band docs to enter).
+    val hot = spark.read.parquet(s"$dir/counts")
+      .filter(col("cnt") > BandBucketCap).select(col("bi"), col("bv"))
+    hot.write.mode("overwrite").parquet(s"$dir/hot")
+  }
+
+  /** INCREMENTAL maintenance for a [[saveBandIndex]] directory (r7,
+    * verdict #1 — ingestion must not rebuild the whole index per
+    * batch): sign the admitted `batch` (doc_id, text) with the SAME
+    * batch-chain arithmetic the full build uses, then
+    *
+    *  - APPEND its signature rows to `dir/sig` and its band rows into
+    *    their bucket partitions of `dir/bands` — signatures are pure
+    *    per-doc facts (no keyed update), so append-only files suffice
+    *    and every pre-existing file is left untouched byte-for-byte
+    *    (stronger than a partition rewrite; asserted by SHA-256 in the
+    *    suite);
+    *  - MERGE the batch's (bi, bv) counts into the touched partitions
+    *    of `dir/counts` via dynamic partition overwrite (the
+    *    `upsertMerge` pattern — this is the one keyed state, hence the
+    *    one rewrite);
+    *  - EXTEND `dir/hot` with buckets the merge pushed over
+    *    [[BandBucketCap]] — counts only grow, so old hot entries stay
+    *    hot and the update is old ∪ newly-over-cap, never a rescan.
+    *
+    * Work per batch: O(batch) signing + O(batch) appends + a merge
+    * over only the touched count partitions. A probe after any append
+    * sequence is bit-identical to probing an index rebuilt from
+    * scratch over the union corpus (suite-pinned, including
+    * split-order invariance) because every persisted row is a pure
+    * function of its own document. Callers append ADMITTED docs (the
+    * [[probeBandIndex]] survivors); re-appending an already-indexed
+    * doc_id would duplicate its rows, as in any append-only log. */
+  def appendToBandIndex(dir: String, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    // one materialization of the batch signatures feeds both appends
+    val sig = corpusSignatures(batch).localCheckpoint(true)
+    sig.write.mode("append").parquet(s"$dir/sig")
+    val bands = bandRowsOf(sig)
+      .withColumn("bucket", pmod(col("bv"), lit(nBuckets)).cast("int"))
+      .localCheckpoint(true)
+    bands.write.mode("append").partitionBy("bucket").parquet(s"$dir/bands")
+    val batchCounts = bands.groupBy(col("bucket"), col("bi"), col("bv"))
+      .agg(count(lit(1)).as("cnt"))
+    // bounded by construction: at most nBuckets distinct small ints
+    val touched = batchCounts.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val merged = spark.read.parquet(s"$dir/counts")
+      .filter(col("bucket").isin(touched: _*)) // partition-pruned read
+      .unionByName(batchCounts)
+      .groupBy(col("bucket"), col("bi"), col("bv"))
+      .agg(sum(col("cnt")).as("cnt"))
+      // materialize BEFORE overwriting the partitions being read
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(s"$dir/counts")
+    val hot = spark.read.parquet(s"$dir/hot")
+      .unionByName(merged.filter(col("cnt") > BandBucketCap)
+        .select(col("bi"), col("bv")))
+      .distinct().localCheckpoint(true)
+    hot.write.mode("overwrite").parquet(s"$dir/hot")
   }
 
   /** Probe a [[saveBandIndex]] directory with a (doc_id, text) batch:
@@ -330,12 +408,16 @@ object Dedup {
     * (incoming_id, existing_id, bi, n_match) — the same contract as
     * the inline st_lsh_dedup flow, suite-pinned identical. Work per
     * batch: linear signing + a probe join against only the touched
-    * index buckets. */
+    * index buckets. The persisted over-cap list (`dir/hot`, r7 advice)
+    * is anti-joined out of the index side, so the probe shares the
+    * inline flavors' [[BandBucketCap]] semantics AND its fanout stays
+    * bounded on a boilerplate bucket. */
   def probeBandIndex(s: SparkSession, dir: String, batch: DataFrame,
       minMatch: Int = 8): DataFrame = {
     val h = NumHashes
     // the modulus travels with the index (see saveBandIndex)
     val nBuckets = s.read.parquet(s"$dir/meta").head().getInt(0)
+    val hot = s.read.parquet(s"$dir/hot")
     val signed = withRowSignature(batch, "text")
       .withColumnRenamed("doc_id", "incoming_id")
     val probe = signed.select(
@@ -355,6 +437,7 @@ object Dedup {
       .collect().map(_.getInt(0)).toSeq
     val idx = s.read.parquet(s"$dir/bands")
       .filter(col("bucket").isin(touched: _*))
+      .join(broadcast(hot), Seq("bi", "bv"), "left_anti")
       .withColumnRenamed("doc_id", "existing_id")
     val ssig = (0 until h).foldLeft(
       s.read.parquet(s"$dir/sig").withColumnRenamed("doc_id", "existing_id"))(
@@ -623,9 +706,14 @@ object Dedup {
           .select(greatest(col("a"), col("b")).as("u"),
             least(col("a"), col("b")).as("v"))
           .distinct().localCheckpoint()
-        changed =
-          next.join(edges, Seq("u", "v"), "left_anti").count() +
-          edges.join(next, Seq("u", "v"), "left_anti").count()
+        // ONE action for the convergence check (r7, verdict: the two
+        // anti-join counts paid 2× per-round job-launch latency): both
+        // sides are distinct on (u, v) by construction, so a full-outer
+        // join is 1:1 and the symmetric difference is the rows where
+        // either side is absent.
+        changed = next.withColumn("_n", lit(1))
+          .join(edges.withColumn("_e", lit(1)), Seq("u", "v"), "full_outer")
+          .filter(col("_n").isNull || col("_e").isNull).count()
         edges = next
       }
       require(changed == 0,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -256,17 +256,26 @@ object Multimodal {
 
   /** EXACT BINARY DEDUP of media payloads — content-addressed dedup on
     * the bytes themselves: every payload reduces map-side to a
-    * fixed-width content key (kind, body_len, byte_sum, weighted sum
-    * mod 1e9+7), one shuffle groups identical keys, copies collapse to
-    * a canonical id + member list. The 100 TB property: PAYLOADS NEVER
-    * SHUFFLE — only the few-dozen-byte key moves, so deduping a
-    * petabyte of media costs a scan plus a key-sized exchange (the
-    * dedup_exact plan applied to binary columns). Production swaps the
-    * arithmetic key for md5(payload) — same plan; the arithmetic key is
-    * the oracle-reproducible stand-in (the mm checksum convention: the
-    * oracle recomputes it from the planting formula, so a corrupted
-    * byte anywhere in the write/read path breaks the hash match). The
-    * key UDF sits at the binary boundary like the decode stub. */
+    * fixed-width content key, one shuffle groups identical keys, copies
+    * collapse to a canonical id + member list. The 100 TB property:
+    * PAYLOADS NEVER SHUFFLE — only the few-dozen-byte key moves, so
+    * deduping a petabyte of media costs a scan plus a key-sized
+    * exchange (the dedup_exact plan applied to binary columns).
+    *
+    * The GROUPING key is the codegen'd built-in `md5(payload)` —
+    * collision-proof over the actual bytes, no Scala UDF anywhere in
+    * the key path (r7, verdict: the r6 arithmetic-tuple key could in
+    * principle collide where md5 cannot). The arithmetic checksums
+    * (body_len, byte_sum, weighted sum mod 1e9+7) remain as OUTPUT
+    * columns, computed natively from the same bytes via hex-pair
+    * extraction (`aggregate` over `conv(substr(hex(payload)...)` —
+    * expression-only, no UDF): they are the oracle-reproducible
+    * channel (the mm checksum convention — the oracle recomputes them
+    * from the planting formula, so a corrupted byte anywhere in the
+    * write/read path still breaks the hash match). md5 grouping is
+    * strictly finer than the arithmetic tuple; payload-equal groups
+    * are exactly arithmetic-equal groups on any corpus without an
+    * arithmetic collision, which the checksum columns would expose. */
   val binaryDedup: QueryDef = QueryDef.sql(
     "mm_binary_dedup",
     s"""WITH m AS (
@@ -307,29 +316,30 @@ object Multimodal {
       media.filter(col("media_id") % 10 === 0)
         .select((col("media_id") + 10000).as("media_id"), col("kind"),
           col("payload")))
-    // content key from the ACTUAL bytes (iterative mod == end mod: all
-    // terms positive and the unreduced sum stays far below int64)
-    val contentKey = udf { (payload: Array[Byte]) =>
-      var bs = 0L
-      var ws = 0L
-      var i = 4
-      while (i < payload.length) {
-        val b = (payload(i) & 0xff).toLong
-        bs += b
-        ws = (ws + (i - 4 + 1) * b) % 1000000007L
-        i += 1
-      }
-      ((payload.length - 4).toLong, bs, ws)
-    }
-    corpus.withColumn("k", contentKey(col("payload")))
-      .select(col("media_id"), col("kind"),
-        col("k._1").as("body_len"), col("k._2").as("byte_sum"),
-        col("k._3").as("wsum"))
-      .groupBy(col("kind"), col("body_len"), col("byte_sum"), col("wsum"))
+    // body byte at 1-based payload position p, read natively from the
+    // hex encoding (2 chars per byte) — expression-only, no UDF
+    def byteAt(p: Column): Column =
+      conv(hex(col("payload")).substr(p * 2 - 1, lit(2)), 16, 10).cast("long")
+    // checksums over body positions 5..len; the weighted sum's unreduced
+    // value stays far below int64 (≤ ~3000 terms of ≤ 255·len each), so
+    // one end mod equals the oracle's iterative mod
+    val keyed = corpus.select(col("media_id"), col("kind"),
+      md5(col("payload")).as("content_md5"),
+      (length(col("payload")) - 4).cast("bigint").as("body_len"),
+      aggregate(sequence(lit(5), length(col("payload"))),
+        lit(0L), (acc, p) => acc + byteAt(p)).as("byte_sum"),
+      (aggregate(sequence(lit(5), length(col("payload"))),
+        lit(0L), (acc, p) => acc + (p - 4).cast("bigint") * byteAt(p))
+        % 1000000007L).as("wsum"))
+    keyed
+      .groupBy(col("kind"), col("content_md5"))
       .agg(min(col("media_id")).as("canonical"),
         count(lit(1)).as("n_copies"),
         array_join(transform(sort_array(collect_list(col("media_id"))),
-          _.cast("string")), ",").as("members"))
+          _.cast("string")), ",").as("members"),
+        min(col("body_len")).as("body_len"),
+        min(col("byte_sum")).as("byte_sum"),
+        min(col("wsum")).as("wsum"))
       .filter(col("n_copies") > 1)
       .select(col("canonical"), col("n_copies"), col("members"),
         col("kind"), col("body_len"), col("byte_sum"), col("wsum"))

@@ -186,14 +186,20 @@ object Similarity {
   def hardNegativesIvf(queries: DataFrame, corpus: DataFrame, k: Int,
       nearDupCut: Double, nprobe: Int = IvfNprobe,
       overFetch: Int = 5): DataFrame = {
-    val cand = ivfTopKDet(corpus, queries, k + overFetch,
-      nlist = IvfNlist, nprobe = nprobe)
+    // the near-dup cut runs on the 1e-12-quantized cosine — the SAME
+    // grain as [[hardNegatives]] (r7, advice: cutting on the 1e-6
+    // presentation value diverged from the exact twin in the
+    // [cut−5e-7, cut) boundary band), and the re-rank uses the same
+    // quantized ordering
+    val cand = ivfTopKDetRaw(corpus, queries, k + overFetch,
+      nlist = IvfNlist, nprobe = nprobe).drop("rank")
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.filter(col("cos") < nearDupCut)
+      .orderBy(round(col("rawcos"), 12).desc, col("neighbor_id"))
+    cand.filter(round(col("rawcos"), 12) < nearDupCut)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("rawcos"), 6).as("cos"))
   }
 
   /** Hash-checked hard negatives over the planted near-dup corpus:
@@ -605,7 +611,13 @@ object Similarity {
       .filter(col("rn") <= upTo)
   }
 
-  def ivfTopKDet(prep: DataFrame, queries: DataFrame, k: Int,
+  /** [[ivfTopKDet]] with the RAW cosine still exposed — the shared core
+    * behind the public top-k (which rounds to the 1e-6 presentation
+    * grain) and [[hardNegativesIvf]] (which must apply its near-dup cut
+    * at the SAME 1e-12 grain the exact twin uses; cutting on the 1e-6
+    * presentation value left a [cut−5e-7, cut) boundary band where the
+    * two channels disagreed — r7, advice). */
+  private[ops] def ivfTopKDetRaw(prep: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = IvfNlist, nprobe: Int = 2): DataFrame = {
     // Persisted: `ranked` (the O(n·ncent) distance + window rank — the
     // dominant stage) feeds BOTH the cell assignment and the query
@@ -633,8 +645,14 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("rawcos"), 6).as("cos"))
+        col("rawcos"))
   }
+
+  def ivfTopKDet(prep: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = IvfNlist, nprobe: Int = 2): DataFrame =
+    ivfTopKDetRaw(prep, queries, k, nlist, nprobe)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("rawcos"), 6).as("cos"))
 
   /** SQL CTE block `strd … ranked` — the deterministic-quantizer IVF
     * candidate + exact-cosine-rank flow (fixed IvfNlist centroid
@@ -899,11 +917,12 @@ object Similarity {
     * `topKFromIvfIndex` reproduces [[ivfTopKDet]]'s math exactly
     * (same deterministic quantizer, same tie rules) — equality is
     * pinned in the suite. */
-  def saveIvfIndex(prep: DataFrame, dir: String, nlist: Int = IvfNlist): Unit = {
-    val stride = ivfStride(prep.count(), nlist)
-    val cent = prep.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+  /** Nearest-centroid cell assignment against an EXPLICIT (broadcast)
+    * centroid table — the shared kernel of [[saveIvfIndex]] (build
+    * time) and [[appendToIvfIndex]] (ingestion time), so the two can
+    * never drift onto different assignment rules. (cid ties break by
+    * centroid id, as everywhere in the quantizer.) */
+  private def assignToCells(prep: DataFrame, cent: DataFrame): DataFrame = {
     def sqDist(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
@@ -915,7 +934,41 @@ object Similarity {
       .withColumn("rn", row_number().over(byDist))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+  }
+
+  def saveIvfIndex(prep: DataFrame, dir: String, nlist: Int = IvfNlist): Unit = {
+    val stride = ivfStride(prep.count(), nlist)
+    val cent = prep.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    assignToCells(prep, cent)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+  }
+
+  /** INCREMENTAL maintenance for a [[saveIvfIndex]] directory (r7,
+    * verdict #1): assign the arriving batch of `prepared` vectors to
+    * the EXISTING centroids (read back from `dir/centroids` — the
+    * quantizer is FROZEN at build time, which is the standard ANN
+    * index lifecycle: ingestion appends into cells, re-training the
+    * coarse quantizer is a deliberate offline rebuild) and APPEND the
+    * assigned rows into their cell partitions. Cell rows are pure
+    * per-vector facts under a frozen quantizer, so append-only files
+    * suffice: every pre-existing file — including files of the cells
+    * being appended to — stays untouched byte-for-byte (SHA-256
+    * asserted in the suite). Work per batch: O(batch · nlist) distance
+    * arithmetic + an append; never O(corpus).
+    *
+    * A [[topKFromIvfIndex]] probe after any append sequence is
+    * bit-identical to probing an index whose whole corpus was assigned
+    * against the same frozen centroids in one pass (suite-pinned,
+    * including split-order invariance). Callers append NEW vec_ids;
+    * re-appending an indexed id would duplicate its row, as in any
+    * append-only log. */
+  def appendToIvfIndex(dir: String, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val cent = spark.read.parquet(s"$dir/centroids")
+    assignToCells(batch, cent).localCheckpoint(true)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/corpus")
   }
 
   /** Top-k cosine against a [[saveIvfIndex]] directory. Queries are

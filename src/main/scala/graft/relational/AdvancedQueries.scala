@@ -1,6 +1,7 @@
 package graft.relational
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -423,19 +424,64 @@ object AdvancedQueries {
       .orderBy(col("zbucket"))
   }
 
+  /** Distributed PageRank to a fixpoint — the library path behind
+    * [[pagerank]]. Each iteration is one edge⋈rank join (shuffle on
+    * src) + one dst aggregation — the canonical distributed step —
+    * followed by an eager `localCheckpoint` that truncates lineage
+    * exactly like `Dedup.connectedComponents` does (r7, verdict: the
+    * 5-round query was harmless unchecked, but a user running to
+    * convergence would nest 30–100 join/agg layers of lineage).
+    * `maxIters` is a MAX: the loop stops early once the per-round
+    * max |r − r'| falls to `tol` (one extra scalar aggregate per
+    * round, read off the SAME checkpointed frame that carries the next
+    * labels — no extra job). The per-iteration value is ROUNDED to
+    * 1e-9 — the quantization grain that keeps two engines' different
+    * summation orders from drifting across iterations — so at the
+    * default `tol = 0.0` an early stop fires only at an EXACT rounded
+    * fixpoint, where further iterations are the identity: a
+    * convergence-stopped run returns bit-identical values to a
+    * fixed-count run of any length ≥ the stop round.
+    *
+    * `nodes` is (v); `edges` is (src, dst), duplicates allowed (each
+    * parallel edge contributes separately, matching the r/outdeg sum);
+    * dangling nodes (no out-edges) contribute nothing, as in the
+    * classic formulation. */
+  def pageRank(nodes: DataFrame, edges0: DataFrame, maxIters: Int,
+      tol: Double = 0.0, damping: Double = 0.85): DataFrame = {
+    val n = nodes.count()
+    val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edges = edges0.join(deg, Seq("src")).localCheckpoint()
+    var r = nodes.select(col("v"), (lit(1.0) / n).as("r"))
+    var delta = Double.MaxValue
+    var it = 0
+    while (it < maxIters && delta > tol) {
+      it += 1
+      val contrib = edges.join(r, col("v") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("r") / col("outdeg")).as("inc"))
+      // carry the old rank through so the convergence aggregate reads
+      // the same materialized checkpoint as the next iteration's input
+      val next = r.select(col("v"), col("r").as("old"))
+        .join(contrib, col("v") === col("dst"), "left")
+        .select(col("v"), col("old"),
+          round(lit(1.0 - damping) / n + lit(damping) *
+            coalesce(col("inc"), lit(0.0)), 9).as("r"))
+        .localCheckpoint()
+      delta = next.agg(max(abs(col("r") - col("old")))).head().getDouble(0)
+      r = next.select(col("v"), col("r"))
+    }
+    r
+  }
+
   /** PAGERANK over a deterministic doc-link graph — the authority score
     * a corpus-curation pipeline uses to weight domains/documents. The
     * graph is arithmetic-derived (each doc links to (7u+1)%N, (13u+3)%N,
-    * (29u+11)%N — three affine bijections, so in-degree is exactly 3
+    * (29u+11)%N — three affine bijections, so out-degree is exactly 3
     * and both engines build the identical edge set), and the power
-    * iteration runs 5 rounds of r' = 0.15/N + 0.85·Σ_in r/3 with the
-    * per-iteration value ROUNDED to 1e-9 — the quantization grain that
-    * keeps the two engines' different summation orders from drifting
-    * apart across iterations (the ivf round-12 rank trick applied to an
-    * iterative fixpoint). Scale shape: each iteration is one edge⋈rank
-    * join (shuffle on src) + one dst aggregation — the canonical
-    * distributed PageRank step; at 100 TB the loop adds per-iteration
-    * localCheckpoints exactly like connectedComponents. */
+    * iteration runs [[pageRank]] for at most 5 rounds of
+    * r' = 0.15/N + 0.85·Σ_in r/3 with per-iteration 1e-9 rounding.
+    * The convergence stop fires only at an exact rounded fixpoint
+    * (identity from there on), so the result matches the oracle's
+    * fixed 5 rounds bit-for-bit whether or not it triggers. */
   val pagerank: QueryDef = {
     def iterSql(prev: String, cur: String): String =
       s"""$cur AS (
@@ -467,17 +513,8 @@ object AdvancedQueries {
         nodes.select(col("doc_id").as("src"),
           ((col("doc_id") * m + c) % n).as("dst"))
       }.reduce(_ unionAll _)
-      var r = nodes.select(col("doc_id").as("v"), (lit(1.0) / n).as("r"))
-      for (_ <- 1 to 5) {
-        val contrib = edges.join(r, col("v") === col("src"))
-          .groupBy(col("dst")).agg(sum(col("r") / 3).as("inc"))
-        r = nodes.select(col("doc_id").as("v"))
-          .join(contrib, col("v") === col("dst"), "left")
-          .select(col("v"),
-            round(lit(0.15) / n + lit(0.85) * coalesce(col("inc"), lit(0.0)), 9)
-              .as("r"))
-      }
-      r.select(col("v").as("doc_id"), round(col("r"), 6).as("pr"))
+      pageRank(nodes.select(col("doc_id").as("v")), edges, maxIters = 5)
+        .select(col("v").as("doc_id"), round(col("r"), 6).as("pr"))
         .orderBy(col("doc_id"))
     }
   }

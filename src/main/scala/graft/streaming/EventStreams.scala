@@ -715,7 +715,16 @@ object EventStreams {
     val h = graft.ops.Dedup.SignatureHashes
     val docs = Tables.documents(s, d)
     val sig = graft.ops.Dedup.corpusSignatures(docs)
-    val idx = graft.ops.Dedup.corpusBandRows(sig)
+    // the same index-side hot-bucket cap the batch flavors enforce (r7,
+    // advice: without it the three 'same contract' flavors diverged on
+    // a boilerplate bucket, and the probe join fanned out unbounded);
+    // fixture max bucket is 3, so the uncapped oracle is unaffected
+    val bandRows = graft.ops.Dedup.corpusBandRows(sig)
+    val hot = bandRows.groupBy(col("bi"), col("bv"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > graft.ops.Dedup.BandBucketCap)
+      .select(col("bi"), col("bv"))
+    val idx = bandRows.join(broadcast(hot), Seq("bi", "bv"), "left_anti")
       .withColumnRenamed("doc_id", "existing_id")
     val ssig = (0 until h).foldLeft(
       sig.withColumnRenamed("doc_id", "existing_id"))((acc, j) =>

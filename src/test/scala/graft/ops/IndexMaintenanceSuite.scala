@@ -1,0 +1,169 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import graft.fm.SparkSessionSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins the r7 incremental index lifecycle (VERDICT r6 #1): appending a
+  * batch into a persisted band/IVF index must (a) leave every
+  * pre-existing data file byte-identical (append-only facts, no
+  * partition rewrite of row data), (b) be split-invariant (append B
+  * then C ≡ append B∪C), and (c) make probes bit-identical to an index
+  * covering the same corpus in one build — from-scratch for the band
+  * index (signatures are pure per-doc facts), frozen-centroid one-pass
+  * for IVF (the quantizer is frozen at build time by design). Also
+  * pins the maintained over-cap list: a bucket pushed over
+  * BandBucketCap by appends must stop producing probe evidence, the
+  * capped semantics all three LSH-dedup flavors now share. */
+class IndexMaintenanceSuite extends SparkSessionSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** (relative path → sha256) for every parquet data file under dir. */
+  private def fileDigests(dir: String): Map[String, String] = {
+    val root = Paths.get(dir)
+    val md = MessageDigest.getInstance("SHA-256")
+    var out = Map.empty[String, String]
+    Files.walk(root).forEach { p =>
+      val rel = root.relativize(p).toString
+      if (Files.isRegularFile(p) && rel.endsWith(".parquet")) {
+        md.reset()
+        out += rel -> md.digest(Files.readAllBytes(p))
+          .map("%02x".format(_)).mkString
+      }
+    }
+    out
+  }
+
+  private def canon(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.toIndexedSeq).toIndexedSeq
+      .sortBy(_.mkString("|"))
+
+  test("band index: append ≡ from-scratch rebuild; old files untouched") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") < 300)
+    val b = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val c = docs.filter(col("doc_id") >= 400)
+    val probeBatch = Dedup.incomingLshBatch(docs)
+
+    val dirInc = Files.createTempDirectory("bandinc").toString
+    Dedup.saveBandIndex(a, dirInc)
+    val beforeAppend = fileDigests(dirInc)
+    Dedup.appendToBandIndex(dirInc, b)
+    // append-only: every file that existed before the append is still
+    // there with the same bytes (bands AND sig; the counts/hot state is
+    // the one keyed rewrite, excluded by path)
+    val afterAppend = fileDigests(dirInc)
+    beforeAppend.foreach { case (rel, sha) =>
+      if (rel.startsWith("bands") || rel.startsWith("sig"))
+        withClue(s"$rel changed by append: ") {
+          afterAppend.get(rel) shouldBe Some(sha)
+        }
+    }
+    Dedup.appendToBandIndex(dirInc, c)
+
+    // split-invariance: one append of b ∪ c probes identically
+    val dirOne = Files.createTempDirectory("bandone").toString
+    Dedup.saveBandIndex(a, dirOne)
+    Dedup.appendToBandIndex(dirOne, b.unionAll(c))
+
+    // from-scratch ground truth over the union corpus
+    val dirFull = Files.createTempDirectory("bandfull").toString
+    Dedup.saveBandIndex(docs, dirFull)
+
+    val evInc = canon(Dedup.probeBandIndex(s, dirInc, probeBatch))
+    val evOne = canon(Dedup.probeBandIndex(s, dirOne, probeBatch))
+    val evFull = canon(Dedup.probeBandIndex(s, dirFull, probeBatch))
+    evInc.length should be > 10
+    evInc shouldBe evFull
+    evOne shouldBe evFull
+  }
+
+  test("band index: appends push a bucket over the cap -> probes go quiet") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("bandhot").toString
+    Dedup.saveBandIndex(docs, dir)
+    // sanity: a fresh index over the fixture has an empty hot list and
+    // a near-dup probe produces evidence
+    s.read.parquet(s"$dir/hot").count() shouldBe 0L
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dupProbe = Seq((990000L, boiler)).toDF("doc_id", "text")
+    // append a boilerplate cluster: 70 identical docs land in ONE
+    // (bi, bv) bucket per band — over BandBucketCap = 64
+    val cluster = (1 to 70).map(i => (900000L + i, boiler)).toDF("doc_id", "text")
+    Dedup.appendToBandIndex(dir, cluster)
+    s.read.parquet(s"$dir/hot").count() should be >= 1L
+    // the hot bucket is anti-joined out of the probe: an incoming copy
+    // of the boilerplate emits NO evidence (the capped semantics the
+    // inline lshCandidatePairs/incrementalLsh flavors share) instead of
+    // fanning out 70 candidates
+    Dedup.probeBandIndex(s, dir, dupProbe).count() shouldBe 0L
+    // cold buckets are unaffected: the original near-dup batch still
+    // produces its evidence
+    Dedup.probeBandIndex(s, dir, Dedup.incomingLshBatch(docs))
+      .count() should be > 10L
+  }
+
+  test("ivf index: append ≡ frozen-centroid one-pass; old files untouched") {
+    val s = spark
+    val prep = Similarity.prepared(graft.Tables.embeddings(s, sfDir))
+      .localCheckpoint()
+    val a = prep.filter(col("vec_id") < 300)
+    val b = prep.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val c = prep.filter(col("vec_id") >= 400)
+    val queries = prep.filter(col("vec_id") % 50 === 0)
+
+    val dirInc = Files.createTempDirectory("ivfinc").toString
+    Similarity.saveIvfIndex(a, dirInc)
+    val before = fileDigests(dirInc)
+    Similarity.appendToIvfIndex(dirInc, b)
+    val after = fileDigests(dirInc)
+    before.foreach { case (rel, sha) =>
+      withClue(s"$rel changed by append: ") {
+        after.get(rel) shouldBe Some(sha)
+      }
+    }
+    Similarity.appendToIvfIndex(dirInc, c)
+
+    // split-invariance: one append of b ∪ c probes identically
+    val dirOne = Files.createTempDirectory("ivfone").toString
+    Similarity.saveIvfIndex(a, dirOne)
+    Similarity.appendToIvfIndex(dirOne, b.unionAll(c))
+
+    val topInc = canon(Similarity.topKFromIvfIndex(s, dirInc, queries,
+      k = 5, nprobe = Similarity.IvfNprobe))
+    val topOne = canon(Similarity.topKFromIvfIndex(s, dirOne, queries,
+      k = 5, nprobe = Similarity.IvfNprobe))
+    topInc.length should be > 20
+    topInc shouldBe topOne
+
+    // semantic check: every appended vector's persisted cell is the
+    // argmin-L2 centroid of the ORIGINAL (frozen) centroid table, ties
+    // by centroid id — recomputed independently here
+    val cent = s.read.parquet(s"$dirInc/centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val persisted = s.read.parquet(s"$dirInc/corpus")
+      .filter(col("vec_id") >= 300)
+      // partition-column type is inferred (int) — normalize to long
+      .select(col("vec_id"), col("v"), col("cell").cast("long")).collect()
+    persisted.length shouldBe (b.count() + c.count())
+    persisted.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val best = cent.map { case (cid, cv) =>
+        val d = v.zip(cv).map { case (x, y) => (x - y) * (x - y) }.sum
+        (d, cid)
+      }.minBy(identity)._2
+      withClue(s"vec ${r.getLong(0)}: ") { r.getLong(2) shouldBe best }
+    }
+  }
+}
