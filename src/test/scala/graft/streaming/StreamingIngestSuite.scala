@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.fm.SparkSessionSuite
+import org.apache.spark.sql.functions._
+
+/** Pins the r7 self-growing streaming ingestion loop (VERDICT r6 #2):
+  * a near-dup of a doc admitted by an EARLIER micro-batch of the same
+  * pipeline must be rejected — the persisted band index is the
+  * accumulated ingestion state, growing by exactly the admitted docs
+  * each epoch. Batch boundaries are made deterministic by draining the
+  * source (AvailableNow) between file drops against one checkpoint. */
+class StreamingIngestSuite extends SparkSessionSuite {
+
+  test("near-dup of a doc admitted in an earlier micro-batch is rejected") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val base = Files.createTempDirectory("graft-ingest-stream").toString
+    val (idx, src, ckpt, admitted) =
+      (s"$base/idx", s"$base/src", s"$base/ckpt", s"$base/admitted")
+    graft.ops.Dedup.saveBandIndex(docs, idx)
+
+    // epoch 0: two genuinely new docs — both must be admitted
+    Seq((91000L, "ka1 kb1 kc1 kd1 ke1 kf1"),
+        (91001L, "la1 lb1 lc1 ld1 le1 lf1"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(src)
+    EventStreams.ingestDocsStream(s, idx, src, ckpt, admitted)
+    s.read.parquet(admitted).select("doc_id").collect().map(_.getLong(0))
+      .toSet shouldBe Set(91000L, 91001L)
+
+    // epoch 1: an exact copy of an epoch-0 ADMITTED doc (the corpus
+    // index never contained it — only the self-grown appends can
+    // reject it) plus one more new doc
+    Seq((92000L, "ka1 kb1 kc1 kd1 ke1 kf1"),
+        (92001L, "ma1 mb1 mc1 md1 me1 mf1"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(src)
+    EventStreams.ingestDocsStream(s, idx, src, ckpt, admitted)
+    val all = s.read.parquet(admitted)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    all shouldBe Set(91000L, 91001L, 92001L)
+
+    // and a third drop: a copy of the epoch-1 admission is rejected too
+    Seq((93000L, "ma1 mb1 mc1 md1 me1 mf1"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(src)
+    EventStreams.ingestDocsStream(s, idx, src, ckpt, admitted)
+    s.read.parquet(admitted).count() shouldBe 3L
+  }
+}
