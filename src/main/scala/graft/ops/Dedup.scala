@@ -994,6 +994,18 @@ object Dedup {
     Similarity.rankedCells(prep, nlist, upTo = 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
 
+  /** Maximum vectors a cell may hold and still enter [[semanticDedup]]'s
+    * pair stage (r7, verdict #5 — the [[BandBucketCap]] logged-drop
+    * pattern applied to cells): the pair join is quadratic WITHIN a
+    * cell by design, so a degenerate clustering (all mass in one cell —
+    * exactly what a boilerplate-heavy corpus with small nlist produces)
+    * went silently quadratic. Cells over the cap are EXCLUDED from the
+    * pair stage with a logged count — their members are all kept
+    * (flagged, never silently dropped); the remedy is a larger nlist
+    * or an exact-dedup pass over the hot cluster first. The default is
+    * far above any fixture cell, so the uncapped oracle is unaffected. */
+  private[ops] val SemCellCap = 256
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embeddings, then drop any document
     * whose cosine to a LOWER-ID document in the SAME cluster is >=
@@ -1013,15 +1025,29 @@ object Dedup {
     * shuffles once on the cell id, and the pair stage is an EQUI-join
     * on cell — quadratic only within a cell, which is the deployment
     * knob: SemDeDup at scale runs ~100k clusters precisely so cells
-    * stay small and the per-cell quadratic is constant-bounded. No
-    * all-pairs join anywhere. */
+    * stay small and the per-cell quadratic is constant-bounded — and
+    * a cell that defeats the knob anyway is excluded with a logged
+    * drop ([[SemCellCap]]), never silently quadratic. No all-pairs
+    * join anywhere. */
   private[ops] def semanticDedup(prep: DataFrame, threshold: Double,
-      nlist: Int = Similarity.IvfNlist): DataFrame = {
+      nlist: Int = Similarity.IvfNlist,
+      cellCap: Int = SemCellCap): DataFrame = {
     val assign = graft.InternalCaches.register(
       semanticAssign(prep, nlist).persist())
-    val a1 = assign.select(col("cell"), col("vec_id").as("v1"),
+    // hot-cell guard: the hot list is tiny by construction (it takes
+    // > cap co-clustered vectors to enter), so the anti-join broadcasts
+    val hot = assign.groupBy(col("cell"))
+      .agg(count(lit(1)).as("csz")).filter(col("csz") > cellCap)
+      .select(col("cell"))
+    val nHot = hot.count()
+    if (nHot > 0)
+      System.err.println(s"[dedup] semanticDedup: $nHot cell(s) larger " +
+        s"than $cellCap vectors excluded from the pair stage (quadratic " +
+        "risk; raise nlist or exact-dedup the hot cluster first)")
+    val cold = assign.join(broadcast(hot), Seq("cell"), "left_anti")
+    val a1 = cold.select(col("cell"), col("vec_id").as("v1"),
       col("v").as("lv"), col("nrm").as("n1"))
-    val a2 = assign.select(col("cell"), col("vec_id").as("v2"),
+    val a2 = cold.select(col("cell"), col("vec_id").as("v2"),
       col("v").as("rv"), col("nrm").as("n2"))
     val drops = a1.join(a2, Seq("cell"))
       .filter(col("v1") < col("v2"))

@@ -309,4 +309,22 @@ class DedupSuite extends SparkSessionSuite {
     // only with small probability, so at most a few of the 25 survive
     nearDupSurvivors.size should be <= 3
   }
+
+  /** r7 (verdict #5): a degenerate clustering that lands the whole
+    * corpus in ONE cell must not go silently quadratic — over-cap
+    * cells are excluded from the pair stage (members all kept, with a
+    * logged drop), while the same clustering under a generous cap
+    * still dedups normally. nlist = 1 forces the one-cell case. */
+  test("semanticDedup: over-cap cells skip the pair stage, members kept") {
+    val s = spark
+    val prep = Dedup.corpusScaledEmb(
+      graft.Tables.embeddings(s, "/root/testdata/sf0.001")).localCheckpoint()
+    val n = prep.count() // 500 base + 20 planted scaled copies
+    val capped = Dedup.semanticDedup(prep, 0.99, nlist = 1, cellCap = 50)
+    capped.count() shouldBe n // hot cell flagged, nothing dropped
+    val uncapped = Dedup.semanticDedup(prep, 0.99, nlist = 1, cellCap = 100000)
+    // with the pair stage active the 20 planted copies drop (sources
+    // are lower-id, cos ~ 1); max natural pair cosine is 0.51
+    uncapped.count() shouldBe (n - 20)
+  }
 }
