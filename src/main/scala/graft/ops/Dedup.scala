@@ -991,7 +991,7 @@ object Dedup {
     * invariant tests. Output: (vec_id, v, nrm, cell). */
   private[ops] def semanticAssign(prep: DataFrame,
       nlist: Int = Similarity.IvfNlist): DataFrame =
-    Similarity.rankedCells(prep, nlist, upTo = 1)
+    Similarity.rankedCellsAuto(prep, nlist, upTo = 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
 
   /** Maximum vectors a cell may hold and still enter [[semanticDedup]]'s

@@ -611,6 +611,86 @@ object Similarity {
       .filter(col("rn") <= upTo)
   }
 
+  /** TWO-LEVEL (coarse→fine) deterministic quantizer (r7, verdict #3):
+    * same contract and output schema as [[rankedCells]], but the
+    * assignment computes O(n·(√nlist + coarseProbe·nlist/√nlist))
+    * distances instead of O(n·nlist) — the difference between nlist=8
+    * fixtures and the ~100k-cell regime SemDeDup's paper runs, where
+    * flat assignment is 100k distance computations per vector and
+    * two-level is ~2·√100k ≈ 640.
+    *
+    * Construction stays pure arithmetic both engines could reproduce:
+    * fine centroids are the [[ivfStride]] picks (identical to flat —
+    * the CELL VOCABULARY does not change, only the search over it);
+    * coarse centroids are every ⌈nfine/⌈√nlist⌉⌉-th fine centroid in
+    * cid order; each fine centroid files under its L2-nearest coarse
+    * centroid (ties by coarse id). A vector ranks the coarse table
+    * (√nlist distances), probes its `coarseProbe` nearest groups, and
+    * ranks only those groups' fine centroids. All the tiny centroid
+    * tables broadcast; the corpus-side work is two narrow crossJoins
+    * against bounded broadcast sides — the flat plan's shape at a
+    * fraction of its arithmetic.
+    *
+    * APPROXIMATE by the standard IVF trade: the true nearest fine
+    * centroid is found iff its group is probed — exact on clustered
+    * corpora (suite-pinned two-level ≡ flat there), near-exact on
+    * unstructured ones. Select per call, or engine-wide via
+    * `GRAFT_IVF_TWO_LEVEL=true` ([[rankedCellsAuto]]); the DEFAULT
+    * stays flat so every oracle-checked query is untouched. */
+  private[ops] def rankedCellsTwoLevel(prep: DataFrame, nlist: Int,
+      upTo: Int, coarseProbe: Int = 2): DataFrame = {
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val stride = ivfStride(prep.count(), nlist)
+    val cent = prep.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .localCheckpoint() // tiny (≈ nlist rows); read 3× below
+    val nFine = cent.count()
+    val nCoarse = math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val coarseStride = math.max(1L, (nFine + nCoarse - 1) / nCoarse)
+    // single-partition window over ≈ nlist rows — bounded by the fixed
+    // centroid budget, never by n
+    val byCid = Window.orderBy(col("cid"))
+    val centRanked = cent.withColumn("rk", row_number().over(byCid) - 1)
+    val coarse = centRanked.filter(col("rk") % coarseStride === 0)
+      .select(col("cid").as("gid"), col("cv").as("gv"))
+    val byGroup = Window.partitionBy(col("cid")).orderBy(col("gd"), col("gid"))
+    val grouped = centRanked.crossJoin(broadcast(coarse))
+      .select(col("cid"), col("cv"), col("gid"),
+        sqDist(col("cv"), col("gv")).as("gd"))
+      .withColumn("grn", row_number().over(byGroup))
+      .filter(col("grn") === 1)
+      .select(col("gid"), col("cid"), col("cv"))
+    val byCoarse = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d1"), col("gid"))
+    val probed = prep.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("v"), col("nrm"), col("gid"),
+        sqDist(col("v"), col("gv")).as("d1"))
+      .withColumn("prn", row_number().over(byCoarse))
+      .filter(col("prn") <= coarseProbe)
+      .select(col("vec_id"), col("v"), col("nrm"), col("gid"))
+    val byDist = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d"), col("cid"))
+    probed.join(broadcast(grouped), Seq("gid"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        sqDist(col("v"), col("cv")).as("d"))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") <= upTo)
+  }
+
+  /** Quantizer dispatch: flat [[rankedCells]] by default (every oracle
+    * pins flat), [[rankedCellsTwoLevel]] when GRAFT_IVF_TWO_LEVEL=true
+    * — the deployment switch for large-nlist regimes. Used by
+    * [[ivfTopKDetRaw]] and `Dedup.semanticAssign`, so one flag moves
+    * BOTH consumers onto the same quantizer (the single-definition
+    * rule). */
+  private[graft] def rankedCellsAuto(prep: DataFrame, nlist: Int,
+      upTo: Int): DataFrame =
+    if (sys.env.get("GRAFT_IVF_TWO_LEVEL").contains("true"))
+      rankedCellsTwoLevel(prep, nlist, upTo)
+    else rankedCells(prep, nlist, upTo)
+
   /** [[ivfTopKDet]] with the RAW cosine still exposed — the shared core
     * behind the public top-k (which rounds to the 1e-6 presentation
     * grain) and [[hardNegativesIvf]] (which must apply its near-dup cut
@@ -623,7 +703,7 @@ object Similarity {
     // dominant stage) feeds BOTH the cell assignment and the query
     // probes; unpersisted, the window sort would execute twice in one
     // plan (the SQL twin shares its ranked_cells CTE the same way).
-    val ranked = rankedCells(prep, nlist, nprobe).persist()
+    val ranked = rankedCellsAuto(prep, nlist, nprobe).persist()
     graft.InternalCaches.register(ranked)
     val assign = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
