@@ -172,6 +172,93 @@ object Dedup {
       .orderBy(col("canonical"))
   }
 
+  /** Tokens per synthetic "line". Real corpora split on newlines; the
+    * fixture text has none, so lines are fixed token windows (the
+    * chunking grid) — the operator's plan shape is identical either way. */
+  private val LineLen = 10
+
+  /** A line recurring across this many DISTINCT documents is boilerplate. */
+  private val LineDf = 3
+
+  /** LINE-LEVEL boilerplate removal — the CCNet / RefinedWeb pass that
+    * precedes document-level dedup in production LLM corpora: any line
+    * recurring across >= [[LineDf]] distinct documents (headers, cookie
+    * banners, navigation chrome) is dropped from EVERY document, and the
+    * document is reassembled from its surviving lines. The fixture corpus
+    * has no natural newlines, so "lines" are [[LineLen]]-token windows
+    * and two boilerplate headers are planted arithmetically (every 5th
+    * doc a rights notice, every remaining 7th a subscribe banner — the
+    * ta_pii_mask planting pattern); the corpus's built-in duplicate docs
+    * also surface as genuine high-df lines, which is exactly the
+    * operator's semantics.
+    *
+    * 100 TB shape: the line explode is map-side; the frequency pass is
+    * ONE shuffle keyed on the fixed-width md5 of the line (never the
+    * line text); only the over-threshold hash set — a small fraction of
+    * distinct lines at any scale — survives into the probe join; and
+    * reassembly is one doc_id shuffle. No step is quadratic and no key
+    * is wider than 32 hex chars. */
+  val lineDedup: QueryDef = QueryDef.sql(
+    "dedup_lines",
+    s"""WITH corpus AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0
+      |           THEN 'all rights reserved copyright notice terms of use apply here ' || text
+      |         WHEN doc_id % 7 = 0
+      |           THEN 'subscribe to our newsletter follow us on social media now ' || text
+      |         ELSE text END AS text
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id, (s - 1) // $LineLen AS line_idx,
+      |    array_to_string(list_slice(toks, s, least(s + ${LineLen - 1}, len(toks))), ' ') AS line
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(1, len(toks), $LineLen)) AS s
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus) a) b),
+      |boiler AS (
+      |  SELECT md5(line) AS lh
+      |  FROM lines GROUP BY md5(line)
+      |  HAVING count(DISTINCT doc_id) >= $LineDf)
+      |SELECT l.doc_id,
+      |  count(*) AS n_lines,
+      |  CAST(sum(CASE WHEN b.lh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+      |  coalesce(array_to_string(
+      |    list(l.line ORDER BY l.line_idx) FILTER (WHERE b.lh IS NULL), ' '),
+      |    '') AS cleaned
+      |FROM lines l LEFT JOIN boiler b ON b.lh = md5(l.line)
+      |GROUP BY l.doc_id
+      |ORDER BY l.doc_id""".stripMargin) { (s, d) =>
+    val corpus = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("all rights reserved copyright notice terms of use apply here "),
+          col("text")))
+        .when(col("doc_id") % 7 === 0,
+          concat(lit("subscribe to our newsletter follow us on social media now "),
+            col("text")))
+        .otherwise(col("text")).as("text"))
+    val lines = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(LineLen))).as("s"))
+      .select(col("doc_id"), expr(s"(s - 1) DIV $LineLen").as("line_idx"),
+        array_join(slice(col("toks"), col("s"), lit(LineLen)), " ").as("line"))
+      .withColumn("lh0", md5(col("line")))
+    val boiler = lines
+      .groupBy(col("lh0").as("lh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= LineDf)
+      .select(col("lh"))
+    lines.join(boiler, col("lh0") === col("lh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("lh").isNull, 0L).otherwise(1L)).as("n_dropped"),
+        // collect_list skips nulls, so the un-matched `when` collects
+        // only surviving lines; the struct sort restores line order
+        array_join(transform(array_sort(collect_list(
+          when(col("lh").isNull, struct(col("line_idx"), col("line"))))),
+          x => x.getField("line")), " ").as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------- shared MinHash-LSH pipeline --
 
   private[graft] def mhSql = (0 until NumHashes)
@@ -1376,7 +1463,7 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] =
-    Seq(exact, minHashLsh, ccClusters, simHash, simHashBanded, ngramJaccard,
-      embeddingCos, embeddingCosBanded, semantic, incremental, incrementalLsh,
-      ingestGrow)
+    Seq(exact, lineDedup, minHashLsh, ccClusters, simHash, simHashBanded,
+      ngramJaccard, embeddingCos, embeddingCosBanded, semantic, incremental,
+      incrementalLsh, ingestGrow)
 }

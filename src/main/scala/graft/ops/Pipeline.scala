@@ -344,6 +344,46 @@ object Pipeline {
       .orderBy(col("col"))
   }
 
+  /** Shards per training shuffle. A fixture-scale stand-in: at cluster
+    * scale this is thousands (≫ executor count), so every window
+    * partition below stays small and parallel. */
+  private val ShuffleShards = 8
+
+  /** DETERMINISTIC TRAINING SHUFFLE + SHARDING — the last step before a
+    * corpus feeds a data loader: break curation order (sources arrive
+    * clustered by domain/crawl, and consuming them in that order skews
+    * early training), assign every doc to a shard, and give each shard a
+    * stable read order. Hash-derived ordering makes the shuffle a pure
+    * function of the doc key: re-running the pipeline, or growing the
+    * corpus, never reorders existing docs relative to each other within
+    * a shard (the [[trainSplit]] stability argument applied to ordering).
+    *
+    * 100 TB shape: shard assignment is map-side arithmetic; the within-
+    * shard position is a window PARTITIONED BY shard — with shards ≫
+    * executors every partition is a bounded slice, never a global sort.
+    * (A global row_number would serialize on one partition; sharding is
+    * exactly how real loaders avoid needing one.) */
+  val shuffleShard: QueryDef = QueryDef.sql(
+    "pipe_shuffle",
+    s"""WITH h AS (
+      |  SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS hkey FROM documents)
+      |SELECT doc_id, CAST(hkey % $ShuffleShards AS BIGINT) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY hkey % $ShuffleShards
+      |         ORDER BY hkey, doc_id) AS BIGINT) AS pos_in_shard
+      |FROM h
+      |ORDER BY shard, pos_in_shard""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        ((col("doc_id") * 2654435761L) % 1000000007L).as("hkey"))
+      .withColumn("shard", col("hkey") % ShuffleShards)
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos_in_shard"))
+      .orderBy(col("shard"), col("pos_in_shard"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(corpusClean, domainMix, compact, decontaminate, trainSplit, profile)
+    Seq(corpusClean, domainMix, compact, decontaminate, trainSplit, profile,
+      shuffleShard)
 }

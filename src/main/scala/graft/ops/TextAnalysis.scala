@@ -595,7 +595,62 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BIGRAM LANGUAGE-MODEL QUALITY SCORE — the CCNet-style perplexity
+    * filter: train a bigram LM on the corpus itself (MLE, no smoothing —
+    * every scored bigram exists in the counts by construction) and score
+    * each document by its mean log-probability. Low mean_lp = the doc's
+    * token transitions are atypical for the corpus = the standard
+    * "perplexity bucket" signal for quality partitioning (perplexity is
+    * exp(−mean_lp), monotone, so the score itself suffices). min_lp is
+    * the single most surprising transition in the doc.
+    *
+    * Cross-engine determinism: counts are exact integers; each bigram's
+    * log-prob is quantized to 1e-9 BEFORE the per-doc sum (the BM25 idf
+    * rule), the reported mean to 1e-6; min over quantized values is
+    * order-independent and exact.
+    *
+    * 100 TB shape: the LM is two count aggregations (the unigram table
+    * derives from the bigram table — one pass over the exploded corpus,
+    * not two); the scoring join keys on the bigram, with the count
+    * tables vocabulary-bounded (≪ corpus, broadcast when small, AQE
+    * otherwise); the final reduction partitions by doc_id. Nothing is
+    * quadratic and no per-doc state leaves its partition group. */
+  val lmScore: QueryDef = QueryDef.sql(
+    "ta_lm_score",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |big AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t CROSS JOIN LATERAL unnest(generate_series(1, len(toks) - 1)) s(i)),
+      |bic AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+      |uni AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM bic GROUP BY w1),
+      |scored AS (
+      |  SELECT g.doc_id, round(ln(c.cb * 1.0 / u.cu), 9) AS lp
+      |  FROM big g
+      |  JOIN bic c ON c.w1 = g.w1 AND c.w2 = g.w2
+      |  JOIN uni u ON u.w1 = g.w1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(sum(lp) / count(*), 6) AS mean_lp,
+      |  min(lp) AS min_lp
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d).select(col("doc_id"), toks.as("toks"))
+    val big = t
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"), col("toks"))
+      .select(col("doc_id"), element_at(col("toks"), col("i")).as("w1"),
+        element_at(col("toks"), col("i") + 1).as("w2"))
+    val bic = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val uni = bic.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    big.join(bic, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .select(col("doc_id"),
+        round(log(col("cb").cast("double") / col("cu")), 9).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")) / count(lit(1)), 6).as("mean_lp"),
+        min(col("lp")).as("min_lp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(tokenStats, langId, quality, fingerprint, tfidf, piiMask, bpePairs,
-      chunking, packing, repetition, cmsHeavy, normalize)
+      chunking, packing, repetition, cmsHeavy, normalize, lmScore)
 }

@@ -519,8 +519,39 @@ object AdvancedQueries {
     }
   }
 
+  /** WEIGHTED sample-without-replacement (Efraimidis–Spirakis A-ES):
+    * every row draws a deterministic uniform u from its key hash and
+    * competes on the exponential race key −ln(u)/w — the k smallest keys
+    * ARE a weighted sample without replacement with inclusion odds
+    * proportional to w (here o_totalprice: a quality-weighted corpus
+    * sample takes exactly this shape with w = quality score). Fully
+    * distributed: the key is per-row arithmetic and the top-k compiles
+    * to TakeOrderedAndProject (per-partition heaps, no global sort —
+    * the [[sampleExactK]] plan, which is this op's unweighted special
+    * case). Determinism: u derives from integer hashing so both engines
+    * take ln of the SAME double; the key is quantized to 1e-12 (the IVF
+    * cosine rule) and tie-broken by the unique key, so rank boundaries
+    * cannot flip on a ulp. The sample's mean weight (~343k vs corpus
+    * ~250k at sf0.001) shows the weighting biting. */
+  val weightedSample: QueryDef = QueryDef.sql(
+    "adv_weighted_sample",
+    """SELECT o_orderkey, round(o_totalprice, 2) AS weight,
+      |  round(-ln(((o_orderkey * 2654435761) % 1000000007 + 1) / 1000000008.0)
+      |        / o_totalprice, 12) AS es_key
+      |FROM orders
+      |ORDER BY es_key, o_orderkey
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val u = ((col("o_orderkey") * 2654435761L) % 1000000007L + 1L) /
+      lit(1000000008.0)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("weight"),
+        round(-log(u) / col("o_totalprice"), 12).as("es_key"))
+      .orderBy(col("es_key"), col("o_orderkey"))
+      .limit(100)
+  }
+
   val all: Seq[QueryDef] =
     Seq(asOfJoin, asOfNative, asOfTolerance, percentiles, pivot, cube,
       saltedAgg, movingAvg, stratifiedSample, sqlInterface, rangeJoinBucketed,
-      sampleExactK, zorderLayout, pagerank)
+      sampleExactK, zorderLayout, pagerank, weightedSample)
 }
