@@ -85,6 +85,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
     e.injectFunction(TokenHash.registration)
     e.injectFunction(CountMinSketchAgg.registration)
+    e.injectFunction(HyperLogLogAgg.registration)
     e.injectFunction(NormalizeText.registration)
     e.injectOptimizerRule(_ => DotProductRewrite)
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)

@@ -650,7 +650,94 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** HYPERLOGLOG distinct counting — per-language distinct-bigram
+    * cardinality via the engine's [[graft.functions.HyperLogLogAgg]]
+    * `TypedImperativeAggregate` (the sketch family's distinct-count
+    * member next to `cms_sketch`): 64 bytes of register state per group
+    * versus count(DISTINCT)'s full key shuffle — the only way a 100 TB
+    * vocabulary/n-gram census fits one pass. The exact count runs
+    * alongside for the error check (HLL error ≈ 1.04/√64 ≈ 13 %;
+    * suite asserts the bound, the oracle pins the registers).
+    *
+    * Determinism: register updates are max(ρ) — commutative,
+    * associative, idempotent — so the register array is identical under
+    * any partitioning or engine; the oracle reproduces every register
+    * arithmetically from the shared rolling-hash/affine-mix maps. The
+    * estimate is one division over a sum of 64 exact powers of two
+    * (dyadic ⇒ order-independent, bit-exact), rounded 1e-6. */
+  val hllDistinct: QueryDef = {
+    import graft.functions.HyperLogLogAgg.{M, MixA, MixA2, MixB, MixB2, MixP, RhoCap}
+    val P = 1000000007L
+    QueryDef.sql(
+      "ta_hll_distinct",
+      s"""WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        |tid AS (
+        |  SELECT lang, list_transform(toks, tok -> list_reduce(
+        |    [CAST(0 AS BIGINT)] ||
+        |    list_transform(generate_series(1, length(tok)),
+        |                   j -> CAST(ascii(substr(tok, j, 1)) AS BIGINT)),
+        |    (h, c) -> (h * 131 + c) % $P)) AS tids
+        |  FROM t),
+        |big AS (
+        |  SELECT lang, unnest(list_transform(generate_series(1, len(tids) - 1),
+        |    i -> (tids[i] * 1009 + tids[i + 1]) % $P)) AS bid
+        |  FROM tid),
+        |h1 AS (SELECT lang, (bid * $MixA + $MixB) % $MixP AS h FROM big),
+        |h2 AS (SELECT lang, (xor(h, h >> 7) * $MixA2 + $MixB2) % $MixP AS h FROM h1),
+        |hh AS (SELECT lang, xor(h, h >> 11) AS h FROM h2),
+        |reg0 AS (
+        |  SELECT lang, h % $M AS bucket,
+        |    max(CASE WHEN h // $M = 0 THEN $RhoCap
+        |        ELSE list_min(list_filter(generate_series(0, ${RhoCap - 1}),
+        |               i -> ((h // $M) >> i) & 1 = 1)) + 1 END) AS reg
+        |  FROM hh GROUP BY lang, h % $M),
+        |regs AS (
+        |  SELECT l.lang, b.bucket, coalesce(r.reg, 0) AS reg
+        |  FROM (SELECT DISTINCT lang FROM documents) l
+        |  CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1})) AS bucket) b
+        |  LEFT JOIN reg0 r ON r.lang = l.lang AND r.bucket = b.bucket),
+        |agg AS (
+        |  SELECT lang,
+        |    CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |    CAST(sum(reg * (bucket + 1)) AS BIGINT) AS reg_checksum,
+        |    sum(power(2.0, -reg)) AS s
+        |  FROM regs GROUP BY lang),
+        |exact AS (SELECT lang, count(DISTINCT bid) AS n_exact FROM big GROUP BY lang)
+        |SELECT a.lang, x.n_exact, a.n_zero, a.reg_checksum,
+        |  round(CASE WHEN 0.709 * ${M * M} / a.s <= ${5 * M / 2} AND a.n_zero > 0
+        |        THEN $M * ln($M * 1.0 / a.n_zero)
+        |        ELSE 0.709 * ${M * M} / a.s END, 6) AS est
+        |FROM agg a JOIN exact x ON x.lang = a.lang
+        |ORDER BY a.lang""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(col("lang"), toks.as("toks"))
+      val big = t
+        .select(col("lang"),
+          transform(col("toks"), tok => Dedup.tokHash(tok)).as("tids"))
+        .select(col("lang"),
+          explode(transform(sequence(lit(1), size(col("tids")) - 1),
+            i => (element_at(col("tids"), i) * 1009L +
+              element_at(col("tids"), i + 1)) % P)).as("bid"))
+      val sk = big.groupBy(col("lang"))
+        .agg(call_function("hll_sketch", col("bid")).as("regs"))
+        .select(col("lang"),
+          size(filter(col("regs"), r => r === 0L)).cast("long").as("n_zero"),
+          aggregate(zip_with(col("regs"), sequence(lit(1L), lit(M.toLong)),
+            (r, i) => r * i), lit(0L), (a, x) => a + x).as("reg_checksum"),
+          aggregate(col("regs"), lit(0.0),
+            (a, r) => a + pow(lit(2.0), -r.cast("double"))).as("s"))
+      val raw = lit(0.709) * lit((M * M).toDouble) / col("s")
+      val exact = big.groupBy(col("lang").as("xlang"))
+        .agg(countDistinct(col("bid")).as("n_exact"))
+      sk.join(exact, col("lang") === col("xlang"))
+        .select(col("lang"), col("n_exact"), col("n_zero"), col("reg_checksum"),
+          round(when(raw <= (5 * M / 2).toDouble && col("n_zero") > 0,
+            lit(M.toDouble) * log(lit(M.toDouble) / col("n_zero")))
+            .otherwise(raw), 6).as("est"))
+        .orderBy(col("lang"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(tokenStats, langId, quality, fingerprint, tfidf, piiMask, bpePairs,
-      chunking, packing, repetition, cmsHeavy, normalize, lmScore)
+      chunking, packing, repetition, cmsHeavy, normalize, lmScore, hllDistinct)
 }
