@@ -737,7 +737,71 @@ object TextAnalysis {
     }
   }
 
+  /** QUALITY-DECILE BUCKETING — curriculum/filtering prep: rank every
+    * document within its language stratum by the [[quality]] logistic
+    * score and cut into 10 equal-frequency buckets (the "perplexity
+    * bucket" construction used for quality-mixed training data, here on
+    * the engine's own quality score). Bucket counts + min/max per bucket
+    * pin the exact membership cross-engine.
+    *
+    * Determinism: the score is quantized to 1e-9 before ranking and
+    * ties break on doc_id, so bucket boundaries cannot flip on a ulp
+    * (the IVF rank rule). Scale shape: ntile partitions BY STRATUM —
+    * each window sorts one stratum, parallel across strata; production
+    * strata are (lang × source-shard) so no partition outgrows memory,
+    * and the output aggregate is one stratum-keyed reduction. */
+  val qualityBuckets: QueryDef = QueryDef.sql(
+    "ta_quality_buckets",
+    """WITH q AS (
+      |  SELECT doc_id, lang,
+      |    round(1.0/(1.0 + exp(-(0.3*mean_len + 2.0*stop_ratio
+      |          - 5.0*nonalpha_ratio - 0.002*n_tokens))), 9) AS quality
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      len(toks) AS n_tokens,
+      |      len(list_filter(toks, x -> x IN ('the','a','of','and')))
+      |        * 1.0 / len(toks) AS stop_ratio,
+      |      length(regexp_replace(text, '[a-z ]', '', 'g'))
+      |        * 1.0 / length(text) AS nonalpha_ratio,
+      |      list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+      |        * 1.0 / len(toks) AS mean_len
+      |    FROM (SELECT doc_id, lang, text, string_split(text,' ') AS toks
+      |          FROM documents) t) x),
+      |b AS (
+      |  SELECT lang, doc_id, quality,
+      |    ntile(10) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS bucket
+      |  FROM q)
+      |SELECT lang, bucket, count(*) AS n_docs,
+      |  round(min(quality), 6) AS min_q, round(max(quality), 6) AS max_q
+      |FROM b GROUP BY lang, bucket
+      |ORDER BY lang, bucket""".stripMargin) { (s, d) =>
+    val stopWords = Seq("the", "a", "of", "and")
+    val q = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).as("n_tokens"),
+        (size(filter(col("toks"), t => stopWords.map(t === _).reduce(_ || _)))
+          .cast("double") / size(col("toks"))).as("stop_ratio"),
+        (length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") /
+          length(col("text"))).as("nonalpha_ratio"),
+        (aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x)
+          .cast("double") / size(col("toks"))).as("mean_len"))
+      .select(col("doc_id"), col("lang"),
+        round(lit(1.0) / (lit(1.0) + exp(-(lit(0.3) * col("mean_len")
+          + lit(2.0) * col("stop_ratio") - lit(5.0) * col("nonalpha_ratio")
+          - lit(0.002) * col("n_tokens")))), 9).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
+    q.withColumn("bucket", ntile(10).over(w))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("quality")), 6).as("min_q"),
+        round(max(col("quality")), 6).as("max_q"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(tokenStats, langId, quality, fingerprint, tfidf, piiMask, bpePairs,
-      chunking, packing, repetition, cmsHeavy, normalize, lmScore, hllDistinct)
+      chunking, packing, repetition, cmsHeavy, normalize, lmScore, hllDistinct,
+      qualityBuckets)
 }

@@ -550,8 +550,37 @@ object AdvancedQueries {
       .limit(100)
   }
 
+  /** Per-group top-k — "best 3 customers per nation": rank-filter over a
+    * partitioned window. Catalyst plans the `row_number <= k` filter as
+    * WindowGroupLimit (per-partition top-k heaps BEFORE the window sort
+    * — only k rows per group survive the shuffle), which is the scalable
+    * form of per-group selection; the suite's plan audit pins the
+    * optimization firing. Tie-broken by the unique key so membership is
+    * never rank-ambiguous. */
+  val groupTopK: QueryDef = QueryDef.sql(
+    "adv_group_topk",
+    """SELECT c_nationkey, rnk, c_custkey, round(c_acctbal, 2) AS bal
+      |FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |  FROM customer) t
+      |WHERE rnk <= 3
+      |ORDER BY c_nationkey, rnk""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("c_nationkey"), col("rnk"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .orderBy(col("c_nationkey"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(asOfJoin, asOfNative, asOfTolerance, percentiles, pivot, cube,
       saltedAgg, movingAvg, stratifiedSample, sqlInterface, rangeJoinBucketed,
-      sampleExactK, zorderLayout, pagerank, weightedSample)
+      sampleExactK, zorderLayout, pagerank, weightedSample, groupTopK)
 }

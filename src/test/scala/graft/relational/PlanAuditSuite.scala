@@ -109,7 +109,7 @@ class PlanAuditSuite extends SparkSessionSuite {
     * that breaks the pushdown (e.g. a non-rank predicate shape) is
     * caught here and not in a 100× slower production run. */
   test("top-k rank filters are pushed down as WindowGroupLimit") {
-    Seq("sim_topk_brute", "sim_topk_lsh").foreach { q =>
+    Seq("sim_topk_brute", "sim_topk_lsh", "adv_group_topk").foreach { q =>
       val plan = physicalPlan(q)
       withClue(s"$q plan:\n$plan\n") {
         assert(plan.contains("WindowGroupLimit"))
