@@ -27,11 +27,20 @@ object InternalCaches {
   }
 
   /** Unpersist every registered frame (idempotent, safe while lazy
-    * results are still unmaterialized — they recompute). */
+    * results are still unmaterialized — they recompute). Best-effort by
+    * design: a frame registered under a SparkContext that has since
+    * stopped is skipped — its cache blocks died with the context, and
+    * unpersisting through the dead context throws (caught in the full
+    * suite run, where a later suite's releaseAll drained frames
+    * registered by earlier suites' stopped sessions). */
   def releaseAll(blocking: Boolean = false): Unit = {
     var df = registered.poll()
     while (df != null) {
-      df.unpersist(blocking)
+      try {
+        if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking)
+      } catch {
+        case scala.util.control.NonFatal(_) => // cache is gone either way
+      }
       df = registered.poll()
     }
   }

@@ -235,28 +235,113 @@ object Dedup {
           concat(lit("subscribe to our newsletter follow us on social media now "),
             col("text")))
         .otherwise(col("text")).as("text"))
-    val lines = corpus
+    val lines = lineRowsOf(corpus)
+    val boiler = lines
+      .groupBy(col("lh").as("blh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= LineDf)
+      .select(col("blh"))
+    cleanedFromLines(lines, boiler)
+  }
+
+  /** (doc_id, line_idx, line, lh) rows of a (doc_id, text) frame —
+    * [[LineLen]]-token windows with their md5 content hash. Map-side
+    * only (explode of the window grid). */
+  private[graft] def lineRowsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), size(col("toks")), lit(LineLen))).as("s"))
       .select(col("doc_id"), expr(s"(s - 1) DIV $LineLen").as("line_idx"),
         array_join(slice(col("toks"), col("s"), lit(LineLen)), " ").as("line"))
-      .withColumn("lh0", md5(col("line")))
-    val boiler = lines
-      .groupBy(col("lh0").as("lh"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= LineDf)
-      .select(col("lh"))
-    lines.join(boiler, col("lh0") === col("lh"), "left_outer")
+      .withColumn("lh", md5(col("line")))
+
+  /** Reassemble documents from their non-boilerplate lines: `boiler` is
+    * a single-column (blh) set of over-threshold line hashes; output is
+    * the [[lineDedup]] shape (doc_id, n_lines, n_dropped, cleaned). */
+  private def cleanedFromLines(lines: DataFrame, boiler: DataFrame): DataFrame =
+    lines.join(boiler, col("lh") === col("blh"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("lh").isNull, 0L).otherwise(1L)).as("n_dropped"),
+        sum(when(col("blh").isNull, 0L).otherwise(1L)).as("n_dropped"),
         // collect_list skips nulls, so the un-matched `when` collects
         // only surviving lines; the struct sort restores line order
         array_join(transform(array_sort(collect_list(
-          when(col("lh").isNull, struct(col("line_idx"), col("line"))))),
+          when(col("blh").isNull, struct(col("line_idx"), col("line"))))),
           x => x.getField("line")), " ").as("cleaned"))
       .orderBy(col("doc_id"))
+
+  /** Persist a corpus's LINE-FREQUENCY index to `dir` — the production
+    * shape behind incremental line-level boilerplate removal (the
+    * [[saveBandIndex]] lifecycle applied to [[lineDedup]]): `dir/counts`
+    * holds (lh, df) — each distinct line's md5 and the count of
+    * distinct documents carrying it — hash-bucketed by the line hash so
+    * probes and merges prune to touched partitions. The modulus travels
+    * with the index (`dir/meta`), as for the band index. */
+  def saveLineIndex(docs: DataFrame, dir: String, nBuckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    lineRowsOf(docs)
+      .groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("bucket", pmod(xxhash64(col("lh")), lit(nBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/counts")
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** INCREMENTAL maintenance for a [[saveLineIndex]] directory: count
+    * the batch's lines, merge the counts into the touched bucket
+    * partitions via dynamic partition overwrite (the
+    * [[appendToBandIndex]] counts pattern) — O(batch) work plus a merge
+    * over only the touched partitions, never a corpus rescan. Callers
+    * append each admitted document ONCE (disjoint doc sets across
+    * appends), which makes per-batch distinct-doc counts additive —
+    * the same contract as the band-index append log. */
+  def appendToLineIndex(dir: String, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val batchCounts = lineRowsOf(batch)
+      .groupBy(col("lh")).agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("bucket", pmod(xxhash64(col("lh")), lit(nBuckets)).cast("int"))
+      .localCheckpoint(true)
+    // bounded by construction: at most nBuckets distinct small ints
+    val touched = batchCounts.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val merged = spark.read.parquet(s"$dir/counts")
+      .filter(col("bucket").isin(touched: _*)) // partition-pruned read
+      .unionByName(batchCounts)
+      .groupBy(col("bucket"), col("lh"))
+      .agg(sum(col("df")).as("df"))
+      // materialize BEFORE overwriting the partitions being read
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(s"$dir/counts")
+  }
+
+  /** Clean a (doc_id, text) batch against a [[saveLineIndex]] directory:
+    * lines whose INDEXED document frequency is >= `minDf` are dropped
+    * and the documents reassembled — [[lineDedup]]'s batch-arrival twin
+    * (the [[probeBandIndex]] contract): the index read prunes to the
+    * batch's touched buckets, only over-threshold hashes join the
+    * batch, and per-batch work is linear in the batch. */
+  def probeLineIndex(s: SparkSession, dir: String, batch: DataFrame,
+      minDf: Int = LineDf): DataFrame = {
+    val nBuckets = s.read.parquet(s"$dir/meta").head().getInt(0)
+    val lines = lineRowsOf(batch)
+      .withColumn("bucket", pmod(xxhash64(col("lh")), lit(nBuckets)).cast("int"))
+      .persist()
+    graft.InternalCaches.register(lines)
+    // bounded by construction: at most nBuckets distinct small ints
+    val touched = lines.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val boiler = s.read.parquet(s"$dir/counts")
+      .filter(col("bucket").isin(touched: _*)) // partition-pruned read
+      .filter(col("df") >= minDf)
+      .select(col("lh").as("blh"))
+    cleanedFromLines(lines.drop("bucket"), boiler)
   }
 
   // ----------------------------------------- shared MinHash-LSH pipeline --

@@ -166,4 +166,77 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
       withClue(s"vec ${r.getLong(0)}: ") { r.getLong(2) shouldBe best }
     }
   }
+
+  test("line index: append ≡ from-scratch rebuild; untouched buckets frozen") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // corpus with planted boilerplate headers (the dedup_lines plant)
+    val corpus = graft.Tables.documents(s, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("all rights reserved copyright notice terms of use apply here "),
+          col("text")))
+        .when(col("doc_id") % 7 === 0,
+          concat(lit("subscribe to our newsletter follow us on social media now "),
+            col("text")))
+        .otherwise(col("text")).as("text"))
+    import s.implicits._
+    val a = corpus.filter(col("doc_id") < 300)
+    val b = corpus.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val c = corpus.filter(col("doc_id") >= 400)
+    // a one-line batch touches at most one bucket — the frozen-bucket
+    // assertion needs MOST buckets untouched (a 100-doc batch's ~700
+    // distinct lines hash into all 16)
+    val tiny = Seq((980000L, "tiny append batch with exactly ten unique tokens"))
+      .toDF("doc_id", "text")
+    val corpusFull = corpus.unionAll(tiny)
+
+    val dirInc = Files.createTempDirectory("lineinc").toString
+    Dedup.saveLineIndex(a, dirInc)
+    val before = fileDigests(dirInc)
+    Dedup.appendToLineIndex(dirInc, tiny)
+    val after = fileDigests(dirInc)
+    // the merge rewrites only TOUCHED bucket partitions — every bucket
+    // the batch's lines don't hash into keeps its files byte-identical
+    val touched = Dedup.lineRowsOf(tiny)
+      .select(pmod(xxhash64(col("lh")), lit(16)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    touched.size should be < 3
+    val untouchedChecked = before.count { case (rel, sha) =>
+      val inUntouched = (0 until 16).exists(bk =>
+        !touched.contains(bk) && rel.contains(s"bucket=$bk/"))
+      if (inUntouched)
+        withClue(s"$rel changed by append: ") {
+          after.get(rel) shouldBe Some(sha)
+        }
+      inUntouched
+    }
+    untouchedChecked should be > 0
+    Dedup.appendToLineIndex(dirInc, b)
+    Dedup.appendToLineIndex(dirInc, c)
+
+    // split-invariance + from-scratch equivalence of the counts state
+    val dirOne = Files.createTempDirectory("lineone").toString
+    Dedup.saveLineIndex(a, dirOne)
+    Dedup.appendToLineIndex(dirOne, tiny.unionAll(b).unionAll(c))
+    val dirFull = Files.createTempDirectory("linefull").toString
+    Dedup.saveLineIndex(corpusFull, dirFull)
+    def counts(dir: String) = canon(s.read.parquet(s"$dir/counts")
+      .select(col("lh"), col("df"), col("bucket").cast("int")))
+    counts(dirInc) shouldBe counts(dirFull)
+    counts(dirOne) shouldBe counts(dirFull)
+
+    // probe ≡ the inline lineDedup gate: cleaning the corpus against its
+    // own full index drops exactly the inline query's boilerplate
+    val probed = canon(Dedup.probeLineIndex(s, dirInc, corpus))
+    probed shouldBe canon(Dedup.probeLineIndex(s, dirFull, corpus))
+    val dropped = probed.count(r => r(2).asInstanceOf[Long] > 0L)
+    dropped should be > 150 // >= the 157 planted-header docs, minus none
+    // a clean new batch loses nothing against the index
+    val fresh = Seq((990001L, "totally novel unseen tokens q w e r t y u i o p"))
+      .toDF("doc_id", "text")
+    val freshOut = Dedup.probeLineIndex(s, dirInc, fresh).collect()
+    freshOut.length shouldBe 1
+    freshOut(0).getLong(2) shouldBe 0L
+    graft.InternalCaches.releaseAll()
+  }
 }
