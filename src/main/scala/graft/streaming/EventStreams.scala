@@ -787,6 +787,38 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** SELF-GROWING streaming line cleaning — the [[ingestDocsStream]]
+    * loop applied to the LINE-frequency index: each micro-batch is
+    * cleaned against the persisted index
+    * ([[graft.ops.Dedup.probeLineIndex]] — lines at indexed df >=
+    * threshold drop), the cleaned docs land in `outDir`, and the RAW
+    * batch's line counts merge into the index
+    * ([[graft.ops.Dedup.appendToLineIndex]]) so a boilerplate line
+    * crosses the threshold as ingestion observes it — a header seen
+    * twice in the historical corpus starts being stripped the moment a
+    * third doc carries it, with no corpus rescan. Probe output is
+    * materialized (written) BEFORE the append mutates the counts, the
+    * same ordering contract as the band-index loop. */
+  def cleanDocsStream(s: SparkSession, indexDir: String, sourceDir: String,
+      checkpointDir: String, outDir: String): Unit = {
+    val q = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        val b = batch.select(col("doc_id"), col("text"))
+        graft.ops.Dedup.probeLineIndex(s, indexDir, b)
+          .withColumn("epoch", lit(epoch))
+          .write.mode("append").parquet(outDir)
+        graft.ops.Dedup.appendToLineIndex(indexDir, b)
+        graft.InternalCaches.releaseAll()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   val all: Seq[QueryDef] =
     Seq(tumblingHourly, slidingHalfHour, streamDedup, intervalJoin,
       enrichStatic, sessionsStream, sessionsBatch, cmsUsers, upsertState,

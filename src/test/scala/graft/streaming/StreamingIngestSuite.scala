@@ -52,4 +52,41 @@ class StreamingIngestSuite extends SparkSessionSuite {
     EventStreams.ingestDocsStream(s, idx, src, ckpt, admitted)
     s.read.parquet(admitted).count() shouldBe 3L
   }
+
+  test("line cleaning strips a header the moment ingestion pushes it over df") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val hdr = "all rights reserved copyright notice terms of use apply here"
+    val base = Files.createTempDirectory("graft-line-stream").toString
+    val (idx, src, ckpt, out) =
+      (s"$base/idx", s"$base/src", s"$base/ckpt", s"$base/out")
+    // historical corpus: the header appears in TWO docs — one short of
+    // the df >= 3 boilerplate threshold
+    graft.ops.Dedup.saveLineIndex(Seq(
+      (1L, s"$hdr alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, s"$hdr lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (3L, "plain document with ten completely ordinary filler tokens inside"))
+      .toDF("doc_id", "text"), idx)
+
+    // epoch 0: a third header doc — indexed df is still 2, so the
+    // header SURVIVES this batch, but its count crosses the threshold
+    Seq((81000L, s"$hdr epoch zero tail one two three four five six seven"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(src)
+    EventStreams.cleanDocsStream(s, idx, src, ckpt, out)
+    val e0 = s.read.parquet(out).filter(col("doc_id") === 81000L).head()
+    e0.getAs[Long]("n_dropped") shouldBe 0L
+    e0.getAs[String]("cleaned") should include("copyright")
+
+    // epoch 1: a fourth header doc — df is now 3, the header drops
+    Seq((82000L, s"$hdr epoch one tail six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(src)
+    EventStreams.cleanDocsStream(s, idx, src, ckpt, out)
+    val e1 = s.read.parquet(out).filter(col("doc_id") === 82000L).head()
+    e1.getAs[Long]("n_dropped") shouldBe 1L
+    e1.getAs[String]("cleaned") should not include "copyright"
+    e1.getAs[String]("cleaned") should include("epoch one tail")
+  }
 }
