@@ -321,6 +321,14 @@ object Dedup {
       .partitionBy("bucket").parquet(s"$dir/counts")
   }
 
+  /** Compact a [[saveLineIndex]] directory fragmented by
+    * [[appendToLineIndex]] merges into one file per bucket partition —
+    * row-identical by construction ([[IndexCompaction]]; probe
+    * equivalence suite-pinned). Offline maintenance: run between
+    * ingestion rounds. */
+  def compactLineIndex(s: SparkSession, dir: String): Unit =
+    IndexCompaction.rewrite(s, s"$dir/counts", Some("bucket"))
+
   /** Clean a (doc_id, text) batch against a [[saveLineIndex]] directory:
     * lines whose INDEXED document frequency is >= `minDf` are dropped
     * and the documents reassembled — [[lineDedup]]'s batch-arrival twin
@@ -569,6 +577,22 @@ object Dedup {
         .select(col("bi"), col("bv")))
       .distinct().localCheckpoint(true)
     hot.write.mode("overwrite").parquet(s"$dir/hot")
+  }
+
+  /** Compact a [[saveBandIndex]] directory after an append run: the
+    * append path is append-only by contract (one new file per batch
+    * per touched bucket), so sustained ingestion fragments `sig` and
+    * `bands` into per-batch small files and the probe's pruned read
+    * pays a per-file open cost that at corpus scale dwarfs the bytes.
+    * Rewrites `bands`/`counts` to one file per bucket partition and
+    * `sig` to `sigFiles` files, via tmp-dir + rename swap
+    * ([[IndexCompaction]]) — row-identical, probe-before ≡ probe-after
+    * suite-pinned, and appends resume against the compacted layout
+    * unchanged. Offline maintenance: run between ingestion rounds. */
+  def compactBandIndex(s: SparkSession, dir: String, sigFiles: Int = 8): Unit = {
+    IndexCompaction.rewrite(s, s"$dir/sig", None, sigFiles)
+    IndexCompaction.rewrite(s, s"$dir/bands", Some("bucket"))
+    IndexCompaction.rewrite(s, s"$dir/counts", Some("bucket"))
   }
 
   /** Probe a [[saveBandIndex]] directory with a (doc_id, text) batch:

@@ -1051,6 +1051,16 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/corpus")
   }
 
+  /** Compact a [[saveIvfIndex]] directory after an append run
+    * ([[appendToIvfIndex]] adds one file per batch per touched cell):
+    * rewrites `corpus` to one file per cell partition via tmp-dir +
+    * rename swap ([[IndexCompaction]]) — row-identical, probe-before ≡
+    * probe-after suite-pinned. The centroid table is a single tiny
+    * file and never fragments. Offline maintenance: run between
+    * ingestion rounds. */
+  def compactIvfIndex(s: SparkSession, dir: String): Unit =
+    IndexCompaction.rewrite(s, s"$dir/corpus", Some("cell"))
+
   /** Top-k cosine against a [[saveIvfIndex]] directory. Queries are
     * `prepared` rows; each probes its `nprobe` nearest centroids. */
   def topKFromIvfIndex(s: SparkSession, dir: String, queries: DataFrame,

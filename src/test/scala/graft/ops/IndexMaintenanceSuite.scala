@@ -239,4 +239,92 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
     freshOut(0).getLong(2) shouldBe 0L
     graft.InternalCaches.releaseAll()
   }
+
+  private def parquetFiles(dir: String): Int = {
+    val root = Paths.get(dir)
+    var n = 0
+    Files.walk(root).forEach { p =>
+      if (Files.isRegularFile(p) && p.toString.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
+  test("band+line compaction: probe-identical, fewer files, appends resume") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") < 250)
+    val b = docs.filter(col("doc_id") >= 250 && col("doc_id") < 350)
+    val c = docs.filter(col("doc_id") >= 350 && col("doc_id") < 450)
+    val d = docs.filter(col("doc_id") >= 450)
+    val probeBatch = Dedup.incomingLshBatch(docs)
+
+    // fragment a band index with two appends, then compact
+    val dir = Files.createTempDirectory("bandcomp").toString
+    Dedup.saveBandIndex(a, dir)
+    Dedup.appendToBandIndex(dir, b)
+    Dedup.appendToBandIndex(dir, c)
+    val evBefore = canon(Dedup.probeBandIndex(s, dir, probeBatch))
+    val sigBefore = parquetFiles(s"$dir/sig")
+    val bandsBefore = parquetFiles(s"$dir/bands")
+    sigBefore should be >= 3 // one append-only file batch per append
+    Dedup.compactBandIndex(s, dir, sigFiles = 1)
+    parquetFiles(s"$dir/sig") shouldBe 1
+    parquetFiles(s"$dir/bands") should be < bandsBefore
+    evBefore.length should be > 10
+    canon(Dedup.probeBandIndex(s, dir, probeBatch)) shouldBe evBefore
+    // ingestion resumes against the compacted layout: append d, probe
+    // ≡ a from-scratch index over the whole corpus
+    Dedup.appendToBandIndex(dir, d)
+    val dirFull = Files.createTempDirectory("bandcompfull").toString
+    Dedup.saveBandIndex(docs, dirFull)
+    canon(Dedup.probeBandIndex(s, dir, probeBatch)) shouldBe
+      canon(Dedup.probeBandIndex(s, dirFull, probeBatch))
+
+    // line index: fragment, compact, counts-identical, append resumes
+    val ldir = Files.createTempDirectory("linecomp").toString
+    Dedup.saveLineIndex(a, ldir)
+    Dedup.appendToLineIndex(ldir, b)
+    val lBefore = parquetFiles(s"$ldir/counts")
+    def lineCounts(dirr: String) = canon(s.read.parquet(s"$dirr/counts")
+      .select(col("lh"), col("df"), col("bucket").cast("int")))
+    val cBefore = lineCounts(ldir)
+    Dedup.compactLineIndex(s, ldir)
+    parquetFiles(s"$ldir/counts") should be <= lBefore
+    lineCounts(ldir) shouldBe cBefore
+    Dedup.appendToLineIndex(ldir, c)
+    val ldirFull = Files.createTempDirectory("linecompfull").toString
+    Dedup.saveLineIndex(a.unionAll(b).unionAll(c), ldirFull)
+    lineCounts(ldir) shouldBe lineCounts(ldirFull)
+    graft.InternalCaches.releaseAll()
+  }
+
+  test("ivf compaction: probe-identical, fewer files, appends resume") {
+    val s = spark
+    val prep = Similarity.prepared(graft.Tables.embeddings(s, sfDir))
+      .localCheckpoint()
+    val a = prep.filter(col("vec_id") < 300)
+    val b = prep.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val c = prep.filter(col("vec_id") >= 400)
+    val queries = prep.filter(col("vec_id") % 50 === 0)
+    def top(dir: String) = canon(Similarity.topKFromIvfIndex(s, dir, queries,
+      k = 5, nprobe = Similarity.IvfNprobe))
+
+    val dir = Files.createTempDirectory("ivfcomp").toString
+    Similarity.saveIvfIndex(a, dir)
+    Similarity.appendToIvfIndex(dir, b)
+    val before = top(dir)
+    val filesBefore = parquetFiles(s"$dir/corpus")
+    Similarity.compactIvfIndex(s, dir)
+    parquetFiles(s"$dir/corpus") should be < filesBefore
+    before.length should be > 20
+    top(dir) shouldBe before
+    // appends resume: ≡ frozen-centroid save(a) + append(b ∪ c)
+    Similarity.appendToIvfIndex(dir, c)
+    val dirOne = Files.createTempDirectory("ivfcompone").toString
+    Similarity.saveIvfIndex(a, dirOne)
+    Similarity.appendToIvfIndex(dirOne, b.unionAll(c))
+    top(dir) shouldBe top(dirOne)
+  }
 }
