@@ -243,6 +243,68 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** SCALE PATH for decontamination — same semantics, same oracle as
+    * [[decontaminate]], different join physics. The exact path probes a
+    * broadcast of the benchmark's distinct shingle STRINGS; at
+    * deployment scale (a few thousand eval docs → millions of distinct
+    * shingles × ~40 bytes) that broadcast runs to hundreds of MB per
+    * executor. Here the corpus side is pre-filtered by Spark's own
+    * bloom-filter pair (`BloomFilterAggregate` build over
+    * `xxhash64(shingle)`, `BloomFilterMightContain` probe — the exact
+    * machinery Catalyst's runtime-filter injection uses, constructed
+    * programmatically via the shim since neither has a SQL name): the
+    * filter is ~1.2 bytes/element at 1 % FPP — two orders smaller than
+    * the string set — and the probe is a map-side bitset test inside
+    * codegen, no join at all. Only bloom SURVIVORS (true contaminated
+    * shingles + the ~1 % FPs) reach the exact verify join, which
+    * removes every false positive — so the output is bit-identical to
+    * the exact path (same oracle SQL) while the shuffled/probed volume
+    * drops by the corpus's non-contaminated fraction, which is ~all of
+    * it. The verify side stays broadcast here; at 100 TB it could even
+    * shuffle — it sees only survivors. */
+  val decontaminateBloom: QueryDef = QueryDef.sql(
+    "pipe_decontaminate_bloom",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 3),
+      |      i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS g
+      |  FROM toks),
+      |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 100 = 0)
+      |SELECT s.doc_id, CAST(count(DISTINCT s.g) AS BIGINT) AS n_shared
+      |FROM sh s JOIN bench b ON b.g = s.g
+      |WHERE s.doc_id % 100 <> 0
+      |GROUP BY s.doc_id
+      |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.Shim
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 3),
+          i => array_join(slice(col("toks"), i, lit(4)), " "))).as("g"))
+    val bench = graft.InternalCaches.register(
+      sh.filter(col("doc_id") % 100 === 0).select(col("g")).distinct()
+        .persist())
+    // build: one tiny aggregate over the benchmark side (a driver
+    // scalar, like the one-row stats reads elsewhere); sized for the
+    // eval set, NOT the corpus
+    val bf = bench.select(Shim.column(
+      new BloomFilterAggregate(Shim.expression(xxhash64(col("g"))), 100000L)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = Shim.column(new BloomFilterMightContain(
+      Shim.expression(lit(bf)), Shim.expression(xxhash64(col("g")))))
+    sh.filter(col("doc_id") % 100 =!= 0)
+      .filter(mightContain) // map-side bitset probe, no join
+      .join(broadcast(bench), Seq("g")) // exact verify: FPs die here
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("g")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic train/val/test split: each doc's bucket is the first
     * 4 hex chars of md5(doc_id-as-string) mod 100 — buckets 0-89 train,
     * 90-94 val, 95-99 test. The property that matters at 100 TB (and
@@ -384,6 +446,6 @@ object Pipeline {
   }
 
   val all: Seq[QueryDef] =
-    Seq(corpusClean, domainMix, compact, decontaminate, trainSplit, profile,
-      shuffleShard)
+    Seq(corpusClean, domainMix, compact, decontaminate, decontaminateBloom,
+      trainSplit, profile, shuffleShard)
 }

@@ -45,4 +45,41 @@ class PipelineSuite extends SparkSessionSuite {
       .select("id").collect().map(_.getLong(0)).sorted
     ids shouldBe (1L to 1000L).toArray
   }
+
+  test("bloom decontamination ≡ exact path, and the bloom actually prunes") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toIndexedSeq).toIndexedSeq
+    // the oracle pins bloom-vs-DuckDB; this pins bloom-vs-exact inside
+    // the engine (same corpus, same plan inputs)
+    canon(Pipeline.decontaminateBloom.fn(s, dir)) shouldBe
+      canon(Pipeline.decontaminate.fn(s, dir))
+    // the probe must PRUNE — an always-true might_contain would pass
+    // both oracles. Survivor shingle instances ≤ true-contaminated
+    // instances + 5 % of the corpus side (generous vs the 1 % design
+    // FPP), and strictly fewer than the unfiltered corpus side.
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.Shim
+    val sh = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        // scalatest's inherited `size` shadows functions.size here
+        explode(expr("transform(sequence(1, size(toks) - 3), " +
+          "i -> array_join(slice(toks, i, 4), ' '))")).as("g"))
+    val bench = sh.filter(col("doc_id") % 100 === 0).select(col("g")).distinct()
+    val bf = bench.select(Shim.column(
+      new BloomFilterAggregate(Shim.expression(xxhash64(col("g"))), 100000L)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val corpusSide = sh.filter(col("doc_id") % 100 =!= 0)
+    val total = corpusSide.count()
+    val survivors = corpusSide.filter(Shim.column(new BloomFilterMightContain(
+      Shim.expression(lit(bf)), Shim.expression(xxhash64(col("g")))))).count()
+    val trueHits = corpusSide.join(broadcast(bench), Seq("g")).count()
+    survivors should be >= trueHits
+    survivors should be <= (trueHits + (total * 5) / 100)
+    survivors should be < total
+  }
 }
