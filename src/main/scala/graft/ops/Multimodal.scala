@@ -469,6 +469,95 @@ object Multimodal {
     }
   }
 
+  /** TEXT–MEDIA ALIGNMENT SCORING — the CLIP-filtering analogue: a
+    * multimodal corpus keeps a (media, caption) pair only when the two
+    * embeddings' cosine clears a bar, and the standard health check is
+    * CONTRASTIVE — the matched pair must score above a decoy pairing.
+    * Here the media embedding is the real batched-extraction path
+    * ([[extractFeatures]]'s mapPartitions over the actual payload
+    * bytes, its float components recovered to exact ints via the
+    * mm_features `round(f·997)` convention) and the text embedding is
+    * an 8-bin token sketch (tokens bucketed by a char-arithmetic hash
+    * — deterministic, engine-independent); a real deployment swaps
+    * both for model embeddings, and every join/score/rank around them
+    * is unchanged. Both vectors get +1 per component (strict
+    * positivity: no zero-vector division anywhere, on any corpus).
+    * Output per doc: cosine to its OWN text and to a decoy (the next
+    * doc's text), both exact-integer dot products until the one final
+    * sqrt/divide, rounded to 6.
+    *
+    * 100 TB shape: both embeddings compute map-side; the own-pair and
+    * decoy joins are 1:1 key equi-joins (co-partitionable on doc id) —
+    * no fan-out, no broadcast needed, payloads never shuffle. */
+  val textAlign: QueryDef = QueryDef.sql(
+    "mm_text_align",
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |    CAST(16 + doc_id % 48 AS INT) AS width,
+      |    CAST(16 + (doc_id * 7) % 32 AS INT) AS height
+      |  FROM documents),
+      |m2 AS (
+      |  SELECT media_id,
+      |    CASE WHEN kind = 'video' THEN ${4 * FrameSize}
+      |         ELSE width * height END AS body_len
+      |  FROM m),
+      |mf AS (
+      |  SELECT media_id,
+      |  ${(0 until 8).map(f =>
+           s"1 + CAST((SELECT sum((m2.media_id * 31 + u.i) % $BodyMod) " +
+           s"FROM unnest(generate_series($f, m2.body_len - 1, 8)) u(i)) % 997 AS BIGINT) AS mf$f")
+           .mkString(",\n      |  ")}
+      |  FROM m2),
+      |tf AS (
+      |  SELECT doc_id,
+      |  ${(0 until 8).map(f =>
+           s"1 + len(list_filter(string_split(text, ' '), " +
+           s"x -> (length(x) * 31 + ascii(substr(x, 1, 1))) % 8 = $f)) AS tf$f")
+           .mkString(",\n      |  ")}
+      |  FROM documents)
+      |SELECT mf.media_id,
+      |  round((${(0 until 8).map(f => s"mf.mf$f * o.tf$f").mkString(" + ")})
+      |    / (sqrt(${(0 until 8).map(f => s"mf.mf$f * mf.mf$f").mkString(" + ")})
+      |       * sqrt(${(0 until 8).map(f => s"o.tf$f * o.tf$f").mkString(" + ")})),
+      |    6) AS align_own,
+      |  round((${(0 until 8).map(f => s"mf.mf$f * dc.tf$f").mkString(" + ")})
+      |    / (sqrt(${(0 until 8).map(f => s"mf.mf$f * mf.mf$f").mkString(" + ")})
+      |       * sqrt(${(0 until 8).map(f => s"dc.tf$f * dc.tf$f").mkString(" + ")})),
+      |    6) AS align_decoy
+      |FROM mf
+      |JOIN tf o ON o.doc_id = mf.media_id
+      |JOIN tf dc ON dc.doc_id = mf.media_id + 1
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    // media side: REAL bytes through the batched extractor; exact ints
+    val mf = extractFeatures(syntheticMedia(Tables.documents(s, d)))
+      .select(col("media_id") +: (0 until 8).map(f =>
+        (round(element_at(col("features"), f + 1) * 997.0).cast("long") + 1L)
+          .as(s"mf$f")): _*)
+    // text side: 8-bin token sketch, +1 per bin
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id") +: (0 until 8).map(f =>
+        (expr(s"size(filter(split(text, ' '), " +
+          s"x -> (length(x) * 31 + ascii(substr(x, 1, 1))) % 8 = $f))")
+          .cast("long") + 1L).as(s"tf$f")): _*)
+    def dot(a: String, b: String) =
+      (0 until 8).map(f => col(s"$a$f") * col(s"$b$f")).reduce(_ + _)
+    def nrm(a: String) =
+      sqrt((0 until 8).map(f => col(s"$a$f") * col(s"$a$f")).reduce(_ + _)
+        .cast("double"))
+    val own = tf
+    val decoy = tf.select((col("doc_id") - 1).as("media_id") +:
+      (0 until 8).map(f => col(s"tf$f").as(s"df$f")): _*)
+    mf.join(own, col("media_id") === col("doc_id"))
+      .join(decoy, Seq("media_id"))
+      .select(col("media_id"),
+        round(dot("mf", "tf").cast("double") / (nrm("mf") * nrm("tf")), 6)
+          .as("align_own"),
+        round(dot("mf", "df").cast("double") / (nrm("mf") * nrm("df")), 6)
+          .as("align_decoy"))
+      .orderBy(col("media_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(decodeMeta, frames, features, resize,
-    binaryDedup, fuzzyDedup)
+    binaryDedup, fuzzyDedup, textAlign)
 }

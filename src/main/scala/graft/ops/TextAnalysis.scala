@@ -296,6 +296,65 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** BPE MERGE STEP — the second half of tokenizer training, applied
+    * once: [[bpePairs]] finds the most frequent adjacent character
+    * pair; this op APPLIES that top merge to the whole corpus and
+    * reports each document's merge count and post-merge symbol count —
+    * the distributed inner loop of BPE training (count pairs → pick
+    * top → merge → recount), here one full turn of it. The pair is
+    * picked deterministically (count desc, pair asc — [[bpePairs]]'s
+    * rank-1 row), broadcast to the corpus as a one-row cross join, and
+    * each token merges leftmost-non-overlapping occurrences — both
+    * engines' `replace` shares that exact semantics, so overlapping
+    * runs ("aaa" under pair "aa") merge identically. The count is
+    * `(len − len(replace(tok, pair, ''))) / 2` — pure integer
+    * arithmetic, no FP. 100 TB shape: the pair table aggregates to
+    * ~|alphabet|² rows, the top-1 broadcasts, and the merge pass is
+    * map-side over the corpus — per full BPE round, one tiny shuffle
+    * plus one linear scan, repeated per merge in the vocab loop. */
+  val bpeMerge: QueryDef = QueryDef.sql(
+    "ta_bpe_merge",
+    """WITH pairs AS (
+      |  SELECT substr(tok, i, 2) AS pair
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  CROSS JOIN LATERAL unnest(generate_series(1, length(tok) - 1)) s(i)
+      |  WHERE length(tok) >= 2),
+      |top AS (
+      |  SELECT pair FROM pairs GROUP BY pair
+      |  ORDER BY count(*) DESC, pair LIMIT 1)
+      |SELECT doc_id,
+      |  CAST(list_aggregate(list_transform(toks,
+      |    x -> (length(x) - length(replace(x, pair, ''))) // 2), 'sum')
+      |    AS BIGINT) AS n_merges,
+      |  CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+      |    - list_aggregate(list_transform(toks,
+      |        x -> (length(x) - length(replace(x, pair, ''))) // 2), 'sum')
+      |    AS BIGINT) AS n_symbols
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d
+      |CROSS JOIN top
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val top = Tables.documents(s, d)
+      .select(explode(toks).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("tok")) - 1),
+        i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(1)
+      .select(col("pair"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .crossJoin(broadcast(top))
+      .withColumn("n_merges", expr(
+        "aggregate(transform(toks, x -> (length(x) - " +
+          "length(replace(x, pair, ''))) div 2), 0L, (a, x) -> a + x)"))
+      .withColumn("n_symbols", expr(
+        "aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)")
+        - col("n_merges"))
+      .select(col("doc_id"), col("n_merges"), col("n_symbols"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document chunking — splitting long documents into overlapping
     * fixed-size token windows (stride < width ⇒ overlap) is how training
     * corpora are fed to a context-bounded model. One map-side explode of
@@ -802,6 +861,6 @@ object TextAnalysis {
 
   val all: Seq[QueryDef] =
     Seq(tokenStats, langId, quality, fingerprint, tfidf, piiMask, bpePairs,
-      chunking, packing, repetition, cmsHeavy, normalize, lmScore, hllDistinct,
-      qualityBuckets)
+      bpeMerge, chunking, packing, repetition, cmsHeavy, normalize, lmScore,
+      hllDistinct, qualityBuckets)
 }

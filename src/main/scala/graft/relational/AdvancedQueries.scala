@@ -519,6 +519,137 @@ object AdvancedQueries {
     }
   }
 
+  /** Distributed HITS (hubs & authorities) — [[pageRank]]'s companion
+    * for link-graph curation: authority weights pages many hubs point
+    * at, hub weights pages that point at many authorities; corpus
+    * weighting uses whichever side matches the harvesting direction.
+    * Each iteration is two edge⋈score joins + two aggregations (the
+    * canonical distributed step, shuffling on dst then src), each
+    * followed by an eager `localCheckpoint` truncating lineage exactly
+    * like [[pageRank]]. Normalization divides by the round's MAX score
+    * (not the L2/L1 norm): max is order-independent — it picks one raw
+    * sum rather than summing the whole corpus again — so the only FP
+    * noise is the per-node in/out-neighbor sum, which the 1e-9
+    * per-iteration rounding absorbs, the exact discipline that keeps
+    * [[pageRank]] lockstep across engines. `edges` is (src, dst),
+    * duplicates allowed; nodes without in/out edges score 0. */
+  def hits(nodes: DataFrame, edges0: DataFrame, iters: Int): DataFrame = {
+    val edges = edges0.localCheckpoint()
+    var h = nodes.select(col("v"), lit(1.0).as("h"))
+    var a = nodes.select(col("v"), lit(0.0).as("a"))
+    var it = 0
+    while (it < iters) {
+      it += 1
+      val araw = edges.join(h, col("v") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+      val amax = araw.agg(max(col("ar"))).head().getDouble(0)
+      a = nodes.select(col("v"))
+        .join(araw, col("v") === col("dst"), "left")
+        .select(col("v"),
+          round(coalesce(col("ar"), lit(0.0)) / amax, 9).as("a"))
+        .localCheckpoint()
+      val hraw = edges.join(a, col("v") === col("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+      val hmax = hraw.agg(max(col("hr"))).head().getDouble(0)
+      h = nodes.select(col("v"))
+        .join(hraw, col("v") === col("src"), "left")
+        .select(col("v"),
+          round(coalesce(col("hr"), lit(0.0)) / hmax, 9).as("h"))
+        .localCheckpoint()
+    }
+    a.join(h, Seq("v"))
+  }
+
+  /** HITS over the [[pagerank]] deterministic doc-link graph — same
+    * arithmetic edge set (three affine bijections: in-degree = out-
+    * degree = 3 for every node), 2 rounds of the authority/hub mutual
+    * recursion with max-normalization and 1e-9 per-round rounding. */
+  val hitsQuery: QueryDef = {
+    def round2(k: Int, prevH: String): String =
+      s"""a${k}r AS (
+        |  SELECT e.dst AS v, sum(h.h) AS ar
+        |  FROM edges e JOIN $prevH h ON h.v = e.src GROUP BY e.dst),
+        |a$k AS (
+        |  SELECT d.doc_id AS v,
+        |    round(coalesce(r.ar, 0.0) / (SELECT max(ar) FROM a${k}r), 9) AS a
+        |  FROM documents d LEFT JOIN a${k}r r ON r.v = d.doc_id),
+        |h${k}r AS (
+        |  SELECT e.src AS v, sum(a.a) AS hr
+        |  FROM edges e JOIN a$k a ON a.v = e.dst GROUP BY e.src),
+        |h$k AS (
+        |  SELECT d.doc_id AS v,
+        |    round(coalesce(r.hr, 0.0) / (SELECT max(hr) FROM h${k}r), 9) AS h
+        |  FROM documents d LEFT JOIN h${k}r r ON r.v = d.doc_id)""".stripMargin
+    QueryDef.sql(
+      "adv_hits",
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+        |edges AS (
+        |  SELECT doc_id AS src, (doc_id*7 + 1) % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*13 + 3) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*29 + 11) % (SELECT n FROM nn) FROM documents),
+        |h0 AS (SELECT doc_id AS v, 1.0 AS h FROM documents),
+        |${round2(1, "h0")},
+        |${round2(2, "h1")}
+        |SELECT a2.v AS doc_id, round(a2.a, 6) AS authority,
+        |  round(h2.h, 6) AS hub
+        |FROM a2 JOIN h2 ON h2.v = a2.v
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nodes = Tables.documents(s, d).select(col("doc_id"))
+      val n = nodes.count()
+      val edges = Seq((7L, 1L), (13L, 3L), (29L, 11L)).map { case (m, c) =>
+        nodes.select(col("doc_id").as("src"),
+          ((col("doc_id") * m + c) % n).as("dst"))
+      }.reduce(_ unionAll _)
+      hits(nodes.select(col("doc_id").as("v")), edges, iters = 2)
+        .select(col("v").as("doc_id"), round(col("a"), 6).as("authority"),
+          round(col("h"), 6).as("hub"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Skew-proof SALTED JOIN — [[saltedAgg]]'s two-sided sibling: when
+    * one join key carries a disproportionate share of the fact rows, a
+    * plain shuffle join lands that key's entire volume on ONE reducer.
+    * Salting splits every fact row into one of S sub-keys via a
+    * deterministic per-row hash, replicates each dim row S times (one
+    * per salt), and joins on (key, salt) — the hot key's rows now
+    * spread across S reducers at the cost of an S× blowup of the DIM
+    * side only. The result is row-identical to the plain join (every
+    * fact row still meets exactly its one dim partner, in exactly one
+    * salt bucket), so the oracle is the PLAIN join — the salt is pure
+    * plumbing that must vanish semantically. This is the manual
+    * control; AQE's skew-join handles the same problem adaptively at
+    * runtime, but salting is the form that also works mid-pipeline
+    * (under aggregations, in streaming joins) where AQE can't split. */
+  val saltedJoin: QueryDef = QueryDef.sql(
+    "adv_salted_join",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val nSalts = 8
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+      .withColumn("fsalt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(nSalts))
+          .cast("int"))
+    val dim = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("dsalt", explode(array((0 until nSalts).map(lit(_)): _*)))
+    fact.join(dim,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("fsalt") === col("dsalt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** WEIGHTED sample-without-replacement (Efraimidis–Spirakis A-ES):
     * every row draws a deterministic uniform u from its key hash and
     * competes on the exponential race key −ln(u)/w — the k smallest keys
@@ -582,5 +713,6 @@ object AdvancedQueries {
   val all: Seq[QueryDef] =
     Seq(asOfJoin, asOfNative, asOfTolerance, percentiles, pivot, cube,
       saltedAgg, movingAvg, stratifiedSample, sqlInterface, rangeJoinBucketed,
-      sampleExactK, zorderLayout, pagerank, weightedSample, groupTopK)
+      sampleExactK, zorderLayout, pagerank, hitsQuery, saltedJoin,
+      weightedSample, groupTopK)
 }
