@@ -87,6 +87,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(CountMinSketchAgg.registration)
     e.injectFunction(HyperLogLogAgg.registration)
     e.injectFunction(NormalizeText.registration)
+    e.injectFunction(BinaryBytes.registration)
     e.injectOptimizerRule(_ => DotProductRewrite)
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     e.injectOptimizerRule(_ => graft.plans.AsOfJoinOptimization.PushLeftFilters)

@@ -267,9 +267,10 @@ object Multimodal {
     * the key path (r7, verdict: the r6 arithmetic-tuple key could in
     * principle collide where md5 cannot). The arithmetic checksums
     * (body_len, byte_sum, weighted sum mod 1e9+7) remain as OUTPUT
-    * columns, computed natively from the same bytes via hex-pair
-    * extraction (`aggregate` over `conv(substr(hex(payload)...)` —
-    * expression-only, no UDF): they are the oracle-reproducible
+    * columns, computed natively from the same bytes via the
+    * `binary_bytes` codegen expression (one O(n) decode to array<int>,
+    * then O(1) `element_at` per position — expression-only, no UDF):
+    * they are the oracle-reproducible
     * channel (the mm checksum convention — the oracle recomputes them
     * from the planting formula, so a corrupted byte anywhere in the
     * write/read path still breaks the hash match). md5 grouping is
@@ -316,21 +317,26 @@ object Multimodal {
       media.filter(col("media_id") % 10 === 0)
         .select((col("media_id") + 10000).as("media_id"), col("kind"),
           col("payload")))
-    // body byte at 1-based payload position p, read natively from the
-    // hex encoding (2 chars per byte) — expression-only, no UDF
-    def byteAt(p: Column): Column =
-      conv(hex(col("payload")).substr(p * 2 - 1, lit(2)), 16, 10).cast("long")
+    // payload bytes decoded ONCE into array<int> by the native
+    // binary_bytes expression (O(n) codegen; the previous
+    // hex()+positional-substr channel re-walked the hex string per
+    // byte — O(n²), ~100 s of the sf0.1 bench); byte access below is
+    // O(1) element_at. Still expression-only — no UDF anywhere.
     // checksums over body positions 5..len; the weighted sum's unreduced
     // value stays far below int64 (≤ ~3000 terms of ≤ 255·len each), so
     // one end mod equals the oracle's iterative mod
-    val keyed = corpus.select(col("media_id"), col("kind"),
-      md5(col("payload")).as("content_md5"),
-      (length(col("payload")) - 4).cast("bigint").as("body_len"),
-      aggregate(sequence(lit(5), length(col("payload"))),
-        lit(0L), (acc, p) => acc + byteAt(p)).as("byte_sum"),
-      (aggregate(sequence(lit(5), length(col("payload"))),
-        lit(0L), (acc, p) => acc + (p - 4).cast("bigint") * byteAt(p))
-        % 1000000007L).as("wsum"))
+    def byteAt(p: Column): Column =
+      element_at(col("bytes"), p.cast("int")).cast("long")
+    val keyed = corpus
+      .withColumn("bytes", expr("binary_bytes(payload)"))
+      .select(col("media_id"), col("kind"),
+        md5(col("payload")).as("content_md5"),
+        (length(col("payload")) - 4).cast("bigint").as("body_len"),
+        aggregate(sequence(lit(5), length(col("payload"))),
+          lit(0L), (acc, p) => acc + byteAt(p)).as("byte_sum"),
+        (aggregate(sequence(lit(5), length(col("payload"))),
+          lit(0L), (acc, p) => acc + (p - 4).cast("bigint") * byteAt(p))
+          % 1000000007L).as("wsum"))
     keyed
       .groupBy(col("kind"), col("content_md5"))
       .agg(min(col("media_id")).as("canonical"),
@@ -419,20 +425,20 @@ object Multimodal {
         |SELECT ida, idb, hamming FROM ham WHERE hamming <= 7
         |ORDER BY ida, idb""".stripMargin) { (s, d) =>
       val media = syntheticMedia(Tables.documents(s, d))
-        .select(col("media_id"), hex(col("payload")).as("hx"),
+        .select(col("media_id"), expr("binary_bytes(payload)").as("bytes"),
           (length(col("payload")) - 4).cast("long").as("n"))
       // near-dup plant: every 10th payload gets a copy with ONE corrupted
       // body byte (position 100; bytes are <= 250, +1 never overflows)
-      val corpus = media.select(col("media_id"), col("hx"), col("n"),
+      val corpus = media.select(col("media_id"), col("bytes"), col("n"),
           lit(0).as("pert"))
         .unionAll(media.filter(col("media_id") % 10 === 0)
-          .select((col("media_id") + 10000).as("media_id"), col("hx"),
+          .select((col("media_id") + 10000).as("media_id"), col("bytes"),
             col("n"), lit(1).as("pert")))
-      // body byte at 0-based body position k, read natively from the hex
-      // encoding (binaryDedup's expression-only channel) + the plant
+      // body byte at 0-based body position k — O(1) element_at into the
+      // native binary_bytes decode (the hex+substr channel this replaced
+      // was O(n) per access, O(n²) per payload) — plus the plant
       def byteAt(k: Column): Column =
-        conv(col("hx").substr(((k + 4) * 2 + 1).cast("int"), lit(2)), 16, 10)
-          .cast("long") +
+        element_at(col("bytes"), (k + 5).cast("int")).cast("long") +
           when(col("pert") === 1 && k === 100L, 1L).otherwise(0L)
       // block j in [0,64): nonlinear fold over positions [j·n/64,(j+1)·n/64)
       // (products stay exact in the double floor: j·n <= 64·3072)

@@ -540,22 +540,24 @@ object AdvancedQueries {
     var it = 0
     while (it < iters) {
       it += 1
+      // checkpoint the raw sums BEFORE reading their max: the max read
+      // and the normalized frame otherwise each re-run the edge join
       val araw = edges.join(h, col("v") === col("src"))
         .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+        .localCheckpoint()
       val amax = araw.agg(max(col("ar"))).head().getDouble(0)
       a = nodes.select(col("v"))
         .join(araw, col("v") === col("dst"), "left")
         .select(col("v"),
           round(coalesce(col("ar"), lit(0.0)) / amax, 9).as("a"))
-        .localCheckpoint()
       val hraw = edges.join(a, col("v") === col("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+        .localCheckpoint()
       val hmax = hraw.agg(max(col("hr"))).head().getDouble(0)
       h = nodes.select(col("v"))
         .join(hraw, col("v") === col("src"), "left")
         .select(col("v"),
           round(coalesce(col("hr"), lit(0.0)) / hmax, 9).as("h"))
-        .localCheckpoint()
     }
     a.join(h, Seq("v"))
   }
