@@ -1095,7 +1095,90 @@ object Similarity {
         round(col("rawcos"), 6).as("cos"))
   }
 
+  /** PRODUCT QUANTIZATION encode — the compression leg of the ANN
+    * stack ([[saveIvfIndex]] partitions the corpus; PQ shrinks what
+    * each cell stores): the vector splits into 4 subspaces, each
+    * subspace independently assigns to its nearest sub-centroid, and
+    * the vector is stored as 4 small codes + nothing else. At 100 TB
+    * of float32 embeddings the PQ codebook view is ~D/(4·log₂k) times
+    * smaller — the difference between an index that fits executor
+    * memory and one that doesn't; reconstruction error (the sum of
+    * per-subspace residuals) is the quality telemetry a pipeline
+    * tracks when tuning codebook size. Codebook selection follows the
+    * engine's deterministic-quantizer convention ([[ivfTopKDet]]):
+    * sub-centroids are stride-sampled rows (vec_id % 97 = 0, first 4),
+    * identically derivable by both engines; distances quantize to
+    * 1e-12 with cid ties (the IVF rule) so assignment can never flip
+    * on a ulp. Shape: codebook is a bounded broadcast (k·M sub-
+    * vectors); assignment is one map-side pass over the corpus —
+    * O(n·k·M) arithmetic, no shuffle until the final per-vector
+    * regroup, which is a groupBy on the unique vec_id. */
+  val pqEncode: QueryDef = QueryDef.sql(
+    "sim_pq_encode",
+    """WITH e AS (
+      |  SELECT vec_id, embedding AS v, len(embedding) // 4 AS sub
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT vec_id AS cid, v AS cv, sub AS csub FROM e
+      |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 4),
+      |pairs AS (
+      |  SELECT e.vec_id, m.m, c.cid,
+      |    round((SELECT sum(power(CAST(e.v[e.sub * m.m + u.i] AS DOUBLE)
+      |                            - CAST(c.cv[c.csub * m.m + u.i] AS DOUBLE),
+      |                            2))
+      |           FROM unnest(generate_series(1, e.sub)) u(i)), 12) AS d
+      |  FROM e
+      |  CROSS JOIN unnest([0, 1, 2, 3]) m(m)
+      |  CROSS JOIN cent c),
+      |best AS (
+      |  SELECT vec_id, m, cid, d,
+      |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+      |  FROM pairs)
+      |SELECT vec_id,
+      |  max(CASE WHEN m = 0 THEN cid END) AS c0,
+      |  max(CASE WHEN m = 1 THEN cid END) AS c1,
+      |  max(CASE WHEN m = 2 THEN cid END) AS c2,
+      |  max(CASE WHEN m = 3 THEN cid END) AS c3,
+      |  CAST(sum(CAST(round(d * 1000000) AS BIGINT)) AS BIGINT) AS err_micro
+      |FROM best WHERE rn = 1
+      |GROUP BY vec_id
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("sub", (size(col("v")) / 4).cast("int"))
+    val cent = e.filter(col("vec_id") % 97 === 0)
+      .orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("sub").as("csub"))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d"), col("cid"))
+    e.select(col("vec_id"), col("v"), col("sub"),
+        explode(array((0 until 4).map(lit(_)): _*)).as("m"))
+      .crossJoin(broadcast(cent))
+      .withColumn("d", round(sqDist(
+        slice(col("v"), col("sub") * col("m") + 1, col("sub")),
+        slice(col("cv"), col("csub") * col("m") + 1, col("csub"))), 12))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        max(when(col("m") === 0, col("cid"))).as("c0"),
+        max(when(col("m") === 1, col("cid"))).as("c1"),
+        max(when(col("m") === 2, col("cid"))).as("c2"),
+        max(when(col("m") === 3, col("cid"))).as("c3"),
+        // integer micro-unit residuals: quantize each subspace distance
+        // to 1e-6 units BEFORE summing, so the total is exact integer
+        // arithmetic in both engines (re-rounding the double sum hit
+        // genuine half-up boundary collisions at any grain)
+        sum(round(col("d") * 1e6).cast("long")).as("err_micro"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(topKBrute, topKLsh, rangeSearch, rangeSearchLsh, topKIvf, hybridRrf,
-      hardNegativesQuery, bm25)
+      hardNegativesQuery, bm25, pqEncode)
 }

@@ -162,4 +162,42 @@ class PlanAuditSuite extends SparkSessionSuite {
     // chunked range join: one exchange per side of the equi-join + agg
     assert(hashExchanges("adv_range_join_bucketed") <= 4)
   }
+
+  /** The bloom decontamination's corpus side must carry the
+    * might_contain pre-filter BELOW the exact verify join — the whole
+    * point is that non-contaminated shingles die in a map-side bitset
+    * test before any join sees them. */
+  test("bloom decontamination pre-filters with might_contain below the join") {
+    val plan = physicalPlan("pipe_decontaminate_bloom")
+    withClue(plan) {
+      assert(plan.contains("might_contain"))
+      // the filter sits in the scan-side stage, not above the join:
+      // everything after the join groups/aggregates only
+      val joinIdx = plan.indexOf("Join")
+      val filterIdx = plan.indexOf("might_contain")
+      assert(joinIdx >= 0 && filterIdx > joinIdx,
+        "might_contain must appear below (after, in toString order) the join")
+    }
+  }
+
+  /** The salted join must actually join on the salt column (the skew
+    * split is real, not optimized away) and stay equi-join shaped. */
+  test("salted join keeps the salt in the join key, no cartesian") {
+    val plan = physicalPlan("adv_salted_join")
+    withClue(plan) {
+      assert(plan.contains("fsalt"))
+      assert(plan.contains("dsalt"))
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
+  /** PQ assignment: codebook is a bounded broadcast; the only wide
+    * operation after assignment is the per-vector regroup. */
+  test("pq encode broadcasts the codebook, one regroup exchange") {
+    val plan = physicalPlan("sim_pq_encode")
+    withClue(plan) {
+      assert(plan.contains("BroadcastExchange"))
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
 }
