@@ -1113,6 +1113,43 @@ object Similarity {
     * vectors); assignment is one map-side pass over the corpus —
     * O(n·k·M) arithmetic, no shuffle until the final per-vector
     * regroup, which is a groupBy on the unique vec_id. */
+  /** Shared PQ kernel: vectors with per-row subspace length, the
+    * stride-sampled codebook, and the per-(vector, subspace) nearest
+    * sub-centroid assignment — used by [[pqEncode]] (storage) and
+    * [[pqTopK]] (ADC search) so the two can never drift onto different
+    * codebooks. */
+  private def pqVectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("sub", (size(col("v")) / 4).cast("int"))
+
+  private def pqCodebook(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 97 === 0)
+      .orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("sub").as("csub"))
+
+  private def pqSqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** (vec_id, m, cid, d): winning sub-centroid per (vector, subspace),
+    * distance 1e-12-quantized with cid ties (the IVF rule). */
+  private def pqAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d"), col("cid"))
+    e.select(col("vec_id"), col("v"), col("sub"),
+        explode(array((0 until 4).map(lit(_)): _*)).as("m"))
+      .crossJoin(broadcast(cent))
+      .withColumn("d", round(pqSqDist(
+        slice(col("v"), col("sub") * col("m") + 1, col("sub")),
+        slice(col("cv"), col("csub") * col("m") + 1, col("csub"))), 12))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid"), col("d"))
+  }
+
   val pqEncode: QueryDef = QueryDef.sql(
     "sim_pq_encode",
     """WITH e AS (
@@ -1143,27 +1180,8 @@ object Similarity {
       |FROM best WHERE rn = 1
       |GROUP BY vec_id
       |ORDER BY vec_id""".stripMargin) { (s, d) =>
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("sub", (size(col("v")) / 4).cast("int"))
-    val cent = e.filter(col("vec_id") % 97 === 0)
-      .orderBy(col("vec_id")).limit(4)
-      .select(col("vec_id").as("cid"), col("v").as("cv"),
-        col("sub").as("csub"))
-    def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d"), col("cid"))
-    e.select(col("vec_id"), col("v"), col("sub"),
-        explode(array((0 until 4).map(lit(_)): _*)).as("m"))
-      .crossJoin(broadcast(cent))
-      .withColumn("d", round(sqDist(
-        slice(col("v"), col("sub") * col("m") + 1, col("sub")),
-        slice(col("cv"), col("csub") * col("m") + 1, col("csub"))), 12))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val e = pqVectors(s, d)
+    pqAssign(e, pqCodebook(e))
       .groupBy(col("vec_id"))
       .agg(
         max(when(col("m") === 0, col("cid"))).as("c0"),
@@ -1178,7 +1196,91 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** PQ ASYMMETRIC-DISTANCE top-k (ADC) — the search leg over
+    * [[pqEncode]]'s codes: each query precomputes a tiny lookup table
+    * (its exact distance to every sub-centroid, per subspace — k·M
+    * scalars), and a candidate's approximate distance is the SUM OF M
+    * TABLE LOOKUPS on its codes; the corpus's raw floats are never
+    * touched at query time. That is the FAISS IVFADC query shape: at
+    * 100 TB the scan reads 4 small ints per vector instead of D
+    * floats, the LUT join is a broadcast (|queries|·M·k rows), and the
+    * per-query linear scan composes with [[saveIvfIndex]] cell pruning
+    * exactly as IVF+PQ composes. Distances stay integer end-to-end
+    * (micro-unit LUT entries summed as BIGINT — the [[pqEncode]]
+    * err_micro rule), so ranking can never flip on a ulp: rank order
+    * is a pure integer sort with neighbor-id ties. */
+  val pqTopK: QueryDef = QueryDef.sql(
+    "sim_pq_topk",
+    """WITH e AS (
+      |  SELECT vec_id, embedding AS v, len(embedding) // 4 AS sub
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT vec_id AS cid, v AS cv, sub AS csub FROM e
+      |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 4),
+      |pairs AS (
+      |  SELECT e.vec_id, m.m, c.cid,
+      |    round((SELECT sum(power(CAST(e.v[e.sub * m.m + u.i] AS DOUBLE)
+      |                            - CAST(c.cv[c.csub * m.m + u.i] AS DOUBLE),
+      |                            2))
+      |           FROM unnest(generate_series(1, e.sub)) u(i)), 12) AS d
+      |  FROM e
+      |  CROSS JOIN unnest([0, 1, 2, 3]) m(m)
+      |  CROSS JOIN cent c),
+      |codes AS (
+      |  SELECT vec_id AS neighbor_id, m, cid FROM (
+      |    SELECT vec_id, m, cid,
+      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+      |    FROM pairs) t
+      |  WHERE rn = 1),
+      |lut AS (
+      |  SELECT vec_id AS query_id, m, cid,
+      |    CAST(round(d * 1000000) AS BIGINT) AS lm
+      |  FROM pairs WHERE vec_id % 50 = 0),
+      |dist AS (
+      |  SELECT l.query_id, c.neighbor_id, CAST(sum(l.lm) AS BIGINT) AS dist_micro
+      |  FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+      |  WHERE c.neighbor_id <> l.query_id
+      |  GROUP BY l.query_id, c.neighbor_id)
+      |SELECT query_id, rank, neighbor_id, dist_micro FROM (
+      |  SELECT query_id, neighbor_id, dist_micro,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY dist_micro, neighbor_id) AS rank
+      |  FROM dist) t
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val e = pqVectors(s, d)
+    val cent = pqCodebook(e)
+    // one assignment pass yields BOTH the corpus codes and (filtered to
+    // query rows) the exact per-subspace LUT distances
+    val allPairs = e.select(col("vec_id"), col("v"), col("sub"),
+        explode(array((0 until 4).map(lit(_)): _*)).as("m"))
+      .crossJoin(broadcast(cent))
+      .withColumn("d", round(pqSqDist(
+        slice(col("v"), col("sub") * col("m") + 1, col("sub")),
+        slice(col("cv"), col("csub") * col("m") + 1, col("csub"))), 12))
+    val wAssign = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d"), col("cid"))
+    val codes = allPairs
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("cid"))
+    val lut = allPairs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("m"), col("cid"),
+        round(col("d") * 1e6).cast("long").as("lm"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_micro"), col("neighbor_id"))
+    codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("lm")).as("dist_micro"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("dist_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(topKBrute, topKLsh, rangeSearch, rangeSearchLsh, topKIvf, hybridRrf,
-      hardNegativesQuery, bm25, pqEncode)
+      hardNegativesQuery, bm25, pqEncode, pqTopK)
 }

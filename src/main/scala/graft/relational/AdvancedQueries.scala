@@ -611,6 +611,72 @@ object AdvancedQueries {
     }
   }
 
+  /** PER-NODE TRIANGLE COUNT over the deterministic doc-link graph —
+    * the third graph primitive next to [[pagerank]] and [[hits]]:
+    * triangle density separates organic link neighborhoods from link
+    * farms (spam scoring) and drives clustering-coefficient features.
+    * The classic distributed formulation: canonicalize to undirected
+    * ordered edges (a < b), then each triangle x<y<z is found EXACTLY
+    * once by joining (x,y)⋈(y,z) and closing with (x,z) — two
+    * equi-joins, never an open wedge explosion beyond the true wedge
+    * count. Every join is on vertex keys, so the whole thing shuffles
+    * like any keyed join at 100 TB; on skewed (heavy-hitter) graphs
+    * the production refinement orders vertices by DEGREE instead of id
+    * so hubs sit on the closing side — same plan shape, one extra
+    * degree pass. Pure integer arithmetic end-to-end. */
+  val triangles: QueryDef = QueryDef.sql(
+    "adv_triangles",
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |edges0 AS (
+      |  SELECT doc_id AS src, (doc_id*7 + 1) % (SELECT n FROM nn) AS dst FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id*13 + 3) % (SELECT n FROM nn) FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id*29 + 11) % (SELECT n FROM nn) FROM documents),
+      |und AS (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM edges0 WHERE src <> dst),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM und e1
+      |  JOIN und e2 ON e2.a = e1.b
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |members AS (
+      |  SELECT x AS v FROM tri
+      |  UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri)
+      |SELECT d.doc_id, CAST(coalesce(t.cnt, 0) AS BIGINT) AS n_triangles
+      |FROM documents d
+      |LEFT JOIN (SELECT v, count(*) AS cnt FROM members GROUP BY v) t
+      |  ON t.v = d.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val n = nodes.count()
+    val edges0 = Seq((7L, 1L), (13L, 3L), (29L, 11L)).map { case (m, c) =>
+      nodes.select(col("doc_id").as("src"),
+        ((col("doc_id") * m + c) % n).as("dst"))
+    }.reduce(_ unionAll _)
+    val und = edges0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint() // read three times by the wedge/closing joins
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e2.a") === col("e1.b"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val members = tri.select(col("x").as("v"))
+      .unionAll(tri.select(col("y").as("v")))
+      .unionAll(tri.select(col("z").as("v")))
+    nodes.join(
+        members.groupBy(col("v")).agg(count(lit(1)).as("cnt")),
+        col("doc_id") === col("v"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cnt"), lit(0L)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Skew-proof SALTED JOIN — [[saltedAgg]]'s two-sided sibling: when
     * one join key carries a disproportionate share of the fact rows, a
     * plain shuffle join lands that key's entire volume on ONE reducer.
@@ -715,6 +781,6 @@ object AdvancedQueries {
   val all: Seq[QueryDef] =
     Seq(asOfJoin, asOfNative, asOfTolerance, percentiles, pivot, cube,
       saltedAgg, movingAvg, stratifiedSample, sqlInterface, rangeJoinBucketed,
-      sampleExactK, zorderLayout, pagerank, hitsQuery, saltedJoin,
-      weightedSample, groupTopK)
+      sampleExactK, zorderLayout, pagerank, hitsQuery, triangles,
+      saltedJoin, weightedSample, groupTopK)
 }
