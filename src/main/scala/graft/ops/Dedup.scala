@@ -321,13 +321,50 @@ object Dedup {
       .partitionBy("bucket").parquet(s"$dir/counts")
   }
 
+  /** The DELETE verb for a [[saveLineIndex]] directory — the exact
+    * mirror of [[appendToLineIndex]]: the retracted documents' per-line
+    * distinct-doc counts merge in NEGATED, over only the touched bucket
+    * partitions. The index IS its counts (no row log, so no tombstones
+    * needed): after the merge a probe is bit-identical to one against
+    * an index built from scratch over the corpus minus the deletions —
+    * a boilerplate line whose df falls back under the threshold stops
+    * being stripped (suite-pinned both directions). Rows at df 0 are
+    * kept: they hold the partition present for the dynamic overwrite
+    * and are inert to the ≥ minDf probe filter and to future merges.
+    * Callers delete indexed docs once, with the text they were indexed
+    * under — the mirror of the append contract. */
+  def deleteFromLineIndex(dir: String, deletedDocs: DataFrame): Unit = {
+    val spark = deletedDocs.sparkSession
+    val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val negCounts = lineRowsOf(deletedDocs)
+      .groupBy(col("lh")).agg((-countDistinct(col("doc_id"))).as("df"))
+      .withColumn("bucket", pmod(xxhash64(col("lh")), lit(nBuckets)).cast("int"))
+      .localCheckpoint(true)
+    // bounded by construction: at most nBuckets distinct small ints
+    val touched = negCounts.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val merged = spark.read.parquet(s"$dir/counts")
+      .filter(col("bucket").isin(touched: _*)) // partition-pruned read
+      .unionByName(negCounts)
+      .groupBy(col("bucket"), col("lh"))
+      .agg(sum(col("df")).as("df"))
+      // materialize BEFORE overwriting the partitions being read
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(s"$dir/counts")
+  }
+
   /** Compact a [[saveLineIndex]] directory fragmented by
-    * [[appendToLineIndex]] merges into one file per bucket partition —
-    * row-identical by construction ([[IndexCompaction]]; probe
-    * equivalence suite-pinned). Offline maintenance: run between
-    * ingestion rounds. */
+    * [[appendToLineIndex]] / [[deleteFromLineIndex]] merges into one
+    * file per bucket partition — row-identical by construction
+    * ([[IndexCompaction]]; probe equivalence suite-pinned), dropping
+    * only the inert df ≤ 0 residue deletes leave behind. Offline
+    * maintenance: run between ingestion rounds. */
   def compactLineIndex(s: SparkSession, dir: String): Unit =
-    IndexCompaction.rewrite(s, s"$dir/counts", Some("bucket"))
+    IndexCompaction.rewrite(s, s"$dir/counts", Some("bucket"), 1,
+      df => df.filter(col("df") > 0))
 
   /** Clean a (doc_id, text) batch against a [[saveLineIndex]] directory:
     * lines whose INDEXED document frequency is >= `minDf` are dropped
@@ -488,6 +525,9 @@ object Dedup {
   def saveBandIndex(docs: DataFrame, dir: String, nBuckets: Int = 16): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // a rebuild starts a fresh lifecycle: drop any tombstone log left
+    // by deletes against a previous index in this directory
+    clearTombstones(spark, dir)
     corpusSignatures(docs).write.mode("overwrite").parquet(s"$dir/sig")
     val sig = spark.read.parquet(s"$dir/sig")
     val bands = bandRowsOf(sig)
@@ -579,6 +619,90 @@ object Dedup {
     hot.write.mode("overwrite").parquet(s"$dir/hot")
   }
 
+  /** The DELETE verb of the band-index lifecycle (build / append /
+    * compact / delete) — right-to-be-forgotten and retraction at
+    * corpus scale: removing `deletedDocs` (doc_id, text) must not
+    * rebuild an index whose row data is append-only by design. Shape:
+    *
+    *  - LOGICAL delete: the doc_ids append to a tombstone log
+    *    (`dir/tombstones`, O(batch)); [[probeBandIndex]] anti-joins it
+    *    off the index side, so a deleted doc stops producing evidence
+    *    immediately while its sig/band rows stay on disk untouched.
+    *    The log is bounded by deletions since the last compaction and
+    *    broadcasts.
+    *  - EXACT count/hot maintenance: the batch re-signs itself with
+    *    the build arithmetic (the docs being retracted come from the
+    *    corpus, so their text is at hand), and its per-(band, value)
+    *    counts merge NEGATED into the touched count partitions — the
+    *    [[appendToBandIndex]] merge with sign flipped. Hot membership
+    *    is then recomputed for exactly the touched keys, in BOTH
+    *    directions: a bucket whose live count fell to ≤
+    *    [[BandBucketCap]] leaves the hot list (deletions can revive a
+    *    bucket the cap had silenced). Rows at count 0 are kept — they
+    *    hold the partition present for the dynamic overwrite and are
+    *    semantically inert to every reader (hot needs > cap, merges
+    *    add).
+    *  - PHYSICAL purge: deferred to [[compactBandIndex]], which
+    *    anti-joins the tombstone log while it rewrites the files
+    *    anyway, then clears the log.
+    *
+    * Work per delete: O(batch) signing + a merge over touched count
+    * partitions — never O(corpus). A probe after any delete sequence
+    * is bit-identical to probing an index built from scratch over the
+    * corpus minus the deletions (suite-pinned, including the
+    * hot-transition case). Callers delete INDEXED docs once, with the
+    * same text they were indexed under — the mirror of the append
+    * contract. */
+  def deleteFromBandIndex(dir: String, deletedDocs: DataFrame): Unit = {
+    val spark = deletedDocs.sparkSession
+    val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    deletedDocs.select(col("doc_id"))
+      .write.mode("append").parquet(s"$dir/tombstones")
+    val sig = corpusSignatures(deletedDocs).localCheckpoint(true)
+    val bands = bandRowsOf(sig)
+      .withColumn("bucket", pmod(col("bv"), lit(nBuckets)).cast("int"))
+    val negCounts = bands.groupBy(col("bucket"), col("bi"), col("bv"))
+      .agg((-count(lit(1))).as("cnt")).localCheckpoint(true)
+    // bounded by construction: at most nBuckets distinct small ints
+    val touched = negCounts.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val merged = spark.read.parquet(s"$dir/counts")
+      .filter(col("bucket").isin(touched: _*)) // partition-pruned read
+      .unionByName(negCounts)
+      .groupBy(col("bucket"), col("bi"), col("bv"))
+      .agg(sum(col("cnt")).as("cnt"))
+      // materialize BEFORE overwriting the partitions being read
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(s"$dir/counts")
+    // hot re-derives for the touched keys only — out if ≤ cap now, in
+    // if still over; untouched hot entries ride through the anti-join
+    val touchedKeys = negCounts.select(col("bi"), col("bv")).distinct()
+    val hot = spark.read.parquet(s"$dir/hot")
+      .join(broadcast(touchedKeys), Seq("bi", "bv"), "left_anti")
+      .unionByName(merged.filter(col("cnt") > BandBucketCap)
+        .select(col("bi"), col("bv")))
+      .distinct().localCheckpoint(true)
+    hot.write.mode("overwrite").parquet(s"$dir/hot")
+  }
+
+  /** Remove a stale tombstone log (index rebuild in a reused dir). */
+  private[ops] def clearTombstones(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
+  /** The tombstone log of a band/IVF index directory, if any deletes
+    * happened since the last compaction. */
+  private[ops] def tombstonesOf(s: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(p.toString)) else None
+  }
+
   /** Compact a [[saveBandIndex]] directory after an append run: the
     * append path is append-only by contract (one new file per batch
     * per touched bucket), so sustained ingestion fragments `sig` and
@@ -588,11 +712,24 @@ object Dedup {
     * `sig` to `sigFiles` files, via tmp-dir + rename swap
     * ([[IndexCompaction]]) — row-identical, probe-before ≡ probe-after
     * suite-pinned, and appends resume against the compacted layout
-    * unchanged. Offline maintenance: run between ingestion rounds. */
+    * unchanged. If deletes are pending ([[deleteFromBandIndex]]), the
+    * rewrite PURGES the tombstoned docs' sig/band rows and clears the
+    * log — the physical half of the delete verb, amortized into the
+    * pass that touches the files anyway. Offline maintenance: run
+    * between ingestion rounds. */
   def compactBandIndex(s: SparkSession, dir: String, sigFiles: Int = 8): Unit = {
-    IndexCompaction.rewrite(s, s"$dir/sig", None, sigFiles)
-    IndexCompaction.rewrite(s, s"$dir/bands", Some("bucket"))
-    IndexCompaction.rewrite(s, s"$dir/counts", Some("bucket"))
+    val ts = tombstonesOf(s, dir).map(t =>
+      t.select(col("doc_id")).distinct().localCheckpoint(true))
+    val purge: DataFrame => DataFrame = df =>
+      ts.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    IndexCompaction.rewrite(s, s"$dir/sig", None, sigFiles, purge)
+    IndexCompaction.rewrite(s, s"$dir/bands", Some("bucket"), 1, purge)
+    // counts are maintained exactly at append/delete time; the rewrite
+    // only drops the inert cnt ≤ 0 residue deletes leave behind
+    IndexCompaction.rewrite(s, s"$dir/counts", Some("bucket"), 1,
+      df => df.filter(col("cnt") > 0))
+    ts.foreach(t => t.limit(0).write.mode("overwrite")
+      .parquet(s"$dir/tombstones"))
   }
 
   /** Probe a [[saveBandIndex]] directory with a (doc_id, text) batch:
@@ -631,9 +768,15 @@ object Dedup {
     val touched = probe.select(col("bucket"))
       .filter(col("bucket").isNotNull).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val idx = s.read.parquet(s"$dir/bands")
+    // pending logical deletes (bounded by deletions since the last
+    // compaction) are anti-joined off the index side: a tombstoned doc
+    // stops producing evidence the moment it is deleted, even though
+    // its rows are purged only at the next compaction
+    val idx0 = s.read.parquet(s"$dir/bands")
       .filter(col("bucket").isin(touched: _*))
       .join(broadcast(hot), Seq("bi", "bv"), "left_anti")
+    val idx = tombstonesOf(s, dir).fold(idx0)(t =>
+        idx0.join(broadcast(t), Seq("doc_id"), "left_anti"))
       .withColumnRenamed("doc_id", "existing_id")
     val ssig = (0 until h).foldLeft(
       s.read.parquet(s"$dir/sig").withColumnRenamed("doc_id", "existing_id"))(

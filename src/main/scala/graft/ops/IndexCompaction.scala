@@ -33,15 +33,21 @@ private[graft] object IndexCompaction {
     * partition directory (partitioned case: one shuffle task per
     * partition value, so each partition lands in exactly one file) or
     * `nFiles` total (unpartitioned case), then swap it in. No-op if
-    * `dir` does not exist. */
+    * `dir` does not exist. `transform` lets the caller drop rows during
+    * the rewrite (the tombstone PURGE of the delete lifecycle verb —
+    * logical deletes accumulate O(batch) in a side log and are applied
+    * physically here, where the files are being rewritten anyway);
+    * default is the row-identical rewrite. */
   def rewrite(s: SparkSession, dir: String, partitionCol: Option[String],
-      nFiles: Int = 1): Unit = {
+      nFiles: Int = 1,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
+        = identity): Unit = {
     val src = new Path(dir)
     val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(src)) return
     val tmp = new Path(dir + ".compact-tmp")
     fs.delete(tmp, true)
-    val df = s.read.parquet(dir)
+    val df = transform(s.read.parquet(dir))
     partitionCol match {
       case Some(c) =>
         df.repartition(col(c))

@@ -1017,6 +1017,9 @@ object Similarity {
   }
 
   def saveIvfIndex(prep: DataFrame, dir: String, nlist: Int = IvfNlist): Unit = {
+    // a rebuild starts a fresh lifecycle: drop any tombstone log left
+    // by deletes against a previous index in this directory
+    Dedup.clearTombstones(prep.sparkSession, dir)
     val stride = ivfStride(prep.count(), nlist)
     val cent = prep.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -1051,22 +1054,54 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/corpus")
   }
 
+  /** The DELETE verb of the IVF-index lifecycle (build / append /
+    * compact / delete): retracting vectors from an append-only cell
+    * layout must not rewrite cells per deletion — a scattered delete
+    * batch touches O(nlist) cells and rewriting them all is O(corpus)
+    * write amplification for O(batch) intent. So deletes are LOGICAL:
+    * the vec_ids append to a tombstone log (`dir/tombstones`,
+    * O(batch)); [[topKFromIvfIndex]] anti-joins the log off the corpus
+    * side, so a deleted vector stops appearing as a neighbor
+    * immediately — and its removal PROMOTES the next-ranked neighbor,
+    * exactly as a rebuild without it would (suite-pinned bit-identical
+    * under the frozen centroids). [[compactIvfIndex]] purges the rows
+    * physically and clears the log. The log is bounded by deletions
+    * since the last compaction and broadcasts. Callers delete indexed
+    * vec_ids once — the mirror of the append contract. */
+  def deleteFromIvfIndex(dir: String, vecIds: DataFrame): Unit =
+    vecIds.select(col("vec_id"))
+      .write.mode("append").parquet(s"$dir/tombstones")
+
   /** Compact a [[saveIvfIndex]] directory after an append run
     * ([[appendToIvfIndex]] adds one file per batch per touched cell):
     * rewrites `corpus` to one file per cell partition via tmp-dir +
     * rename swap ([[IndexCompaction]]) — row-identical, probe-before ≡
     * probe-after suite-pinned. The centroid table is a single tiny
-    * file and never fragments. Offline maintenance: run between
-    * ingestion rounds. */
-  def compactIvfIndex(s: SparkSession, dir: String): Unit =
-    IndexCompaction.rewrite(s, s"$dir/corpus", Some("cell"))
+    * file and never fragments. If deletes are pending
+    * ([[deleteFromIvfIndex]]), the rewrite purges the tombstoned rows
+    * and clears the log — the physical half of the delete verb,
+    * amortized into the pass that touches the files anyway. Offline
+    * maintenance: run between ingestion rounds. */
+  def compactIvfIndex(s: SparkSession, dir: String): Unit = {
+    val ts = Dedup.tombstonesOf(s, dir).map(t =>
+      t.select(col("vec_id")).distinct().localCheckpoint(true))
+    IndexCompaction.rewrite(s, s"$dir/corpus", Some("cell"), 1,
+      df => ts.fold(df)(t => df.join(broadcast(t), Seq("vec_id"), "left_anti")))
+    ts.foreach(t => t.limit(0).write.mode("overwrite")
+      .parquet(s"$dir/tombstones"))
+  }
 
   /** Top-k cosine against a [[saveIvfIndex]] directory. Queries are
     * `prepared` rows; each probes its `nprobe` nearest centroids. */
   def topKFromIvfIndex(s: SparkSession, dir: String, queries: DataFrame,
       k: Int, nprobe: Int = 2): DataFrame = {
     val cent = broadcast(s.read.parquet(s"$dir/centroids"))
-    val corpus = s.read.parquet(s"$dir/corpus")
+    // pending logical deletes (bounded by deletions since the last
+    // compaction) are anti-joined off the corpus side: a tombstoned
+    // vector stops ranking immediately, its purge waits for compaction
+    val corpus0 = s.read.parquet(s"$dir/corpus")
+    val corpus = Dedup.tombstonesOf(s, dir).fold(corpus0)(t =>
+      corpus0.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
     def sqDist(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)

@@ -327,4 +327,175 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
     Similarity.appendToIvfIndex(dirOne, b.unionAll(c))
     top(dir) shouldBe top(dirOne)
   }
+
+  test("band index: delete ≡ rebuild-without; row files untouched; compact purges") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text"))
+    val keep = docs.filter(col("doc_id") < 400)
+    val del = docs.filter(col("doc_id") >= 400)
+    val probeBatch = Dedup.incomingLshBatch(docs)
+
+    val dir = Files.createTempDirectory("banddel").toString
+    Dedup.saveBandIndex(docs, dir)
+    val before = fileDigests(dir)
+    Dedup.deleteFromBandIndex(dir, del)
+    // the delete is logical for row data: every sig/bands file is
+    // byte-identical — only counts/hot/tombstones changed
+    val after = fileDigests(dir)
+    before.foreach { case (rel, sha) =>
+      if (rel.startsWith("bands") || rel.startsWith("sig"))
+        withClue(s"$rel changed by delete: ") {
+          after.get(rel) shouldBe Some(sha)
+        }
+    }
+    // probe ≡ an index never containing the deleted docs
+    val dirKeep = Files.createTempDirectory("banddelkeep").toString
+    Dedup.saveBandIndex(keep, dirKeep)
+    val evTruth = canon(Dedup.probeBandIndex(s, dirKeep, probeBatch))
+    evTruth.length should be > 5
+    canon(Dedup.probeBandIndex(s, dir, probeBatch)) shouldBe evTruth
+    // the maintained counts equal a rebuild-without's counts (modulo
+    // the inert zero rows that hold partitions present)
+    def liveCounts(d: String) = canon(s.read.parquet(s"$d/counts")
+      .filter(col("cnt") > 0)
+      .select(col("bi"), col("bv"), col("cnt"), col("bucket").cast("int")))
+    liveCounts(dir) shouldBe liveCounts(dirKeep)
+    // compaction purges the tombstoned rows and clears the log;
+    // the probe contract survives physically
+    Dedup.compactBandIndex(s, dir)
+    s.read.parquet(s"$dir/tombstones").count() shouldBe 0L
+    s.read.parquet(s"$dir/sig").count() shouldBe
+      s.read.parquet(s"$dirKeep/sig").count()
+    canon(s.read.parquet(s"$dir/bands")
+        .select(col("doc_id"), col("bi"), col("bv"))) shouldBe
+      canon(s.read.parquet(s"$dirKeep/bands")
+        .select(col("doc_id"), col("bi"), col("bv")))
+    canon(Dedup.probeBandIndex(s, dir, probeBatch)) shouldBe evTruth
+    // the lifecycle continues: ingestion resumes against the purged
+    // index exactly as against the never-deleted one
+    Dedup.appendToBandIndex(dir, del)
+    val dirFull2 = Files.createTempDirectory("banddelfull").toString
+    Dedup.saveBandIndex(docs, dirFull2)
+    canon(Dedup.probeBandIndex(s, dir, probeBatch)) shouldBe
+      canon(Dedup.probeBandIndex(s, dirFull2, probeBatch))
+  }
+
+  test("band index: delete pulls a hot bucket under the cap — probes wake up") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("banddelhot").toString
+    Dedup.saveBandIndex(docs, dir)
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val cluster = (1 to 70).map(i => (900000L + i, boiler)).toDF("doc_id", "text")
+    Dedup.appendToBandIndex(dir, cluster)
+    s.read.parquet(s"$dir/hot").count() should be >= 1L
+    val dupProbe = Seq((990000L, boiler)).toDF("doc_id", "text")
+    Dedup.probeBandIndex(s, dir, dupProbe).count() shouldBe 0L
+    // retract 30 cluster docs: live count 40 ≤ cap — the bucket must
+    // LEAVE the hot list (hot maintenance runs both directions) and
+    // probes must see the remaining 40 again
+    val delCluster = (1 to 30).map(i => (900000L + i, boiler)).toDF("doc_id", "text")
+    Dedup.deleteFromBandIndex(dir, delCluster)
+    s.read.parquet(s"$dir/hot").count() shouldBe 0L
+    // 40 surviving cluster docs × 2 bands of full-signature agreement
+    Dedup.probeBandIndex(s, dir, dupProbe).count() shouldBe 80L
+    // and the result is exactly what an index built without the 30
+    // would say
+    val dirTruth = Files.createTempDirectory("banddelhottruth").toString
+    Dedup.saveBandIndex(docs.unionAll(
+      (31 to 70).map(i => (900000L + i, boiler)).toDF("doc_id", "text")), dirTruth)
+    canon(Dedup.probeBandIndex(s, dir, dupProbe)) shouldBe
+      canon(Dedup.probeBandIndex(s, dirTruth, dupProbe))
+  }
+
+  test("ivf index: delete ≡ frozen-centroid rebuild-without; compact purges") {
+    val s = spark
+    val prep = Similarity.prepared(graft.Tables.embeddings(s, sfDir))
+      .localCheckpoint()
+    val del = prep.filter(col("vec_id") % 7 === 1)
+    val queries = prep.filter(col("vec_id") % 50 === 0)
+    def top(dir: String) = canon(Similarity.topKFromIvfIndex(s, dir, queries,
+      k = 5, nprobe = Similarity.IvfNprobe))
+
+    val dir = Files.createTempDirectory("ivfdel").toString
+    Similarity.saveIvfIndex(prep, dir)
+    val full = top(dir)
+    Similarity.deleteFromIvfIndex(dir, del)
+    val afterDel = top(dir)
+    // ground truth: the SAME frozen centroids over the corpus minus
+    // the deletions (a stride rebuild over the smaller corpus would
+    // re-derive centroids — the delete contract freezes them, like
+    // append's)
+    val dirTruth = Files.createTempDirectory("ivfdeltruth").toString
+    s.read.parquet(s"$dir/centroids")
+      .write.parquet(s"$dirTruth/centroids")
+    s.read.parquet(s"$dir/corpus")
+      .join(del.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .write.partitionBy("cell").parquet(s"$dirTruth/corpus")
+    afterDel shouldBe top(dirTruth)
+    afterDel.length should be > 20
+    afterDel should not be full // deletions promoted new neighbors
+    // no tombstoned id survives as a neighbor
+    val delIds = del.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    afterDel.foreach { r =>
+      delIds should not contain r(2).asInstanceOf[Long]
+    }
+    // physical purge at compaction: same results, rows gone, log clear
+    Similarity.compactIvfIndex(s, dir)
+    top(dir) shouldBe afterDel
+    s.read.parquet(s"$dir/tombstones").count() shouldBe 0L
+    s.read.parquet(s"$dir/corpus").count() shouldBe
+      (prep.count() - del.count())
+    // ingestion resumes: re-appending the deleted vectors restores the
+    // original results exactly (frozen centroids all the way through)
+    Similarity.appendToIvfIndex(dir, del)
+    top(dir) shouldBe full
+  }
+
+  test("line index: delete ≡ rebuild-without; boilerplate can fall back under df") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // 4 docs share a 10-token header (df 4 ≥ LineDf 3) + unique bodies
+    def doc(i: Long, body: String) =
+      (i, s"all rights reserved copyright notice terms of use apply here $body")
+    val corpus = Seq(
+      doc(1, "first unique body tokens one two three four five six seven"),
+      doc(2, "second unique body tokens eight nine ten eleven twelve more"),
+      doc(3, "third unique body tokens thirteen fourteen fifteen sixteen ok"),
+      doc(4, "fourth unique body tokens seventeen eighteen nineteen twenty a"),
+      (5L, "plain document with no header at all just regular text here")
+    ).toDF("doc_id", "text")
+    val probe = Seq(doc(99, "probe body with brand new tokens zz yy xx ww vv uu"))
+      .toDF("doc_id", "text")
+
+    val dir = Files.createTempDirectory("linedel").toString
+    Dedup.saveLineIndex(corpus, dir)
+    // header df 4: the probe doc's header line is stripped
+    val strippedOut = Dedup.probeLineIndex(s, dir, probe).collect()
+    strippedOut(0).getLong(2) shouldBe 1L
+    // retract docs 3 and 4: header df falls to 2 < LineDf — the
+    // header is boilerplate no longer and survives the probe
+    Dedup.deleteFromLineIndex(dir, corpus.filter(col("doc_id") >= 3 && col("doc_id") <= 4))
+    val keptOut = Dedup.probeLineIndex(s, dir, probe).collect()
+    keptOut(0).getLong(2) shouldBe 0L
+    // counts ≡ a rebuild over the remaining docs (modulo inert zeros)
+    val dirKeep = Files.createTempDirectory("linedelkeep").toString
+    Dedup.saveLineIndex(corpus.filter(col("doc_id") < 3 || col("doc_id") === 5), dirKeep)
+    def liveCounts(d: String) = canon(s.read.parquet(s"$d/counts")
+      .filter(col("df") > 0)
+      .select(col("lh"), col("df"), col("bucket").cast("int")))
+    liveCounts(dir) shouldBe liveCounts(dirKeep)
+    // compaction drops the zero residue; counts now literally equal
+    Dedup.compactLineIndex(s, dir)
+    canon(s.read.parquet(s"$dir/counts")
+      .select(col("lh"), col("df"), col("bucket").cast("int"))) shouldBe
+      liveCounts(dirKeep)
+    graft.InternalCaches.releaseAll()
+  }
 }
