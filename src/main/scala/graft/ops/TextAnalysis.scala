@@ -859,8 +859,103 @@ object TextAnalysis {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  /** FASTTEXT-STYLE HASHED LINEAR CLASSIFIER scoring — the shape of
+    * every production corpus filter in the CCNet / GPT-3-WebText /
+    * DCLM family: features are the doc's unigram + consecutive-bigram
+    * token hashes folded into a fixed bucket table, each class scores
+    * the mean of its bucket weights, and the argmax class labels the
+    * doc. The weight table here is ARITHMETIC-DERIVED (a Knuth-mix of
+    * the bucket id per class) so the DuckDB oracle reproduces it
+    * exactly — a real deployment broadcasts its trained table and the
+    * plan does not change shape, because the table IS a fixed array:
+    * 4 classes × 4096 buckets of int64.
+    *
+    * 100 TB shape: the entire feature → bucket → weight-sum path is
+    * array expressions inside fused map-side projections — no explode,
+    * no window, no join, zero shuffle before the final ORDER BY (which
+    * a production filter drops): the classifier streams over the
+    * corpus at scan speed (plan-audited: the only exchange is the
+    * presentation sort). Scores stay integer until one final division
+    * (summation-order-free, so engines can't drift) and the argmax
+    * compares the exact integer sums, never rounded floats. */
+  val domainClassify: QueryDef = {
+    val classes = Seq("web", "news", "code", "academic")
+    val NB = 4096L
+    val M = 999983L // prime modulus of the weight mix
+    val Half = 499991L // (M-1)/2 — centers weights on zero
+    val classSumsSql = classes.zipWithIndex.map { case (_, c) =>
+      s"""list_reduce(list_transform(bs,
+         |      x -> ((x + ${c * 7919}) * 2654435761) % $M - $Half),
+         |    (a, b) -> a + b) AS w$c""".stripMargin
+    }.mkString(",\n  ")
+    val argmaxSql = classes.init.zipWithIndex
+      .foldRight(s"'${classes.last}'") { case ((name, c), rest) =>
+        val ge = classes.indices.filter(_ != c).map(o => s"w$c >= w$o")
+          .mkString(" AND ")
+        s"CASE WHEN $ge THEN '$name' ELSE $rest END"
+      }
+    QueryDef.sql(
+      "ta_domain_classify",
+      s"""WITH tk AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ' '),
+        |      t -> list_reduce(
+        |        [CAST(0 AS BIGINT)] ||
+        |        list_transform(generate_series(1, length(t)),
+        |                       i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
+        |        (h, c) -> (h * 131 + c) % 1000000007)) AS tids
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id,
+        |    tids || CASE WHEN len(tids) >= 2
+        |      THEN list_transform(generate_series(1, len(tids) - 1),
+        |                          i -> (tids[i] * 1009 + tids[i + 1]) % 1000000007)
+        |      ELSE CAST([] AS BIGINT[]) END AS fs
+        |  FROM tk),
+        |s AS (
+        |  SELECT doc_id, len(bs) AS n_features,
+        |  $classSumsSql
+        |  FROM (SELECT doc_id, list_transform(fs, x -> x % $NB) AS bs FROM feat) z)
+        |SELECT doc_id, n_features,
+        |  ${classes.zipWithIndex.map { case (n, c) =>
+             s"round(w$c / (n_features * $Half.0), 6) AS s_$n" }.mkString(",\n  ")},
+        |  $argmaxSql AS predicted
+        |FROM s
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tids = transform(toks, t => Dedup.tokHash(t))
+      val bigrams = when(size(col("tids")) >= 2,
+          transform(sequence(lit(1), size(col("tids")) - 1),
+            i => (element_at(col("tids"), i) * 1009
+              + element_at(col("tids"), i + 1)) % 1000000007L))
+        .otherwise(array().cast("array<bigint>"))
+      def wSum(c: Int): Column = aggregate(col("bs"), lit(0L),
+        (acc, x) => acc + ((x + lit(c * 7919L)) * 2654435761L) % M - Half)
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), tids.as("tids"))
+        .withColumn("fs", concat(col("tids"), bigrams))
+        .select(col("doc_id"),
+          transform(col("fs"), x => pmod(x, lit(NB))).as("bs"))
+        .select(Seq(col("doc_id"), size(col("bs")).as("n_features")) ++
+          classes.indices.map(c => wSum(c).as(s"w$c")): _*)
+      // argmax on the EXACT integer sums (ties to the earlier class),
+      // matching the oracle's CASE chain
+      val predicted = classes.init.zipWithIndex
+        .foldRight(lit(classes.last): Column) { case ((name, c), rest) =>
+          val isMax = classes.indices.filter(_ != c)
+            .map(o => col(s"w$c") >= col(s"w$o")).reduce(_ && _)
+          when(isMax, lit(name)).otherwise(rest)
+        }
+      scored.select(
+        Seq(col("doc_id"), col("n_features")) ++
+          classes.zipWithIndex.map { case (n, c) =>
+            round(col(s"w$c") / (col("n_features") * lit(Half.toDouble)), 6)
+              .as(s"s_$n") } :+ predicted.as("predicted"): _*)
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(tokenStats, langId, quality, fingerprint, tfidf, piiMask, bpePairs,
       bpeMerge, chunking, packing, repetition, cmsHeavy, normalize, lmScore,
-      hllDistinct, qualityBuckets)
+      hllDistinct, qualityBuckets, domainClassify)
 }

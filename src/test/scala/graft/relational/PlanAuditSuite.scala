@@ -200,4 +200,21 @@ class PlanAuditSuite extends SparkSessionSuite {
       assert(!plan.contains("CartesianProduct"))
     }
   }
+
+  /** The hashed linear classifier must be ONE map-side projection: no
+    * join, no aggregation, and no exchange other than the final
+    * presentation sort — the whole feature → bucket → weight-sum path
+    * lives in array expressions inside whole-stage codegen. */
+  test("domain classifier is map-side: only the presentation-sort exchange") {
+    val df = graft.SparkEntry.queries("ta_domain_classify")(spark, dir)
+    df.collect() // AQE marks codegen stages (*N) only in the final plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    withClue(plan) {
+      assert(!plan.contains("Join"))
+      assert(!plan.contains("HashAggregate"))
+      assert("Exchange".r.findAllIn(plan).size <= 1) // the ORDER BY only
+      assert(plan.contains("*(")) // codegen'd stages survive
+    }
+  }
 }
