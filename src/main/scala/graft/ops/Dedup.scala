@@ -947,6 +947,78 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** REPRESENTATIVE SELECTION over the near-dup clusters — the step
+    * that turns detection into curation: a dedup pipeline doesn't just
+    * find clusters, it keeps exactly ONE member of each and drops the
+    * rest, and WHICH member survives matters (keep-first loses the
+    * best copy whenever the best copy isn't first). The policy here is
+    * argmax by (token count desc, doc_id asc) — on the chain corpus
+    * the truncated near-dup copies lose to their originals, so the
+    * canonical doc is the least-degraded variant; a production
+    * pipeline plugs its quality score into the same ORDER BY and the
+    * plan does not change. Docs in no cluster are their own
+    * representative (singleton clusters).
+    *
+    * 100 TB shape: the selection is one row_number window over
+    * cluster_id followed by a groupBy on the SAME key — the window's
+    * shuffle partitioning is reused, so representative choice costs a
+    * single exchange beyond the CC labels it consumes. Ties cannot
+    * exist (doc_id is unique), so the argmax is deterministic in both
+    * engines. */
+  val repSelect: QueryDef = QueryDef.sql(
+    "dedup_rep_select",
+    s"""WITH RECURSIVE $corpusChainSql,
+      |$encodedToksSql,
+      |$shinglesSql,
+      |$lshPairsSql,
+      |edges0 AS (SELECT doc1, doc2 FROM pairs WHERE n_match >= 8),
+      |nodes AS (
+      |  SELECT doc1 AS doc_id FROM edges0
+      |  UNION SELECT doc2 AS doc_id FROM edges0),
+      |edges AS (
+      |  SELECT doc1 AS src, doc2 AS dst FROM edges0
+      |  UNION SELECT doc2 AS src, doc1 AS dst FROM edges0),
+      |reach AS (
+      |  SELECT doc_id AS a, doc_id AS b FROM nodes
+      |  UNION
+      |  SELECT r.a, e.dst AS b FROM reach r JOIN edges e ON e.src = r.b),
+      |clusters AS (
+      |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      |mem AS (
+      |  SELECT c.doc_id, coalesce(cl.cluster_id, c.doc_id) AS cluster_id,
+      |         len(string_split(c.text, ' ')) AS n_toks
+      |  FROM corpus c LEFT JOIN clusters cl ON cl.doc_id = c.doc_id),
+      |ranked AS (
+      |  SELECT doc_id, cluster_id, n_toks,
+      |    row_number() OVER (PARTITION BY cluster_id
+      |                       ORDER BY n_toks DESC, doc_id) AS rn
+      |  FROM mem)
+      |SELECT cluster_id, count(*) AS n_members,
+      |  max(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
+      |  max(CASE WHEN rn = 1 THEN n_toks END) AS rep_n_toks
+      |FROM ranked GROUP BY cluster_id
+      |ORDER BY cluster_id""".stripMargin) { (s, d) =>
+    val corpus = corpusChain(Tables.documents(s, d))
+    val sh = shingles(encodedToks(corpus))
+    val edges0 = lshCandidatePairs(sh)
+      .filter(col("n_match") >= 8).select(col("doc1"), col("doc2"))
+    val labels = connectedComponents(edges0)
+    val mem = corpus
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"), col("n_toks"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_toks").desc, col("doc_id"))
+    mem.withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("rep_doc_id"),
+        max(when(col("rn") === 1, col("n_toks"))).as("rep_n_toks"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Connected components of an undirected pair graph: (doc1, doc2)
     * edges → (doc_id, lbl) where lbl is the component's minimum member
     * id. Iterative min-label propagation; each round is one shuffle
@@ -1715,7 +1787,7 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] =
-    Seq(exact, lineDedup, minHashLsh, ccClusters, simHash, simHashBanded,
-      ngramJaccard, embeddingCos, embeddingCosBanded, semantic, incremental,
-      incrementalLsh, ingestGrow)
+    Seq(exact, lineDedup, minHashLsh, ccClusters, repSelect, simHash,
+      simHashBanded, ngramJaccard, embeddingCos, embeddingCosBanded, semantic,
+      incremental, incrementalLsh, ingestGrow)
 }
