@@ -445,7 +445,96 @@ object Pipeline {
       .orderBy(col("shard"), col("pos_in_shard"))
   }
 
+  /** GRADED contamination scoring — [[decontaminate]] reports which
+    * docs share ANY benchmark n-gram; real policies grade by the
+    * overlap FRACTION (the GPT-3/PaLM appendix shape: drop a doc whose
+    * gram overlap with an eval set exceeds a high bar, flag a gray
+    * zone for review, keep the rest). Per doc: distinct 4-gram count,
+    * distinct grams also in the benchmark set, their ratio, and a
+    * three-band verdict. The verdict compares CROSS-MULTIPLIED integer
+    * counts (5·shared ≥ 4·total ⇔ frac ≥ 0.8), never the rounded
+    * float — the gate-on-integers rule every pipeline op here follows,
+    * so a doc one ulp from a band edge cannot flip between engines.
+    *
+    * The fixture corpus has near-zero chance overlap, so the query
+    * PLANTS contamination (the module's plant convention): every
+    * doc ≡ 3 (mod 7) splices 60 benchmark tokens after 5 of its own
+    * (≈ 0.9 overlap → drop), every doc ≡ 5 (mod 7) splices 25 after
+    * 15 (≈ 0.6 → flag); benchmark docs (doc_id ≡ 0 mod 100) are
+    * excluded from scoring. 100 TB shape: benchmark gram sets are
+    * small by construction (eval suites, not corpora) — a broadcast
+    * left join against the corpus gram stream, one groupBy on doc_id;
+    * the plant's self-join disappears in production where contaminated
+    * text arrives contaminated. */
+  val contaminationScore: QueryDef = QueryDef.sql(
+    "pipe_contamination_score",
+    """WITH spliced AS (
+      |  SELECT d.doc_id,
+      |    CASE
+      |      WHEN d.doc_id % 100 <> 0 AND d.doc_id % 7 = 3 THEN
+      |        array_to_string(
+      |          list_slice(string_split(d.text, ' '), 1, 5) ||
+      |          list_slice(string_split(bx.text, ' '), 1, 60), ' ')
+      |      WHEN d.doc_id % 100 <> 0 AND d.doc_id % 7 = 5 THEN
+      |        array_to_string(
+      |          list_slice(string_split(d.text, ' '), 1, 15) ||
+      |          list_slice(string_split(bx.text, ' '), 1, 25), ' ')
+      |      ELSE d.text END AS text
+      |  FROM documents d JOIN documents bx ON bx.doc_id = (d.doc_id % 5) * 100),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 3),
+      |      i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM spliced) t),
+      |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 100 = 0)
+      |SELECT doc_id, n_grams, n_shared,
+      |  round(n_shared * 1.0 / n_grams, 6) AS overlap_frac,
+      |  CASE WHEN 5 * n_shared >= 4 * n_grams THEN 'drop'
+      |       WHEN 5 * n_shared >= n_grams THEN 'flag'
+      |       ELSE 'clean' END AS verdict
+      |FROM (
+      |  SELECT s.doc_id,
+      |    CAST(count(DISTINCT s.g) AS BIGINT) AS n_grams,
+      |    CAST(count(DISTINCT CASE WHEN b.g IS NOT NULL THEN s.g END) AS BIGINT)
+      |      AS n_shared
+      |  FROM sh s LEFT JOIN bench b ON b.g = s.g
+      |  WHERE s.doc_id % 100 <> 0
+      |  GROUP BY s.doc_id) z
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bx = docs.select(col("doc_id").as("bx_id"),
+      split(col("text"), " ").as("bx_toks"))
+    val spliced = docs
+      .join(bx, (col("doc_id") % 5) * 100 === col("bx_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 100 =!= 0 && col("doc_id") % 7 === 3,
+            array_join(concat(slice(split(col("text"), " "), 1, 5),
+              slice(col("bx_toks"), 1, 60)), " "))
+          .when(col("doc_id") % 100 =!= 0 && col("doc_id") % 7 === 5,
+            array_join(concat(slice(split(col("text"), " "), 1, 15),
+              slice(col("bx_toks"), 1, 25)), " "))
+          .otherwise(col("text")).as("text"))
+    val sh = spliced
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 3),
+          i => array_join(slice(col("toks"), i, lit(4)), " "))).as("g"))
+    val bench = sh.filter(col("doc_id") % 100 === 0)
+      .select(col("g").as("bg")).distinct()
+    val nShared = count_distinct(when(col("bg").isNotNull, col("g")))
+    sh.filter(col("doc_id") % 100 =!= 0)
+      .join(broadcast(bench), col("g") === col("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("g")).as("n_grams"), nShared.as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(col("n_shared") * 1.0 / col("n_grams"), 6).as("overlap_frac"),
+        when(lit(5) * col("n_shared") >= lit(4) * col("n_grams"), "drop")
+          .when(lit(5) * col("n_shared") >= col("n_grams"), "flag")
+          .otherwise("clean").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(corpusClean, domainMix, compact, decontaminate, decontaminateBloom,
-      trainSplit, profile, shuffleShard)
+      trainSplit, profile, shuffleShard, contaminationScore)
 }
