@@ -849,6 +849,154 @@ object Dedup {
       .select(col("doc1"), col("doc2"), nMatch.as("n_match"))
   }
 
+  // ---------------------------------------------- exact-substring dedup --
+
+  /** Window length (tokens) for exact-substring span dedup. */
+  private val SubLen = 8
+
+  /** Chained window hash over [[SubLen]] consecutive token ids — the
+    * shingle arithmetic extended to SubLen terms, reproduced verbatim by
+    * the oracle. Collisions merge two windows identically in BOTH
+    * engines (pure function of the token ids — the TokP argument). */
+  private def subWhash(first: Column, rest: Int => Column): Column =
+    (2 to SubLen).foldLeft(first)((acc, i) => (acc * 1009 + rest(i)) % TokP)
+
+  private def subWhashSql: String =
+    (2 to SubLen).foldLeft("tid")((acc, i) => s"(($acc * 1009 + t$i) % 1000000007)")
+
+  /** Exact-substring span dedup — the training-data dedup of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" (ACL
+    * 2022), re-expressed Spark-first: instead of a monolithic suffix
+    * array, every [[SubLen]]-token sliding window is content-hashed, and
+    * a window hash occurring in >= 2 DISTINCT documents marks a
+    * cross-document duplicate span. Duplicated text survives in exactly
+    * one place: the span's canonical document (min doc_id over the
+    * window's occurrences) keeps its tokens; every other occurrence is
+    * cut, and each document is reassembled from its surviving tokens
+    * (md5-pinned, so the reconstruction itself is bit-checked by the
+    * oracle). A token is kept iff it is covered by NO duplicate window,
+    * or by at least one window canonical to its own document — so
+    * overlapping spans never mutilate the copy that is supposed to
+    * survive.
+    *
+    * 100 TB shape: every stage is linear in corpus tokens — one per-doc
+    * window pass (shuffle on doc_id), one groupBy on the window hash,
+    * and equi-joins back on (whash) and (doc_id, pos). A boilerplate
+    * window occurring 1e6 times contributes 1e6 one-to-one join rows
+    * (each occurrence matches the ONE aggregated dup row), never a pair
+    * blowup, so no hot-bucket cap is needed — the structural advantage
+    * of span dedup over pairwise dedup. The coverage explode is bounded
+    * at SubLen rows per duplicate window occurrence. */
+  val substringDedup: QueryDef = QueryDef.sql(
+    "dedup_substring",
+    s"""WITH $corpusNearSql,
+      |se AS (
+      |  SELECT doc_id, pos, tok,
+      |    list_reduce(
+      |      [CAST(0 AS BIGINT)] ||
+      |      list_transform(generate_series(1, length(tok)),
+      |                     i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT)),
+      |      (h, c) -> (h * 131 + c) % 1000000007) AS tid
+      |  FROM (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus) a) b),
+      |win AS (
+      |  SELECT doc_id, pos, $subWhashSql AS whash
+      |  FROM (SELECT doc_id, pos, tid,
+      |          ${(2 to SubLen).map(i => s"lead(tid, ${i - 1}) OVER w AS t$i")
+                   .mkString(",\n      |          ")}
+      |        FROM se
+      |        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+      |  WHERE t$SubLen IS NOT NULL),
+      |dup AS (
+      |  SELECT whash, min(doc_id) AS canon
+      |  FROM win GROUP BY whash HAVING count(DISTINCT doc_id) >= 2),
+      |hits AS (
+      |  SELECT w.doc_id, w.pos, d.canon FROM win w JOIN dup d USING (whash)),
+      |nwin AS (SELECT doc_id, count(*) AS nw FROM hits GROUP BY doc_id),
+      |cov AS (
+      |  SELECT doc_id, cpos,
+      |    max(CASE WHEN canon = doc_id THEN 1 ELSE 0 END) AS own
+      |  FROM (SELECT doc_id, canon,
+      |          unnest(generate_series(pos, pos + ${SubLen - 1})) AS cpos
+      |        FROM hits) x
+      |  GROUP BY doc_id, cpos),
+      |tk AS (
+      |  SELECT e.doc_id, e.pos, e.tok,
+      |    CASE WHEN c.cpos IS NULL THEN 0 ELSE 1 END AS covered,
+      |    CASE WHEN c.cpos IS NULL OR c.own = 1 THEN 1 ELSE 0 END AS kept
+      |  FROM se e LEFT JOIN cov c ON c.doc_id = e.doc_id AND c.cpos = e.pos),
+      |base AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    CAST(sum(covered) AS BIGINT) AS n_dup_tokens,
+      |    CAST(sum(kept) AS BIGINT) AS n_kept_tokens,
+      |    md5(coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE kept = 1),
+      |                 '')) AS cleaned_md5
+      |  FROM tk GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_tokens,
+      |  coalesce(n.nw, 0) AS n_dup_windows,
+      |  b.n_dup_tokens, b.n_kept_tokens,
+      |  round(b.n_dup_tokens * 1.0 / b.n_tokens, 6) AS dup_frac,
+      |  b.cleaned_md5
+      |FROM base b LEFT JOIN nwin n ON n.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+    substringSpanDedup(corpusNear(Tables.documents(s, d)))
+  }
+
+  /** [[substringDedup]]'s engine over any (doc_id, text) frame — exposed
+    * for library use and suite-level planting. */
+  private[graft] def substringSpanDedup(corpus: DataFrame): DataFrame = {
+    val se = graft.InternalCaches.register(corpus
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"),
+        tokHash(col("tok")).as("tid"))
+      .persist())
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val win = graft.InternalCaches.register(se
+      .select(Seq(col("doc_id"), col("pos"), col("tid")) ++
+        (2 to SubLen).map(i => lead(col("tid"), i - 1).over(w).as(s"t$i")): _*)
+      .filter(col(s"t$SubLen").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        subWhash(col("tid"), i => col(s"t$i")).as("whash"))
+      .persist())
+    val dup = win.groupBy(col("whash"))
+      .agg(countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("canon"))
+      .filter(col("df") >= 2)
+      .select(col("whash"), col("canon"))
+    val hits = graft.InternalCaches.register(win.join(dup, Seq("whash"))
+      .select(col("doc_id"), col("pos"), col("canon"))
+      .persist())
+    val nwin = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val cov = hits
+      .select(col("doc_id"), col("canon"),
+        explode(sequence(col("pos"), col("pos") + lit(SubLen - 1))).as("cpos"))
+      .groupBy(col("doc_id"), col("cpos"))
+      .agg(max(when(col("canon") === col("doc_id"), 1).otherwise(0)).as("own"))
+    val tk = se.as("e").join(cov.as("c"),
+        col("e.doc_id") === col("c.doc_id") && col("c.cpos") === col("e.pos"),
+        "left_outer")
+      .select(col("e.doc_id").as("doc_id"), col("e.pos").as("pos"),
+        col("e.tok").as("tok"),
+        when(col("c.cpos").isNull, 0).otherwise(1).as("covered"),
+        when(col("c.cpos").isNull || col("c.own") === 1, 1).otherwise(0).as("kept"))
+    val base = tk.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("covered")).cast("long").as("n_dup_tokens"),
+        sum(col("kept")).cast("long").as("n_kept_tokens"),
+        // collect_list drops the un-matched `when` nulls, so only kept
+        // tokens collect; the struct sort restores token order
+        md5(coalesce(array_join(transform(array_sort(collect_list(
+          when(col("kept") === 1, struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")), " "), lit(""))).as("cleaned_md5"))
+    base.join(nwin, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("nw"), lit(0L)).as("n_dup_windows"),
+        col("n_dup_tokens"), col("n_kept_tokens"),
+        round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"),
+        col("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash signatures + banded LSH candidate pairs: shingle → 16 affine
     * min-hashes → 2 bands of 8 → bucket self-join. Linear in corpus size;
     * the only joins are bounded band-bucket joins. */
@@ -1787,7 +1935,7 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] =
-    Seq(exact, lineDedup, minHashLsh, ccClusters, repSelect, simHash,
-      simHashBanded, ngramJaccard, embeddingCos, embeddingCosBanded, semantic,
-      incremental, incrementalLsh, ingestGrow)
+    Seq(exact, lineDedup, substringDedup, minHashLsh, ccClusters, repSelect,
+      simHash, simHashBanded, ngramJaccard, embeddingCos, embeddingCosBanded,
+      semantic, incremental, incrementalLsh, ingestGrow)
 }

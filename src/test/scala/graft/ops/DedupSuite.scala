@@ -327,4 +327,38 @@ class DedupSuite extends SparkSessionSuite {
     // are lower-id, cos ~ 1); max natural pair cosine is 0.51
     uncapped.count() shouldBe (n - 20)
   }
+
+  /** r7: exact-substring span dedup keeps a shared span only in its
+    * canonical (min doc_id) document, cuts it from every copy, and
+    * leaves unique text untouched — including unique prefix/suffix text
+    * in documents that carry a duplicated span. */
+  test("substringSpanDedup: canonical keeps span, copies are cut") {
+    val s = spark
+    import s.implicits._
+    val span = (1 to 9).map(i => s"shared$i").mkString(" ") // 9 toks > SubLen=8
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),          // canonical holder
+      (2L, s"epsilon zeta $span eta theta"),          // copy: span cut
+      (3L, "iota kappa lambda mu nu xi omicron pi rho sigma")) // unique
+      .toDF("doc_id", "text")
+    val out = Dedup.substringSpanDedup(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    graft.InternalCaches.releaseAll()
+
+    // doc 1: 13 tokens, span covered (9 toks dup) but ALL kept (canonical)
+    out(1L).getLong(1) shouldBe 13L
+    out(1L).getLong(3) shouldBe 9L  // n_dup_tokens
+    out(1L).getLong(4) shouldBe 13L // n_kept_tokens: canonical keeps span
+    // doc 2: 13 tokens, 9 dup tokens cut -> 4 kept (its unique corners)
+    out(2L).getLong(3) shouldBe 9L
+    out(2L).getLong(4) shouldBe 4L
+    // doc 3: untouched
+    out(3L).getLong(2) shouldBe 0L  // n_dup_windows
+    out(3L).getLong(4) shouldBe 10L
+    // doc 2's reconstruction = its four unique tokens, md5-pinned
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("epsilon zeta eta theta".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    out(2L).getString(6) shouldBe md5
+  }
 }
