@@ -534,7 +534,71 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** TOKEN-BUDGET mixture sampling — the step that turns "we crawled N
+    * tokens per source" into "the training mix holds B tokens per
+    * source, best documents first": within each source, documents are
+    * ranked by quality (type–token ratio, tiebreak doc_id) and admitted
+    * greedily until the source's token budget (here: half its crawled
+    * tokens) is spent. Unlike [[domainMix]] (doc-count rate sampling,
+    * membership decided per-row by hash), this is a budgeted knapsack
+    * prefix — the contract used when the unit of cost is TOKENS, as in
+    * real pretraining mixes.
+    *
+    * Determinism: the ranking key is the raw IEEE ratio n_distinct /
+    * n_tokens of identical integers — bit-identical in both engines —
+    * with doc_id as total tiebreak; the reported quality column is
+    * rounded to 6 decimals (display only, never compared against).
+    *
+    * 100 TB shape: one map-side stats pass, one groupBy(source) for
+    * budgets (|sources| rows, broadcast back), one window partitioned
+    * by source for the running token sum. The per-source window is the
+    * honest cost: sources are few, so at deployment scale the same
+    * contract is served by a two-pass quantile-threshold plan (sketch
+    * the per-source quality distribution, cut at the budget quantile,
+    * map-side filter) — the window formulation here IS the semantics
+    * that plan must reproduce. */
+  val tokenBudget: QueryDef = QueryDef.sql(
+    "pipe_token_budget",
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0
+      |      / len(string_split(text, ' ')) AS ttr
+      |  FROM documents),
+      |b AS (
+      |  SELECT source, CAST(sum(n_tokens) // 2 AS BIGINT) AS budget
+      |  FROM q GROUP BY source),
+      |r AS (
+      |  SELECT q.doc_id, q.source, q.n_tokens, q.ttr, b.budget,
+      |    CAST(sum(q.n_tokens) OVER (
+      |      PARTITION BY q.source ORDER BY q.ttr DESC, q.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM q JOIN b USING (source))
+      |SELECT doc_id, source, n_tokens, round(ttr, 6) AS quality,
+      |  cum_tokens, budget
+      |FROM r WHERE cum_tokens <= budget
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val q = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(array_distinct(toks)) * lit(1.0) / size(toks)).as("ttr"))
+    val budgets = q.groupBy(col("source"))
+      .agg(expr("CAST(sum(n_tokens) DIV 2 AS BIGINT)").as("budget"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("ttr").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    q.join(broadcast(budgets), Seq("source"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("ttr"), 6).as("quality"), col("cum_tokens"), col("budget"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(corpusClean, domainMix, compact, decontaminate, decontaminateBloom,
-      trainSplit, profile, shuffleShard, contaminationScore)
+      trainSplit, profile, shuffleShard, contaminationScore, tokenBudget)
 }
