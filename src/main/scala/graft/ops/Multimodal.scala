@@ -564,6 +564,148 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** PERCEPTUAL-HASH image near-dup (the aHash family: pHash/aHash/
+    * dHash): each image's decoded pixel grid is partitioned into an
+    * 8×8 grid of cells, each cell's mean brightness is compared to the
+    * image's global mean, and the 64 resulting bits form the perceptual
+    * signature — two images are near-dups when the signatures' Hamming
+    * distance is small. Unlike [[fuzzyDedup]] (byte-stream CTPH — any
+    * payload, no notion of pixels), this operates on the DECODED 2-D
+    * grid with spatial block averaging, which buys the family's
+    * signature property: a global brightness shift changes every cell
+    * mean and the global mean by the same amount, so the hash is
+    * EXACTLY invariant (the planted +3-brightness copies land at
+    * Hamming 0 — md5 and byte-CTPH both see them as different media).
+    * The mean comparison is exact integer cross-multiplication
+    * (cell_sum·total_px vs total_sum·cell_px) — no FP anywhere.
+    *
+    * Spark reads REAL payload bytes (`binary_bytes` O(1) element
+    * access); the oracle recomputes the same pixels from the planting
+    * formula — the binary plumbing stays end-to-end checked. The
+    * signature computes entirely map-side per image (nested HOF folds,
+    * one O(n) pixel pass — no pixel explode, no shuffle); the only
+    * shuffles are the 8-bit band-bucket candidate equi-join and the
+    * bounded Hamming verify join, exactly the [[fuzzyDedup]] 100 TB
+    * shape. */
+  val phashDedup: QueryDef = {
+    QueryDef.sql(
+      "mm_phash_dedup",
+      s"""WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(16 + doc_id % 48 AS INT) AS w,
+        |    CAST(16 + (doc_id * 7) % 32 AS INT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |corpus AS (
+        |  SELECT media_id, media_id AS src, w, h, 0 AS pert FROM m
+        |  UNION ALL
+        |  SELECT media_id + 10000 AS media_id, media_id AS src, w, h, 1 AS pert
+        |  FROM m WHERE media_id % 30 = 0),
+        |cells AS (
+        |  SELECT media_id, u.c AS c,
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(
+        |      generate_series(((u.c // 8) * h + 7) // 8,
+        |                      ((u.c // 8 + 1) * h + 7) // 8 - 1),
+        |      y -> list_reduce([CAST(0 AS BIGINT)] || list_transform(
+        |             generate_series(((u.c % 8) * w + 7) // 8,
+        |                             ((u.c % 8 + 1) * w + 7) // 8 - 1),
+        |             x -> CAST((src * 31 + y * w + x) % $BodyMod
+        |                       + 3 * pert AS BIGINT)),
+        |           (a, b) -> a + b)),
+        |      (a, b) -> a + b) AS cs,
+        |    (((u.c % 8 + 1) * w + 7) // 8 - ((u.c % 8) * w + 7) // 8)
+        |      * (((u.c // 8 + 1) * h + 7) // 8 - ((u.c // 8) * h + 7) // 8)
+        |      AS cp,
+        |    w * h AS tp
+        |  FROM corpus CROSS JOIN LATERAL unnest(generate_series(0, 63)) u(c)),
+        |tot AS (
+        |  SELECT media_id, CAST(sum(cs) AS BIGINT) AS ts FROM cells
+        |  GROUP BY media_id),
+        |bands AS (
+        |  SELECT c.media_id, c.c // 8 AS bi,
+        |    CAST(sum((CASE WHEN c.cs * c.tp > t.ts * c.cp THEN 1 ELSE 0 END)
+        |             << (c.c % 8)) AS BIGINT) AS bv
+        |  FROM cells c JOIN tot t ON t.media_id = c.media_id
+        |  GROUP BY c.media_id, c.c // 8),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS ida, b.media_id AS idb
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.bv = b.bv AND a.media_id < b.media_id),
+        |ham AS (
+        |  SELECT c.ida, c.idb,
+        |    CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bands x ON x.media_id = c.ida
+        |  JOIN bands y ON y.media_id = c.idb AND y.bi = x.bi
+        |  GROUP BY c.ida, c.idb)
+        |SELECT ida, idb, hamming FROM ham WHERE hamming <= 2
+        |ORDER BY ida, idb""".stripMargin) { (s, d) =>
+      val media = syntheticMedia(Tables.documents(s, d))
+        .filter(col("kind") === "image")
+        .select(col("media_id"), expr("binary_bytes(payload)").as("bytes"),
+          col("meta.width").cast("long").as("w"),
+          col("meta.height").cast("long").as("h"))
+      val corpus = media.select(col("media_id"), col("bytes"), col("w"),
+          col("h"), lit(0L).as("pert"))
+        .unionAll(media.filter(col("media_id") % 30 === 0)
+          .select((col("media_id") + 10000).as("media_id"), col("bytes"),
+            col("w"), col("h"), lit(1L).as("pert")))
+      // pixel (x, y), 0-based: real payload byte + the brightness plant
+      // (bytes are <= 250; +3 never overflows the 0..255 range)
+      def px(x: Column, y: Column): Column =
+        element_at(col("bytes"), (y * col("w") + x + 5).cast("int"))
+          .cast("long") + lit(3L) * col("pert")
+      // cell c in [0,64): rows/cols covering floor(x*8/w) = c%8 etc.
+      // (double division is exact at these magnitudes; cast truncates
+      // toward zero = floor for the non-negative operands here)
+      def lo(i: Column, dim: Column): Column =
+        floor((i * dim + 7) / lit(8.0)).cast("long")
+      def cellOf(c: Column): Column = {
+        val cx = c % 8
+        val cy = floor(c / lit(8.0)).cast("long")
+        val (x0, x1) = (lo(cx, col("w")), lo(cx + 1, col("w")) - 1)
+        val (y0, y1) = (lo(cy, col("h")), lo(cy + 1, col("h")) - 1)
+        struct(
+          aggregate(sequence(y0, y1), lit(0L), (sy, y) =>
+            sy + aggregate(sequence(x0, x1), lit(0L), (sx, x) =>
+              sx + px(x, y))).as("cs"),
+          ((x1 - x0 + 1) * (y1 - y0 + 1)).as("cp"))
+      }
+      val pows = array((0 until 8).map(i => lit(1L << i)): _*)
+      val sigs = graft.InternalCaches.register(corpus
+        .withColumn("cells",
+          transform(sequence(lit(0L), lit(63L)), c => cellOf(c)))
+        .withColumn("ts",
+          aggregate(col("cells"), lit(0L), (a, x) => a + x.getField("cs")))
+        .withColumn("tp", col("w") * col("h"))
+        .select(col("media_id"),
+          transform(sequence(lit(0L), lit(7L)), bi =>
+            aggregate(sequence(lit(0L), lit(7L)), lit(0L), (a, k) => {
+              val cell = element_at(col("cells"), (bi * 8 + k + 1).cast("int"))
+              val bit = when(cell.getField("cs") * col("tp") >
+                col("ts") * cell.getField("cp"), 1L).otherwise(0L)
+              a + bit * element_at(pows, (k + 1).cast("int"))
+            })).as("bands"))
+        .persist())
+      val ex = sigs.select(col("media_id"),
+        posexplode(col("bands")).as(Seq("bi", "bv")))
+      val cand = ex.as("a")
+        .join(ex.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("ida"), col("b.media_id").as("idb"))
+        .distinct()
+      cand
+        .join(sigs.as("x"), col("ida") === col("x.media_id"))
+        .join(sigs.as("y"), col("idb") === col("y.media_id"))
+        .select(col("ida"), col("idb"),
+          aggregate(zip_with(col("x.bands"), col("y.bands"),
+            (p, q) => bit_count(p.bitwiseXOR(q)).cast("long")),
+            lit(0L), (a, v) => a + v).as("hamming"))
+        .filter(col("hamming") <= 2)
+        .orderBy(col("ida"), col("idb"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(decodeMeta, frames, features, resize,
-    binaryDedup, fuzzyDedup, textAlign)
+    binaryDedup, fuzzyDedup, phashDedup, textAlign)
 }
