@@ -1315,7 +1315,95 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SCALAR-QUANTIZATION top-k (the FAISS SQ8 leg, completing the ANN
+    * compression family next to PQ/ADC): each dimension is quantized
+    * independently to an 8-bit code against the corpus's per-dimension
+    * [min, max] range — 4× smaller than float32 with no codebook
+    * training — and queries run ASYMMETRICALLY: the raw query vector is
+    * compared against dequantized corpus codes, so only the corpus pays
+    * the compression error. Per-dimension squared differences are
+    * rounded to integer micro-units BEFORE the sum (the PQ/ADC
+    * convention), making the ranking a pure integer sort — no
+    * FP-summation-order hazard in either engine.
+    *
+    * 100 TB shape: the range stats are one aggregate producing |dims|
+    * rows (broadcast); encoding is map-side against that broadcast; the
+    * query×corpus×dim fan-out is the SQ8 contract (a full ADC scan —
+    * the IVF cell-pruned variant composes by feeding [[topKIvf]]'s
+    * candidate cells instead of the full corpus); ranking is one
+    * groupBy + per-query top-k (WindowGroupLimit). Codes never leave
+    * executors; the broadcast sides are |dims| and |queries|·|dims|
+    * rows. */
+  val sq8TopK: QueryDef = QueryDef.sql(
+    "sim_sq8_topk",
+    """WITH f AS (
+      |  SELECT vec_id, CAST(e AS DOUBLE) AS v, pos
+      |  FROM (SELECT vec_id, unnest(embedding) AS e,
+      |          generate_subscripts(embedding, 1) AS pos
+      |        FROM embeddings) t),
+      |stats AS (
+      |  SELECT pos, min(v) AS mn, max(v) AS mx FROM f GROUP BY pos),
+      |codes AS (
+      |  SELECT f.vec_id, f.pos,
+      |    CASE WHEN s.mx = s.mn THEN 0
+      |         ELSE CAST(round((f.v - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT)
+      |    END AS code
+      |  FROM f JOIN stats s ON s.pos = f.pos),
+      |q AS (SELECT vec_id AS query_id, pos, v AS qv FROM f
+      |      WHERE vec_id % 50 = 0),
+      |dm AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    CAST(round(power(q.qv - (s.mn + c.code * (s.mx - s.mn) / 255.0), 2)
+      |               * 1000000) AS BIGINT) AS dm
+      |  FROM codes c
+      |  JOIN stats s ON s.pos = c.pos
+      |  JOIN q ON q.pos = c.pos
+      |  WHERE c.vec_id <> q.query_id),
+      |dist AS (
+      |  SELECT query_id, neighbor_id, CAST(sum(dm) AS BIGINT) AS dist_micro
+      |  FROM dm GROUP BY query_id, neighbor_id)
+      |SELECT query_id, rank, neighbor_id, dist_micro FROM (
+      |  SELECT query_id, neighbor_id, dist_micro,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY dist_micro, neighbor_id) AS rank
+      |  FROM dist) t
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val f = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("pos0", "v")))
+      .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("v"))
+    val fC = graft.InternalCaches.register(f.persist())
+    val stats = fC.groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val codes = fC.join(broadcast(stats), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        when(col("mx") === col("mn"), 0L)
+          .otherwise(round((col("v") - col("mn")) * 255.0
+            / (col("mx") - col("mn"))).cast("long")).as("code"))
+    val q = fC.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("pos"), col("v").as("qv"))
+    val deq = col("mn") + col("code") * (col("mx") - col("mn")) / lit(255.0)
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_micro"), col("neighbor_id"))
+    codes
+      .join(broadcast(stats), Seq("pos"))
+      .join(broadcast(q), Seq("pos"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round((col("qv") - deq) * (col("qv") - deq) * 1e6).cast("long")
+          .as("dm"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dm")).as("dist_micro"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("dist_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(topKBrute, topKLsh, rangeSearch, rangeSearchLsh, topKIvf, hybridRrf,
-      hardNegativesQuery, bm25, pqEncode, pqTopK)
+      hardNegativesQuery, bm25, pqEncode, pqTopK, sq8TopK)
 }

@@ -166,4 +166,29 @@ class SimilaritySuite extends SparkSessionSuite {
     recall should be >= 0.6 // sim_topk_ivf regime (0.84 recall@5) applies
     prep.unpersist()
   }
+
+  /** r7: SQ8's 8-bit-per-dim quantization error is tiny relative to
+    * inter-vector L2 distances, so its asymmetric top-5 must recover
+    * nearly all exact-L2 top-5 neighbors — far above the coarser
+    * IVF/LSH floors. Exact sets computed driver-side on the fixture. */
+  test("SQ8 top-k hits a high recall floor vs exact L2") {
+    val s = spark
+    val outRows = Similarity.sq8TopK.fn(s, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    graft.InternalCaches.releaseAll()
+    val vecs = graft.Tables.embeddings(s, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val exact = vecs.keys.filter(_ % 50 == 0).flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          val d = v.zip(vecs(q)).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d, id)
+        }
+        .sortBy(identity).take(5).map { case (_, id) => (q, id) }
+    }.toSet
+    val recall = outRows.intersect(exact).size.toDouble / exact.size
+    withClue(s"sq8 recall $recall: ") { recall should be >= 0.9 }
+  }
 }
