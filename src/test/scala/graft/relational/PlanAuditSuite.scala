@@ -217,4 +217,40 @@ class PlanAuditSuite extends SparkSessionSuite {
       assert(plan.contains("*(")) // codegen'd stages survive
     }
   }
+
+  /** r7 additions: every candidate/duplicate stage stays a keyed
+    * equi-join — substring span dedup, the perceptual-hash bands, and
+    * the SQ8 scan must never plan a cartesian. */
+  test("r7 ops: substring/phash/sq8/token-budget plans stay equi-join") {
+    Seq("dedup_substring", "mm_phash_dedup", "pipe_token_budget")
+      .foreach { q =>
+        val plan = physicalPlan(q)
+        withClue(s"$q plan:\n$plan\n") {
+          assert(!plan.contains("CartesianProduct"))
+          assert(!plan.contains("BroadcastNestedLoopJoin"))
+        }
+        graft.InternalCaches.releaseAll()
+      }
+    // SQ8: the range-stats and query tables ride broadcasts (two
+    // BroadcastExchanges); the corpus side never shuffles for the scan.
+    val sq8 = physicalPlan("sim_sq8_topk")
+    withClue(s"sim_sq8_topk plan:\n$sq8\n") {
+      assert(!sq8.contains("CartesianProduct"))
+      assert("BroadcastExchange".r.findAllIn(sq8).size >= 2)
+    }
+    graft.InternalCaches.releaseAll()
+  }
+
+  /** The perceptual-hash signature computes map-side: up to the bands
+    * posexplode there is no exchange at all — the only shuffles in the
+    * whole plan are the candidate-join and Hamming-verify stages. */
+  test("phash signatures are map-side; bounded shuffle count") {
+    val plan = physicalPlan("mm_phash_dedup")
+    withClue(plan) {
+      // media scan → signature is join-free until the band self-join
+      assert("Exchange".r.findAllIn(plan).size <= 8)
+      assert(!plan.contains("CartesianProduct"))
+    }
+    graft.InternalCaches.releaseAll()
+  }
 }
