@@ -1403,7 +1403,156 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** One ingestion round against a persisted IVF index: probe each
+    * incoming vector's top-1 neighbor ([[topKFromIvfIndex]], the
+    * quantized-rank contract), REJECT those whose best cosine clears
+    * `cut`, APPEND the survivors ([[appendToIvfIndex]]) so the next
+    * round probes against them too. Returns the admitted rows. */
+  def ingestIntoIvfIndex(s: SparkSession, dir: String, batch: DataFrame,
+      cut: Double = 0.99, nprobe: Int = IvfNprobe): DataFrame = {
+    val rejected = topKFromIvfIndex(s, dir, batch, k = 1, nprobe = nprobe)
+      .filter(col("cos") >= cut)
+      .select(col("query_id").as("vec_id"))
+    val admitted = batch.join(rejected, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    appendToIvfIndex(dir, admitted)
+    admitted
+  }
+
+  /** SELF-GROWING embedding-ingestion dedup — [[Dedup.ingestGrow]]'s
+    * contract on the VECTOR side, completing the lifecycle symmetry:
+    * the corpus's IVF index persists ONCE, then every arriving batch
+    * probes it for semantic near-dups (top-1 cosine ≥ 0.99 over the
+    * probed cells) and the ADMITTED vectors are appended into the
+    * index's cell partitions — so batch 2's near-dups of batch-1
+    * admissions are rejected by an index that grew, never by a corpus
+    * rescan. Batch 1 carries scaled near-dups of corpus vectors
+    * (rejected) and reversed fresh vectors (admitted); batch 2 carries
+    * scaled near-dups of batch 1's admissions (rejected ⇔ the index
+    * grew) and rotated fresh vectors (admitted).
+    *
+    * The screen is the IVF probe itself — candidates come from the
+    * frozen quantizer's nprobe nearest cells, O(batch·nlist) distance
+    * arithmetic + bounded cell joins per batch, never O(corpus); the
+    * sanctioned IVF recall loss applies to the screen exactly as it
+    * does to [[topKIvf]]. The oracle replays the same frozen-quantizer
+    * arithmetic transiently; the suite separately pins probe-after-
+    * append ≡ rebuilt-index, so the persisted path and this transient
+    * twin cannot diverge. */
+  val ivfIngestGrow: QueryDef = QueryDef.sql(
+    "sim_ingest_grow",
+    s"""WITH prep0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |b1 AS (
+      |  SELECT vec_id + 20000 AS vec_id,
+      |    list_transform(v, x -> x * 1.01 + 0.0001) AS v
+      |  FROM prep0 WHERE vec_id % 25 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 30000 AS vec_id, list_reverse(v) AS v
+      |  FROM prep0 WHERE vec_id % 25 = 5),
+      |b2 AS (
+      |  SELECT vec_id + 40000 AS vec_id,
+      |    list_transform(list_reverse(v), x -> x * 1.01 + 0.0001) AS v
+      |  FROM prep0 WHERE vec_id % 25 = 5
+      |  UNION ALL
+      |  SELECT vec_id + 50000 AS vec_id,
+      |    list_slice(v, 2, len(v)) || [v[1]] AS v
+      |  FROM prep0 WHERE vec_id % 25 = 10),
+      |allv AS (
+      |  SELECT * FROM prep0 UNION ALL SELECT * FROM b1
+      |  UNION ALL SELECT * FROM b2),
+      |flat AS (
+      |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
+      |  FROM allv),
+      |norms AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM flat GROUP BY vec_id),
+      |strd AS (
+      |  SELECT (count(*) + ${IvfNlist - 1}) // $IvfNlist AS s FROM prep0),
+      |centflat AS (
+      |  SELECT vec_id AS cid, pos, e FROM flat
+      |  WHERE vec_id < 20000 AND vec_id % (SELECT s FROM strd) = 0),
+      |dist AS (
+      |  SELECT f.vec_id, c.cid, sum((f.e - c.e) * (f.e - c.e)) AS d
+      |  FROM flat f JOIN centflat c ON c.pos = f.pos
+      |  GROUP BY f.vec_id, c.cid),
+      |rc AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |  FROM dist),
+      |assign AS (SELECT vec_id, cid AS cell FROM rc WHERE rn = 1),
+      |probe AS (SELECT vec_id, cid AS cell FROM rc WHERE rn <= $IvfNprobe),
+      |cand1 AS (
+      |  SELECT DISTINCT p.vec_id AS qid, a.vec_id AS mid
+      |  FROM probe p JOIN assign a ON a.cell = p.cell
+      |  WHERE p.vec_id >= 20000 AND p.vec_id < 40000 AND a.vec_id < 20000),
+      |cos1 AS (
+      |  SELECT dd.qid, max(round(dd.dot / (nq.nrm * nm.nrm), 6)) AS mx
+      |  FROM (SELECT c.qid, c.mid, sum(fa.e * fb.e) AS dot
+      |        FROM cand1 c
+      |        JOIN flat fa ON fa.vec_id = c.qid
+      |        JOIN flat fb ON fb.vec_id = c.mid AND fb.pos = fa.pos
+      |        GROUP BY c.qid, c.mid) dd
+      |  JOIN norms nq ON nq.vec_id = dd.qid
+      |  JOIN norms nm ON nm.vec_id = dd.mid
+      |  GROUP BY dd.qid),
+      |adm1 AS (
+      |  SELECT vec_id FROM b1
+      |  WHERE vec_id NOT IN (SELECT qid FROM cos1 WHERE mx >= 0.99)),
+      |cand2 AS (
+      |  SELECT DISTINCT p.vec_id AS qid, a.vec_id AS mid
+      |  FROM probe p JOIN assign a ON a.cell = p.cell
+      |  WHERE p.vec_id >= 40000
+      |    AND (a.vec_id < 20000 OR a.vec_id IN (SELECT vec_id FROM adm1))),
+      |cos2 AS (
+      |  SELECT dd.qid, max(round(dd.dot / (nq.nrm * nm.nrm), 6)) AS mx
+      |  FROM (SELECT c.qid, c.mid, sum(fa.e * fb.e) AS dot
+      |        FROM cand2 c
+      |        JOIN flat fa ON fa.vec_id = c.qid
+      |        JOIN flat fb ON fb.vec_id = c.mid AND fb.pos = fa.pos
+      |        GROUP BY c.qid, c.mid) dd
+      |  JOIN norms nq ON nq.vec_id = dd.qid
+      |  JOIN norms nm ON nm.vec_id = dd.mid
+      |  GROUP BY dd.qid),
+      |adm2 AS (
+      |  SELECT vec_id FROM b2
+      |  WHERE vec_id NOT IN (SELECT qid FROM cos2 WHERE mx >= 0.99))
+      |SELECT * FROM (
+      |  SELECT 1 AS batch_no, vec_id FROM adm1
+      |  UNION ALL
+      |  SELECT 2 AS batch_no, vec_id FROM adm2)
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    def withNrm(df: DataFrame): DataFrame = df.withColumn("nrm",
+      sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val prep = graft.InternalCaches.register(
+      prepared(Tables.embeddings(s, d)).persist())
+    val b1 = withNrm(prep.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 20000).as("vec_id"),
+        transform(col("v"), x => x * 1.01 + 0.0001).as("v"))
+      .unionAll(prep.filter(col("vec_id") % 25 === 5)
+        .select((col("vec_id") + 30000).as("vec_id"),
+          reverse(col("v")).as("v"))))
+    val b2 = withNrm(prep.filter(col("vec_id") % 25 === 5)
+      .select((col("vec_id") + 40000).as("vec_id"),
+        transform(reverse(col("v")), x => x * 1.01 + 0.0001).as("v"))
+      .unionAll(prep.filter(col("vec_id") % 25 === 10)
+        .select((col("vec_id") + 50000).as("vec_id"),
+          concat(slice(col("v"), lit(2), size(col("v")) - 1),
+            array(element_at(col("v"), 1))).as("v"))))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-ingest-" +
+      java.util.UUID.randomUUID
+    saveIvfIndex(prep, dir)
+    val a1 = ingestIntoIvfIndex(s, dir, b1)
+    val a2 = ingestIntoIvfIndex(s, dir, b2)
+    val out = a1.select(lit(1).as("batch_no"), col("vec_id"))
+      .unionAll(a2.select(lit(2).as("batch_no"), col("vec_id")))
+      .orderBy(col("vec_id"))
+      .localCheckpoint(true)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    out
+  }
+
   val all: Seq[QueryDef] =
     Seq(topKBrute, topKLsh, rangeSearch, rangeSearchLsh, topKIvf, hybridRrf,
-      hardNegativesQuery, bm25, pqEncode, pqTopK, sq8TopK)
+      hardNegativesQuery, bm25, pqEncode, pqTopK, sq8TopK, ivfIngestGrow)
 }
