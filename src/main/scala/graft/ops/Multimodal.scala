@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -706,6 +707,161 @@ object Multimodal {
     }
   }
 
+  /** CONTENT-DEFINED CHUNKING dedup (the rsync/LBFS/backup-dedup
+    * family): chunk boundaries are declared wherever a rolling hash of
+    * the last 8 bytes satisfies `h % 16 == 0`, so boundaries are a
+    * function of CONTENT, not of byte offsets — after an insertion the
+    * chunking re-synchronizes and every chunk beyond the edit hashes
+    * identically to the original. Fixed-size blocks lose alignment at
+    * the first inserted byte; that re-sync is the entire reason this
+    * family exists, and the planted copies (3 bytes spliced into the
+    * body at offset 50) prove it: they share almost every chunk with
+    * their source except the few spanning the splice. Each media's
+    * body is salted by its id so the fixture's cyclic byte formula
+    * cannot alias unrelated payloads into shared chunks — sharing then
+    * measures true content overlap. Chunks are compared by md5 of the
+    * byte run (collision-proof), and the per-media report is the
+    * storage-dedup telemetry: chunk count, chunks shared with ≥ 2
+    * media, shared fraction.
+    *
+    * 100 TB shape: the per-position rolling hash and boundary flags
+    * are one per-payload window pass (shuffle on media_id — in a real
+    * deployment this folds into the batched decoder, map-side); chunk
+    * hashing is a groupBy on (media, chunk); sharing is one groupBy on
+    * the chunk hash plus an equi-join back — the exact-dedup plan at
+    * chunk granularity. A popular chunk joins 1:1 per occurrence
+    * against its aggregated dup row — no pair blowup anywhere. */
+  val cdcDedup: QueryDef = QueryDef.sql(
+    "mm_cdc_dedup",
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 3 = 2 THEN ${4 * FrameSize}
+      |         ELSE CAST(16 + doc_id % 48 AS INT)
+      |              * CAST(16 + (doc_id * 7) % 32 AS INT) END AS body_len
+      |  FROM documents),
+      |corpus0 AS (
+      |  SELECT media_id, list_transform(generate_series(0, body_len - 1),
+      |    k -> (((media_id * 31 + k) % $BodyMod)
+      |          + ((media_id % 256) * k
+      |             + (media_id // 256) * ((k * k) % 251)
+      |             + media_id) % 256) % 256) AS body
+      |  FROM m),
+      |corpus AS (
+      |  SELECT media_id, body FROM corpus0
+      |  UNION ALL
+      |  SELECT media_id + 10000 AS media_id,
+      |    list_slice(body, 1, 50) || [CAST(7 AS BIGINT), 7, 7]
+      |      || list_slice(body, 51, len(body)) AS body
+      |  FROM corpus0 WHERE media_id % 10 = 0),
+      |px AS (
+      |  SELECT media_id, unnest(body) AS b,
+      |    generate_subscripts(body, 1) AS pos
+      |  FROM corpus),
+      |rolled AS (
+      |  SELECT media_id, pos, b,
+      |    lag(b, 7) OVER w AS l7, lag(b, 6) OVER w AS l6,
+      |    lag(b, 5) OVER w AS l5, lag(b, 4) OVER w AS l4,
+      |    lag(b, 3) OVER w AS l3, lag(b, 2) OVER w AS l2,
+      |    lag(b, 1) OVER w AS l1
+      |  FROM px
+      |  WINDOW w AS (PARTITION BY media_id ORDER BY pos)),
+      |flagged AS (
+      |  SELECT media_id, pos, b,
+      |    CASE WHEN pos >= 8 AND
+      |      (((((((((((((CAST(l7 AS BIGINT) * 131 + l6) % 1000000007)
+      |        * 131 + l5) % 1000000007) * 131 + l4) % 1000000007)
+      |        * 131 + l3) % 1000000007) * 131 + l2) % 1000000007)
+      |        * 131 + l1) % 1000000007) * 131 + b) % 1000000007 % 16 = 0
+      |    THEN 1 ELSE 0 END AS flag
+      |  FROM rolled),
+      |cids AS (
+      |  SELECT media_id, pos, b,
+      |    coalesce(sum(flag) OVER (PARTITION BY media_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+      |  FROM flagged),
+      |chunks AS (
+      |  SELECT media_id, cid,
+      |    md5(string_agg(CAST(b AS VARCHAR), ',' ORDER BY pos)) AS ch,
+      |    count(*) AS clen
+      |  FROM cids GROUP BY media_id, cid),
+      |shared AS (
+      |  SELECT ch FROM chunks WHERE clen >= 8 GROUP BY ch
+      |  HAVING count(DISTINCT media_id) >= 2)
+      |SELECT c.media_id,
+      |  count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN s.ch IS NULL OR c.clen < 8 THEN 0 ELSE 1 END)
+      |       AS BIGINT) AS n_shared,
+      |  round(sum(CASE WHEN s.ch IS NULL OR c.clen < 8 THEN 0 ELSE 1 END)
+      |        * 1.0 / count(*), 6) AS shared_frac
+      |FROM chunks c LEFT JOIN shared s ON s.ch = c.ch
+      |GROUP BY c.media_id
+      |ORDER BY c.media_id""".stripMargin) { (s, d) =>
+    val P = 1000000007L
+    val media = syntheticMedia(Tables.documents(s, d))
+      .select(col("media_id"), expr("binary_bytes(payload)").as("bytes"))
+    // body as ints off the REAL payload bytes, mixed with a per-media
+    // POSITION-DEPENDENT term: the fixture's cyclic byte formula makes
+    // unrelated payloads share long aligned runs (they are windows of
+    // one periodic stream), which would alias them into shared chunks.
+    // The mix (id·k + (id div 256)·(k² mod 251) + id) mod 256 breaks
+    // run alignment for every distinct media pair — the double modulus
+    // (251 inside, 256 outside) defeats the position-shift cancellation
+    // a pure polynomial mod 256 admits (a k² term's cross-position
+    // difference is linear in the offset and can vanish). Copies slice
+    // the mixed body, so re-sync after the splice is untouched.
+    val base = media.select(col("media_id"),
+      transform(slice(col("bytes"), lit(5), size(col("bytes")) - 4),
+        (b, k0) => (b.cast("long")
+          + ((col("media_id") % 256) * k0.cast("long")
+            + floor(col("media_id") / lit(256.0)).cast("long")
+              * ((k0.cast("long") * k0.cast("long")) % 251)
+            + col("media_id")) % 256) % 256).as("body"))
+    val corpus = base.unionAll(
+      base.filter(col("media_id") % 10 === 0)
+        .select((col("media_id") + 10000).as("media_id"),
+          concat(slice(col("body"), 1, 50), array(lit(7L), lit(7L), lit(7L)),
+            slice(col("body"), lit(51), size(col("body")) - 50)).as("body")))
+    val px = corpus.select(col("media_id"),
+        posexplode(col("body")).as(Seq("pos0", "b")))
+      .select(col("media_id"), (col("pos0") + 1).as("pos"), col("b"))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("pos"))
+    val rolled = px.select(Seq(col("media_id"), col("pos"), col("b")) ++
+      (1 to 7).map(j => lag(col("b"), j).over(w).as(s"l$j")): _*)
+    val h = Seq("l7", "l6", "l5", "l4", "l3", "l2", "l1")
+      .map(col).foldLeft(Option.empty[Column]) {
+        case (None, c) => Some(c.cast("long"))
+        case (Some(acc), c) => Some((acc * 131 + c) % P)
+      }.map(acc => (acc * 131 + col("b")) % P).get
+    val flagged = rolled.select(col("media_id"), col("pos"), col("b"),
+      when(col("pos") >= 8 && h % 16 === 0, 1L).otherwise(0L).as("flag"))
+    val cids = flagged.select(col("media_id"), col("pos"), col("b"),
+      coalesce(sum(col("flag")).over(w.rowsBetween(Window.unboundedPreceding,
+        -1)), lit(0L)).as("cid"))
+    val chunks = graft.InternalCaches.register(cids
+      .groupBy(col("media_id"), col("cid"))
+      .agg(md5(array_join(transform(array_sort(collect_list(
+        struct(col("pos"), col("b")))), x => x.getField("b").cast("string")),
+        ",")).as("ch"),
+        count(lit(1)).as("clen"))
+      .persist())
+    // chunks below 8 bytes are never "shared": CDC implementations
+    // impose a minimum chunk size for exactly this reason — tiny
+    // chunks collide by value, not by content overlap
+    val shared = chunks.filter(col("clen") >= 8)
+      .groupBy(col("ch").as("sh"))
+      .agg(countDistinct(col("media_id")).as("nm"))
+      .filter(col("nm") >= 2).select(col("sh"))
+    chunks.join(shared, col("ch") === col("sh"), "left_outer")
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("sh").isNull || col("clen") < 8, 0L).otherwise(1L))
+          .as("n_shared"))
+      .select(col("media_id"), col("n_chunks"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_chunks"), 6)
+          .as("shared_frac"))
+      .orderBy(col("media_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(decodeMeta, frames, features, resize,
-    binaryDedup, fuzzyDedup, phashDedup, textAlign)
+    binaryDedup, fuzzyDedup, phashDedup, cdcDedup, textAlign)
 }
