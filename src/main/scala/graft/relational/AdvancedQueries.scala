@@ -778,9 +778,123 @@ object AdvancedQueries {
       .orderBy(col("c_nationkey"), col("rnk"))
   }
 
+  /** PARTITION-SKEW DIAGNOSTIC — the observability pass a 100 TB job
+    * runs BEFORE committing to a shuffle: simulate the hash
+    * partitioning of a join/agg key into N buckets and report, per
+    * bucket, the row mass, key cardinality, and the heaviest key with
+    * its count. The output is what drives the mitigation decision
+    * tree: one dominant key in a heavy bucket → [[saltedJoin]] /
+    * [[saltedAgg]]; many keys in a heavy bucket → more partitions; all
+    * buckets even → proceed. The simulated assignment uses the
+    * engine's deterministic Knuth-multiplier hash (the [[domainMix]]
+    * convention), so both engines — and reruns at different
+    * parallelism — see identical bucketing. One groupBy on the key
+    * (the same shuffle the real job would pay, but carrying only
+    * counts), then a |buckets|-row aggregate: the diagnostic is
+    * O(distinct keys), never O(rows). */
+  val skewDiagnose: QueryDef = QueryDef.sql(
+    "adv_skew_diagnose",
+    """WITH kc AS (
+      |  SELECT l_suppkey AS key, count(*) AS cnt
+      |  FROM lineitem GROUP BY l_suppkey),
+      |bk AS (
+      |  SELECT key, cnt,
+      |    ((key * 2654435761) % 1000000007) % 32 AS bucket
+      |  FROM kc),
+      |r AS (
+      |  SELECT bucket, key, cnt,
+      |    row_number() OVER (PARTITION BY bucket
+      |                       ORDER BY cnt DESC, key) AS rn
+      |  FROM bk)
+      |SELECT bucket,
+      |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |  count(*) AS n_keys,
+      |  max(CASE WHEN rn = 1 THEN key END) AS top_key,
+      |  CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_key_rows
+      |FROM r GROUP BY bucket
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val kc = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("cnt"))
+    val bk = kc.withColumn("bucket",
+      ((col("key") * 2654435761L) % 1000000007L) % 32)
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("cnt").desc, col("key"))
+    bk.withColumn("rn", row_number().over(w))
+      .groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(when(col("rn") === 1, col("key"))).as("top_key"),
+        max(when(col("rn") === 1, col("cnt"))).as("top_key_rows"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Single-source BFS hop distance — the frontier-expansion iteration
+    * under every graph-feature pass (reachability, neighborhood size,
+    * "within k hops of a seed set" corpus selection). Each round joins
+    * the frontier against the edge list (keyed equi-join), anti-joins
+    * already-visited nodes, stamps the hop count, and eagerly
+    * `localCheckpoint`s the visited set — the [[pageRank]] /
+    * connectedComponents lineage discipline, so a deep graph cannot
+    * stack plan depth. Stops when the frontier empties (or at the hop
+    * cap, which bounds the oracle's recursive expansion identically).
+    * Integer-only state: nothing to quantize. */
+  def bfs(edges: DataFrame, src: Long, maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var visited = Seq((src, 0)).toDF("v", "dist").localCheckpoint(true)
+    var frontier = visited
+    var hop = 0
+    var done = false
+    while (hop < maxHops && !done) {
+      hop += 1
+      val next = frontier.join(edges, col("v") === col("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionAll(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    visited
+  }
+
+  val bfsQuery: QueryDef = QueryDef.sql(
+    "adv_bfs",
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |edges AS (
+      |  SELECT doc_id AS src, (doc_id*7 + 1) % (SELECT n FROM nn) AS dst FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id*13 + 3) % (SELECT n FROM nn) FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id*29 + 11) % (SELECT n FROM nn) FROM documents),
+      |bfs AS (
+      |  WITH RECURSIVE walk(v, dist) AS (
+      |    SELECT CAST(0 AS BIGINT) AS v, 0 AS dist
+      |    UNION
+      |    SELECT e.dst, w.dist + 1
+      |    FROM walk w JOIN edges e ON e.src = w.v
+      |    WHERE w.dist < 10)
+      |  SELECT v, min(dist) AS dist FROM walk GROUP BY v)
+      |SELECT v AS doc_id, dist FROM bfs
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val n = nodes.count()
+    val edges = Seq((7L, 1L), (13L, 3L), (29L, 11L)).map { case (m, c) =>
+      nodes.select(col("doc_id").as("src"), ((col("doc_id") * m + c) % n).as("dst"))
+    }.reduce(_ unionAll _).localCheckpoint(true)
+    graft.Knobs.withShufflePartitions(s, 8) {
+      bfs(edges, src = 0L, maxHops = 10)
+        .select(col("v").as("doc_id"), col("dist"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(asOfJoin, asOfNative, asOfTolerance, percentiles, pivot, cube,
       saltedAgg, movingAvg, stratifiedSample, sqlInterface, rangeJoinBucketed,
       sampleExactK, zorderLayout, pagerank, hitsQuery, triangles,
-      saltedJoin, weightedSample, groupTopK)
+      saltedJoin, weightedSample, groupTopK, skewDiagnose, bfsQuery)
 }
