@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -892,9 +892,59 @@ object AdvancedQueries {
     }
   }
 
+  /** DISTRIBUTED exact quantiles — [[percentiles]]' 100 TB twin. The
+    * exact `percentile` aggregate buffers and sorts every group value
+    * inside ONE task (fixture-fine, executor-OOM at scale); this plan
+    * computes the same discrete quantiles with no per-group buffer
+    * anywhere: groupBy (group, value) collapses to a frequency
+    * histogram, a cumulative-count window over the value order turns
+    * it into a CDF (range-partitioned distributed sort — Spark's
+    * window machinery, not a task-local array), and quantile q is then
+    * the smallest value whose cumulative count reaches ceil(q·n) —
+    * pure selection, so the returned doubles are input values,
+    * bit-identical in both engines with no FP interpolation at all.
+    * Two shuffles total, both keyed; memory per task is O(1) beyond
+    * the shuffle block. */
+  val quantilesDist: QueryDef = QueryDef.sql(
+    "adv_quantiles_dist",
+    """WITH vf AS (
+      |  SELECT l_returnflag AS g, l_extendedprice AS v, count(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT g, v, c,
+      |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM vf),
+      |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM vf GROUP BY g)
+      |SELECT c.g AS l_returnflag, t.n,
+      |  min(CASE WHEN c.cum >= ceil(0.5 * t.n) THEN c.v END) AS q50,
+      |  min(CASE WHEN c.cum >= ceil(0.95 * t.n) THEN c.v END) AS q95,
+      |  min(CASE WHEN c.cum >= ceil(0.99 * t.n) THEN c.v END) AS q99
+      |FROM cum c JOIN tot t ON t.g = c.g
+      |GROUP BY c.g, t.n
+      |ORDER BY c.g""".stripMargin) { (s, d) =>
+    val vf = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vf.withColumn("cum", sum(col("c")).over(w))
+    val tot = vf.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    def pick(q: Double): Column =
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("v")))
+    cum.join(broadcast(tot), Seq("g"))
+      .groupBy(col("g"), col("n"))
+      .agg(pick(0.5).as("q50"), pick(0.95).as("q95"), pick(0.99).as("q99"))
+      .select(col("g").as("l_returnflag"), col("n"),
+        col("q50"), col("q95"), col("q99"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(asOfJoin, asOfNative, asOfTolerance, percentiles, pivot, cube,
       saltedAgg, movingAvg, stratifiedSample, sqlInterface, rangeJoinBucketed,
       sampleExactK, zorderLayout, pagerank, hitsQuery, triangles,
-      saltedJoin, weightedSample, groupTopK, skewDiagnose, bfsQuery)
+      saltedJoin, weightedSample, groupTopK, skewDiagnose, bfsQuery,
+      quantilesDist)
 }
