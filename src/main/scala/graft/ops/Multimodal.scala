@@ -862,6 +862,102 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** VOICE-ACTIVITY-DETECTION segmentation analogue over audio
+    * payloads — the pre-filter every speech pipeline runs before the
+    * expensive ASR/embedding pass: frame the signal (64-byte frames of
+    * the REAL payload body), score each frame's energy (Σ byte² —
+    * exact integers, the stub stand-in for RMS over PCM samples), mark
+    * frames above the per-media mean energy as active (integer
+    * cross-multiplied: energy·n_frames > total_energy, no division),
+    * and run-length the active flags into SEGMENTS — the
+    * (speech-fraction, segment-count) telemetry that decides whether a
+    * clip is worth decoding in full. The run-length trick is the
+    * [[cdcDedup]] boundary pattern: a segment starts at an active
+    * frame whose predecessor is inactive (lag + flag), so segment
+    * counting is one window pass, never a sequential scan.
+    *
+    * 100 TB shape: framing and energies are map-side HOF folds over
+    * each payload (no explode of raw bytes — only ≤ n/64 frame rows);
+    * the lag window shuffles frame rows by media once; the report is a
+    * groupBy on media_id. Payload bytes never shuffle. */
+  val audioVad: QueryDef = QueryDef.sql(
+    "mm_audio_vad",
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(16 + doc_id % 48 AS INT) * CAST(16 + (doc_id * 7) % 32 AS INT)
+      |      AS body_len
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |fr AS (
+      |  SELECT media_id, u.f AS f,
+      |    list_reduce([CAST(0 AS BIGINT)] || list_transform(
+      |      generate_series(u.f * 64, least((u.f + 1) * 64, body_len) - 1),
+      |      k -> CAST(((media_id * 31 + k) % $BodyMod)
+      |                * ((media_id * 31 + k) % $BodyMod) AS BIGINT)),
+      |      (a, b) -> a + b) AS energy
+      |  FROM m CROSS JOIN LATERAL
+      |    unnest(generate_series(0, (body_len - 1) // 64)) u(f)),
+      |tot AS (
+      |  SELECT media_id, CAST(sum(energy) AS BIGINT) AS te,
+      |    count(*) AS nf
+      |  FROM fr GROUP BY media_id),
+      |act AS (
+      |  SELECT fr.media_id, fr.f,
+      |    CASE WHEN fr.energy * t.nf > t.te THEN 1 ELSE 0 END AS active
+      |  FROM fr JOIN tot t ON t.media_id = fr.media_id),
+      |seg AS (
+      |  SELECT media_id, f, active,
+      |    CASE WHEN active = 1 AND
+      |      coalesce(lag(active) OVER (PARTITION BY media_id ORDER BY f),
+      |               0) = 0
+      |    THEN 1 ELSE 0 END AS seg_start
+      |  FROM act)
+      |SELECT s.media_id,
+      |  count(*) AS n_frames,
+      |  CAST(sum(s.active) AS BIGINT) AS n_active,
+      |  CAST(sum(s.seg_start) AS BIGINT) AS n_segments,
+      |  round(sum(s.active) * 1.0 / count(*), 6) AS active_frac
+      |FROM seg s GROUP BY s.media_id
+      |ORDER BY s.media_id""".stripMargin) { (s, d) =>
+    val media = syntheticMedia(Tables.documents(s, d))
+      .filter(col("kind") === "audio")
+      .select(col("media_id"), expr("binary_bytes(payload)").as("bytes"),
+        (length(col("payload")) - 4).cast("long").as("n"))
+    def byteAt(k: Column): Column =
+      element_at(col("bytes"), (k + 5).cast("int")).cast("long")
+    // frame energies map-side: one row per 64-byte frame, folded off
+    // the real payload bytes
+    val fr = media.select(col("media_id"), col("n"),
+        posexplode(transform(
+          sequence(lit(0L), floor((col("n") - 1) / lit(64.0)).cast("long")),
+          f => aggregate(
+            sequence(f * 64, least((f + 1) * 64, col("n")) - 1),
+            lit(0L), (a, k) => a + byteAt(k) * byteAt(k))))
+          .as(Seq("f", "energy")))
+      .select(col("media_id"), col("f").cast("long").as("f"), col("energy"))
+    val frC = graft.InternalCaches.register(fr.persist())
+    val tot = frC.groupBy(col("media_id"))
+      .agg(sum(col("energy")).as("te"), count(lit(1)).as("nf"))
+    val act = frC.join(tot, Seq("media_id"))
+      .select(col("media_id"), col("f"),
+        when(col("energy") * col("nf") > col("te"), 1L).otherwise(0L)
+          .as("active"))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("f"))
+    act
+      .withColumn("seg_start",
+        when(col("active") === 1 &&
+          coalesce(lag(col("active"), 1).over(w), lit(0L)) === 0, 1L)
+          .otherwise(0L))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("active")).as("n_active"),
+        sum(col("seg_start")).as("n_segments"))
+      .select(col("media_id"), col("n_frames"), col("n_active"),
+        col("n_segments"),
+        round(col("n_active").cast("double") / col("n_frames"), 6)
+          .as("active_frac"))
+      .orderBy(col("media_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(decodeMeta, frames, features, resize,
-    binaryDedup, fuzzyDedup, phashDedup, cdcDedup, textAlign)
+    binaryDedup, fuzzyDedup, phashDedup, cdcDedup, audioVad, textAlign)
 }
