@@ -941,10 +941,77 @@ object AdvancedQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** SWEEP-LINE interval concurrency — "how many sessions were open at
+    * once, and when did the peak happen": each event opens a half-open
+    * interval [ts, ts + (1 + event_id mod 300) s); the sweep unions
+    * (+1 at start, −1 at end) points and takes a running sum per user
+    * ordered by (time, delta) — ends sort before starts at the same
+    * instant, so a session ending exactly when another starts never
+    * inflates the count. This is THE scalable alternative to the
+    * naive interval self-join (O(n²) per user): two shuffles total
+    * (the union is map-side; the running sum is one window pass), and
+    * the peak is order-independent even under timestamp ties because
+    * within a tie block of equal delta the extreme of the running sum
+    * does not depend on intra-block order. All integer nanoseconds —
+    * nothing to quantize. */
+  val sweepLine: QueryDef = QueryDef.sql(
+    "adv_sweepline",
+    """WITH iv AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS s_t,
+      |    epoch_ns(ts) // 1000 + (1 + event_id % 300) * 1000000 AS e_t
+      |  FROM events),
+      |pts AS (
+      |  SELECT user_id, s_t AS t, 1 AS delta FROM iv
+      |  UNION ALL
+      |  SELECT user_id, e_t AS t, -1 AS delta FROM iv),
+      |run AS (
+      |  SELECT user_id, t, delta,
+      |    CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cur
+      |  FROM pts),
+      |mx AS (SELECT user_id, max(cur) AS max_concurrent FROM run
+      |       GROUP BY user_id),
+      |sel AS (
+      |  SELECT r.user_id, m.max_concurrent, min(r.t) AS peak_t
+      |  FROM run r JOIN mx m ON m.user_id = r.user_id
+      |    AND r.cur = m.max_concurrent
+      |  GROUP BY r.user_id, m.max_concurrent),
+      |ne AS (SELECT user_id, count(*) AS n_events FROM iv GROUP BY user_id)
+      |SELECT s.user_id, n.n_events, s.max_concurrent, s.peak_t
+      |FROM sel s JOIN ne n ON n.user_id = s.user_id
+      |ORDER BY s.user_id""".stripMargin) { (s, d) =>
+    // sweep in integer MICROseconds: DuckDB surfaces the nanos parquet
+    // column at µs precision, so both engines truncate up front and
+    // sort identical point sets (sub-µs digits must never decide order
+    // in one engine only)
+    val iv = Tables.events(s, d)
+      .select(col("user_id"), expr("ts DIV 1000").as("s_t"),
+        (expr("ts DIV 1000") + (lit(1L) + col("event_id") % 300) * 1000000L)
+          .as("e_t"))
+    val pts = iv.select(col("user_id"), col("s_t").as("t"), lit(1).as("delta"))
+      .unionAll(iv.select(col("user_id"), col("e_t").as("t"),
+        lit(-1).as("delta")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = pts.withColumn("cur", sum(col("delta")).over(w))
+    val mx = run.groupBy(col("user_id"))
+      .agg(max(col("cur")).as("max_concurrent"))
+    val sel = run.join(mx, Seq("user_id"))
+      .filter(col("cur") === col("max_concurrent"))
+      .groupBy(col("user_id"), col("max_concurrent"))
+      .agg(min(col("t")).as("peak_t"))
+    val ne = iv.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    sel.join(ne, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("max_concurrent"),
+        col("peak_t"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(asOfJoin, asOfNative, asOfTolerance, percentiles, pivot, cube,
       saltedAgg, movingAvg, stratifiedSample, sqlInterface, rangeJoinBucketed,
       sampleExactK, zorderLayout, pagerank, hitsQuery, triangles,
       saltedJoin, weightedSample, groupTopK, skewDiagnose, bfsQuery,
-      quantilesDist)
+      quantilesDist, sweepLine)
 }
