@@ -954,8 +954,84 @@ object TextAnalysis {
     }
   }
 
+  /** FUZZY STRING MATCH JOIN — catalog/entity harmonization: find every
+    * pair of distinct names within edit distance 2 (typos, dropped
+    * characters, near-variants) without the O(n²) all-pairs scan. The
+    * classic two-stage shape: a 3-gram inverted index proposes
+    * candidates (pairs sharing ≥ 1 under-cap gram — the
+    * [[graft.ops.Dedup]] DfCap convention bounds every posting list's
+    * fanout), then exact `levenshtein` — integer DP, bit-identical in
+    * both engines — verifies each candidate. Correctness never depends
+    * on the filter (verify is exact); the filter only bounds work.
+    * Planted third-character-dropped variants land at ed 1; the
+    * fixture's own catalog contributes natural matches ("blue ring" /
+    * "blue rod" at ed 2). Distinct-name entities first (the fixture
+    * repeats each name hundreds of times — entity-level matching is
+    * also what a real catalog pass does), keyed by min part key.
+    *
+    * 100 TB shape: entity dedup is one groupBy; the gram index is
+    * linear with df-capped fanout; verify runs once per candidate
+    * pair. Nothing is quadratic in the catalog. */
+  val fuzzyMatch: QueryDef = QueryDef.sql(
+    "ta_fuzzy_match",
+    """WITH ents0 AS (
+      |  SELECT p_name AS nm, CAST(min(p_partkey) AS BIGINT) AS id
+      |  FROM part GROUP BY p_name),
+      |ents AS (
+      |  SELECT id, nm FROM ents0
+      |  UNION ALL
+      |  SELECT id + 100000 AS id, substr(nm, 1, 2) || substr(nm, 4) AS nm
+      |  FROM ents0 WHERE id % 5 = 0),
+      |g AS (
+      |  SELECT DISTINCT id, substr(nm, u.i, 3) AS g3
+      |  FROM ents CROSS JOIN LATERAL
+      |    unnest(generate_series(1, len(nm) - 2)) u(i)),
+      |gc AS (
+      |  SELECT id, g3 FROM g
+      |  WHERE g3 IN (SELECT g3 FROM g GROUP BY g3 HAVING count(*) <= 40)),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id1, b.id AS id2
+      |  FROM gc a JOIN gc b ON b.g3 = a.g3 AND a.id < b.id)
+      |SELECT c.id1, c.id2, e1.nm AS name1, e2.nm AS name2,
+      |  CAST(levenshtein(e1.nm, e2.nm) AS BIGINT) AS ed
+      |FROM cand c
+      |JOIN ents e1 ON e1.id = c.id1
+      |JOIN ents e2 ON e2.id = c.id2
+      |WHERE levenshtein(e1.nm, e2.nm) <= 2
+      |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+    val ents0 = Tables.part(s, d)
+      .groupBy(col("p_name").as("nm"))
+      .agg(min(col("p_partkey")).cast("long").as("id"))
+    val ents = graft.InternalCaches.register(ents0.select(col("id"), col("nm"))
+      .unionAll(ents0.filter(col("id") % 5 === 0)
+        .select((col("id") + 100000).as("id"),
+          concat(expr("substring(nm, 1, 2)"), expr("substring(nm, 4, 1000)"))
+            .as("nm")))
+      .persist())
+    val g = ents.select(col("id"),
+        explode(transform(sequence(lit(1), length(col("nm")) - 2),
+          i => col("nm").substr(i, lit(3)))).as("g3"))
+      .distinct()
+    val rare = g.groupBy(col("g3")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 40).select(col("g3"))
+    val gc = g.join(rare, Seq("g3"))
+    val cand = gc.as("a")
+      .join(gc.as("b"), col("a.g3") === col("b.g3") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cand
+      .join(ents.as("e1"), col("e1.id") === col("id1"))
+      .join(ents.as("e2"), col("e2.id") === col("id2"))
+      .select(col("id1"), col("id2"), col("e1.nm").as("name1"),
+        col("e2.nm").as("name2"),
+        levenshtein(col("e1.nm"), col("e2.nm")).cast("long").as("ed"))
+      .filter(col("ed") <= 2)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(tokenStats, langId, quality, fingerprint, tfidf, piiMask, bpePairs,
       bpeMerge, chunking, packing, repetition, cmsHeavy, normalize, lmScore,
-      hllDistinct, qualityBuckets, domainClassify)
+      hllDistinct, qualityBuckets, domainClassify, fuzzyMatch)
 }
