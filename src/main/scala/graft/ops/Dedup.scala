@@ -557,6 +557,9 @@ object Dedup {
     val hot = spark.read.parquet(s"$dir/counts")
       .filter(col("cnt") > BandBucketCap).select(col("bi"), col("bv"))
     hot.write.mode("overwrite").parquet(s"$dir/hot")
+    // a rebuild starts snapshot history over: v1 = the full build
+    clearBandSnapshots(spark, dir)
+    commitBandSnapshot(spark, dir, spark.read.parquet(s"$dir/counts"))
   }
 
   /** INCREMENTAL maintenance for a [[saveBandIndex]] directory (r7,
@@ -617,6 +620,106 @@ object Dedup {
         .select(col("bi"), col("bv")))
       .distinct().localCheckpoint(true)
     hot.write.mode("overwrite").parquet(s"$dir/hot")
+    // each append commits a snapshot: manifest of the (append-only)
+    // live files + this batch's counts as an immutable delta
+    commitBandSnapshot(spark, dir, batchCounts)
+  }
+
+  // ------------------------------------------- band-index snapshots --
+
+  /** Sorted parquet data files currently under `dir/sub`. */
+  private def listParquetFiles(s: SparkSession, dir: String,
+      sub: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Seq.empty
+    else {
+      val it = fs.listFiles(base, true)
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+          buf += f.getPath.toString
+      }
+      buf.toSeq.sorted
+    }
+  }
+
+  /** Committed snapshot versions of a band index, oldest first. */
+  def bandIndexVersions(s: SparkSession, dir: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/manifests")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      Seq.empty
+    else s.read.parquet(s"$dir/manifests").select(col("version"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+  }
+
+  /** Commit a SNAPSHOT of the band index (Iceberg-style versioning,
+    * the fifth lifecycle verb: build / append / compact / delete /
+    * SNAPSHOT): a manifest row per live data file of the append-only
+    * components (`sig`, `bands`), plus `countsDelta` — this commit's
+    * per-(bucket, bi, bv) count increments — persisted as an immutable
+    * delta partition. Because appends never rewrite old files, every
+    * earlier manifest keeps pointing at intact bytes, so any historic
+    * version stays probe-able ([[probeBandIndexAsOf]]) at zero storage
+    * cost beyond the metadata: snapshots are O(files) manifest rows +
+    * O(batch) count deltas, never a copy of the index. Compaction
+    * rewrites files and therefore EXPIRES history (the standard
+    * log-structured contract) — it resets the manifest log to a fresh
+    * v1. */
+  private def commitBandSnapshot(s: SparkSession, dir: String,
+      countsDelta: DataFrame): Int = {
+    import s.implicits._
+    val version = bandIndexVersions(s, dir).lastOption.getOrElse(0) + 1
+    countsDelta.select(col("bucket"), col("bi"), col("bv"), col("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/count_deltas/version=$version")
+    val rows =
+      listParquetFiles(s, dir, "sig").map(("sig", _)) ++
+        listParquetFiles(s, dir, "bands").map(("bands", _))
+    rows.map { case (c, f) => (version, c, f) }
+      .toDF("version", "component", "file")
+      .write.mode("append").parquet(s"$dir/manifests")
+    version
+  }
+
+  /** Drop all snapshot history (compaction/rebuild path). */
+  private def clearBandSnapshots(s: SparkSession, dir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq("manifests", "count_deltas").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      p.getFileSystem(conf).delete(p, true)
+    }
+  }
+
+  /** TIME-TRAVEL probe: [[probeBandIndex]] against the index AS OF a
+    * committed snapshot `version` — the audit/reproducibility verb
+    * ("re-run yesterday's admission decisions exactly"). Reads only
+    * the data files the version's manifest lists (append-only files ⇒
+    * still byte-identical), reconstructs the count state by summing
+    * the immutable deltas ≤ version (partition-pruned on the version
+    * column), and re-derives the over-cap list from those counts — so
+    * the as-of probe enforces the SAME capped semantics the live
+    * probe had at that version. Current tombstones still apply (see
+    * [[probeAgainst]]): deletion wins over history. */
+  def probeBandIndexAsOf(s: SparkSession, dir: String, batch: DataFrame,
+      version: Int, minMatch: Int = 8): DataFrame = {
+    require(bandIndexVersions(s, dir).contains(version),
+      s"no committed snapshot v$version under $dir (compaction expires history)")
+    val man = s.read.parquet(s"$dir/manifests")
+      .filter(col("version") === version)
+    def files(component: String): Seq[String] = man
+      .filter(col("component") === component)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val sig = s.read.parquet(files("sig"): _*)
+    val bands = s.read.option("basePath", s"$dir/bands")
+      .parquet(files("bands"): _*)
+    val counts = s.read.parquet(s"$dir/count_deltas")
+      .filter(col("version") <= version)
+      .groupBy(col("bucket"), col("bi"), col("bv"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val hot = counts.filter(col("cnt") > BandBucketCap)
+      .select(col("bi"), col("bv"))
+    probeAgainst(s, dir, batch, minMatch, sig, bands, hot)
   }
 
   /** The DELETE verb of the band-index lifecycle (build / append /
@@ -730,6 +833,11 @@ object Dedup {
       df => df.filter(col("cnt") > 0))
     ts.foreach(t => t.limit(0).write.mode("overwrite")
       .parquet(s"$dir/tombstones"))
+    // compaction rewrote the data files old manifests point at —
+    // history is EXPIRED (the log-structured contract); restart the
+    // snapshot log at a fresh v1 over the compacted state
+    clearBandSnapshots(s, dir)
+    commitBandSnapshot(s, dir, s.read.parquet(s"$dir/counts"))
   }
 
   /** Probe a [[saveBandIndex]] directory with a (doc_id, text) batch:
@@ -746,11 +854,22 @@ object Dedup {
     * inline flavors' [[BandBucketCap]] semantics AND its fanout stays
     * bounded on a boilerplate bucket. */
   def probeBandIndex(s: SparkSession, dir: String, batch: DataFrame,
-      minMatch: Int = 8): DataFrame = {
+      minMatch: Int = 8): DataFrame =
+    probeAgainst(s, dir, batch, minMatch,
+      sig = s.read.parquet(s"$dir/sig"),
+      bands = s.read.parquet(s"$dir/bands"),
+      hot = s.read.parquet(s"$dir/hot"))
+
+  /** [[probeBandIndex]]'s engine against explicit snapshot frames —
+    * the current-state probe and the [[probeBandIndexAsOf]] time-travel
+    * probe share it verbatim, so the two views cannot diverge in
+    * semantics, only in which files they read. */
+  private def probeAgainst(s: SparkSession, dir: String, batch: DataFrame,
+      minMatch: Int, sig: DataFrame, bands: DataFrame,
+      hot: DataFrame): DataFrame = {
     val h = NumHashes
     // the modulus travels with the index (see saveBandIndex)
     val nBuckets = s.read.parquet(s"$dir/meta").head().getInt(0)
-    val hot = s.read.parquet(s"$dir/hot")
     val signed = withRowSignature(batch, "text")
       .withColumnRenamed("doc_id", "incoming_id")
     val probe = signed.select(
@@ -771,15 +890,17 @@ object Dedup {
     // pending logical deletes (bounded by deletions since the last
     // compaction) are anti-joined off the index side: a tombstoned doc
     // stops producing evidence the moment it is deleted, even though
-    // its rows are purged only at the next compaction
-    val idx0 = s.read.parquet(s"$dir/bands")
+    // its rows are purged only at the next compaction. Deletes apply
+    // to EVERY snapshot view: right-to-be-forgotten wins over time
+    // travel.
+    val idx0 = bands
       .filter(col("bucket").isin(touched: _*))
       .join(broadcast(hot), Seq("bi", "bv"), "left_anti")
     val idx = tombstonesOf(s, dir).fold(idx0)(t =>
         idx0.join(broadcast(t), Seq("doc_id"), "left_anti"))
       .withColumnRenamed("doc_id", "existing_id")
     val ssig = (0 until h).foldLeft(
-      s.read.parquet(s"$dir/sig").withColumnRenamed("doc_id", "existing_id"))(
+      sig.withColumnRenamed("doc_id", "existing_id"))(
       (acc, j) => acc.withColumnRenamed(s"mh$j", s"smh$j"))
     val nMatch = (0 until h)
       .map(j => when(col(s"mh$j") === col(s"smh$j"), 1).otherwise(0))

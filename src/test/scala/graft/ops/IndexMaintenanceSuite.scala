@@ -85,6 +85,46 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
     evOne shouldBe evFull
   }
 
+  /** r7: snapshot versioning — every build/append commits a manifest
+    * over the append-only files plus an immutable count delta, so any
+    * historic version stays probe-able bit-for-bit after later
+    * appends, and compaction (which rewrites files) expires history
+    * to a fresh v1. */
+  test("band index: as-of probes replay history; compaction expires it") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") < 300)
+    val b = docs.filter(col("doc_id") >= 300)
+    val probeBatch = Dedup.incomingLshBatch(docs)
+
+    val dir = Files.createTempDirectory("bandsnap").toString
+    Dedup.saveBandIndex(a, dir)
+    Dedup.bandIndexVersions(s, dir) shouldBe Seq(1)
+    val v1Live = canon(Dedup.probeBandIndex(s, dir, probeBatch))
+    Dedup.appendToBandIndex(dir, b)
+    Dedup.bandIndexVersions(s, dir) shouldBe Seq(1, 2)
+
+    // time travel: v1 replays the pre-append decisions exactly, while
+    // the live (v2) view sees the appended corpus
+    canon(Dedup.probeBandIndexAsOf(s, dir, probeBatch, 1)) shouldBe v1Live
+    val v2AsOf = canon(Dedup.probeBandIndexAsOf(s, dir, probeBatch, 2))
+    val live = canon(Dedup.probeBandIndex(s, dir, probeBatch))
+    v2AsOf shouldBe live
+    live.length should be > v1Live.length // the append added evidence
+
+    // unknown version fails loudly
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.probeBandIndexAsOf(s, dir, probeBatch, 3)
+
+    // compaction rewrites files -> history expires, fresh v1 over the
+    // compacted state probes identically to the live view
+    Dedup.compactBandIndex(s, dir)
+    Dedup.bandIndexVersions(s, dir) shouldBe Seq(1)
+    canon(Dedup.probeBandIndexAsOf(s, dir, probeBatch, 1)) shouldBe live
+  }
+
   test("band index: appends push a bucket over the cap -> probes go quiet") {
     val s = spark
     import s.implicits._
