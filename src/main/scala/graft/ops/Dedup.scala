@@ -559,7 +559,7 @@ object Dedup {
     hot.write.mode("overwrite").parquet(s"$dir/hot")
     // a rebuild starts snapshot history over: v1 = the full build
     clearBandSnapshots(spark, dir)
-    commitBandSnapshot(spark, dir, spark.read.parquet(s"$dir/counts"))
+    commitBandSnapshot(spark, dir, None)
   }
 
   /** INCREMENTAL maintenance for a [[saveBandIndex]] directory (r7,
@@ -622,7 +622,7 @@ object Dedup {
     hot.write.mode("overwrite").parquet(s"$dir/hot")
     // each append commits a snapshot: manifest of the (append-only)
     // live files + this batch's counts as an immutable delta
-    commitBandSnapshot(spark, dir, batchCounts)
+    commitBandSnapshot(spark, dir, Some(batchCounts))
   }
 
   // ------------------------------------------- band-index snapshots --
@@ -645,13 +645,15 @@ object Dedup {
     }
   }
 
-  /** Committed snapshot versions of a band index, oldest first. */
+  /** Committed snapshot versions of a band index, oldest first. Pure
+    * FS metadata (manifest file names) — no Spark job. */
   def bandIndexVersions(s: SparkSession, dir: String): Seq[Int] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/manifests")
-    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
-      Seq.empty
-    else s.read.parquet(s"$dir/manifests").select(col("version"))
-      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .map(_.stripPrefix("v").stripSuffix(".txt").toInt).sorted
   }
 
   /** Commit a SNAPSHOT of the band index (Iceberg-style versioning,
@@ -667,18 +669,42 @@ object Dedup {
     * rewrites files and therefore EXPIRES history (the standard
     * log-structured contract) — it resets the manifest log to a fresh
     * v1. */
+  /** `countsDelta = None` means "this commit's delta is the full
+    * current count state" (build/compaction) — realized as a pure FS
+    * copy of the already-written `dir/counts` files, no Spark job.
+    * Commit cost is deliberately metadata-class: one tiny parquet
+    * write for an append delta (or an FS copy), plus one FS text file
+    * for the manifest — a snapshot must never cost a fraction of the
+    * ingestion work it versions. */
   private def commitBandSnapshot(s: SparkSession, dir: String,
-      countsDelta: DataFrame): Int = {
-    import s.implicits._
+      countsDelta: Option[DataFrame]): Int = {
+    val conf = s.sparkContext.hadoopConfiguration
     val version = bandIndexVersions(s, dir).lastOption.getOrElse(0) + 1
-    countsDelta.select(col("bucket"), col("bi"), col("bv"), col("cnt"))
-      .write.mode("overwrite").parquet(s"$dir/count_deltas/version=$version")
-    val rows =
-      listParquetFiles(s, dir, "sig").map(("sig", _)) ++
-        listParquetFiles(s, dir, "bands").map(("bands", _))
-    rows.map { case (c, f) => (version, c, f) }
-      .toDF("version", "component", "file")
-      .write.mode("append").parquet(s"$dir/manifests")
+    val deltaPath =
+      new org.apache.hadoop.fs.Path(s"$dir/count_deltas/version=$version")
+    val fs = deltaPath.getFileSystem(conf)
+    countsDelta match {
+      case Some(df) =>
+        // bucket as a partition dir, matching the copied-counts layout
+        df.select(col("bucket"), col("bi"), col("bv"), col("cnt"))
+          .coalesce(1).write.mode("overwrite").partitionBy("bucket")
+          .parquet(deltaPath.toString)
+      case None =>
+        fs.delete(deltaPath, true)
+        fs.mkdirs(deltaPath.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(s"$dir/counts"), fs, deltaPath,
+          false, conf)
+    }
+    val lines =
+      listParquetFiles(s, dir, "sig").map("sig\t" + _) ++
+        listParquetFiles(s, dir, "bands").map("bands\t" + _)
+    val mdir = new org.apache.hadoop.fs.Path(s"$dir/manifests")
+    fs.mkdirs(mdir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/manifests/v$version.txt"), true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
     version
   }
 
@@ -705,11 +731,19 @@ object Dedup {
       version: Int, minMatch: Int = 8): DataFrame = {
     require(bandIndexVersions(s, dir).contains(version),
       s"no committed snapshot v$version under $dir (compaction expires history)")
-    val man = s.read.parquet(s"$dir/manifests")
-      .filter(col("version") === version)
-    def files(component: String): Seq[String] = man
-      .filter(col("component") === component)
-      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val mpath = new org.apache.hadoop.fs.Path(s"$dir/manifests/v$version.txt")
+    val fs = mpath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val manifest = {
+      val in = fs.open(mpath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { line =>
+          val Array(component, file) = line.split("\t", 2)
+          component -> file
+        }.toSeq
+      finally in.close()
+    }
+    def files(component: String): Seq[String] =
+      manifest.collect { case (c, f) if c == component => f }
     val sig = s.read.parquet(files("sig"): _*)
     val bands = s.read.option("basePath", s"$dir/bands")
       .parquet(files("bands"): _*)
@@ -837,7 +871,7 @@ object Dedup {
     // history is EXPIRED (the log-structured contract); restart the
     // snapshot log at a fresh v1 over the compacted state
     clearBandSnapshots(s, dir)
-    commitBandSnapshot(s, dir, s.read.parquet(s"$dir/counts"))
+    commitBandSnapshot(s, dir, None)
   }
 
   /** Probe a [[saveBandIndex]] directory with a (doc_id, text) batch:

@@ -724,13 +724,13 @@ object Multimodal {
     * storage-dedup telemetry: chunk count, chunks shared with ≥ 2
     * media, shared fraction.
     *
-    * 100 TB shape: the per-position rolling hash and boundary flags
-    * are one per-payload window pass (shuffle on media_id — in a real
-    * deployment this folds into the batched decoder, map-side); chunk
-    * hashing is a groupBy on (media, chunk); sharing is one groupBy on
-    * the chunk hash plus an equi-join back — the exact-dedup plan at
-    * chunk granularity. A popular chunk joins 1:1 per occurrence
-    * against its aggregated dup row — no pair blowup anywhere. */
+    * 100 TB shape: chunking runs inside the batched per-payload pass
+    * (`mapPartitions`, the module's decoder convention) — payload
+    * bytes never shuffle, only (media, chunk-md5, length) facts do;
+    * sharing is one groupBy on the chunk hash plus an equi-join back —
+    * the exact-dedup plan at chunk granularity. A popular chunk joins
+    * 1:1 per occurrence against its aggregated dup row — no pair
+    * blowup anywhere. */
   val cdcDedup: QueryDef = QueryDef.sql(
     "mm_cdc_dedup",
     s"""WITH m AS (
@@ -821,29 +821,60 @@ object Multimodal {
         .select((col("media_id") + 10000).as("media_id"),
           concat(slice(col("body"), 1, 50), array(lit(7L), lit(7L), lit(7L)),
             slice(col("body"), lit(51), size(col("body")) - 50)).as("body")))
-    val px = corpus.select(col("media_id"),
-        posexplode(col("body")).as(Seq("pos0", "b")))
-      .select(col("media_id"), (col("pos0") + 1).as("pos"), col("b"))
-    val w = Window.partitionBy(col("media_id")).orderBy(col("pos"))
-    val rolled = px.select(Seq(col("media_id"), col("pos"), col("b")) ++
-      (1 to 7).map(j => lag(col("b"), j).over(w).as(s"l$j")): _*)
-    val h = Seq("l7", "l6", "l5", "l4", "l3", "l2", "l1")
-      .map(col).foldLeft(Option.empty[Column]) {
-        case (None, c) => Some(c.cast("long"))
-        case (Some(acc), c) => Some((acc * 131 + c) % P)
-      }.map(acc => (acc * 131 + col("b")) % P).get
-    val flagged = rolled.select(col("media_id"), col("pos"), col("b"),
-      when(col("pos") >= 8 && h % 16 === 0, 1L).otherwise(0L).as("flag"))
-    val cids = flagged.select(col("media_id"), col("pos"), col("b"),
-      coalesce(sum(col("flag")).over(w.rowsBetween(Window.unboundedPreceding,
-        -1)), lit(0L)).as("cid"))
-    val chunks = graft.InternalCaches.register(cids
-      .groupBy(col("media_id"), col("cid"))
-      .agg(md5(array_join(transform(array_sort(collect_list(
-        struct(col("pos"), col("b")))), x => x.getField("b").cast("string")),
-        ",")).as("ch"),
-        count(lit(1)).as("clen"))
-      .persist())
+    // The chunker runs INSIDE the batched per-payload pass
+    // (mapPartitions — the module's batched-decoder convention, like
+    // [[extractFeatures]]): rolling hash, boundary detection, and the
+    // per-chunk md5 are a tight per-row byte loop, and only the chunk
+    // FACTS (media_id, md5, length) ever leave the row — the r7 perf
+    // pass replaced a per-byte-position explode through a lag window
+    // (6.6M shuffled rows at sf0.1, 13.8 s) with this shape (~3 s).
+    // The oracle keeps the relational window formulation: same chunks,
+    // row for row.
+    val spark = s
+    val chunkSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ch", StringType, nullable = false),
+      StructField("clen", LongType, nullable = false)))
+    val chunkRows = corpus.select(col("media_id"), col("body")).rdd
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val body = r.getSeq[Long](1)
+          val n = body.length
+          val out = scala.collection.mutable.ArrayBuffer[Row]()
+          val sb = new StringBuilder
+          var start = 0
+          def emit(endExcl: Int): Unit = {
+            sb.setLength(0)
+            var j = start
+            while (j < endExcl) {
+              if (j > start) sb.append(',')
+              sb.append(body(j))
+              j += 1
+            }
+            md.reset()
+            val hex = md.digest(sb.toString.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            out += Row(id, hex, (endExcl - start).toLong)
+            start = endExcl
+          }
+          var i = 0
+          while (i < n) {
+            if (i >= 7) { // 1-based pos >= 8: window body[i-7..i]
+              var hh = body(i - 7)
+              var j = i - 6
+              while (j <= i) { hh = (hh * 131 + body(j)) % P; j += 1 }
+              if (hh % 16 == 0) emit(i + 1)
+            }
+            i += 1
+          }
+          if (start < n) emit(n)
+          out
+        }
+      }
+    val chunks = graft.InternalCaches.register(
+      spark.createDataFrame(chunkRows, chunkSchema).persist())
     // chunks below 8 bytes are never "shared": CDC implementations
     // impose a minimum chunk size for exactly this reason — tiny
     // chunks collide by value, not by content overlap
