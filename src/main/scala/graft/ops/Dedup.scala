@@ -627,8 +627,9 @@ object Dedup {
 
   // ------------------------------------------- band-index snapshots --
 
-  /** Sorted parquet data files currently under `dir/sub`. */
-  private def listParquetFiles(s: SparkSession, dir: String,
+  /** Sorted parquet data files currently under `dir/sub` (shared by
+    * the band- and IVF-index snapshot logs). */
+  private[ops] def listParquetFiles(s: SparkSession, dir: String,
       sub: String): Seq[String] = {
     val base = new org.apache.hadoop.fs.Path(s"$dir/$sub")
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -1026,6 +1026,9 @@ object Similarity {
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
     assignToCells(prep, cent)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+    // a rebuild starts snapshot history over: v1 = the full build
+    clearIvfSnapshots(prep.sparkSession, dir)
+    commitIvfSnapshot(prep.sparkSession, dir)
   }
 
   /** INCREMENTAL maintenance for a [[saveIvfIndex]] directory (r7,
@@ -1052,6 +1055,7 @@ object Similarity {
     val cent = spark.read.parquet(s"$dir/centroids")
     assignToCells(batch, cent).localCheckpoint(true)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/corpus")
+    commitIvfSnapshot(spark, dir)
   }
 
   /** The DELETE verb of the IVF-index lifecycle (build / append /
@@ -1089,17 +1093,95 @@ object Similarity {
       df => ts.fold(df)(t => df.join(broadcast(t), Seq("vec_id"), "left_anti")))
     ts.foreach(t => t.limit(0).write.mode("overwrite")
       .parquet(s"$dir/tombstones"))
+    // compaction rewrote the cell files old manifests point at —
+    // history expires to a fresh v1 over the compacted state
+    clearIvfSnapshots(s, dir)
+    commitIvfSnapshot(s, dir)
   }
 
   /** Top-k cosine against a [[saveIvfIndex]] directory. Queries are
     * `prepared` rows; each probes its `nprobe` nearest centroids. */
+  // ------------------------------------------- IVF-index snapshots --
+
+  /** Committed snapshot versions of an IVF index, oldest first (FS
+    * metadata — the band-index convention, [[Dedup.bandIndexVersions]]). */
+  def ivfIndexVersions(s: SparkSession, dir: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/manifests")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .map(_.stripPrefix("v").stripSuffix(".txt").toInt).sorted
+  }
+
+  /** Commit an IVF-index snapshot: one FS text manifest over the
+    * append-only `corpus` cell files plus the frozen `centroids` file
+    * — SIMPLER than the band index's ([[Dedup]] keeps keyed count
+    * state and needs immutable deltas; IVF cell rows are pure
+    * per-vector facts under a frozen quantizer, so the file list IS
+    * the whole state). Metadata-class cost: no Spark job. */
+  private def commitIvfSnapshot(s: SparkSession, dir: String): Int = {
+    val version = ivfIndexVersions(s, dir).lastOption.getOrElse(0) + 1
+    val lines =
+      Dedup.listParquetFiles(s, dir, "centroids").map("centroids\t" + _) ++
+        Dedup.listParquetFiles(s, dir, "corpus").map("corpus\t" + _)
+    val mpath = new org.apache.hadoop.fs.Path(s"$dir/manifests")
+    val fs = mpath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(mpath)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/manifests/v$version.txt"), true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    version
+  }
+
+  private def clearIvfSnapshots(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/manifests")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** TIME-TRAVEL probe: [[topKFromIvfIndex]] against the index AS OF a
+    * committed snapshot version — reads only the manifest's files
+    * (append-only ⇒ still byte-identical). Current tombstones apply to
+    * every view (deletion wins over history); compaction/rebuild
+    * expires history to a fresh v1. */
+  def topKFromIvfIndexAsOf(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int, version: Int, nprobe: Int = 2): DataFrame = {
+    require(ivfIndexVersions(s, dir).contains(version),
+      s"no committed snapshot v$version under $dir (compaction expires history)")
+    val mpath = new org.apache.hadoop.fs.Path(s"$dir/manifests/v$version.txt")
+    val fs = mpath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val manifest = {
+      val in = fs.open(mpath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { line =>
+          val Array(component, file) = line.split("\t", 2)
+          component -> file
+        }.toSeq
+      finally in.close()
+    }
+    def files(component: String): Seq[String] =
+      manifest.collect { case (c, f) if c == component => f }
+    topKAgainst(s, dir, queries, k, nprobe,
+      cent = s.read.parquet(files("centroids"): _*),
+      corpus0 = s.read.option("basePath", s"$dir/corpus")
+        .parquet(files("corpus"): _*))
+  }
+
   def topKFromIvfIndex(s: SparkSession, dir: String, queries: DataFrame,
-      k: Int, nprobe: Int = 2): DataFrame = {
-    val cent = broadcast(s.read.parquet(s"$dir/centroids"))
+      k: Int, nprobe: Int = 2): DataFrame =
+    topKAgainst(s, dir, queries, k, nprobe,
+      cent = s.read.parquet(s"$dir/centroids"),
+      corpus0 = s.read.parquet(s"$dir/corpus"))
+
+  /** [[topKFromIvfIndex]]'s engine against explicit snapshot frames
+    * (shared with [[topKFromIvfIndexAsOf]] — the band-index
+    * `probeAgainst` convention). */
+  private def topKAgainst(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int, nprobe: Int, cent: DataFrame, corpus0: DataFrame): DataFrame = {
     // pending logical deletes (bounded by deletions since the last
     // compaction) are anti-joined off the corpus side: a tombstoned
     // vector stops ranking immediately, its purge waits for compaction
-    val corpus0 = s.read.parquet(s"$dir/corpus")
     val corpus = Dedup.tombstonesOf(s, dir).fold(corpus0)(t =>
       corpus0.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
     def sqDist(a: Column, b: Column): Column =
@@ -1110,7 +1192,7 @@ object Similarity {
     val probes = queries
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
-      .crossJoin(cent)
+      .crossJoin(broadcast(cent))
       .withColumn("d", sqDist(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(byDist))
       .filter(col("rn") <= nprobe)

@@ -289,6 +289,41 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
     n
   }
 
+  /** r7: IVF snapshot versioning mirrors the band index's (manifest
+    * over append-only cell files; no deltas — no keyed state). */
+  test("ivf index: as-of probes replay history; compaction expires it") {
+    val s = spark
+    val prep = Similarity.prepared(graft.Tables.embeddings(s, sfDir))
+      .localCheckpoint()
+    val a = prep.filter(col("vec_id") < 300)
+    val b = prep.filter(col("vec_id") >= 300)
+    val queries = prep.filter(col("vec_id") % 50 === 0)
+
+    val dir = Files.createTempDirectory("ivfsnap").toString
+    Similarity.saveIvfIndex(a, dir)
+    Similarity.ivfIndexVersions(s, dir) shouldBe Seq(1)
+    val v1Live = canon(Similarity.topKFromIvfIndex(s, dir, queries,
+      k = 5, nprobe = Similarity.IvfNprobe))
+    Similarity.appendToIvfIndex(dir, b)
+    Similarity.ivfIndexVersions(s, dir) shouldBe Seq(1, 2)
+
+    canon(Similarity.topKFromIvfIndexAsOf(s, dir, queries, k = 5,
+      version = 1, nprobe = Similarity.IvfNprobe)) shouldBe v1Live
+    val live = canon(Similarity.topKFromIvfIndex(s, dir, queries,
+      k = 5, nprobe = Similarity.IvfNprobe))
+    canon(Similarity.topKFromIvfIndexAsOf(s, dir, queries, k = 5,
+      version = 2, nprobe = Similarity.IvfNprobe)) shouldBe live
+    live should not be v1Live // the appended half re-ranks neighbors
+
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.topKFromIvfIndexAsOf(s, dir, queries, k = 5, version = 3)
+
+    Similarity.compactIvfIndex(s, dir)
+    Similarity.ivfIndexVersions(s, dir) shouldBe Seq(1)
+    canon(Similarity.topKFromIvfIndexAsOf(s, dir, queries, k = 5,
+      version = 1, nprobe = Similarity.IvfNprobe)) shouldBe live
+  }
+
   test("band+line compaction: probe-identical, fewer files, appends resume") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
