@@ -598,7 +598,119 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-STYLE IMPORTANCE RESAMPLING (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — select raw docs
+    * that LOOK LIKE a target domain, by hashed-unigram importance
+    * weights: bucket the corpus vocabulary into NB hash buckets, fit
+    * add-1-smoothed bucket distributions over the target subset
+    * (lang='en' here — in production, the curated high-quality seed
+    * set) and over the raw corpus, and weight each doc by the sum of
+    * per-token log-likelihood ratios. Top quarter by weight is
+    * selected. The deterministic variant of the paper's Gumbel-top-k:
+    * ranking is by the weight itself, ties broken by doc key.
+    *
+    * Selection does NOT use a global row_number: the quantile
+    * threshold comes from a weight HISTOGRAM (≤ one row per distinct
+    * rounded weight) + a cumulative window over that histogram (the
+    * adv_quantiles_dist CDF shape), and tie admission is a
+    * row_number PARTITIONED by weight — every window here is over
+    * bounded or partitioned data, so the plan carries no
+    * single-partition global sort of the corpus at 100 TB.
+    *
+    * Determinism: bucket counts and totals are exact integers; each
+    * bucket's log-ratio is quantized 1e-9 before the per-doc sum
+    * (the lm_score ln rule), doc weights rounded 1e-6; thresholding
+    * and tie-ranking run on the ROUNDED weights both engines share.
+    *
+    * 100 TB shape: one tokenize+hash pass feeds both count tables
+    * (NB-bounded) and the scoring join; the log-ratio table is NB
+    * rows — broadcast; per-doc reduction shuffles on doc_id; the
+    * histogram aggregate is NB-bounded. Nothing scales worse than
+    * the corpus scan. */
+  val dsirSelect: QueryDef = {
+    val NB = 4096L
+    QueryDef.sql(
+      "pipe_dsir",
+      s"""WITH occ AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(string_split(text, ' '),
+        |      t -> list_reduce(
+        |        [CAST(0 AS BIGINT)] ||
+        |        list_transform(generate_series(1, length(t)),
+        |                       i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
+        |        (h, c) -> (h * 131 + c) % 1000000007) % $NB)) AS b
+        |  FROM documents),
+        |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM occ GROUP BY b),
+        |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM occ
+        |       WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS crt,
+        |          CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ctt
+        |        FROM occ),
+        |lr AS (
+        |  SELECT cr.b,
+        |    round(ln((coalesce(ct.ct, 0) + 1.0) / (tot.ctt + $NB))
+        |          - ln((cr.cr + 1.0) / (tot.crt + $NB)), 9) AS lr
+        |  FROM cr LEFT JOIN ct ON ct.b = cr.b CROSS JOIN tot),
+        |docw AS (
+        |  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |    round(sum(l.lr), 6) AS w
+        |  FROM occ o JOIN lr l ON l.b = o.b GROUP BY o.doc_id),
+        |k AS (SELECT count(*) // 4 AS k FROM docw),
+        |hist AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM docw GROUP BY w),
+        |cum AS (SELECT w, cnt,
+        |          CAST(sum(cnt) OVER (ORDER BY w DESC) AS BIGINT) AS cum
+        |        FROM hist),
+        |thr AS (SELECT w AS thr_w, k.k - (cum - cnt) AS quota
+        |        FROM cum CROSS JOIN k WHERE cum - cnt < k.k AND cum >= k.k),
+        |r AS (SELECT doc_id, n_toks, w,
+        |        row_number() OVER (PARTITION BY w ORDER BY doc_id) AS rn
+        |      FROM docw)
+        |SELECT r.doc_id, r.n_toks, r.w AS weight,
+        |  CASE WHEN r.w > t.thr_w OR (r.w = t.thr_w AND r.rn <= t.quota)
+        |       THEN 1 ELSE 0 END AS selected
+        |FROM r CROSS JOIN thr t
+        |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val occ = graft.InternalCaches.register(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(transform(split(col("text"), " "),
+            t => Dedup.tokHash(t) % NB)).as("b"))
+        .persist())
+      val cr = occ.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val ct = occ.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val tot = occ.agg(count(lit(1)).as("crt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ctt"))
+      val lrt = cr.join(ct, Seq("b"), "left").crossJoin(broadcast(tot))
+        .select(col("b"),
+          round(log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("ctt") + NB))
+            - log((col("cr") + lit(1.0)) / (col("crt") + NB)), 9).as("lr"))
+      val docw = graft.InternalCaches.register(occ.join(lrt, Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), round(sum(col("lr")), 6).as("w"))
+        .persist())
+      val kdf = docw.agg(floor(count(lit(1)) / 4).cast("long").as("k"))
+      val hist = docw.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // cumulative window over the HISTOGRAM (≤ NB-ish rows), not the corpus
+      val cum = hist.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("w").desc)))
+      val thr = cum.crossJoin(broadcast(kdf))
+        .filter(col("cum") - col("cnt") < col("k") && col("cum") >= col("k"))
+        .select(col("w").as("thr_w"),
+          (col("k") - (col("cum") - col("cnt"))).as("quota"))
+      val r = docw.withColumn("rn", row_number().over(
+        Window.partitionBy(col("w")).orderBy(col("doc_id"))))
+      r.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_toks"), col("w").as("weight"),
+          when(col("w") > col("thr_w") ||
+            (col("w") === col("thr_w") && col("rn") <= col("quota")), 1)
+            .otherwise(0).as("selected"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(corpusClean, domainMix, compact, decontaminate, decontaminateBloom,
-      trainSplit, profile, shuffleShard, contaminationScore, tokenBudget)
+      trainSplit, profile, shuffleShard, contaminationScore, tokenBudget,
+      dsirSelect)
 }

@@ -1634,7 +1634,96 @@ object Similarity {
     out
   }
 
+  /** POSITIONAL PHRASE SEARCH — the exact-phrase retrieval verb BM25
+    * cannot express: a positional inverted index (doc, pos, token-id)
+    * and consecutive-offset equi-joins. Each query doc contributes one
+    * 3-token phrase from its interior (positions 5..7 when the doc has
+    * ≥ 7 tokens, else 1..3); a candidate matches where the three token
+    * ids appear at consecutive positions. Token identity is the shared
+    * rolling-hash id (the engine-wide tokHash convention — collisions
+    * are the same on both engines by construction).
+    *
+    * Join order is term-1 postings → +1 offset → +2 offset: each stage
+    * is an equi-join on (doc, pos[, tid]), so candidates only ever
+    * SHRINK after the first stage. Production refinement (documented,
+    * not needed at fixture df): start from the RAREST of the three
+    * terms — the first stage's fanout is df(t₁) per query, and
+    * rarest-first minimizes it; the df table to pick it is the same
+    * aggregate BM25 already builds.
+    *
+    * 100 TB shape: the posting table is one tokenize pass (linear,
+    * map-side); every match stage is an equi-join keyed on (doc, pos)
+    * against query-term postings only — no scan ever touches postings
+    * of terms outside the query set; the final reduction is
+    * (query, cand)-keyed. All integers — no FP anywhere. */
+  val phraseSearch: QueryDef = QueryDef.sql(
+    "sim_phrase_search",
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+      |${Dedup.encodedToksSql},
+      |lens AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM enc GROUP BY doc_id),
+      |q AS (
+      |  SELECT e.doc_id AS qid,
+      |    max(CASE WHEN e.pos = b.base THEN e.tid END) AS t1,
+      |    max(CASE WHEN e.pos = b.base + 1 THEN e.tid END) AS t2,
+      |    max(CASE WHEN e.pos = b.base + 2 THEN e.tid END) AS t3
+      |  FROM enc e
+      |  JOIN (SELECT doc_id, CASE WHEN len >= 7 THEN 5 ELSE 1 END AS base
+      |        FROM lens WHERE len >= 3 AND doc_id % $QueryStride = 0) b
+      |    ON b.doc_id = e.doc_id
+      |  GROUP BY e.doc_id),
+      |m1 AS (
+      |  SELECT q.qid, q.t2, q.t3, p.doc_id AS cand, p.pos
+      |  FROM q JOIN enc p ON p.tid = q.t1),
+      |m2 AS (
+      |  SELECT m1.qid, m1.t3, m1.cand, m1.pos
+      |  FROM m1 JOIN enc p
+      |    ON p.doc_id = m1.cand AND p.pos = m1.pos + 1 AND p.tid = m1.t2),
+      |m3 AS (
+      |  SELECT m2.qid, m2.cand, m2.pos
+      |  FROM m2 JOIN enc p
+      |    ON p.doc_id = m2.cand AND p.pos = m2.pos + 2 AND p.tid = m2.t3)
+      |SELECT qid AS query_id, cand AS doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_matches,
+      |  CAST(min(pos) AS BIGINT) AS first_pos
+      |FROM m3 GROUP BY qid, cand
+      |ORDER BY query_id, doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val enc = graft.InternalCaches.register(
+      Dedup.encodedToks(docs).persist())
+    val lens = enc.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val bases = lens
+      .filter(col("len") >= 3 && col("doc_id") % QueryStride === 0)
+      .select(col("doc_id"),
+        when(col("len") >= 7, 5).otherwise(1).as("base"))
+    val q = enc.join(bases, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("pos") === col("base"), col("tid"))).as("t1"),
+        max(when(col("pos") === col("base") + 1, col("tid"))).as("t2"),
+        max(when(col("pos") === col("base") + 2, col("tid"))).as("t3"))
+      .withColumnRenamed("doc_id", "qid")
+    val p = enc.select(col("doc_id").as("p_doc"), col("pos").as("p_pos"),
+      col("tid").as("p_tid"))
+    val m1 = q.join(p, col("p_tid") === col("t1"))
+      .select(col("qid"), col("t2"), col("t3"),
+        col("p_doc").as("cand"), col("p_pos").as("pos"))
+    val m2 = m1.join(p,
+        col("p_doc") === col("cand") && col("p_pos") === col("pos") + 1 &&
+          col("p_tid") === col("t2"))
+      .select(col("qid"), col("t3"), col("cand"), col("pos"))
+    val m3 = m2.join(p,
+        col("p_doc") === col("cand") && col("p_pos") === col("pos") + 2 &&
+          col("p_tid") === col("t3"))
+      .select(col("qid"), col("cand"), col("pos"))
+    m3.groupBy(col("qid"), col("cand"))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).cast("long").as("first_pos"))
+      .select(col("qid").as("query_id"), col("cand").as("doc_id"),
+        col("n_matches"), col("first_pos"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(topKBrute, topKLsh, rangeSearch, rangeSearchLsh, topKIvf, hybridRrf,
-      hardNegativesQuery, bm25, pqEncode, pqTopK, sq8TopK, ivfIngestGrow)
+      hardNegativesQuery, bm25, pqEncode, pqTopK, sq8TopK, ivfIngestGrow,
+      phraseSearch)
 }

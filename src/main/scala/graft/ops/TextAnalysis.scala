@@ -1030,8 +1030,95 @@ object TextAnalysis {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** DISTRIBUTED CLASSIFIER TRAINING STEP — the piece
+    * [[domainClassify]] deliberately leaves out: where its weight
+    * table comes from. One full-batch SGD step of logistic regression
+    * over hashed bag-of-words buckets (fastText's linear regime: the
+    * quality/language filters of the CCNet / DCLM family are trained
+    * exactly like this), with lang='en' as the binary label. Scoring
+    * reuses the [[domainClassify]] arithmetic-derived init table (the
+    * Knuth-mix of the bucket id) so both engines share the starting
+    * point exactly; the output is the per-bucket updated weight table
+    * — run it again with `w_after` as the init and you have epoch 2.
+    *
+    * Cross-engine determinism (the sq8 integer micro-unit rule): the
+    * doc score is an EXACT integer sum over its buckets divided once;
+    * sigmoid is quantized 1e-9 (the lm_score ln rule); each doc's
+    * per-occurrence gradient contribution is quantized to INTEGER
+    * micro-units (×1e12) so the per-bucket sum is exact integer
+    * arithmetic — order-free under any partitioning — and floats
+    * reappear only in the final rounded projection.
+    *
+    * 100 TB shape: tokenize → hash → score → residual is one fused
+    * map-side projection (no join — the init table is arithmetic, and
+    * a trained table would broadcast: NB×8 bytes); the ONLY shuffle is
+    * the groupBy on bucket id, whose cardinality is the constant NB —
+    * partial aggregation does the heavy lifting map-side, the reduce
+    * side touches ≤ NB rows regardless of corpus size. That is the
+    * same plan at sf0.01 and at 100 TB. */
+  val classifierTrain: QueryDef = {
+    val NB = 4096L
+    val A = 2654435761L
+    val M = 999983L
+    val Half = 499991L
+    val Lr = 0.5
+    QueryDef.sql(
+      "ta_classifier_train",
+      s"""WITH tk AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    list_transform(string_split(text, ' '),
+        |      t -> list_reduce(
+        |        [CAST(0 AS BIGINT)] ||
+        |        list_transform(generate_series(1, length(t)),
+        |                       i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
+        |        (h, c) -> (h * 131 + c) % 1000000007) % $NB) AS bs
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, y, bs, len(bs) AS n,
+        |    list_reduce(list_transform(bs, b -> (b * $A) % $M - $Half),
+        |      (a, b) -> a + b) AS wsum
+        |  FROM tk),
+        |res AS (
+        |  SELECT bs,
+        |    CAST(round((round(1.0 / (1.0 + exp(-(wsum / (n * $Half)))), 9) - y)
+        |         / n * 1e12) AS BIGINT) AS rq
+        |  FROM sc),
+        |g AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_occ,
+        |    CAST(sum(rq) AS BIGINT) AS g_micro
+        |  FROM (SELECT unnest(bs) AS bucket, rq FROM res) o
+        |  GROUP BY bucket)
+        |SELECT bucket, n_occ,
+        |  round(((bucket * $A) % $M - $Half) / $Half.0, 6) AS w_before,
+        |  round(((bucket * $A) % $M - $Half) / $Half.0
+        |        - $Lr * (g_micro / 1e12), 6) AS w_after
+        |FROM g ORDER BY bucket""".stripMargin) { (s, d) =>
+      val tk = Tables.documents(s, d).select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        transform(toks, t => Dedup.tokHash(t) % NB).as("bs"))
+      val sc = tk
+        .withColumn("n", size(col("bs")).cast("long"))
+        .withColumn("wsum", aggregate(col("bs"), lit(0L),
+          (acc, b) => acc + ((b * A) % M - Half)))
+      val res = sc.select(col("bs"),
+        round((round(lit(1.0) / (lit(1.0) +
+            exp(-(col("wsum") / (col("n") * Half)))), 9) - col("y"))
+          / col("n") * 1e12, 0).cast("long").as("rq"))
+      res.select(explode(col("bs")).as("bucket"), col("rq"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_occ"), sum(col("rq")).as("g_micro"))
+        .select(col("bucket"), col("n_occ"),
+          round(((col("bucket") * A) % M - Half) / Half.toDouble, 6)
+            .as("w_before"),
+          round(((col("bucket") * A) % M - Half) / Half.toDouble
+            - lit(Lr) * (col("g_micro") / 1e12), 6).as("w_after"))
+        .orderBy(col("bucket"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(tokenStats, langId, quality, fingerprint, tfidf, piiMask, bpePairs,
       bpeMerge, chunking, packing, repetition, cmsHeavy, normalize, lmScore,
-      hllDistinct, qualityBuckets, domainClassify, fuzzyMatch)
+      hllDistinct, qualityBuckets, domainClassify, fuzzyMatch,
+      classifierTrain)
 }
