@@ -1116,9 +1116,127 @@ object TextAnalysis {
     }
   }
 
+  /** FULL BPE TRAINING LOOP + APPLY — [[bpeMerge]] runs ONE turn of
+    * the inner loop; this trains a K-merge vocabulary end-to-end and
+    * tokenizes the corpus with it. Classic word-frequency BPE: the
+    * vocab table is (word, count, units) with units starting as single
+    * characters; each round aggregates adjacent-unit pair counts
+    * weighted by word frequency, picks the argmax pair (count desc,
+    * then pair — both engines' binary string order), and merges it
+    * across the vocab; after K rounds each doc's token count is the
+    * sum of its words' final unit counts.
+    *
+    * One deliberate divergence from textbook BPE, for cross-engine
+    * bit-exactness: SELF-pairs (a,a) are excluded from the merge
+    * candidates. With a ≠ b, two matches can never overlap (a match at
+    * i+1 would need U[i+1] = b AND U[i+1] = a), so "merge all
+    * occurrences simultaneously" IS leftmost-non-overlapping — a pure
+    * per-position array expression, no fold, identical in both
+    * engines. Self-pairs would make the result depend on run parity
+    * (the "aaa" problem), which a replace-scan hides engine-side.
+    *
+    * 100 TB shape: the loop runs over the VOCABULARY (corpus-distinct
+    * words — millions, not the corpus itself), built by one corpus
+    * aggregation; each round is a vocab-bounded pair aggregation + a
+    * driver-read argmax (one tiny action, the bloom/bm25 scalar
+    * convention) + a map-side merge, with per-round localCheckpoint
+    * truncating the growing lambda lineage. The corpus is touched
+    * exactly twice: once to build the vocab, once to score docs
+    * against the final vocab (a broadcast-sized join at any scale —
+    * vocab ≪ corpus). */
+  val bpeTrain: QueryDef = {
+    val K = 8
+    def stepSql(k: Int): String = {
+      val prev = s"v${k - 1}"
+      s"""pc$k AS (
+        |  SELECT u[i] AS a, u[i + 1] AS b, CAST(sum(wc) AS BIGINT) AS cnt
+        |  FROM $prev CROSS JOIN LATERAL
+        |    unnest(generate_series(1, len(u) - 1)) s(i)
+        |  WHERE u[i] <> u[i + 1]
+        |  GROUP BY 1, 2),
+        |best$k AS (SELECT a, b FROM pc$k ORDER BY cnt DESC, a, b LIMIT 1),
+        |v$k AS (
+        |  SELECT word, wc,
+        |    list_filter(list_transform(generate_series(1, len(u)),
+        |      i -> CASE WHEN u[i] = a AND u[i + 1] = b THEN a || b
+        |                WHEN u[i - 1] = a AND u[i] = b THEN NULL
+        |                ELSE u[i] END),
+        |      x -> x IS NOT NULL) AS u
+        |  FROM $prev CROSS JOIN best$k)""".stripMargin
+    }
+    QueryDef.sql(
+      "ta_bpe_train",
+      s"""WITH v0 AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS wc,
+        |    list_transform(generate_series(1, length(word)),
+        |                   i -> substr(word, i, 1)) AS u
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+        |  GROUP BY word),
+        |${(1 to K).map(stepSql).mkString(",\n")},
+        |wtok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(len(v.u)) AS BIGINT) AS n_units,
+        |  CAST(sum(length(t.word)) AS BIGINT) AS n_chars,
+        |  round(sum(length(t.word)) * 1.0 / sum(len(v.u)), 6) AS chars_per_unit
+        |FROM wtok t JOIN v$K v ON v.word = t.word
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      var vocab = docs.select(explode(toks).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+        .withColumn("u", transform(
+          sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))))
+        .localCheckpoint(true)
+      for (_ <- 1 to K) {
+        // size >= 2 guard: Spark's sequence(1, 0) counts DOWN ([1, 0]),
+        // so a single-unit word would emit an out-of-bounds pair probe
+        val best = vocab
+          .filter(size(col("u")) > 1)
+          .select(col("wc"), explode(transform(
+            sequence(lit(1), size(col("u")) - 1),
+            i => struct(element_at(col("u"), i).as("a"),
+              element_at(col("u"), i + 1).as("b")))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"), col("wc"))
+          .filter(col("a") =!= col("b"))
+          .groupBy(col("a"), col("b")).agg(sum(col("wc")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .select(col("a"), col("b"))
+        // merge all occurrences at once — exact because a ≠ b (above)
+        vocab = vocab.crossJoin(broadcast(best))
+          .withColumn("u", filter(
+            transform(sequence(lit(0), size(col("u")) - 1), i => {
+              val cur = get(col("u"), i)
+              val nxt = get(col("u"), i + 1)
+              val prv = get(col("u"), i - 1)
+              when(cur === col("a") && nxt === col("b"),
+                concat(col("a"), col("b")))
+                .when(prv === col("a") && cur === col("b"),
+                  lit(null).cast("string"))
+                .otherwise(cur)
+            }),
+            x => x.isNotNull))
+          .select(col("word"), col("wc"), col("u"))
+          .localCheckpoint(true)
+      }
+      val wtok = docs.select(col("doc_id"), explode(toks).as("word"))
+      wtok.join(vocab.select(col("word"), size(col("u")).as("nu")),
+          Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("nu")).cast("long").as("n_units"),
+          sum(length(col("word"))).cast("long").as("n_chars"))
+        .select(col("doc_id"), col("n_words"), col("n_units"), col("n_chars"),
+          round(col("n_chars") * 1.0 / col("n_units"), 6).as("chars_per_unit"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(tokenStats, langId, quality, fingerprint, tfidf, piiMask, bpePairs,
       bpeMerge, chunking, packing, repetition, cmsHeavy, normalize, lmScore,
       hllDistinct, qualityBuckets, domainClassify, fuzzyMatch,
-      classifierTrain)
+      classifierTrain, bpeTrain)
 }
