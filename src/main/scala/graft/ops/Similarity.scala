@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
+import graft.functions.GramSum
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1722,8 +1723,158 @@ object Similarity {
       .orderBy(col("query_id"), col("doc_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Distributed PCA (first principal component) by power iteration.
+  // ------------------------------------------------------------------
+
+  /** Power-iteration rounds for [[pcaPowerProject]]. On a corpus with a
+    * real dominant direction (ratio of top singular values ≥ ~2) ten
+    * rounds converge to the principal axis (suite-pinned at corr
+    * > 0.999 on an anisotropic fixture); on a near-isotropic corpus
+    * the iterate is still a well-defined deterministic direction —
+    * which is what the oracle checks. */
+  val PcaIters = 10
+
+  /** DuckDB-round semantics (round-half-away-from-zero to integer) for
+    * the driver-side power iteration, so the loop's integer state stays
+    * bit-identical to the oracle's CTE chain. Inputs stay ≪ 2^52, so
+    * the +0.5/floor trick is exact. */
+  private def rndHalf(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else -math.floor(-x + 0.5).toLong
+
+  /** First-principal-component projection of an embedding table —
+    * the dimensionality-reduction / whitening primitive a training-data
+    * pipeline uses for diversity scoring and coarse semantic axes.
+    *
+    * Shape: (1) one cheap per-dimension column-sum pass fixes an
+    * INTEGER coarse center m_i = floor(mean) in micro-units; (2) one
+    * [[graft.functions.GramSum]] pass over the centered micro vectors,
+    * augmented with a constant-1 coordinate, yields the full scatter
+    * matrix, the residual sums AND the row count in a single map-side-
+    * combine reduce (the MLlib RowMatrix.computeGramianMatrix pattern —
+    * the shuffle carries one 33 KiB buffer per partition, never rows);
+    * (3) the driver runs K power-iteration rounds on the dim² matrix
+    * with integer state: every FP step is a single deterministic
+    * product/quotient followed by a half-away round, so the iterate is
+    * reproducible across engines regardless of summation order; (4) the
+    * principal direction broadcasts back as a literal and the
+    * projection is one map-side pass (exact residual-mean correction
+    * via n·t − Σt, all integer).
+    *
+    * Determinism bounds (documented, suite-pinned): micro components
+    * |c| ≤ ~2^20 keep scatter entries ≤ n·2.8e11 — exact in Long up to
+    * n ≈ 3e7 rows. Beyond that a production deployment fits the
+    * direction on a uniform sample (the FAISS train-on-sample rule) and
+    * projects everything — the projection pass itself is unbounded. */
+  def pcaPowerProject(emb: DataFrame, dim: Int = 64,
+      iters: Int = PcaIters): DataFrame = {
+    val qcol = transform(col("embedding"),
+      x => round(x.cast("double") * 1e6).cast("long"))
+    val qdf = emb.select(col("vec_id"), col("label"), qcol.as("q"))
+    // pass 1: n + per-dimension micro sums (one narrow global agg)
+    val sumsRow = qdf.agg(count(lit(1)).cast("long").as("n"),
+      (0 until dim).map(i => sum(element_at(col("q"), i + 1)).as(s"s$i")): _*)
+      .head()
+    val n = sumsRow.getLong(0)
+    require(n > 0, "pcaPowerProject: empty input")
+    val nD = n.toDouble
+    val m = Array.tabulate(dim)(i =>
+      math.floor(sumsRow.getLong(i + 1).toDouble / nD).toLong)
+    val mCol = array(m.map(lit(_)): _*)
+    val cdf = qdf.select(col("vec_id"), col("label"),
+      zip_with(col("q"), mCol, (q, mm) => q - mm).as("c"))
+    // pass 2: augmented scatter — G_c, residual sums sc, and n at once
+    val gs = new GramSum(dim + 1)
+    val buf = cdf.select(concat(col("c"), array(lit(1L))).as("ca"))
+      .agg(gs(col("ca")).as("g")).head().getSeq[Long](0)
+    val sc = Array.tabulate(dim)(i => buf(i * (dim + 1) + dim))
+    val gd = Array.tabulate(dim, dim)((i, j) =>
+      buf(i * (dim + 1) + j).toDouble / nD * 1e-12)
+    var vq = Array.tabulate(dim)(i => if (i == 0) 1000000000L else 0L)
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(dim) { i =>
+        val row = gd(i); var acc = 0L; var j = 0
+        while (j < dim) { acc += rndHalf(row(j) * vq(j).toDouble); j += 1 }
+        acc
+      }
+      var n2 = 0L
+      w.foreach(x => n2 += rndHalf((x.toDouble * 1e-9) * (x.toDouble * 1e-9) * 1e6))
+      n2 = math.max(n2, 1L)
+      val nrm = math.sqrt(n2.toDouble * 1e-6)
+      vq = w.map(x => rndHalf(x.toDouble / nrm))
+      it += 1
+    }
+    val vd = vq.map(_.toDouble * 1e-9)
+    var sproj = 0L
+    var i = 0
+    while (i < dim) { sproj += rndHalf(sc(i).toDouble * vd(i)); i += 1 }
+    val vdCol = array(vd.map(lit(_)): _*)
+    cdf.select(col("vec_id"), col("label"),
+      round((lit(n) * aggregate(
+          zip_with(col("c"), vdCol,
+            (c, v) => round(c.cast("double") * v).cast("long")),
+          lit(0L), (a, x) => a + x) - lit(sproj)).cast("double")
+        / lit(nD) / lit(1e6), 6).as("pc1"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** One unrolled power-iteration round of the oracle: integer matvec
+    * (per-term round — sum order can never matter), integer norm², and
+    * the renormalized integer iterate. MATERIALIZED hints keep DuckDB
+    * from re-inlining the whole upstream scatter per reference. */
+  private def pcaStepSql(k: Int): String = {
+    val p = k - 1
+    s"""w$k AS MATERIALIZED (
+      |  SELECT g.i, CAST(sum(CAST(round(g.gd * CAST(v.vq AS DOUBLE)) AS BIGINT)) AS BIGINT) AS wq
+      |  FROM gd g JOIN v$p v ON v.i = g.j GROUP BY g.i),
+      |n$k AS (
+      |  SELECT greatest(CAST(sum(CAST(round((CAST(wq AS DOUBLE)*1e-9)*(CAST(wq AS DOUBLE)*1e-9)*1e6) AS BIGINT)) AS BIGINT), 1) AS n2
+      |  FROM w$k),
+      |v$k AS MATERIALIZED (
+      |  SELECT i, CAST(round(CAST(wq AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE) * 1e-6)) AS BIGINT) AS vq
+      |  FROM w$k CROSS JOIN n$k)""".stripMargin
+  }
+
+  val pcaPower: QueryDef = QueryDef.sql(
+    "sim_pca_power",
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      |xq AS MATERIALIZED (
+      |  SELECT vec_id, u.i,
+      |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      |  FROM embeddings CROSS JOIN unnest(generate_series(1, 64)) u(i)),
+      |mn AS MATERIALIZED (
+      |  SELECT i, CAST(floor(CAST(sum(q) AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS BIGINT) AS m
+      |  FROM xq CROSS JOIN nn GROUP BY i, nn.n),
+      |cx AS MATERIALIZED (
+      |  SELECT x.vec_id, x.i, x.q - m.m AS c FROM xq x JOIN mn m ON m.i = x.i),
+      |sc AS MATERIALIZED (SELECT i, CAST(sum(c) AS BIGINT) AS s FROM cx GROUP BY i),
+      |gram AS MATERIALIZED (
+      |  SELECT a.i AS i, b.i AS j, CAST(sum(a.c * b.c) AS BIGINT) AS g
+      |  FROM cx a JOIN cx b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+      |gd AS MATERIALIZED (
+      |  SELECT g.i, g.j, CAST(g.g AS DOUBLE) / CAST(nn.n AS DOUBLE) * 1e-12 AS gd
+      |  FROM gram g CROSS JOIN nn),
+      |v0 AS (
+      |  SELECT u.i, CAST(CASE WHEN u.i = 1 THEN 1000000000 ELSE 0 END AS BIGINT) AS vq
+      |  FROM unnest(generate_series(1, 64)) u(i)),
+      |${(1 to PcaIters).map(pcaStepSql).mkString(",\n")},
+      |vd AS (SELECT i, CAST(vq AS DOUBLE) * 1e-9 AS vd FROM v$PcaIters),
+      |tt AS (
+      |  SELECT x.vec_id, CAST(sum(CAST(round(CAST(x.c AS DOUBLE) * v.vd) AS BIGINT)) AS BIGINT) AS t
+      |  FROM cx x JOIN vd v ON v.i = x.i GROUP BY x.vec_id),
+      |ss AS (
+      |  SELECT CAST(sum(CAST(round(CAST(s.s AS DOUBLE) * v.vd) AS BIGINT)) AS BIGINT) AS sproj
+      |  FROM sc s JOIN vd v ON v.i = s.i)
+      |SELECT e.vec_id, e.label,
+      |  round(CAST(nn.n * t.t - ss.sproj AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e6, 6) AS pc1
+      |FROM embeddings e JOIN tt t ON t.vec_id = e.vec_id CROSS JOIN ss CROSS JOIN nn
+      |ORDER BY e.vec_id""".stripMargin) { (s, d) =>
+    pcaPowerProject(Tables.embeddings(s, d))
+  }
+
   val all: Seq[QueryDef] =
     Seq(topKBrute, topKLsh, rangeSearch, rangeSearchLsh, topKIvf, hybridRrf,
       hardNegativesQuery, bm25, pqEncode, pqTopK, sq8TopK, ivfIngestGrow,
-      phraseSearch)
+      phraseSearch, pcaPower)
 }
