@@ -783,6 +783,18 @@ object Dedup {
     *  - PHYSICAL purge: deferred to [[compactBandIndex]], which
     *    anti-joins the tombstone log while it rewrites the files
     *    anyway, then clears the log.
+    *  - SNAPSHOT: the delete COMMITS a version whose count delta is
+    *    the NEGATED batch counts (r8, advice) — without it, an as-of
+    *    reconstruction after the delete sums only positive deltas and
+    *    over-counts buckets the delete decremented, so a bucket that
+    *    fell back under [[BandBucketCap]] would still read as hot in
+    *    the as-of view while the live probe reports its evidence.
+    *    With the negated delta, `probeBandIndexAsOf(latest)` ≡ the
+    *    live probe after any append/delete interleaving (the invariant
+    *    the snapshot log promises); as-of at PRE-delete versions
+    *    correctly replays the pre-delete counts/hot state, with
+    *    tombstones still anti-joined on top (deletion wins over
+    *    history — see [[probeAgainst]]).
     *
     * Work per delete: O(batch) signing + a merge over touched count
     * partitions — never O(corpus). A probe after any delete sequence
@@ -824,6 +836,10 @@ object Dedup {
         .select(col("bi"), col("bv")))
       .distinct().localCheckpoint(true)
     hot.write.mode("overwrite").parquet(s"$dir/hot")
+    // the delete is a commit like any other: its negated counts are
+    // the version's delta, keeping as-of reconstruction exact (see
+    // the SNAPSHOT contract above)
+    commitBandSnapshot(spark, dir, Some(negCounts))
   }
 
   /** Remove a stale tombstone log (index rebuild in a reused dir). */

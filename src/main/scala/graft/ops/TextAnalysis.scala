@@ -1008,9 +1008,16 @@ object TextAnalysis {
           concat(expr("substring(nm, 1, 2)"), expr("substring(nm, 4, 1000)"))
             .as("nm")))
       .persist())
+    // names shorter than 3 chars yield NO grams: Spark's sequence
+    // counts DOWN when start > stop (sequence(1,0) = [1,0] — the same
+    // hazard the bpeTrain pass guards), while DuckDB's
+    // generate_series(1, len-2) is empty — so the guard, not the
+    // sequence, must decide (r8, advice)
     val g = ents.select(col("id"),
-        explode(transform(sequence(lit(1), length(col("nm")) - 2),
-          i => col("nm").substr(i, lit(3)))).as("g3"))
+        explode(when(length(col("nm")) >= 3,
+          transform(sequence(lit(1), length(col("nm")) - 2),
+            i => col("nm").substr(i, lit(3))))
+          .otherwise(array())).as("g3"))
       .distinct()
     val rare = g.groupBy(col("g3")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 40).select(col("g3"))
