@@ -1,12 +1,22 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet fixture tables (TESTDATA.md).
   *
   * All queries in this engine take `(SparkSession, sfDir)` and load inputs
   * through here, so the scan layer stays in one place (schema pruning and
   * filter pushdown are left to Catalyst — see `.explain` checks in tests).
+  *
+  * This is also where PHYSICAL-TYPE NORMALIZATION lives: parquet
+  * producers disagree on timestamp physical types (TIMESTAMP(NANOS)
+  * surfaces as a nanos long under `spark.sql.legacy.parquet.nanosAsLong`;
+  * `timestamp[us]` surfaces as TIMESTAMP/TIMESTAMP_NTZ), and every
+  * event-time operator downstream assumes ONE shape. Normalizing at the
+  * scan means a producer-side type change is absorbed in one place
+  * instead of failing in every consumer.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -16,6 +26,95 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Engine-wide convention: event time is a `LongType` of epoch-NANOS.
+    * Accepts any of the physical shapes a parquet producer may emit for
+    * an instant column and rewrites to that convention:
+    *   - `LongType`      — already epoch-nanos (TIMESTAMP(NANOS) via the
+    *                       `nanosAsLong` legacy flag, or a raw long);
+    *   - `TimestampType` / `TimestampNTZType` — micros in the long slot;
+    *                       ×1000 to nanos. Sessions are pinned UTC
+    *                       (Bench/Verify/tests), so the NTZ→instant cast
+    *                       is the identity on the stored value — the
+    *                       same value DuckDB's `epoch_ns(ts)` oracle
+    *                       sees.
+    * Anything else fails with ONE clear diagnostic here rather than N
+    * scattered runtime errors downstream. */
+  def normalizeEventTime(df: DataFrame, column: String, table: String): DataFrame =
+    df.schema(column).dataType match {
+      case LongType => df
+      case TimestampType | TimestampNTZType =>
+        df.withColumn(column,
+          unix_micros(col(column).cast(TimestampType)) * 1000L)
+      case other => throw new IllegalStateException(
+        s"fixture schema drift: $table.$column has unsupported type " +
+        s"${other.simpleString}; expected one of bigint (epoch-nanos), " +
+        "timestamp, timestamp_ntz. Regenerated fixtures with a new " +
+        "physical type need a normalization rule here (Tables.scala).")
+    }
+
+  /** Expected logical layout of each fixture table (TESTDATA.md), as
+    * `column -> acceptable Spark types` (`DataType.simpleString`).
+    * Instant columns accept every physical shape the normalization
+    * layer handles — parquet producers legitimately vary there (round 8:
+    * a driver-side regeneration moved `events.ts` from TIMESTAMP(NANOS)
+    * to `timestamp[us]`); everything else is pinned exactly. */
+  val fixtureContract: Map[String, Seq[(String, Set[String])]] = {
+    val instant = Set("bigint", "timestamp", "timestamp_ntz")
+    Map(
+      "region" -> Seq("r_regionkey" -> Set("int"), "r_name" -> Set("string")),
+      "nation" -> Seq("n_nationkey" -> Set("int"), "n_name" -> Set("string"),
+        "n_regionkey" -> Set("int")),
+      "customer" -> Seq("c_custkey" -> Set("bigint"), "c_name" -> Set("string"),
+        "c_nationkey" -> Set("int"), "c_acctbal" -> Set("double"),
+        "c_mktsegment" -> Set("string")),
+      "supplier" -> Seq("s_suppkey" -> Set("bigint"), "s_name" -> Set("string"),
+        "s_nationkey" -> Set("int"), "s_acctbal" -> Set("double")),
+      "part" -> Seq("p_partkey" -> Set("bigint"), "p_name" -> Set("string"),
+        "p_brand" -> Set("string"), "p_type" -> Set("string"),
+        "p_size" -> Set("int"), "p_retailprice" -> Set("double")),
+      "orders" -> Seq("o_orderkey" -> Set("bigint"), "o_custkey" -> Set("bigint"),
+        "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
+        "o_orderdate" -> instant, "o_orderpriority" -> Set("string")),
+      "lineitem" -> Seq("l_orderkey" -> Set("bigint"), "l_partkey" -> Set("bigint"),
+        "l_suppkey" -> Set("bigint"), "l_linenumber" -> Set("int"),
+        "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
+        "l_discount" -> Set("double"), "l_tax" -> Set("double"),
+        "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
+        "l_shipdate" -> instant),
+      "events" -> Seq("event_id" -> Set("bigint"), "ts" -> instant,
+        "user_id" -> Set("bigint"), "event_type" -> Set("string"),
+        "value" -> Set("double"), "props" -> Set("string")),
+      "documents" -> Seq("doc_id" -> Set("bigint"), "text" -> Set("string"),
+        "lang" -> Set("string"), "source" -> Set("string"),
+        "n_chars" -> Set("bigint")),
+      "embeddings" -> Seq("vec_id" -> Set("bigint"),
+        "embedding" -> Set("array<float>"), "label" -> Set("int")))
+  }
+
+  /** Checks every fixture table under `dir` against [[fixtureContract]]
+    * and returns ONE human-readable issue per divergence (empty = all
+    * good). Run by the fixture-guard suite so a driver-side fixture
+    * regeneration that shifts a physical type fails as a single clear
+    * diagnostic instead of N scattered per-query runtime errors (how
+    * round 8's `events.ts` change first surfaced). */
+  def fixtureSchemaIssues(spark: SparkSession, dir: String): Seq[String] =
+    names.flatMap { t =>
+      try {
+        val fields = apply(spark, dir, t).schema.fields
+        val expected = fixtureContract(t)
+        if (fields.map(_.name).toSeq != expected.map(_._1))
+          Seq(s"$t: columns [${fields.map(_.name).mkString(", ")}] != " +
+            s"expected [${expected.map(_._1).mkString(", ")}]")
+        else expected.zip(fields).collect {
+          case ((n, ok), f) if !ok.contains(f.dataType.simpleString) =>
+            s"$t.$n: type ${f.dataType.simpleString} not in " +
+              s"{${ok.mkString(", ")}}"
+        }
+      } catch {
+        case e: Throwable => Seq(s"$t: unreadable (${e.getMessage})")
+      }
+    }
+
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
@@ -23,7 +122,8 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTime(apply(s, d, "events"), "ts", "events")
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

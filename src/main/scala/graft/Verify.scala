@@ -14,8 +14,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS): read as long nanos
-      // (queries convert explicitly; Spark timestamps are micros).
+      // If a fixture ships parquet TIMESTAMP(NANOS), surface it as a
+      // long of nanos rather than failing; timestamp[us] fixtures
+      // surface as timestamps. Either way Tables.normalizeEventTime
+      // rewrites event time to LongType epoch-nanos at the scan.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

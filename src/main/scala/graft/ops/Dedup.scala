@@ -802,7 +802,28 @@ object Dedup {
     * corpus minus the deletions (suite-pinned, including the
     * hot-transition case). Callers delete INDEXED docs once, with the
     * same text they were indexed under — the mirror of the append
-    * contract. */
+    * contract.
+    *
+    * CRASH CONSISTENCY: a delete (like an append) is several FS
+    * mutations — tombstone append, counts partition overwrite, hot
+    * overwrite, snapshot commit — with no cross-file atomicity on a
+    * plain filesystem. The manifest write inside
+    * [[commitBandSnapshot]] is the COMMIT POINT: versions are only
+    * ever read through manifests, so a crash before it leaves the
+    * snapshot log consistent at the previous version, but the LIVE
+    * counts/hot may already hold the new state (as-of(latest) would
+    * then lag live). A crash between the tombstone append and the
+    * counts merge leaves counts over-counting tombstoned docs (probes
+    * stay correct — tombstones anti-join evidence off — but a bucket
+    * may sit hot longer than its live corpus warrants). Recovery
+    * contract, matching log-structured practice: a writer that cannot
+    * prove its last lifecycle verb completed must run
+    * [[compactBandIndex]], which rebuilds counts/hot from the
+    * surviving rows minus tombstones and resets the snapshot log —
+    * restoring every invariant from the raw facts. Single-writer
+    * discipline is assumed throughout (standard for index
+    * maintenance; concurrent writers need an external lock or a
+    * table format with optimistic commits). */
   def deleteFromBandIndex(dir: String, deletedDocs: DataFrame): Unit = {
     val spark = deletedDocs.sparkSession
     val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)

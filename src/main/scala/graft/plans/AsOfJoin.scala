@@ -89,6 +89,82 @@ object AsOf {
            leftTime: String, rightTime: String,
            tolerance: Option[Long] = None,
            broadcastRight: Option[Boolean] = None): DataFrame = {
+    // UNIT SAFETY: a raw-Long tolerance subtracts the time columns'
+    // underlying long slots, so its unit is whatever those slots hold —
+    // nanos for LongType epoch-nanos columns (the engine convention, see
+    // Tables.normalizeEventTime), but MICROS for Timestamp/TimestampNTZ
+    // columns. A caller who wrote nanos against a column that silently
+    // widened to timestamp would get a ×1000 window with no error — the
+    // exact bug class round 8 hit. So the raw-Long form is restricted to
+    // LongType columns; timestamp-typed columns must use the
+    // `java.time.Duration` overload, which converts per the column type.
+    if (tolerance.isDefined) {
+      import org.apache.spark.sql.types.LongType
+      val (ltType, rtType) =
+        (left.schema(leftTime).dataType, right.schema(rightTime).dataType)
+      require(ltType == LongType && rtType == LongType,
+        s"raw Long as-of tolerance is unit-ambiguous on time columns of " +
+        s"type ${ltType.simpleString}/${rtType.simpleString}: " +
+        "the value would be applied in the column's storage unit (micros " +
+        "for timestamps), not necessarily the unit you wrote. Pass the " +
+        "tolerance as java.time.Duration (unit-safe), or normalize the " +
+        "time columns to LongType epoch-nanos first " +
+        "(graft.Tables.normalizeEventTime).")
+    }
+    plan(left, right, keys, leftTime, rightTime, tolerance, broadcastRight)
+  }
+
+  /** Unit-safe tolerance: converts `tolerance` to the time columns'
+    * storage unit before planning — nanos for LongType epoch-nanos
+    * columns (engine convention), micros for Timestamp/TimestampNTZ.
+    * Both time columns must share a unit family; sub-unit remainders
+    * are rejected rather than silently truncated. */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+           leftTime: String, rightTime: String,
+           tolerance: java.time.Duration,
+           broadcastRight: Option[Boolean]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    require(!tolerance.isNegative, "as-of tolerance must be non-negative")
+    val ltType = left.schema(leftTime).dataType
+    val rtType = right.schema(rightTime).dataType
+    def family(t: org.apache.spark.sql.types.DataType): String = t match {
+      case LongType => "nanos"
+      case TimestampType | TimestampNTZType => "micros"
+      case other => throw new IllegalArgumentException(
+        s"as-of time column has non-time type ${other.simpleString}")
+    }
+    val (lf, rf) = (family(ltType), family(rtType))
+    require(lf == rf,
+      s"as-of time columns disagree on storage unit: $leftTime is " +
+      s"${ltType.simpleString} ($lf) but $rightTime is " +
+      s"${rtType.simpleString} ($rf); cast one side first")
+    val raw = lf match {
+      case "nanos" => tolerance.toNanos // throws on overflow (~292 years)
+      case "micros" =>
+        require(tolerance.getNano % 1000 == 0,
+          s"tolerance $tolerance has sub-microsecond precision that " +
+          "micros-backed timestamp columns cannot represent")
+        Math.addExact(
+          Math.multiplyExact(tolerance.getSeconds, 1000000L),
+          tolerance.getNano / 1000L)
+    }
+    plan(left, right, keys, leftTime, rightTime, Some(raw), broadcastRight)
+  }
+
+  /** [[join]] with a unit-safe `Duration` tolerance and planner-chosen
+    * broadcast. */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+           leftTime: String, rightTime: String,
+           tolerance: java.time.Duration): DataFrame =
+    join(left, right, keys, leftTime, rightTime, tolerance, None)
+
+  /** Shared plan construction (no tolerance-unit policy — callers above
+    * enforce it). */
+  private def plan(left: DataFrame, right: DataFrame,
+                   keys: Seq[(String, String)],
+                   leftTime: String, rightTime: String,
+                   tolerance: Option[Long],
+                   broadcastRight: Option[Boolean]): DataFrame = {
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"as-of join requires disjoint column names; " +
       s"shared: ${dup.mkString(", ")}")

@@ -338,7 +338,7 @@ object AdvancedQueries {
         col("event_id").as("click_id"))
     graft.plans.AsOf.join(errors, clicks,
         keys = Seq("user_id" -> "c_user_id"), leftTime = "t", rightTime = "c_t",
-        tolerance = Some(600000000000L))
+        tolerance = java.time.Duration.ofSeconds(600))
       .select(col("error_id"), col("user_id"), col("click_id"),
         ((col("t") - col("c_t")) / 1000000000L).cast("long").as("gap_seconds"))
       .orderBy(col("error_id"))

@@ -125,6 +125,47 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
     canon(Dedup.probeBandIndexAsOf(s, dir, probeBatch, 1)) shouldBe live
   }
 
+  /** r9 (advice): the SNAPSHOT contract across a DELETE — the delete's
+    * negated-count delta commits a version whose as-of view matches
+    * the live probe exactly, while pre-delete versions keep replaying
+    * the pre-delete count/hot state with tombstones anti-joined on
+    * top (deletion wins over history, [[Dedup.probeAgainst]]). */
+  test("band index: as-of at the delete's version ≡ live; pre-delete versions replay with tombstones") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") < 300)
+    val b = docs.filter(col("doc_id") >= 300)
+    val probeBatch = Dedup.incomingLshBatch(docs)
+
+    val dir = Files.createTempDirectory("bandsnapdel").toString
+    Dedup.saveBandIndex(a, dir)
+    Dedup.appendToBandIndex(dir, b)
+    val liveV2 = Dedup.probeBandIndex(s, dir, probeBatch)
+      .localCheckpoint(true) // pin pre-delete evidence before mutation
+
+    // delete a slice of the appended batch -> v3
+    val deleted = docs.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+    val deletedIds = deleted.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    Dedup.deleteFromBandIndex(dir, deleted)
+    Dedup.bandIndexVersions(s, dir) shouldBe Seq(1, 2, 3)
+
+    // invariant 1: as-of(latest) ≡ live after the delete
+    val liveAfter = canon(Dedup.probeBandIndex(s, dir, probeBatch))
+    liveAfter.length should be > 10
+    canon(Dedup.probeBandIndexAsOf(s, dir, probeBatch, 3)) shouldBe liveAfter
+
+    // invariant 2: the pre-delete version replays pre-delete evidence
+    // with the tombstoned docs removed — exactly liveV2 minus rows
+    // whose index side is a deleted doc
+    val expectedV2 = canon(
+      liveV2.filter(!col("existing_id").isin(deletedIds: _*)))
+    expectedV2.length should be < liveV2.count().toInt // delete bit
+    canon(Dedup.probeBandIndexAsOf(s, dir, probeBatch, 2)) shouldBe expectedV2
+  }
+
   test("band index: appends push a bucket over the cap -> probes go quiet") {
     val s = spark
     import s.implicits._

@@ -260,4 +260,69 @@ class AsOfJoinSuite extends SparkSessionSuite {
     native.length should be > 0
     canon(native) shouldBe canon(windowed)
   }
+
+  // ---- tolerance unit safety (the round-8 ×1000 bug class) ----
+
+  private def microsFixture = {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    // micros-backed TimestampType time columns: second 100 / 205 / 300
+    // on the left, 95 / 105 on the right
+    val left = Seq((1, 100000000L, "fresh"), (1, 205000000L, "edge"),
+        (1, 300000000L, "stale")).toDF("k", "t_us", "lv")
+      .select(col("k"), timestamp_micros(col("t_us")).as("t"), col("lv"))
+    val right = Seq((1, 95000000L, "r95"), (1, 105000000L, "r105"))
+      .toDF("rk", "rt_us", "rv")
+      .select(col("rk"), timestamp_micros(col("rt_us")).as("rt"), col("rv"))
+    (left, right)
+  }
+
+  test("raw Long tolerance on timestamp time columns is an analysis-time error") {
+    val (left, right) = microsFixture
+    // 100 seconds *written as nanos* — on a micros slot this would be a
+    // silent 100,000 s window; the API must refuse instead
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
+        tolerance = Some(100L * 1000000000L))
+    }
+    e.getMessage should include("unit-ambiguous")
+  }
+
+  test("Duration tolerance applies the correct window on timestamp columns") {
+    val (left, right) = microsFixture
+    val out = AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
+        tolerance = java.time.Duration.ofSeconds(100))
+      .select("lv", "rv").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    // same window shape as the LongType codegen test: fresh->r95 (5 s),
+    // edge->r105 (100 s inclusive), stale->null (195 s > 100 s)
+    out shouldBe Map("fresh" -> "r95", "edge" -> "r105", "stale" -> null)
+  }
+
+  test("Duration tolerance on LongType epoch-nanos columns converts to nanos") {
+    val s = spark
+    import s.implicits._
+    val tl = Seq((1, 100000000000L, "fresh"), (1, 205000000000L, "edge"),
+      (1, 300000000000L, "stale")).toDF("k", "t", "lv")
+    val tr = Seq((1, 95000000000L, "r95"), (1, 105000000000L, "r105"))
+      .toDF("rk", "rt", "rv")
+    val out = AsOf.join(tl, tr, Seq("k" -> "rk"), "t", "rt",
+        tolerance = java.time.Duration.ofSeconds(100))
+      .select("lv", "rv").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    out shouldBe Map("fresh" -> "r95", "edge" -> "r105", "stale" -> null)
+  }
+
+  test("Duration tolerance refuses mixed long/timestamp time columns") {
+    val s = spark
+    import s.implicits._
+    val (left, _) = microsFixture
+    val right = Seq((1, 95000000000L, "r95")).toDF("rk", "rt", "rv")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
+        tolerance = java.time.Duration.ofSeconds(100))
+    }
+    e.getMessage should include("disagree")
+  }
 }
