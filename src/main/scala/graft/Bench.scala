@@ -42,27 +42,44 @@ object Bench {
     val selected = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.findFirstIn(n).isDefined))
 
+    // Single-run timings are vulnerable to box load (r8: a loaded judge
+    // box inflated the record ~3× with zero code change). Two defenses:
+    // SPARK_GRAFT_BENCH_RUNS=N takes the per-query MEDIAN of N timed
+    // passes (BASELINE.md's own protocol), and the one-minute load
+    // average is recorded alongside either way so a load-inflated
+    // record is self-describing.
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(1)
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val results = selected.map { name =>
-      InternalCaches.releaseAll() // paired release of operator-internal persists
-      spark.catalog.clearCache() // isolate queries from each other's state
-      // One-time input staging runs OUTSIDE the timed region. A staging
-      // failure must be visible — the query would otherwise fail (or
-      // time stale data) with no indication of the real cause.
-      SparkEntry.prepares.get(name)
-        .foreach(p => try p(spark, sfDir) catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] prepare($name) failed: ${e.getMessage}")
-        })
-      val t0 = System.nanoTime()
-      val ok = try { materialize(name); true } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
+      val times = (1 to runs).map { _ =>
+        InternalCaches.releaseAll() // paired release of operator-internal persists
+        spark.catalog.clearCache() // isolate queries from each other's state
+        // One-time input staging runs OUTSIDE the timed region. A staging
+        // failure must be visible — the query would otherwise fail (or
+        // time stale data) with no indication of the real cause.
+        SparkEntry.prepares.get(name)
+          .foreach(p => try p(spark, sfDir) catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] prepare($name) failed: ${e.getMessage}")
+          })
+        val t0 = System.nanoTime()
+        val ok = try { materialize(name); true } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) dt else -1.0
+      }
+      val good = times.filter(_ >= 0).sorted
+      name -> (if (good.isEmpty) -1.0 else good(good.length / 2))
     }
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","runs_per_query":$runs,""" +
+      s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd}"""
     // The driver captures stdout with a bounded tail that can truncate the
     // per-query map; persist the complete map so timings stay auditable
     // round-over-round. A SPARK_GRAFT_ONLY subset must never clobber the

@@ -115,13 +115,43 @@ object Tables {
       }
     }
 
+  /** The reverse-drift twin of [[normalizeEventTime]]: instant columns
+    * the queries consume AS TIMESTAMPS (`o_orderdate`, `l_shipdate` —
+    * compared against timestamp literals, bucketed in micros) are
+    * normalized to `TIMESTAMP_NTZ`, the shape the current
+    * `timestamp[us]` fixtures surface. If a regeneration flipped them
+    * to TIMESTAMP(NANOS), the `nanosAsLong` session flag would surface
+    * a raw long and every date comparison would break the way the
+    * event-time surface broke in round 8 — this absorbs that at the
+    * scan (nanos long → micros timestamp, exact for the fixtures'
+    * whole-second values; sessions pinned UTC make the tz-family casts
+    * identity on the stored value). */
+  def normalizeInstantColumn(df: DataFrame, column: String, table: String): DataFrame =
+    df.schema(column).dataType match {
+      case TimestampNTZType => df
+      case TimestampType =>
+        df.withColumn(column, col(column).cast(TimestampNTZType))
+      case LongType => // epoch-nanos long (TIMESTAMP(NANOS) via nanosAsLong)
+        df.withColumn(column,
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr(s"`$column` DIV 1000"))
+            .cast(TimestampNTZType))
+      case other => throw new IllegalStateException(
+        s"fixture schema drift: $table.$column has unsupported type " +
+        s"${other.simpleString}; expected timestamp, timestamp_ntz, or " +
+        "bigint (epoch-nanos). Regenerated fixtures with a new physical " +
+        "type need a normalization rule here (Tables.scala).")
+    }
+
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeInstantColumn(apply(s, d, "orders"), "o_orderdate", "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeInstantColumn(apply(s, d, "lineitem"), "l_shipdate", "lineitem")
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventTime(apply(s, d, "events"), "ts", "events")
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

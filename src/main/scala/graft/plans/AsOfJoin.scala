@@ -158,6 +158,37 @@ object AsOf {
            tolerance: java.time.Duration): DataFrame =
     join(left, right, keys, leftTime, rightTime, tolerance, None)
 
+  /** FORWARD as-of join (pandas `merge_asof(direction='forward')`):
+    * for every left row, the right row with the same key and the
+    * SMALLEST `rightTime >= leftTime` (inclusive), null-extended when
+    * none exists; `tolerance` bounds `rightTime - leftTime`. Runs on
+    * the same physical operator as the backward form — forward on `t`
+    * IS backward on `-t`, so both sides join on a negated temp column
+    * that is dropped from the output. Same scale shape: one shuffle
+    * (or broadcast) per side, single-pass merge, O(1) buffered state.
+    * Time columns must be LongType epoch-nanos (engine convention) —
+    * negation is meaningless on timestamp types, and the raw-Long
+    * tolerance guard in [[join]] applies unchanged. */
+  def joinForward(left: DataFrame, right: DataFrame,
+                  keys: Seq[(String, String)],
+                  leftTime: String, rightTime: String,
+                  tolerance: Option[Long] = None,
+                  broadcastRight: Option[Boolean] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.LongType
+    Seq(left.schema(leftTime), right.schema(rightTime)).foreach(f =>
+      require(f.dataType == LongType,
+        s"forward as-of requires LongType epoch-nanos time columns; " +
+        s"${f.name} is ${f.dataType.simpleString} — normalize at the " +
+        "scan first (graft.Tables.normalizeEventTime)"))
+    val ln = "__asof_fwd_lt"
+    val rn = "__asof_fwd_rt"
+    join(left.withColumn(ln, -col(leftTime)),
+        right.withColumn(rn, -col(rightTime)),
+        keys, ln, rn, tolerance, broadcastRight)
+      .drop(ln, rn)
+  }
+
   /** Shared plan construction (no tolerance-unit policy — callers above
     * enforce it). */
   private def plan(left: DataFrame, right: DataFrame,

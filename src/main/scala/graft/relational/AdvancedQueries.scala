@@ -344,6 +344,162 @@ object AdvancedQueries {
       .orderBy(col("error_id"))
   }
 
+  /** FORWARD as-of join — for every 'error', the EARLIEST 'click' of
+    * the same user at or after it (pandas `merge_asof
+    * direction='forward'`; "what did the user do next"). Same
+    * one-shuffle union+window shape as [[asOfJoin]], mirrored: carry
+    * the first following click back with `first(_, ignoreNulls)` over
+    * the following frame. Errors sort BEFORE clicks on timestamp ties
+    * (kind 0 < 1), so a click at exactly t is inside the frame —
+    * inclusive, matching DuckDB's `e.t <= c.t`. Scale shape identical
+    * to the backward form: one shuffle on user_id, no join blowup. */
+  val asOfForward: QueryDef = QueryDef.sql(
+    "adv_asof_forward",
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |errors AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id AS error_id
+      |  FROM events WHERE event_type = 'error')
+      |SELECT e.error_id, e.user_id, c.click_id,
+      |  CAST((c.t - e.t) // 1000000000 AS BIGINT) AS gap_seconds
+      |FROM errors e
+      |ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.t <= c.t
+      |ORDER BY error_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("t"), col("event_id").as("error_id"),
+        lit(0).as("kind"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("t"), col("event_id").as("click_id"),
+        lit(1).as("kind"))
+    val unioned = errors
+      .select(col("user_id"), col("t"), col("kind"),
+        lit(null).cast("long").as("click_id"), col("error_id"),
+        lit(null).cast("long").as("click_t"))
+      .unionAll(clicks.select(col("user_id"), col("t"), col("kind"),
+        col("click_id"), lit(null).cast("long").as("error_id"),
+        col("t").as("click_t")))
+    // errors (kind 0) order before clicks (kind 1) on ts ties => inclusive
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("next_click_id", first(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("next_click_t", first(col("click_t"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 0)
+      .select(col("error_id"), col("user_id"),
+        col("next_click_id").as("click_id"),
+        ((col("next_click_t") - col("t")) / 1000000000L).cast("long")
+          .as("gap_seconds"))
+      .orderBy(col("error_id"))
+  }
+
+  /** [[asOfForward]] through the NATIVE operator: forward-on-t is
+    * backward-on-(−t), so [[graft.plans.AsOf.joinForward]] reuses
+    * [[graft.plans.AsOfJoinExec]] unchanged (one shuffle or broadcast
+    * per side, single-pass merge, O(1) buffered state) — no window
+    * state, no union materialization. Same oracle as the composition;
+    * the suite additionally pins exact agreement between the two. */
+  val asOfForwardNative: QueryDef = QueryDef.sql(
+    "adv_asof_fwd_native",
+    """WITH clicks AS (
+      |  SELECT user_id AS c_user_id, epoch_ns(ts) AS c_t,
+      |         event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |errors AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id AS error_id
+      |  FROM events WHERE event_type = 'error')
+      |SELECT e.error_id, e.user_id, c.click_id,
+      |  CAST((c.c_t - e.t) // 1000000000 AS BIGINT) AS gap_seconds
+      |FROM errors e
+      |ASOF LEFT JOIN clicks c ON e.user_id = c.c_user_id AND e.t <= c.c_t
+      |ORDER BY error_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("t"), col("event_id").as("error_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_t"),
+        col("event_id").as("click_id"))
+    graft.plans.AsOf.joinForward(errors, clicks,
+        keys = Seq("user_id" -> "c_user_id"), leftTime = "t", rightTime = "c_t")
+      .select(col("error_id"), col("user_id"), col("click_id"),
+        ((col("c_t") - col("t")) / 1000000000L).cast("long").as("gap_seconds"))
+      .orderBy(col("error_id"))
+  }
+
+  /** NEAREST as-of join — the closer of the backward and forward
+    * matches, backward winning ties (pandas `merge_asof
+    * direction='nearest'`). ONE union+window pass computes both
+    * candidates: `last` over the preceding frame (clicks before errors
+    * on ties, so an exact-t click lands backward with gap 0 — and then
+    * wins any tie by rule, which is why the forward side may sort
+    * exclusively without changing the answer) and `first` over the
+    * following frame. Still one shuffle on user_id — NOT two joins
+    * stitched, which is what the DuckDB oracle has to do. */
+  val asOfNearest: QueryDef = QueryDef.sql(
+    "adv_asof_nearest",
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |errors AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id AS error_id
+      |  FROM events WHERE event_type = 'error'),
+      |b AS (
+      |  SELECT e.error_id, e.user_id, e.t, c.click_id AS b_id, c.t AS b_t
+      |  FROM errors e
+      |  ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.t >= c.t),
+      |f AS (
+      |  SELECT e.error_id, c.click_id AS f_id, c.t AS f_t
+      |  FROM errors e
+      |  ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.t <= c.t)
+      |SELECT b.error_id, b.user_id,
+      |  CASE WHEN b_id IS NULL THEN f_id
+      |       WHEN f_id IS NULL THEN b_id
+      |       WHEN b.t - b_t <= f_t - b.t THEN b_id ELSE f_id
+      |  END AS click_id,
+      |  CASE WHEN b_id IS NULL THEN CAST((f_t - b.t) // 1000000000 AS BIGINT)
+      |       WHEN f_id IS NULL THEN CAST((b.t - b_t) // 1000000000 AS BIGINT)
+      |       WHEN b.t - b_t <= f_t - b.t
+      |            THEN CAST((b.t - b_t) // 1000000000 AS BIGINT)
+      |       ELSE CAST((f_t - b.t) // 1000000000 AS BIGINT)
+      |  END AS gap_seconds
+      |FROM b JOIN f ON b.error_id = f.error_id
+      |ORDER BY b.error_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("t"), col("event_id").as("click_id"),
+        lit(0).as("kind"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("t"), col("event_id").as("error_id"),
+        lit(1).as("kind"))
+    val unioned = clicks
+      .select(col("user_id"), col("t"), col("kind"), col("click_id"),
+        lit(null).cast("long").as("error_id"), col("t").as("click_t"))
+      .unionAll(errors.select(col("user_id"), col("t"), col("kind"),
+        lit(null).cast("long").as("click_id"), col("error_id"),
+        lit(null).cast("long").as("click_t")))
+    // clicks before errors on ties: exact-t clicks land in the backward
+    // frame with gap 0 and win the tie — forward-frame exclusivity on
+    // ties is therefore unobservable in the output
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("t"), col("kind"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val bGap = col("t") - col("b_t")
+    val fGap = col("f_t") - col("t")
+    val pickB = col("f_id").isNull || (col("b_id").isNotNull && bGap <= fGap)
+    unioned
+      .withColumn("b_id", last(col("click_id"), ignoreNulls = true).over(wb))
+      .withColumn("b_t", last(col("click_t"), ignoreNulls = true).over(wb))
+      .withColumn("f_id", first(col("click_id"), ignoreNulls = true).over(wf))
+      .withColumn("f_t", first(col("click_t"), ignoreNulls = true).over(wf))
+      .filter(col("kind") === 1)
+      .select(col("error_id"), col("user_id"),
+        when(pickB, col("b_id")).otherwise(col("f_id")).as("click_id"),
+        when(pickB, (bGap / 1000000000L).cast("long"))
+          .otherwise((fGap / 1000000000L).cast("long")).as("gap_seconds"))
+      .orderBy(col("error_id"))
+  }
+
   /** EXACT-SIZE deterministic sample — "exactly k rows, reproducibly":
     * the k smallest values of a uniform hash. Rate-based sampling
     * ([[stratifiedSample]]) cannot hit a size target exactly; hash
@@ -1009,7 +1165,8 @@ object AdvancedQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(asOfJoin, asOfNative, asOfTolerance, percentiles, pivot, cube,
+    Seq(asOfJoin, asOfNative, asOfTolerance, asOfForward,
+      asOfForwardNative, asOfNearest, percentiles, pivot, cube,
       saltedAgg, movingAvg, stratifiedSample, sqlInterface, rangeJoinBucketed,
       sampleExactK, zorderLayout, pagerank, hitsQuery, triangles,
       saltedJoin, weightedSample, groupTopK, skewDiagnose, bfsQuery,

@@ -37,6 +37,11 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** `ts` is LongType epoch-NANOS by engine convention: the staged
+    * parquet is written from `Tables.events`, whose scan-level
+    * normalization guarantees that shape whatever physical type the
+    * fixture ships (`Tables.normalizeEventTime` — the round-8 fixture
+    * regeneration to `timestamp[us]` is absorbed there). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),

@@ -56,6 +56,25 @@ class FixtureSchemaSuite extends SparkSessionSuite {
     }
   }
 
+  test("date queries are invariant to a nanos-long l_shipdate fixture shape") {
+    val s = spark
+    // simulate the reverse drift: a regeneration that ships
+    // TIMESTAMP(NANOS) surfaces (under nanosAsLong) as a raw long —
+    // rebuild the sf0.001 lineitem in that shape and q1 must not care
+    val dir = java.nio.file.Files.createTempDirectory("nanoslineitem").toString
+    Tables.lineitem(s, sfDirs.head)
+      .withColumn("l_shipdate",
+        org.apache.spark.sql.functions.unix_micros(
+          col("l_shipdate").cast("timestamp")) * lit(1000L))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val orig = graft.SparkEntry.queries("q1_pricing_summary")(s, sfDirs.head)
+      .collect().map(_.toSeq.toIndexedSeq).toIndexedSeq
+    val drifted = graft.SparkEntry.queries("q1_pricing_summary")(s, dir)
+      .collect().map(_.toSeq.toIndexedSeq).toIndexedSeq
+    orig.length should be > 0
+    drifted shouldBe orig
+  }
+
   test("an unsupported ts type fails at the scan with one clear diagnostic") {
     val s = spark
     import s.implicits._

@@ -261,6 +261,64 @@ class AsOfJoinSuite extends SparkSessionSuite {
     canon(native) shouldBe canon(windowed)
   }
 
+  // ---- forward direction (backward on negated time) ----
+
+  test("forward as-of semantics on a hand fixture") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (Some(1), Some(10L), "l-t10"),  // ties inclusive: right t=10 wins
+      (Some(1), Some(5L), "l-t5"),    // forward match to right t=10
+      (Some(1), Some(11L), "l-t11"),  // nothing at or after t=11
+      (Some(2), Some(7L), "l-nokey"),
+      (Some(3), Some(40L), "l-early"), // smallest t >= 40 is t=50
+      (None, Some(9L), "l-nullkey"),
+      (Some(1), None, "l-nulltime")
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (Some(1), Some(3L), "r-t3"),
+      (Some(1), Some(10L), "r-t10"),
+      (Some(1), None, "r-nulltime"),
+      (None, Some(1L), "r-nullkey"),
+      (Some(3), Some(50L), "r-t50"),
+      (Some(3), Some(60L), "r-t60")
+    ).toDF("rk", "rt", "rv")
+    val out = AsOf.joinForward(left, right, Seq("k" -> "rk"), "t", "rt")
+      .select("lv", "rv").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    out shouldBe Map(
+      "l-t10" -> "r-t10", "l-t5" -> "r-t10", "l-t11" -> null,
+      "l-nokey" -> null, "l-early" -> "r-t50", "l-nullkey" -> null,
+      "l-nulltime" -> null)
+    // tolerance bounds rightTime - leftTime
+    val tol = AsOf.joinForward(left, right, Seq("k" -> "rk"), "t", "rt",
+        tolerance = Some(5L))
+      .select("lv", "rv").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    tol("l-t5") shouldBe "r-t10"  // gap 5 <= 5
+    tol("l-early") shouldBe null  // gap 10 > 5
+  }
+
+  test("native forward agrees exactly with the union+window forward composition") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    def canon(rows: Array[Row]): Seq[Seq[Any]] =
+      rows.map(_.toSeq.toIndexedSeq).toIndexedSeq
+    val native = graft.SparkEntry.queries("adv_asof_fwd_native")(s, dir).collect()
+    val windowed = graft.SparkEntry.queries("adv_asof_forward")(s, dir).collect()
+    native.length should be > 0
+    canon(native) shouldBe canon(windowed)
+  }
+
+  test("forward as-of refuses timestamp time columns") {
+    val (left, right) = microsFixture
+    val e = intercept[IllegalArgumentException] {
+      AsOf.joinForward(left, right, Seq("k" -> "rk"), "t", "rt")
+    }
+    e.getMessage should include("LongType epoch-nanos")
+  }
+
   // ---- tolerance unit safety (the round-8 ×1000 bug class) ----
 
   private def microsFixture = {

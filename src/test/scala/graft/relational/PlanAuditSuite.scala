@@ -253,4 +253,25 @@ class PlanAuditSuite extends SparkSessionSuite {
     }
     graft.InternalCaches.releaseAll()
   }
+
+  /** r9: the scan-level event-time normalization (a `withColumn` over
+    * `ts`) must stay transparent to Catalyst — a query that never
+    * touches `ts` still prunes it out of the parquet ReadSchema, and
+    * filters on other columns still push down past the projection. */
+  test("event-time normalization does not defeat pruning or pushdown on events") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val df = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    withClue(s"plan:\n$plan\n") {
+      readSchemas should not be empty
+      // ts pruned from the scan despite the normalization projection
+      readSchemas.foreach(rs => assert(!rs.contains("ts:"), rs))
+      assert(plan.contains("PushedFilters: [IsNotNull(event_type), " +
+        "EqualTo(event_type,click)]"))
+    }
+  }
 }
