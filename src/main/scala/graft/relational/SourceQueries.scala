@@ -162,7 +162,47 @@ object SourceQueries {
       .orderBy(col("priority"))
   }
 
+  /** LibSVM source (SURVEY §2.1 S3 — the reference SHIPS a
+    * `label idx:val …` sample file, `data/sample.txt:1-6`, though no
+    * code path reads it): lineitem staged as libsvm lines (label =
+    * quantity, features 1:extendedprice 2:discount, Spark's
+    * shortest-roundtrip double formatting so re-parse is exact), read
+    * back through `spark.read.format("libsvm")` with an explicit
+    * `numFeatures` (skips the extra inference pass — at 100 TB that
+    * pass is a full second scan), features surfaced via
+    * `vector_to_array`. All checked aggregates are exact integers
+    * (quantity sums, cent-scaled money) so the hash cannot wobble on
+    * FP summation order. Oracle reads the ORIGINAL table: equality
+    * proves the text → sparse-vector → array round-trip lost nothing. */
+  val libsvmRoundtrip: QueryDef = QueryDef.sql(
+    "src_libsvm_roundtrip",
+    """SELECT CAST(sum(l_quantity) AS BIGINT) AS qty_sum,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS extprice_cents,
+      |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+      |    AS discount_cents,
+      |  count(*) AS n
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    val dir = stage(d, "libsvm")
+    Tables.lineitem(s, d)
+      .select(concat_ws(" ",
+        col("l_quantity").cast("string"),
+        concat(lit("1:"), col("l_extendedprice").cast("string")),
+        concat(lit("2:"), col("l_discount").cast("string"))).as("value"))
+      .write.mode("overwrite").text(dir)
+    s.read.format("libsvm").option("numFeatures", "2").load(dir)
+      .select(col("label"),
+        org.apache.spark.ml.functions.vector_to_array(col("features")).as("f"))
+      .agg(
+        sum(col("label")).cast("long").as("qty_sum"),
+        sum(round(element_at(col("f"), 1) * 100, 0).cast("long"))
+          .cast("long").as("extprice_cents"),
+        sum(round(element_at(col("f"), 2) * 100, 0).cast("long"))
+          .cast("long").as("discount_cents"),
+        count(lit(1)).as("n"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(csvRoundtrip, orcRoundtrip, jsonProps, textLines, partitionedRoundtrip,
-      schemaMerge)
+      schemaMerge, libsvmRoundtrip)
 }

@@ -396,6 +396,77 @@ object EventStreams {
       .orderBy(col("event_id"))
   }
 
+  case class AsofOut(error_id: Long, user_id: Long,
+      click_id: Option[Long], gap_seconds: Option[Long])
+  case class AsofClickState(t: Long, id: Long)
+
+  /** STREAMING backward AS-OF enrichment — the temporal-join analogue
+    * (Flink's `FOR SYSTEM_TIME AS OF`, pandas `merge_asof` on a live
+    * stream): every 'error' event is enriched with the most recent
+    * 'click' of the same user at or before it, from ONE pass over the
+    * interleaved stream. State per user is a single (t, id) pair — the
+    * latest click seen — updated as clicks arrive and read as errors
+    * arrive; within a micro-batch rows sort by event time (clicks
+    * before errors on ties = inclusive semantics, the batch operator's
+    * contract). At 100 TB-stream scale this is the minimal-state shape:
+    * O(users) tiny rows, no buffered event history, no window
+    * re-materialization; out-of-order arrivals are handled exactly
+    * within a micro-batch and approximately across batches (same
+    * bounded-disorder caveat as [[sessionize]] — a production deploy
+    * adds an event-time timeout to evict idle users). */
+  def asofEnrich(events: Dataset[(Long, Long, Long, String)])(
+      implicit spark: SparkSession): Dataset[AsofOut] = {
+    import spark.implicits._
+    events.groupByKey(_._3)
+      .flatMapGroupsWithState[AsofClickState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[AsofClickState]) =>
+          // clicks sort before errors on ts ties => inclusive backward
+          val sorted = rows.toSeq
+            .sortBy(r => (r._2, if (r._4 == "error") 1 else 0))
+          var last = state.getOption
+          var out = List.empty[AsofOut]
+          sorted.foreach { case (id, t, _, kind) =>
+            kind match {
+              case "click" => last = Some(AsofClickState(t, id))
+              case "error" =>
+                out ::= AsofOut(id, user, last.map(_.id),
+                  last.map(c => (t - c.t) / 1000000000L))
+              case _ => () // '__flush' sentinel and other kinds: no-op
+            }
+          }
+          last.foreach(state.update)
+          out.reverseIterator
+      }
+  }
+
+  /** [[asofEnrich]] as a hash-checked driver query: the streamed
+    * enrichment must agree exactly with DuckDB's batch ASOF JOIN over
+    * the same events. */
+  val asofEnrichStream: QueryDef = QueryDef.sqlPrepared(
+    "st_asof_enrich",
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |errors AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id AS error_id
+      |  FROM events WHERE event_type = 'error')
+      |SELECT e.error_id, e.user_id, c.click_id,
+      |  CAST((e.t - c.t) // 1000000000 AS BIGINT) AS gap_seconds
+      |FROM errors e
+      |ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.t >= c.t
+      |ORDER BY error_id""".stripMargin)(stageStreamingEvents) { (s, d) =>
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val ev = s.readStream.schema(eventSchema).parquet(ensureStaged(s, d))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    runAppendToParquet(asofEnrich(ev).toDF(), "st_asof_enrich")
+      .filter(col("user_id") >= 0) // drop the '__flush' sentinel user
+      .orderBy(col("error_id"))
+  }
+
   private val sessionsOracleSql =
     """WITH e AS (
       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
@@ -826,6 +897,6 @@ object EventStreams {
 
   val all: Seq[QueryDef] =
     Seq(tumblingHourly, slidingHalfHour, streamDedup, intervalJoin,
-      enrichStatic, sessionsStream, sessionsBatch, cmsUsers, upsertState,
-      lshDedup)
+      enrichStatic, asofEnrichStream, sessionsStream, sessionsBatch,
+      cmsUsers, upsertState, lshDedup)
 }
