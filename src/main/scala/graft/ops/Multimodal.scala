@@ -274,10 +274,19 @@ object Multimodal {
     * they are the oracle-reproducible
     * channel (the mm checksum convention — the oracle recomputes them
     * from the planting formula, so a corrupted byte anywhere in the
-    * write/read path still breaks the hash match). md5 grouping is
-    * strictly finer than the arithmetic tuple; payload-equal groups
-    * are exactly arithmetic-equal groups on any corpus without an
-    * arithmetic collision, which the checksum columns would expose. */
+    * write/read path still breaks the hash match).
+    *
+    * The ORACLE's group key must model payload EQUALITY exactly. The
+    * payload is header(width, height) + body, and the body bytes are
+    * `(src·31 + i) mod 251` — fully determined by (phase = src·31 mod
+    * 251, body_len). So the oracle groups on (kind, width, height,
+    * body_len, phase): precisely the payload-equal classes. r9 fix —
+    * the earlier oracle grouped on (kind, body_len, byte_sum, wsum)
+    * alone, which ignores the header and aliases bodies with equal
+    * sums; fine at sf0.01's id range, but at sf0.1 ids congruent mod
+    * 251 produce equal-body different-header payloads and the oracle
+    * over-merged (622 groups vs the correct 500). The checksums stay
+    * as verified OUTPUT columns. */
   val binaryDedup: QueryDef = QueryDef.sql(
     "mm_binary_dedup",
     s"""WITH m AS (
@@ -287,17 +296,20 @@ object Multimodal {
       |    CAST(16 + (doc_id * 7) % 32 AS INT) AS height
       |  FROM documents),
       |m2 AS (
-      |  SELECT media_id, kind,
+      |  SELECT media_id, kind, width, height,
       |    CASE WHEN kind = 'video' THEN ${4 * FrameSize}
       |         ELSE width * height END AS body_len
       |  FROM m),
       |corpus AS (
-      |  SELECT media_id, media_id AS src, kind, body_len FROM m2
+      |  SELECT media_id, media_id AS src, kind, width, height, body_len
+      |  FROM m2
       |  UNION ALL
-      |  SELECT media_id + 10000 AS media_id, media_id AS src, kind, body_len
+      |  SELECT media_id + 10000 AS media_id, media_id AS src, kind,
+      |    width, height, body_len
       |  FROM m2 WHERE media_id % 10 = 0),
       |keyed AS (
-      |  SELECT media_id, kind, body_len,
+      |  SELECT media_id, kind, width, height, body_len,
+      |    (c.src * 31) % $BodyMod AS phase,
       |    CAST((SELECT sum((c.src * 31 + u.i) % $BodyMod)
       |          FROM unnest(generate_series(0, c.body_len - 1)) u(i)) AS BIGINT)
       |      AS byte_sum,
@@ -309,7 +321,7 @@ object Multimodal {
       |  array_to_string(list_sort(list(media_id)), ',') AS members,
       |  kind, body_len, byte_sum, wsum
       |FROM keyed
-      |GROUP BY kind, body_len, byte_sum, wsum
+      |GROUP BY kind, width, height, phase, body_len, byte_sum, wsum
       |HAVING count(*) > 1
       |ORDER BY canonical""".stripMargin) { (s, d) =>
     val media = syntheticMedia(Tables.documents(s, d))

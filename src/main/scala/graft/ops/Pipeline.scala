@@ -618,9 +618,17 @@ object Pipeline {
     * single-partition global sort of the corpus at 100 TB.
     *
     * Determinism: bucket counts and totals are exact integers; each
-    * bucket's log-ratio is quantized 1e-9 before the per-doc sum
-    * (the lm_score ln rule), doc weights rounded 1e-6; thresholding
-    * and tie-ranking run on the ROUNDED weights both engines share.
+    * bucket's log-ratio is quantized to an INT64 of nano-units
+    * (`round(lr · 1e9)` — the lm_score ln rule), so the per-doc
+    * reduction is an exact integer sum, identical under any
+    * partitioning/summation order; the weight is one final division
+    * of that integer. (r9 fix: the earlier form summed the quantized
+    * values as DOUBLES, and at sf0.1 a ~10³-term doc sum drifted a
+    * ulp across engines and flipped the 6th decimal. Quantize → sum
+    * exactly → divide once is the determinism rule everywhere else in
+    * the engine — GramSum, sweepline, PQ ranking — and now here.)
+    * Thresholding and tie-ranking run on weights both engines share
+    * bit-for-bit.
     *
     * 100 TB shape: one tokenize+hash pass feeds both count tables
     * (NB-bounded) and the scoring join; the log-ratio table is NB
@@ -648,12 +656,13 @@ object Pipeline {
         |        FROM occ),
         |lr AS (
         |  SELECT cr.b,
-        |    round(ln((coalesce(ct.ct, 0) + 1.0) / (tot.ctt + $NB))
-        |          - ln((cr.cr + 1.0) / (tot.crt + $NB)), 9) AS lr
+        |    CAST(round((ln((coalesce(ct.ct, 0) + 1.0) / (tot.ctt + $NB))
+        |          - ln((cr.cr + 1.0) / (tot.crt + $NB))) * 1000000000)
+        |      AS BIGINT) AS lr
         |  FROM cr LEFT JOIN ct ON ct.b = cr.b CROSS JOIN tot),
         |docw AS (
         |  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-        |    round(sum(l.lr), 6) AS w
+        |    round(sum(l.lr) / 1000000000.0, 6) AS w
         |  FROM occ o JOIN lr l ON l.b = o.b GROUP BY o.doc_id),
         |k AS (SELECT count(*) // 4 AS k FROM docw),
         |hist AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM docw GROUP BY w),
@@ -683,11 +692,13 @@ object Pipeline {
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ctt"))
       val lrt = cr.join(ct, Seq("b"), "left").crossJoin(broadcast(tot))
         .select(col("b"),
-          round(log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("ctt") + NB))
-            - log((col("cr") + lit(1.0)) / (col("crt") + NB)), 9).as("lr"))
+          round((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("ctt") + NB))
+            - log((col("cr") + lit(1.0)) / (col("crt") + NB))) * 1000000000L)
+            .cast("long").as("lr"))
       val docw = graft.InternalCaches.register(occ.join(lrt, Seq("b"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_toks"), round(sum(col("lr")), 6).as("w"))
+        .agg(count(lit(1)).as("n_toks"),
+          round(sum(col("lr")) / lit(1000000000.0), 6).as("w"))
         .persist())
       val kdf = docw.agg(floor(count(lit(1)) / 4).cast("long").as("k"))
       val hist = docw.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
