@@ -55,6 +55,67 @@ class AsOfJoinPropertySuite extends SparkSessionSuite {
       })
     }.toMap
 
+  /** Forward mirror of [[reference]]: acceptable matches are the right
+    * rows at the MINIMUM time >= t under the same key, with tolerance
+    * bounding `rt - t`. */
+  private def referenceForward(
+      left: Seq[(Option[Int], Option[Long], Int)],
+      right: Seq[(Option[Int], Option[Long], Int)],
+      tol: Option[Long]): Map[Int, Set[Int]] =
+    left.map { case (lk, lt, lid) =>
+      lid -> ((lk, lt) match {
+        case (Some(k), Some(t)) =>
+          val cands = right.filter { case (rk, rt, _) =>
+            rk.contains(k) && rt.exists(rv =>
+              rv >= t && tol.forall(x => rv - t <= x))
+          }
+          cands.map(_._2.get).minOption match {
+            case Some(best) =>
+              cands.filter(_._2.contains(best)).map(_._3).toSet
+            case None => Set.empty[Int]
+          }
+        case _ => Set.empty[Int]
+      })
+    }.toMap
+
+  test("random fuzz: forward direction vs reference semantics") {
+    val s = spark
+    import s.implicits._
+    val cases = samples(
+      for {
+        l <- sideGen(25)
+        r <- sideGen(25)
+        tol <- Gen.option(Gen.choose(0L, 15L))
+      } yield (l, r, tol), 40)
+    cases should not be empty
+    cases.zipWithIndex.foreach { case ((l, r, tol), i) =>
+      val left = l.toDF("k", "t", "lid")
+      val right = r.toDF("rk", "rt", "rid")
+      val forms: Seq[Boolean] =
+        if (i < 6) Seq(false, true) else Seq(i % 2 == 1)
+      val expect = referenceForward(l, r, tol)
+      forms.foreach { bcast =>
+        val got = AsOf.joinForward(left, right, Seq("k" -> "rk"), "t", "rt",
+            tol, broadcastRight = Some(bcast))
+          .select("lid", "rid").collect()
+          .map(row => row.getInt(0) ->
+            (if (row.isNullAt(1)) None else Some(row.getInt(1))))
+          .toMap
+        withClue(s"case $i (broadcast=$bcast): left=$l right=$r tol=$tol\n") {
+          got.keySet shouldBe expect.keySet
+          got.foreach { case (lid, rid) =>
+            withClue(s"lid=$lid got=$rid acceptable=${expect(lid)}: ") {
+              rid match {
+                case Some(r0) => assert(expect(lid).contains(r0))
+                case None => assert(expect(lid).isEmpty)
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
   test("random fuzz vs reference semantics, with and without tolerance") {
     val s = spark
     import s.implicits._
