@@ -254,6 +254,30 @@ class PlanAuditSuite extends SparkSessionSuite {
     graft.InternalCaches.releaseAll()
   }
 
+  /** r9: the forward/nearest as-of family keeps the backward form's
+    * scale shape — the native forward runs on the custom operator (no
+    * cartesian, no window state), and the window compositions do their
+    * work in ONE hash exchange on the key (the extra exchanges are the
+    * presentation sort and AQE reads, never a second data shuffle). */
+  test("forward/nearest as-of plans: custom exec for native, one data shuffle for compositions") {
+    val fwdNative = physicalPlan("adv_asof_fwd_native")
+    withClue(s"adv_asof_fwd_native plan:\n$fwdNative\n") {
+      assert(fwdNative.contains("AsOfJoin"))
+      assert(!fwdNative.contains("CartesianProduct"))
+      assert(!fwdNative.contains("BroadcastNestedLoopJoin"))
+    }
+    Seq("adv_asof_forward", "adv_asof_nearest").foreach { q =>
+      val plan = physicalPlan(q)
+      withClue(s"$q plan:\n$plan\n") {
+        assert(!plan.contains("CartesianProduct"))
+        // one hashpartitioning exchange (the user_id window shuffle);
+        // rangepartitioning (ORDER BY) and AQE shuffle reads ride on top
+        assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+          "composition should shuffle the data exactly once")
+      }
+    }
+  }
+
   /** r9: the scan-level event-time normalization (a `withColumn` over
     * `ts`) must stay transparent to Catalyst — a query that never
     * touches `ts` still prunes it out of the parquet ReadSchema, and
