@@ -247,6 +247,48 @@ object AdvancedQueries {
       .orderBy(col("error_id"))
   }
 
+  /** [[asOfNative]] through the SKEW-HARDENED path
+    * ([[graft.plans.AsOfSkew]]): hot keys detected from a seeded
+    * sample, their time axis quantile-sliced, the slice id appended to
+    * the join key so one heavy user hash-distributes over many
+    * partitions of the SAME [[graft.plans.AsOfJoinExec]] — the rescue
+    * AQE cannot perform on a custom node. Config here is deliberately
+    * aggressive (tiny share threshold, half-rate sample) so the split
+    * path actually engages on the uniform fixture — detection is an
+    * optimization, never a correctness input, so the oracle is the
+    * same DuckDB ASOF JOIN as the unsplit plan. Forced to the shuffle
+    * form: splitting a broadcast as-of would be pointless (the left
+    * side never shuffles there). */
+  val asOfSkew: QueryDef = QueryDef.sql(
+    "adv_asof_skew",
+    """WITH clicks AS (
+      |  SELECT user_id AS c_user_id, epoch_ns(ts) AS c_t,
+      |         event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |errors AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id AS error_id
+      |  FROM events WHERE event_type = 'error')
+      |SELECT e.error_id, e.user_id, c.click_id,
+      |  CAST((e.t - c.c_t) // 1000000000 AS BIGINT) AS gap_seconds
+      |FROM errors e
+      |ASOF LEFT JOIN clicks c ON e.user_id = c.c_user_id AND e.t >= c.c_t
+      |ORDER BY error_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("t"), col("event_id").as("error_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_t"),
+        col("event_id").as("click_id"))
+    graft.plans.AsOfSkew.join(errors, clicks,
+        keys = Seq("user_id" -> "c_user_id"), leftTime = "t", rightTime = "c_t",
+        broadcastRight = Some(false),
+        config = graft.plans.AsOfSkew.Config(
+          slices = 4, hotKeyShare = 0.0, sampleFraction = 0.5, maxHotKeys = 32))
+      .select(col("error_id"), col("user_id"), col("click_id"),
+        ((col("t") - col("c_t")) / 1000000000L).cast("long").as("gap_seconds"))
+      .orderBy(col("error_id"))
+  }
+
   /** RANGE (interval-containment) JOIN, bucketized — count the
     * lineitems shipped inside each sampled order's 7-day window. A
     * naive `s <= p AND p < e` join has no equi-key, so Spark plans a
@@ -1166,7 +1208,7 @@ object AdvancedQueries {
 
   val all: Seq[QueryDef] =
     Seq(asOfJoin, asOfNative, asOfTolerance, asOfForward,
-      asOfForwardNative, asOfNearest, percentiles, pivot, cube,
+      asOfForwardNative, asOfNearest, asOfSkew, percentiles, pivot, cube,
       saltedAgg, movingAvg, stratifiedSample, sqlInterface, rangeJoinBucketed,
       sampleExactK, zorderLayout, pagerank, hitsQuery, triangles,
       saltedJoin, weightedSample, groupTopK, skewDiagnose, bfsQuery,

@@ -1,0 +1,157 @@
+package graft.plans
+
+import graft.fm.SparkSessionSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Pins the skew-hardened as-of path ([[AsOfSkew]]): exact agreement
+  * with the unsplit plan on a power-law corpus (one key holding ~50% of
+  * the left rows), the hot key actually running in >1 output partition
+  * (the whole point — the unsplit plan serializes it into one), forward
+  * direction and tolerance through the same split, and fall-back to the
+  * plain plan when nothing is hot. */
+class AsOfSkewSuite extends SparkSessionSuite {
+
+  /** ~50% of left rows on key 7, the rest spread over 50 cold keys;
+    * right side mirrors the skew at a tenth the size. Times unique per
+    * key (the operator's determinism contract). */
+  private def skewedCorpus = {
+    val s = spark
+    val left = s.range(20000).select(
+      when(col("id") % 2 === 0, 7L).otherwise(col("id") % 50 + 100L).as("k"),
+      (col("id") * 1000L + 17L).as("t"),
+      col("id").as("lv"))
+    val right = s.range(2000).select(
+      when(col("id") % 2 === 0, 7L).otherwise(col("id") % 50 + 100L).as("rk"),
+      (col("id") * 9973L + 5L).as("rt"),
+      col("id").as("rv"))
+    (left, right)
+  }
+
+  private val aggressive = AsOfSkew.Config(
+    slices = 8, hotKeyShare = 0.02, sampleFraction = 0.5, maxHotKeys = 8)
+
+  private def canon(rows: Array[Row]): Seq[Seq[Any]] =
+    rows.map(_.toSeq.toIndexedSeq).toIndexedSeq
+
+  test("50%-hot-key corpus: split output is identical to the unsplit plan") {
+    val (left, right) = skewedCorpus
+    val unsplit = AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
+        broadcastRight = Some(false))
+      .orderBy("lv").collect()
+    val split = AsOfSkew.join(left, right, Seq("k" -> "rk"), "t", "rt",
+        broadcastRight = Some(false), config = aggressive)
+      .orderBy("lv").collect()
+    unsplit.length shouldBe 20000
+    canon(split) shouldBe canon(unsplit)
+  }
+
+  test("hot key runs in more than one output partition") {
+    val (left, right) = skewedCorpus
+    // AQE partition coalescing may legally re-merge small test-sized
+    // partitions; disable it so the assertion sees the exec's own
+    // (key, slice) hash distribution
+    val s = spark
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = s.conf.get(coalesceKey)
+    try {
+      s.conf.set(coalesceKey, "false")
+      val split = AsOfSkew.join(left, right, Seq("k" -> "rk"), "t", "rt",
+        broadcastRight = Some(false), config = aggressive)
+      val hotPartitions = split.filter(col("k") === 7L)
+        .select(spark_partition_id()).distinct().count()
+      // and the unsplit plan really does serialize the hot key: the
+      // contrast that makes the split worth its two extra jobs
+      val unsplit = AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
+        broadcastRight = Some(false))
+      val unsplitHotPartitions = unsplit.filter(col("k") === 7L)
+        .select(spark_partition_id()).distinct().count()
+      withClue(s"hot-key partitions: split $hotPartitions, " +
+          s"unsplit $unsplitHotPartitions") {
+        hotPartitions should be > 1L
+        unsplitHotPartitions shouldBe 1L
+      }
+    } finally s.conf.set(coalesceKey, prev)
+  }
+
+  test("tolerance flows through the split unchanged") {
+    val (left, right) = skewedCorpus
+    val tol = Some(500000L)
+    val unsplit = AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
+        tolerance = tol, broadcastRight = Some(false))
+      .orderBy("lv").collect()
+    val split = AsOfSkew.join(left, right, Seq("k" -> "rk"), "t", "rt",
+        tolerance = tol, broadcastRight = Some(false), config = aggressive)
+      .orderBy("lv").collect()
+    // the tolerance must null out some matches for the test to mean
+    // anything, and both plans must null out the same ones
+    unsplit.count(_.isNullAt(4)) should be > 0
+    canon(split) shouldBe canon(unsplit)
+  }
+
+  test("forward direction splits identically") {
+    val (left, right) = skewedCorpus
+    val unsplit = AsOf.joinForward(left, right, Seq("k" -> "rk"), "t", "rt",
+        broadcastRight = Some(false))
+      .orderBy("lv").collect()
+    val split = AsOfSkew.joinForward(left, right, Seq("k" -> "rk"), "t", "rt",
+        broadcastRight = Some(false), config = aggressive)
+      .orderBy("lv").collect()
+    unsplit.length shouldBe 20000
+    canon(split) shouldBe canon(unsplit)
+  }
+
+  test("no hot key detected: falls back to the plain single-key plan") {
+    val s = spark
+    // perfectly uniform keys, each far below the 2% share threshold
+    val left = s.range(5000).select((col("id") % 500).as("k"),
+      (col("id") * 31L).as("t"), col("id").as("lv"))
+    val right = s.range(500).select((col("id") % 500).as("rk"),
+      (col("id") * 101L).as("rt"), col("id").as("rv"))
+    val df = AsOfSkew.join(left, right, Seq("k" -> "rk"), "t", "rt",
+      broadcastRight = Some(false),
+      config = AsOfSkew.Config(slices = 8, hotKeyShare = 0.02,
+        sampleFraction = 0.2, maxHotKeys = 8))
+    // fallback plan carries no slice columns: output schema is exactly
+    // left ++ right, and results match the plain join
+    df.columns.toSeq shouldBe Seq("k", "t", "lv", "rk", "rt", "rv")
+    val plain = AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
+      broadcastRight = Some(false))
+    canon(df.orderBy("lv").collect()) shouldBe
+      canon(plain.orderBy("lv").collect())
+  }
+
+  test("hand fixture: nulls, ties, and cross-slice carry-in are exact") {
+    val s = spark
+    import s.implicits._
+    // one "hot" key (1) with boundaries forced through a tiny slices
+    // config; right rows cluster in the EARLY slices so later-slice left
+    // rows can only match through the carry-in row
+    val left = Seq(
+      (Some(1L), Some(10L), "t10"), (Some(1L), Some(20L), "t20"),
+      (Some(1L), Some(30L), "t30"), (Some(1L), Some(40L), "t40"),
+      (Some(1L), Some(50L), "t50"), (Some(1L), Some(60L), "t60"),
+      (Some(1L), Some(5L), "t5"),
+      (Some(2L), Some(25L), "cold"),
+      (None, Some(9L), "nullkey"), (Some(1L), None, "nulltime")
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (Some(1L), Some(8L), "r8"), (Some(1L), Some(12L), "r12"),
+      (Some(1L), None, "rnull"), (None, Some(1L), "rnullkey"),
+      (Some(2L), Some(30L), "rcold")
+    ).toDF("rk", "rt", "rv")
+    val out = AsOfSkew.join(left, right, Seq("k" -> "rk"), "t", "rt",
+        broadcastRight = Some(false),
+        config = AsOfSkew.Config(slices = 4, hotKeyShare = 0.0,
+          sampleFraction = 1.0, maxHotKeys = 4))
+      .select("lv", "rv").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    out shouldBe Map(
+      "t5" -> null,     // nothing at or before 5
+      "t10" -> "r8",
+      "t20" -> "r12", "t30" -> "r12", "t40" -> "r12",
+      "t50" -> "r12", "t60" -> "r12", // carry-in reaches every later slice
+      "cold" -> null,   // rt 30 > t 25; cold key untouched by the split
+      "nullkey" -> null, "nulltime" -> null)
+  }
+}
