@@ -281,6 +281,10 @@ object Dedup {
   def saveLineIndex(docs: DataFrame, dir: String, nBuckets: Int = 16): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // rebuild = the line index's RECOVERY verb (its counts ARE the raw
+    // state — there is no per-row log to rebuild a torn merge from, so
+    // compaction cannot repair it the way the band index's can)
+    IndexIntent.beginRepair(spark, dir, "saveLineIndex")
     lineRowsOf(docs)
       .groupBy(col("lh"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -288,6 +292,7 @@ object Dedup {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/counts")
     Seq(nBuckets).toDF("n_buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")
+    IndexIntent.end(spark, dir)
   }
 
   /** INCREMENTAL maintenance for a [[saveLineIndex]] directory: count
@@ -300,6 +305,10 @@ object Dedup {
     * the same contract as the band-index append log. */
   def appendToLineIndex(dir: String, batch: DataFrame): Unit = {
     val spark = batch.sparkSession
+    // intent marker: a crash inside the partition merge leaves a torn
+    // counts state detectable by every later probe/verb ([[IndexIntent]])
+    IndexIntent.begin(spark, dir, "appendToLineIndex",
+      "a rebuild (graft.ops.Dedup.saveLineIndex over the full corpus)")
     val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
     val batchCounts = lineRowsOf(batch)
       .groupBy(col("lh")).agg(countDistinct(col("doc_id")).as("df"))
@@ -308,17 +317,19 @@ object Dedup {
     // bounded by construction: at most nBuckets distinct small ints
     val touched = batchCounts.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return
-    val merged = spark.read.parquet(s"$dir/counts")
-      .filter(col("bucket").isin(touched: _*)) // partition-pruned read
-      .unionByName(batchCounts)
-      .groupBy(col("bucket"), col("lh"))
-      .agg(sum(col("df")).as("df"))
-      // materialize BEFORE overwriting the partitions being read
-      .localCheckpoint(true)
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(s"$dir/counts")
+    if (touched.nonEmpty) {
+      val merged = spark.read.parquet(s"$dir/counts")
+        .filter(col("bucket").isin(touched: _*)) // partition-pruned read
+        .unionByName(batchCounts)
+        .groupBy(col("bucket"), col("lh"))
+        .agg(sum(col("df")).as("df"))
+        // materialize BEFORE overwriting the partitions being read
+        .localCheckpoint(true)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(s"$dir/counts")
+    }
+    IndexIntent.end(spark, dir)
   }
 
   /** The DELETE verb for a [[saveLineIndex]] directory — the exact
@@ -335,6 +346,9 @@ object Dedup {
     * under — the mirror of the append contract. */
   def deleteFromLineIndex(dir: String, deletedDocs: DataFrame): Unit = {
     val spark = deletedDocs.sparkSession
+    IndexIntent.begin(spark, dir, "deleteFromLineIndex",
+      "a rebuild (graft.ops.Dedup.saveLineIndex over the corpus minus " +
+      "the deletions)")
     val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
     val negCounts = lineRowsOf(deletedDocs)
       .groupBy(col("lh")).agg((-countDistinct(col("doc_id"))).as("df"))
@@ -343,17 +357,19 @@ object Dedup {
     // bounded by construction: at most nBuckets distinct small ints
     val touched = negCounts.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return
-    val merged = spark.read.parquet(s"$dir/counts")
-      .filter(col("bucket").isin(touched: _*)) // partition-pruned read
-      .unionByName(negCounts)
-      .groupBy(col("bucket"), col("lh"))
-      .agg(sum(col("df")).as("df"))
-      // materialize BEFORE overwriting the partitions being read
-      .localCheckpoint(true)
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(s"$dir/counts")
+    if (touched.nonEmpty) {
+      val merged = spark.read.parquet(s"$dir/counts")
+        .filter(col("bucket").isin(touched: _*)) // partition-pruned read
+        .unionByName(negCounts)
+        .groupBy(col("bucket"), col("lh"))
+        .agg(sum(col("df")).as("df"))
+        // materialize BEFORE overwriting the partitions being read
+        .localCheckpoint(true)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(s"$dir/counts")
+    }
+    IndexIntent.end(spark, dir)
   }
 
   /** Compact a [[saveLineIndex]] directory fragmented by
@@ -362,9 +378,16 @@ object Dedup {
     * ([[IndexCompaction]]; probe equivalence suite-pinned), dropping
     * only the inert df ≤ 0 residue deletes leave behind. Offline
     * maintenance: run between ingestion rounds. */
-  def compactLineIndex(s: SparkSession, dir: String): Unit =
+  def compactLineIndex(s: SparkSession, dir: String): Unit = {
+    // NOT a recovery verb: the line index's counts are its only state,
+    // so compaction can only re-layout them — a torn merge needs the
+    // saveLineIndex rebuild. Hence the strict begin, not beginRepair.
+    IndexIntent.begin(s, dir, "compactLineIndex",
+      "a rebuild (graft.ops.Dedup.saveLineIndex over the full corpus)")
     IndexCompaction.rewrite(s, s"$dir/counts", Some("bucket"), 1,
       df => df.filter(col("df") > 0))
+    IndexIntent.end(s, dir)
+  }
 
   /** Clean a (doc_id, text) batch against a [[saveLineIndex]] directory:
     * lines whose INDEXED document frequency is >= `minDf` are dropped
@@ -374,6 +397,8 @@ object Dedup {
     * batch, and per-batch work is linear in the batch. */
   def probeLineIndex(s: SparkSession, dir: String, batch: DataFrame,
       minDf: Int = LineDf): DataFrame = {
+    IndexIntent.assertClean(s, dir,
+      "a rebuild (graft.ops.Dedup.saveLineIndex over the full corpus)")
     val nBuckets = s.read.parquet(s"$dir/meta").head().getInt(0)
     val lines = lineRowsOf(batch)
       .withColumn("bucket", pmod(xxhash64(col("lh")), lit(nBuckets)).cast("int"))
@@ -525,6 +550,9 @@ object Dedup {
   def saveBandIndex(docs: DataFrame, dir: String, nBuckets: Int = 16): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // a rebuild is a RECOVERY verb: it overwrites every component from
+    // scratch, so it tolerates (and on success clears) a torn state
+    IndexIntent.beginRepair(spark, dir, "saveBandIndex")
     // a rebuild starts a fresh lifecycle: drop any tombstone log left
     // by deletes against a previous index in this directory
     clearTombstones(spark, dir)
@@ -560,6 +588,7 @@ object Dedup {
     // a rebuild starts snapshot history over: v1 = the full build
     clearBandSnapshots(spark, dir)
     commitBandSnapshot(spark, dir, None)
+    IndexIntent.end(spark, dir)
   }
 
   /** INCREMENTAL maintenance for a [[saveBandIndex]] directory (r7,
@@ -591,6 +620,11 @@ object Dedup {
     * doc_id would duplicate its rows, as in any append-only log. */
   def appendToBandIndex(dir: String, batch: DataFrame): Unit = {
     val spark = batch.sparkSession
+    // intent marker precedes the first mutation: any crash inside this
+    // verb leaves the marker and every later probe/verb refuses the
+    // torn directory (see [[IndexIntent]])
+    IndexIntent.begin(spark, dir, "appendToBandIndex",
+      "graft.ops.Dedup.compactBandIndex")
     val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
     // one materialization of the batch signatures feeds both appends
     val sig = corpusSignatures(batch).localCheckpoint(true)
@@ -604,25 +638,27 @@ object Dedup {
     // bounded by construction: at most nBuckets distinct small ints
     val touched = batchCounts.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return
-    val merged = spark.read.parquet(s"$dir/counts")
-      .filter(col("bucket").isin(touched: _*)) // partition-pruned read
-      .unionByName(batchCounts)
-      .groupBy(col("bucket"), col("bi"), col("bv"))
-      .agg(sum(col("cnt")).as("cnt"))
-      // materialize BEFORE overwriting the partitions being read
-      .localCheckpoint(true)
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(s"$dir/counts")
-    val hot = spark.read.parquet(s"$dir/hot")
-      .unionByName(merged.filter(col("cnt") > BandBucketCap)
-        .select(col("bi"), col("bv")))
-      .distinct().localCheckpoint(true)
-    hot.write.mode("overwrite").parquet(s"$dir/hot")
-    // each append commits a snapshot: manifest of the (append-only)
-    // live files + this batch's counts as an immutable delta
-    commitBandSnapshot(spark, dir, Some(batchCounts))
+    if (touched.nonEmpty) {
+      val merged = spark.read.parquet(s"$dir/counts")
+        .filter(col("bucket").isin(touched: _*)) // partition-pruned read
+        .unionByName(batchCounts)
+        .groupBy(col("bucket"), col("bi"), col("bv"))
+        .agg(sum(col("cnt")).as("cnt"))
+        // materialize BEFORE overwriting the partitions being read
+        .localCheckpoint(true)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(s"$dir/counts")
+      val hot = spark.read.parquet(s"$dir/hot")
+        .unionByName(merged.filter(col("cnt") > BandBucketCap)
+          .select(col("bi"), col("bv")))
+        .distinct().localCheckpoint(true)
+      hot.write.mode("overwrite").parquet(s"$dir/hot")
+      // each append commits a snapshot: manifest of the (append-only)
+      // live files + this batch's counts as an immutable delta
+      commitBandSnapshot(spark, dir, Some(batchCounts))
+    }
+    IndexIntent.end(spark, dir)
   }
 
   // ------------------------------------------- band-index snapshots --
@@ -730,6 +766,7 @@ object Dedup {
     * [[probeAgainst]]): deletion wins over history. */
   def probeBandIndexAsOf(s: SparkSession, dir: String, batch: DataFrame,
       version: Int, minMatch: Int = 8): DataFrame = {
+    IndexIntent.assertClean(s, dir, "graft.ops.Dedup.compactBandIndex")
     require(bandIndexVersions(s, dir).contains(version),
       s"no committed snapshot v$version under $dir (compaction expires history)")
     val mpath = new org.apache.hadoop.fs.Path(s"$dir/manifests/v$version.txt")
@@ -804,28 +841,30 @@ object Dedup {
     * same text they were indexed under — the mirror of the append
     * contract.
     *
-    * CRASH CONSISTENCY: a delete (like an append) is several FS
-    * mutations — tombstone append, counts partition overwrite, hot
-    * overwrite, snapshot commit — with no cross-file atomicity on a
-    * plain filesystem. The manifest write inside
-    * [[commitBandSnapshot]] is the COMMIT POINT: versions are only
-    * ever read through manifests, so a crash before it leaves the
-    * snapshot log consistent at the previous version, but the LIVE
-    * counts/hot may already hold the new state (as-of(latest) would
-    * then lag live). A crash between the tombstone append and the
-    * counts merge leaves counts over-counting tombstoned docs (probes
-    * stay correct — tombstones anti-join evidence off — but a bucket
-    * may sit hot longer than its live corpus warrants). Recovery
-    * contract, matching log-structured practice: a writer that cannot
-    * prove its last lifecycle verb completed must run
-    * [[compactBandIndex]], which rebuilds counts/hot from the
-    * surviving rows minus tombstones and resets the snapshot log —
-    * restoring every invariant from the raw facts. Single-writer
+    * CRASH CONSISTENCY (r10 — the window is now DETECTED, not just
+    * documented): a delete (like an append) is several FS mutations —
+    * tombstone append, counts partition overwrite, hot overwrite,
+    * snapshot commit — with no cross-file atomicity on a plain
+    * filesystem. Every mutating verb therefore writes an INTENT
+    * MARKER ([[IndexIntent]]) before its first write and clears it
+    * after its last: a crash anywhere inside the verb — including the
+    * old silent window between the live counts/hot mutation and the
+    * [[commitBandSnapshot]] manifest write — leaves the marker, and
+    * every subsequent probe or verb refuses the directory with one
+    * actionable diagnostic instead of reading state where
+    * as-of(latest) may lag live or counts over-count tombstoned docs.
+    * Recovery: [[compactBandIndex]] (which enters through the repair
+    * path) rebuilds counts/hot FROM THE SURVIVING BAND ROWS minus
+    * tombstones and resets the snapshot log — every invariant
+    * restored from raw per-row facts, the torn derived state
+    * discarded (crash-injection suite-pinned). Single-writer
     * discipline is assumed throughout (standard for index
     * maintenance; concurrent writers need an external lock or a
     * table format with optimistic commits). */
   def deleteFromBandIndex(dir: String, deletedDocs: DataFrame): Unit = {
     val spark = deletedDocs.sparkSession
+    IndexIntent.begin(spark, dir, "deleteFromBandIndex",
+      "graft.ops.Dedup.compactBandIndex")
     val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
     deletedDocs.select(col("doc_id"))
       .write.mode("append").parquet(s"$dir/tombstones")
@@ -837,30 +876,32 @@ object Dedup {
     // bounded by construction: at most nBuckets distinct small ints
     val touched = negCounts.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return
-    val merged = spark.read.parquet(s"$dir/counts")
-      .filter(col("bucket").isin(touched: _*)) // partition-pruned read
-      .unionByName(negCounts)
-      .groupBy(col("bucket"), col("bi"), col("bv"))
-      .agg(sum(col("cnt")).as("cnt"))
-      // materialize BEFORE overwriting the partitions being read
-      .localCheckpoint(true)
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(s"$dir/counts")
-    // hot re-derives for the touched keys only — out if ≤ cap now, in
-    // if still over; untouched hot entries ride through the anti-join
-    val touchedKeys = negCounts.select(col("bi"), col("bv")).distinct()
-    val hot = spark.read.parquet(s"$dir/hot")
-      .join(broadcast(touchedKeys), Seq("bi", "bv"), "left_anti")
-      .unionByName(merged.filter(col("cnt") > BandBucketCap)
-        .select(col("bi"), col("bv")))
-      .distinct().localCheckpoint(true)
-    hot.write.mode("overwrite").parquet(s"$dir/hot")
-    // the delete is a commit like any other: its negated counts are
-    // the version's delta, keeping as-of reconstruction exact (see
-    // the SNAPSHOT contract above)
-    commitBandSnapshot(spark, dir, Some(negCounts))
+    if (touched.nonEmpty) {
+      val merged = spark.read.parquet(s"$dir/counts")
+        .filter(col("bucket").isin(touched: _*)) // partition-pruned read
+        .unionByName(negCounts)
+        .groupBy(col("bucket"), col("bi"), col("bv"))
+        .agg(sum(col("cnt")).as("cnt"))
+        // materialize BEFORE overwriting the partitions being read
+        .localCheckpoint(true)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(s"$dir/counts")
+      // hot re-derives for the touched keys only — out if ≤ cap now, in
+      // if still over; untouched hot entries ride through the anti-join
+      val touchedKeys = negCounts.select(col("bi"), col("bv")).distinct()
+      val hot = spark.read.parquet(s"$dir/hot")
+        .join(broadcast(touchedKeys), Seq("bi", "bv"), "left_anti")
+        .unionByName(merged.filter(col("cnt") > BandBucketCap)
+          .select(col("bi"), col("bv")))
+        .distinct().localCheckpoint(true)
+      hot.write.mode("overwrite").parquet(s"$dir/hot")
+      // the delete is a commit like any other: its negated counts are
+      // the version's delta, keeping as-of reconstruction exact (see
+      // the SNAPSHOT contract above)
+      commitBandSnapshot(spark, dir, Some(negCounts))
+    }
+    IndexIntent.end(spark, dir)
   }
 
   /** Remove a stale tombstone log (index rebuild in a reused dir). */
@@ -893,16 +934,30 @@ object Dedup {
     * pass that touches the files anyway. Offline maintenance: run
     * between ingestion rounds. */
   def compactBandIndex(s: SparkSession, dir: String, sigFiles: Int = 8): Unit = {
+    // compaction is THE recovery verb: it tolerates a torn directory
+    // (surviving _INTENT marker) and restores every invariant below
+    IndexIntent.beginRepair(s, dir, "compactBandIndex")
     val ts = tombstonesOf(s, dir).map(t =>
       t.select(col("doc_id")).distinct().localCheckpoint(true))
     val purge: DataFrame => DataFrame = df =>
       ts.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
     IndexCompaction.rewrite(s, s"$dir/sig", None, sigFiles, purge)
     IndexCompaction.rewrite(s, s"$dir/bands", Some("bucket"), 1, purge)
-    // counts are maintained exactly at append/delete time; the rewrite
-    // only drops the inert cnt ≤ 0 residue deletes leave behind
-    IndexCompaction.rewrite(s, s"$dir/counts", Some("bucket"), 1,
-      df => df.filter(col("cnt") > 0))
+    // counts/hot REBUILD from the compacted band rows — the raw
+    // per-row facts — rather than trusting the incrementally
+    // maintained files: on the clean path the two are identical
+    // (suite-pinned), and on the recovery path this is what discards
+    // a torn merge a crashed append/delete left behind (r10)
+    val counts = s.read.parquet(s"$dir/bands")
+      .groupBy(col("bucket"), col("bi"), col("bv"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    // one task (= one file) per bucket partition, the compacted layout
+    counts.repartition(col("bucket")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("bucket").parquet(s"$dir/counts")
+    counts.filter(col("cnt") > BandBucketCap).select(col("bi"), col("bv"))
+      .write.mode("overwrite").parquet(s"$dir/hot")
     ts.foreach(t => t.limit(0).write.mode("overwrite")
       .parquet(s"$dir/tombstones"))
     // compaction rewrote the data files old manifests point at —
@@ -910,6 +965,7 @@ object Dedup {
     // snapshot log at a fresh v1 over the compacted state
     clearBandSnapshots(s, dir)
     commitBandSnapshot(s, dir, None)
+    IndexIntent.end(s, dir)
   }
 
   /** Probe a [[saveBandIndex]] directory with a (doc_id, text) batch:
@@ -926,11 +982,13 @@ object Dedup {
     * inline flavors' [[BandBucketCap]] semantics AND its fanout stays
     * bounded on a boilerplate bucket. */
   def probeBandIndex(s: SparkSession, dir: String, batch: DataFrame,
-      minMatch: Int = 8): DataFrame =
+      minMatch: Int = 8): DataFrame = {
+    IndexIntent.assertClean(s, dir, "graft.ops.Dedup.compactBandIndex")
     probeAgainst(s, dir, batch, minMatch,
       sig = s.read.parquet(s"$dir/sig"),
       bands = s.read.parquet(s"$dir/bands"),
       hot = s.read.parquet(s"$dir/hot"))
+  }
 
   /** [[probeBandIndex]]'s engine against explicit snapshot frames —
     * the current-state probe and the [[probeBandIndexAsOf]] time-travel

@@ -1018,6 +1018,9 @@ object Similarity {
   }
 
   def saveIvfIndex(prep: DataFrame, dir: String, nlist: Int = IvfNlist): Unit = {
+    // a rebuild is a RECOVERY verb ([[IndexIntent]]): it overwrites
+    // every component, so a torn directory is tolerated and repaired
+    IndexIntent.beginRepair(prep.sparkSession, dir, "saveIvfIndex")
     // a rebuild starts a fresh lifecycle: drop any tombstone log left
     // by deletes against a previous index in this directory
     Dedup.clearTombstones(prep.sparkSession, dir)
@@ -1030,6 +1033,7 @@ object Similarity {
     // a rebuild starts snapshot history over: v1 = the full build
     clearIvfSnapshots(prep.sparkSession, dir)
     commitIvfSnapshot(prep.sparkSession, dir)
+    IndexIntent.end(prep.sparkSession, dir)
   }
 
   /** INCREMENTAL maintenance for a [[saveIvfIndex]] directory (r7,
@@ -1053,10 +1057,16 @@ object Similarity {
     * append-only log. */
   def appendToIvfIndex(dir: String, batch: DataFrame): Unit = {
     val spark = batch.sparkSession
+    // two writes (corpus append + snapshot commit) — the intent marker
+    // makes a crash between them detectable ([[IndexIntent]]): without
+    // it, as-of(latest) would silently lag the live corpus
+    IndexIntent.begin(spark, dir, "appendToIvfIndex",
+      "graft.ops.Similarity.compactIvfIndex")
     val cent = spark.read.parquet(s"$dir/centroids")
     assignToCells(batch, cent).localCheckpoint(true)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/corpus")
     commitIvfSnapshot(spark, dir)
+    IndexIntent.end(spark, dir)
   }
 
   /** The DELETE verb of the IVF-index lifecycle (build / append /
@@ -1074,6 +1084,9 @@ object Similarity {
     * since the last compaction and broadcasts. Callers delete indexed
     * vec_ids once — the mirror of the append contract. */
   def deleteFromIvfIndex(dir: String, vecIds: DataFrame): Unit =
+    // single FS mutation = single commit point (the parquet job commit
+    // is the atomic rename) — the one lifecycle verb that needs no
+    // intent marker: a crash mid-job leaves only uncommitted temp files
     vecIds.select(col("vec_id"))
       .write.mode("append").parquet(s"$dir/tombstones")
 
@@ -1088,6 +1101,10 @@ object Similarity {
     * amortized into the pass that touches the files anyway. Offline
     * maintenance: run between ingestion rounds. */
   def compactIvfIndex(s: SparkSession, dir: String): Unit = {
+    // compaction is the IVF recovery verb: the cell rows are the raw
+    // facts and this rewrites them (minus tombstones) and restarts the
+    // snapshot log — everything a torn append left suspect
+    IndexIntent.beginRepair(s, dir, "compactIvfIndex")
     val ts = Dedup.tombstonesOf(s, dir).map(t =>
       t.select(col("vec_id")).distinct().localCheckpoint(true))
     IndexCompaction.rewrite(s, s"$dir/corpus", Some("cell"), 1,
@@ -1098,6 +1115,7 @@ object Similarity {
     // history expires to a fresh v1 over the compacted state
     clearIvfSnapshots(s, dir)
     commitIvfSnapshot(s, dir)
+    IndexIntent.end(s, dir)
   }
 
   /** Top-k cosine against a [[saveIvfIndex]] directory. Queries are
@@ -1148,6 +1166,7 @@ object Similarity {
     * expires history to a fresh v1. */
   def topKFromIvfIndexAsOf(s: SparkSession, dir: String, queries: DataFrame,
       k: Int, version: Int, nprobe: Int = 2): DataFrame = {
+    IndexIntent.assertClean(s, dir, "graft.ops.Similarity.compactIvfIndex")
     require(ivfIndexVersions(s, dir).contains(version),
       s"no committed snapshot v$version under $dir (compaction expires history)")
     val mpath = new org.apache.hadoop.fs.Path(s"$dir/manifests/v$version.txt")
@@ -1170,10 +1189,12 @@ object Similarity {
   }
 
   def topKFromIvfIndex(s: SparkSession, dir: String, queries: DataFrame,
-      k: Int, nprobe: Int = 2): DataFrame =
+      k: Int, nprobe: Int = 2): DataFrame = {
+    IndexIntent.assertClean(s, dir, "graft.ops.Similarity.compactIvfIndex")
     topKAgainst(s, dir, queries, k, nprobe,
       cent = s.read.parquet(s"$dir/centroids"),
       corpus0 = s.read.parquet(s"$dir/corpus"))
+  }
 
   /** [[topKFromIvfIndex]]'s engine against explicit snapshot frames
     * (shared with [[topKFromIvfIndexAsOf]] — the band-index

@@ -1,0 +1,199 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.fm.SparkSessionSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CRASH-INJECTION pins for the persisted-index lifecycle (r10,
+  * verdict #2): a lifecycle verb is several FS mutations with no
+  * cross-file atomicity, so the [[IndexIntent]] write-ahead marker must
+  * (a) survive any mid-verb crash — including the old silent window
+  * between the live counts/hot mutation and the snapshot manifest
+  * commit — (b) make every probe and every new verb REFUSE the torn
+  * directory with an actionable diagnostic, and (c) be cleared by the
+  * recovery verb (compaction / rebuild), which restores all invariants
+  * from the raw per-row facts. */
+class CrashConsistencySuite extends SparkSessionSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def canon(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.toIndexedSeq).toIndexedSeq
+      .sortBy(_.mkString("|"))
+
+  private def delete(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  test("band index: crash between live mutation and snapshot commit is " +
+      "detected, and compaction recovers") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") < 300)
+    val b = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val c = docs.filter(col("doc_id") >= 400)
+    val probeBatch = Dedup.incomingLshBatch(docs)
+
+    val dir = Files.createTempDirectory("bandcrash").toString
+    Dedup.saveBandIndex(a, dir)
+    Dedup.appendToBandIndex(dir, b)
+    // the clean path leaves no marker behind
+    IndexIntent.pending(s, dir) shouldBe None
+
+    // RECONSTRUCT THE CRASH WINDOW for an append of c: run the verb for
+    // real, then roll the on-disk state back to "live counts/hot
+    // mutated, snapshot NOT committed" — exactly what a kill between
+    // the two writes leaves: latest manifest + its delta gone, marker
+    // still present
+    Dedup.appendToBandIndex(dir, c)
+    val v = Dedup.bandIndexVersions(s, dir).last
+    delete(s"$dir/manifests/v$v.txt")
+    delete(s"$dir/count_deltas/version=$v")
+    IndexIntent.beginRepair(s, dir, "appendToBandIndex")
+
+    // detection: probes and further verbs refuse the torn directory
+    val e1 = intercept[IllegalStateException] {
+      Dedup.probeBandIndex(s, dir, probeBatch)
+    }
+    e1.getMessage should include("appendToBandIndex")
+    e1.getMessage should include("compactBandIndex")
+    intercept[IllegalStateException] {
+      Dedup.probeBandIndexAsOf(s, dir, probeBatch,
+        Dedup.bandIndexVersions(s, dir).last)
+    }
+    intercept[IllegalStateException] {
+      Dedup.appendToBandIndex(dir, b.limit(1))
+    }
+    intercept[IllegalStateException] {
+      Dedup.deleteFromBandIndex(dir, b.limit(1))
+    }
+
+    // recovery: compaction rebuilds counts/hot from the surviving band
+    // rows, resets the snapshot log, clears the marker — and the
+    // recovered index probes exactly like a from-scratch build over
+    // the rows that survived (a ∪ b ∪ c: the append's row writes
+    // completed before the simulated kill)
+    Dedup.compactBandIndex(s, dir)
+    IndexIntent.pending(s, dir) shouldBe None
+    val dirFull = Files.createTempDirectory("bandcrashfull").toString
+    Dedup.saveBandIndex(docs, dirFull)
+    val recovered = canon(Dedup.probeBandIndex(s, dir, probeBatch))
+    recovered shouldBe canon(Dedup.probeBandIndex(s, dirFull, probeBatch))
+    recovered.nonEmpty shouldBe true
+    // and as-of(latest) agrees with live again — the divergence the
+    // old silent window allowed
+    canon(Dedup.probeBandIndexAsOf(s, dir, probeBatch,
+      Dedup.bandIndexVersions(s, dir).last)) shouldBe recovered
+  }
+
+  test("band index: a verb that genuinely dies mid-flight leaves the " +
+      "marker; recovery rebuilds the derived state from raw rows") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") < 300)
+    val b = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val probeBatch = Dedup.incomingLshBatch(docs.filter(col("doc_id") < 400))
+
+    val dir = Files.createTempDirectory("bandmidcrash").toString
+    Dedup.saveBandIndex(a, dir)
+    // REAL mid-verb failure: the append reads dir/counts AFTER its
+    // sig/bands row appends; removing counts makes that read throw,
+    // killing the verb with rows appended but derived state untouched
+    delete(s"$dir/counts")
+    intercept[Exception] { Dedup.appendToBandIndex(dir, b) }
+    IndexIntent.pending(s, dir) shouldBe Some("appendToBandIndex")
+    intercept[IllegalStateException] {
+      Dedup.probeBandIndex(s, dir, probeBatch)
+    }
+
+    // compaction rebuilds counts/hot from the band rows (a ∪ b both
+    // survive — the appends completed before the injected failure), so
+    // the recovered index is the from-scratch index over a ∪ b
+    Dedup.compactBandIndex(s, dir)
+    IndexIntent.pending(s, dir) shouldBe None
+    val dirFull = Files.createTempDirectory("bandmidfull").toString
+    Dedup.saveBandIndex(docs.filter(col("doc_id") < 400), dirFull)
+    val recovered = canon(Dedup.probeBandIndex(s, dir, probeBatch))
+    recovered shouldBe canon(Dedup.probeBandIndex(s, dirFull, probeBatch))
+    recovered.nonEmpty shouldBe true
+  }
+
+  test("IVF index: crash between corpus append and snapshot commit is " +
+      "detected, and compaction recovers") {
+    val s = spark
+    val prep = Similarity.prepared(graft.Tables.embeddings(s, sfDir))
+      .localCheckpoint(true)
+    val a = prep.filter(col("vec_id") < 1500)
+    val b = prep.filter(col("vec_id") >= 1500)
+    val queries = prep.filter(col("vec_id") % 100 === 0)
+
+    val dir = Files.createTempDirectory("ivfcrash").toString
+    Similarity.saveIvfIndex(a, dir)
+    Similarity.appendToIvfIndex(dir, b)
+    IndexIntent.pending(s, dir) shouldBe None
+    val live = canon(Similarity.topKFromIvfIndex(s, dir, queries, k = 5))
+
+    // the crash window: corpus rows appended, snapshot not committed
+    val v = Similarity.ivfIndexVersions(s, dir).last
+    delete(s"$dir/manifests/v$v.txt")
+    IndexIntent.beginRepair(s, dir, "appendToIvfIndex")
+
+    val e = intercept[IllegalStateException] {
+      Similarity.topKFromIvfIndex(s, dir, queries, k = 5)
+    }
+    e.getMessage should include("appendToIvfIndex")
+    e.getMessage should include("compactIvfIndex")
+    intercept[IllegalStateException] {
+      Similarity.appendToIvfIndex(dir, b.limit(1))
+    }
+
+    // recovery: same answers as before the simulated crash (the corpus
+    // rows all survive; compaction re-lays them out and restarts the
+    // snapshot log), as-of(latest) ≡ live restored
+    Similarity.compactIvfIndex(s, dir)
+    IndexIntent.pending(s, dir) shouldBe None
+    val recovered = canon(Similarity.topKFromIvfIndex(s, dir, queries, k = 5))
+    recovered shouldBe live
+    recovered.nonEmpty shouldBe true
+    canon(Similarity.topKFromIvfIndexAsOf(s, dir, queries, k = 5,
+      Similarity.ivfIndexVersions(s, dir).last)) shouldBe live
+  }
+
+  test("line index: torn merge is detected; the rebuild recovery verb " +
+      "clears it") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("linecrash").toString
+    Dedup.saveLineIndex(docs, dir)
+    IndexIntent.pending(s, dir) shouldBe None
+    val clean = canon(Dedup.probeLineIndex(s, dir, docs.limit(50)))
+
+    // simulate a killed appendToLineIndex (its merge is the only state)
+    IndexIntent.beginRepair(s, dir, "appendToLineIndex")
+    val e = intercept[IllegalStateException] {
+      Dedup.probeLineIndex(s, dir, docs.limit(50))
+    }
+    e.getMessage should include("appendToLineIndex")
+    e.getMessage should include("saveLineIndex")
+    intercept[IllegalStateException] {
+      Dedup.appendToLineIndex(dir, docs.limit(1))
+    }
+    intercept[IllegalStateException] {
+      Dedup.compactLineIndex(s, dir) // compaction cannot repair this kind
+    }
+
+    // the line index's recovery verb is the full rebuild
+    Dedup.saveLineIndex(docs, dir)
+    IndexIntent.pending(s, dir) shouldBe None
+    canon(Dedup.probeLineIndex(s, dir, docs.limit(50))) shouldBe clean
+  }
+}
