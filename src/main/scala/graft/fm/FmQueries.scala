@@ -27,10 +27,54 @@ object FmQueries {
   /** Scores deterministic 4-dim feature vectors derived from lineitem with
     * the golden model — drives the full scoring dataflow (explode → param
     * join → per-sample agg → FM formula → join-back/bias-fallback) from
-    * the driver surface. Rows-only check: VectorUDT inputs are not
-    * ANSI-SQL-expressible; the SQL-oracle FM queries live in
-    * [[FmRelationalQueries]]. */
-  val fmScoreGolden: QueryDef = QueryDef.rowsOnly("fm_score_golden") { (s, d) =>
+    * the driver surface.
+    *
+    * ORACLE (r10 — this was the battery's last rows-only check): the
+    * VectorUDT input itself is not SQL-expressible, but the golden
+    * model is a fixed 4-feature k=3 table, so its scoring IS — inlined
+    * as literal arithmetic (the [[FmRelationalQueries]] pattern). The
+    * SQL mirrors the engine's evaluation order term for term: each
+    * per-sample reduction is a LEFT-ASSOCIATIVE sum in feature-index
+    * order (explode emits a dense vector's entries in index order,
+    * adjacent in one partition, so the partial aggregation accumulates
+    * them in exactly that order), `Σ_f v²` folds 0.0 + v0² + v1² + v2²
+    * before scaling by x·x, and the final form is
+    * (bias + wxSum) + 0.5·(normSq − v2x2Sum). Inputs are cross-engine
+    * exact: quantities are integer-valued doubles (their sum is exact),
+    * discount/tax sums land within ulps of a 0.01-grid point so
+    * round(·,4) is unambiguous, and both engines then run the identical
+    * scalar ops. round(·,6) on both sides absorbs nothing but keeps the
+    * contract visible. */
+  val fmScoreGolden: QueryDef = QueryDef.sql(
+    "fm_score_golden",
+    """WITH agg AS (
+      |  SELECT l_orderkey, sum(l_quantity) AS q,
+      |    round(sum(l_discount), 4) AS disc,
+      |    round(sum(l_tax), 4) AS tax,
+      |    max(l_linenumber) AS ln
+      |  FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey),
+      |x AS (
+      |  SELECT l_orderkey, q/10.0 AS x0, disc*10.0 AS x1, tax*10.0 AS x2,
+      |    CAST(ln % 3 AS DOUBLE) AS x3
+      |  FROM agg),
+      |vf AS (
+      |  SELECT l_orderkey, x0, x1, x2, x3,
+      |    (1.0)*x0 + (3.0)*x1 + (-0.1)*x2 + (-0.5)*x3 AS vf0,
+      |    (2.0)*x0 + (2.0)*x1 + (-0.1)*x2 + (0.3)*x3 AS vf1,
+      |    (3.0)*x0 + (1.0)*x1 + (-0.2)*x2 + (0.0)*x3 AS vf2
+      |  FROM x),
+      |scored AS (
+      |  SELECT l_orderkey,
+      |    5.0 + ((0.1)*x0 + (0.2)*x1 + (0.3)*x2 + (0.4)*x3)
+      |      + 0.5*((vf0*vf0 + vf1*vf1 + vf2*vf2)
+      |             - (((1.0)*(1.0) + (2.0)*(2.0) + (3.0)*(3.0))*x0*x0
+      |                + ((3.0)*(3.0) + (2.0)*(2.0) + (1.0)*(1.0))*x1*x1
+      |                + ((-0.1)*(-0.1) + (-0.1)*(-0.1) + (-0.2)*(-0.2))*x2*x2
+      |                + ((-0.5)*(-0.5) + (0.3)*(0.3) + (0.0)*(0.0))*x3*x3)) AS p
+      |  FROM vf)
+      |SELECT l_orderkey, round(p, 6) AS prediction
+      |FROM scored
+      |ORDER BY l_orderkey""".stripMargin) { (s, d) =>
     val toVec = udf { (q: Double, disc: Double, tax: Double, ln: Int) =>
       Vectors.dense(q / 10.0, disc * 10.0, tax * 10.0, (ln % 3).toDouble)
     }
