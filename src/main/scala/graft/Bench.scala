@@ -48,7 +48,19 @@ object Bench {
     // passes (BASELINE.md's own protocol), and the one-minute load
     // average is recorded alongside either way so a load-inflated
     // record is self-describing.
-    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(1)
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map { raw =>
+      // validate loudly (r9 advice): a typo'd value would otherwise
+      // crash with a bare NumberFormatException, and runs <= 0 would
+      // silently record -1.0 for every query in a well-formed-looking
+      // file
+      val n = try raw.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_BENCH_RUNS must be a positive integer, got '$raw'")
+      }
+      require(n >= 1,
+        s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
+      n
+    }.getOrElse(1)
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val results = selected.map { name =>

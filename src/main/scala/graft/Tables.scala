@@ -42,7 +42,23 @@ object Tables {
   def normalizeEventTime(df: DataFrame, column: String, table: String): DataFrame =
     df.schema(column).dataType match {
       case LongType => df
-      case TimestampType | TimestampNTZType =>
+      case TimestampType =>
+        // instant type: unix_micros reads the stored micros directly,
+        // timezone-independent
+        df.withColumn(column, unix_micros(col(column)) * 1000L)
+      case TimestampNTZType =>
+        // the NTZ→instant cast interprets the wall-clock value in the
+        // session timezone — only the identity under UTC. A consumer
+        // session that forgot the UTC pin would get silently
+        // timezone-shifted epoch-nanos (r9 advice: the same
+        // silent-corruption class as the physical-type drift this
+        // layer exists to stop), so fail loudly instead.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"$table.$column is TIMESTAMP_NTZ and the session timezone is " +
+          s"'$tz': the NTZ→instant conversion is only value-preserving " +
+          "under UTC. Set spark.sql.session.timeZone=UTC (the engine " +
+          "convention — Bench/Verify/tests all pin it).")
         df.withColumn(column,
           unix_micros(col(column).cast(TimestampType)) * 1000L)
       case other => throw new IllegalStateException(

@@ -21,9 +21,15 @@ object AdvancedQueries {
     * the window ordering with clicks sorted before errors on ties). */
   val asOfJoin: QueryDef = QueryDef.sql(
     "adv_asof_join",
+    // among clicks tied on (user_id, t) the MAX event_id wins (r9
+    // advice: a deterministic tie rule on BOTH engines, instead of two
+    // independently arbitrary picks that only agree while fixture
+    // timestamps stay unique) — realized here by deduplicating tied
+    // clicks before the ASOF, and on the Spark side by the window's
+    // event-id tiebreaker
     """WITH clicks AS (
-      |  SELECT user_id, epoch_ns(ts) AS t, event_id AS click_id
-      |  FROM events WHERE event_type = 'click'),
+      |  SELECT user_id, epoch_ns(ts) AS t, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
       |errors AS (
       |  SELECT user_id, epoch_ns(ts) AS t, event_id AS error_id
       |  FROM events WHERE event_type = 'error')
@@ -46,8 +52,11 @@ object AdvancedQueries {
       .unionAll(errors.select(col("user_id"), col("t"), col("kind"),
         lit(null).cast("long").as("click_id"), col("error_id"),
         lit(null).cast("long").as("click_t")))
-    // clicks (kind 0) order before errors (kind 1) on ts ties => inclusive
-    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("kind"))
+    // clicks (kind 0) order before errors (kind 1) on ts ties => inclusive;
+    // event_id last so `last` picks the MAX id among clicks tied on t —
+    // the deterministic tie rule the oracle's pre-ASOF dedup mirrors
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"), coalesce(col("click_id"), col("error_id")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
@@ -397,9 +406,12 @@ object AdvancedQueries {
     * to the backward form: one shuffle on user_id, no join blowup. */
   val asOfForward: QueryDef = QueryDef.sql(
     "adv_asof_forward",
+    // forward tie rule: among clicks tied on (user_id, t) the MIN
+    // event_id wins (`first` over an id-ascending frame) — deduped
+    // before the ASOF so both engines apply the same rule (r9 advice)
     """WITH clicks AS (
-      |  SELECT user_id, epoch_ns(ts) AS t, event_id AS click_id
-      |  FROM events WHERE event_type = 'click'),
+      |  SELECT user_id, epoch_ns(ts) AS t, min(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
       |errors AS (
       |  SELECT user_id, epoch_ns(ts) AS t, event_id AS error_id
       |  FROM events WHERE event_type = 'error')
@@ -422,8 +434,11 @@ object AdvancedQueries {
       .unionAll(clicks.select(col("user_id"), col("t"), col("kind"),
         col("click_id"), lit(null).cast("long").as("error_id"),
         col("t").as("click_t")))
-    // errors (kind 0) order before clicks (kind 1) on ts ties => inclusive
-    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("kind"))
+    // errors (kind 0) order before clicks (kind 1) on ts ties =>
+    // inclusive; event_id last so `first` picks the MIN id among
+    // clicks tied on t — mirrored by the oracle's pre-ASOF dedup
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"), coalesce(col("click_id"), col("error_id")))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     unioned
       .withColumn("next_click_id", first(col("click_id"), ignoreNulls = true).over(w))
@@ -480,20 +495,27 @@ object AdvancedQueries {
     * stitched, which is what the DuckDB oracle has to do. */
   val asOfNearest: QueryDef = QueryDef.sql(
     "adv_asof_nearest",
-    """WITH clicks AS (
-      |  SELECT user_id, epoch_ns(ts) AS t, event_id AS click_id
-      |  FROM events WHERE event_type = 'click'),
+    // tie rules per direction (r9 advice): backward candidates tied on
+    // t resolve to the MAX event_id (`last` over an id-ascending
+    // frame), forward ones to the MIN (`first`) — mirrored by the
+    // per-direction pre-ASOF dedups
+    """WITH clicks_b AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |clicks_f AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, min(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
       |errors AS (
       |  SELECT user_id, epoch_ns(ts) AS t, event_id AS error_id
       |  FROM events WHERE event_type = 'error'),
       |b AS (
       |  SELECT e.error_id, e.user_id, e.t, c.click_id AS b_id, c.t AS b_t
       |  FROM errors e
-      |  ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.t >= c.t),
+      |  ASOF LEFT JOIN clicks_b c ON e.user_id = c.user_id AND e.t >= c.t),
       |f AS (
       |  SELECT e.error_id, c.click_id AS f_id, c.t AS f_t
       |  FROM errors e
-      |  ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.t <= c.t)
+      |  ASOF LEFT JOIN clicks_f c ON e.user_id = c.user_id AND e.t <= c.t)
       |SELECT b.error_id, b.user_id,
       |  CASE WHEN b_id IS NULL THEN f_id
       |       WHEN f_id IS NULL THEN b_id
@@ -522,8 +544,11 @@ object AdvancedQueries {
         lit(null).cast("long").as("click_t")))
     // clicks before errors on ties: exact-t clicks land in the backward
     // frame with gap 0 and win the tie — forward-frame exclusivity on
-    // ties is therefore unobservable in the output
-    val ord = Window.partitionBy(col("user_id")).orderBy(col("t"), col("kind"))
+    // ties is therefore unobservable in the output. event_id last:
+    // `last` picks the max id among tied backward clicks, `first` the
+    // min among tied forward ones — the oracle's per-direction dedups
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"), coalesce(col("click_id"), col("error_id")))
     val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val bGap = col("t") - col("b_t")

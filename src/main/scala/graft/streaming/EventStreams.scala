@@ -422,9 +422,12 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long, Long, String)],
          state: GroupState[AsofClickState]) =>
-          // clicks sort before errors on ts ties => inclusive backward
+          // clicks sort before errors on ts ties => inclusive backward;
+          // event_id last so among clicks tied on (user, t) the MAX id
+          // sets the state last and wins — the deterministic tie rule
+          // the batch composition and the oracle's pre-ASOF dedup share
           val sorted = rows.toSeq
-            .sortBy(r => (r._2, if (r._4 == "error") 1 else 0))
+            .sortBy(r => (r._2, if (r._4 == "error") 1 else 0, r._1))
           var last = state.getOption
           var out = List.empty[AsofOut]
           sorted.foreach { case (id, t, _, kind) =>
@@ -446,9 +449,12 @@ object EventStreams {
     * the same events. */
   val asofEnrichStream: QueryDef = QueryDef.sqlPrepared(
     "st_asof_enrich",
+    // clicks tied on (user_id, t) dedup to the MAX event_id before the
+    // ASOF — the same tie rule the stream's (t, kind, event_id) sort
+    // applies (r9 advice: deterministic on both engines)
     """WITH clicks AS (
-      |  SELECT user_id, epoch_ns(ts) AS t, event_id AS click_id
-      |  FROM events WHERE event_type = 'click'),
+      |  SELECT user_id, epoch_ns(ts) AS t, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
       |errors AS (
       |  SELECT user_id, epoch_ns(ts) AS t, event_id AS error_id
       |  FROM events WHERE event_type = 'error')

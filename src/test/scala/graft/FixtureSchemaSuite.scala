@@ -75,6 +75,31 @@ class FixtureSchemaSuite extends SparkSessionSuite {
     drifted shouldBe orig
   }
 
+  test("NTZ event time in a non-UTC session fails loudly instead of " +
+      "silently timezone-shifting (r9 advice)") {
+    val s = spark
+    import s.implicits._
+    val tzKey = "spark.sql.session.timeZone"
+    val ntz = Seq((1L, 1000000L, 2L)).toDF("event_id", "us", "user_id")
+      .select(col("event_id"),
+        org.apache.spark.sql.functions.timestamp_micros(col("us"))
+          .cast("timestamp_ntz").as("ts"),
+        col("user_id"))
+    // UTC (the engine convention): converts, value-preserving
+    Tables.normalizeEventTime(ntz, "ts", "events")
+      .select("ts").head().getLong(0) shouldBe 1000000000L
+    // any other session timezone: one clear diagnostic, no silent shift
+    val prev = s.conf.get(tzKey)
+    try {
+      s.conf.set(tzKey, "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        Tables.normalizeEventTime(ntz, "ts", "events")
+      }
+      e.getMessage should include("UTC")
+      e.getMessage should include("events.ts")
+    } finally s.conf.set(tzKey, prev)
+  }
+
   test("an unsupported ts type fails at the scan with one clear diagnostic") {
     val s = spark
     import s.implicits._
