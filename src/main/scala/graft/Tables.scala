@@ -176,22 +176,45 @@ object Tables {
 
 /** Session-level execution knobs shared across modules. */
 object Knobs {
-  /** Runs `body` with `spark.sql.shuffle.partitions` capped at `cap`,
-    * restoring the session setting afterwards. For stages whose data is
-    * orders of magnitude smaller than the session default assumes
-    * (streaming state stores, tiny-label iteration): per-partition fixed
-    * overhead dominates there, so fewer partitions are faster. A
-    * throughput knob only — semantics never depend on it. NOTE: the
-    * setting is session-global while `body` runs; materialize any
-    * full-parallelism upstream (localCheckpoint) BEFORE entering. */
-  def withShufflePartitions[T](spark: SparkSession, cap: Int)(body: => T): T = {
+  /** Runs `body` against a SCOPED child session whose single divergence
+    * from `spark` is `spark.sql.shuffle.partitions` capped at `cap`.
+    * For stages whose data is orders of magnitude smaller than the
+    * session default assumes (streaming state stores, tiny-label
+    * iteration): per-partition fixed overhead dominates there, so fewer
+    * partitions are faster. A throughput knob only — semantics never
+    * depend on it.
+    *
+    * ISOLATION (r9 advice): the parent session's conf is NEVER touched
+    * — the cap lives in a `newSession()` sharing the SparkContext (and
+    * cache manager), so an unrelated query running CONCURRENTLY on the
+    * parent keeps the session default (the old around-body mutation
+    * silently capped it; suite-pinned by a two-thread test). The body
+    * receives the scoped session; rebind input frames into it with
+    * [[rebind]] (inputs should be `localCheckpoint`ed first so their
+    * full-parallelism upstream is already materialized), and rebind
+    * lazy results back to the parent so downstream planning sees the
+    * parent's conf. */
+  def withShufflePartitions[T](spark: SparkSession, cap: Int)(
+      body: SparkSession => T): T = {
     val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    try {
-      spark.conf.set(key, math.min(cap, prev.toInt).toString)
-      body
-    } finally spark.conf.set(key, prev)
+    val scoped = spark.newSession()
+    // newSession() starts from the context defaults, not the parent's
+    // runtime-set values: carry those over so the ONLY divergence is
+    // the cap (static/non-modifiable entries are skipped)
+    spark.conf.getAll.foreach { case (k, v) =>
+      try scoped.conf.set(k, v) catch { case _: Throwable => () }
+    }
+    scoped.conf.set(key,
+      math.min(cap, spark.conf.get(key).toInt).toString)
+    body(scoped)
   }
+
+  /** Transplants `df`'s logical plan into session `to` (same logical
+    * result; planning/execution under `to`'s conf). Works for batch and
+    * streaming frames; a `localCheckpoint`ed input rebinds as its
+    * materialized RDD. */
+  def rebind(df: DataFrame, to: SparkSession): DataFrame =
+    org.apache.spark.sql.graftshim.Shim.ofRows(to, df.queryExecution.logical)
 }
 
 /** One verifiable query: a Spark dataflow plus (when SQL-expressible) the

@@ -1447,9 +1447,10 @@ object Dedup {
     // propagation rounds).
     if (sys.env.get("GRAFT_CC_STAR").contains("true"))
       return connectedComponentsStar(pair)
-    graft.Knobs.withShufflePartitions(spark, 8) {
-      val edges = pair
-        .unionAll(pair.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+    val converged = graft.Knobs.withShufflePartitions(spark, 8) { scoped =>
+      val pairS = graft.Knobs.rebind(pair, scoped)
+      val edges = pairS
+        .unionAll(pairS.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
         .toDF("src", "dst").persist() // paired: edges.unpersist() below
       // Min-label propagation to a fixpoint. Every node appears as a src
       // (edges are symmetric), so the neighbor-min join is inner; the
@@ -1475,17 +1476,19 @@ object Dedup {
         labels = joined.select(col("doc_id"), col("lbl"))
       }
       edges.unpersist()
-      if (changed == 0) labels
-      else {
-        // Diameter exceeded the propagation budget (r1–r5 failed loudly
-        // here): hand the SAME edge list to the alternating-star
-        // algorithm, which converges in O(log n) rounds regardless of
-        // diameter (r6, verdict).
-        System.err.println("[dedup] connectedComponents: diameter > " +
-          s"$PropagationRounds propagation rounds — switching to " +
-          "large-star/small-star")
-        connectedComponentsStar(pair)
-      }
+      // rebind back to the parent so downstream consumers plan under
+      // the session default, not the loop cap
+      if (changed == 0) Some(graft.Knobs.rebind(labels, spark)) else None
+    }
+    converged.getOrElse {
+      // Diameter exceeded the propagation budget (r1–r5 failed loudly
+      // here): hand the SAME edge list to the alternating-star
+      // algorithm, which converges in O(log n) rounds regardless of
+      // diameter (r6, verdict).
+      System.err.println("[dedup] connectedComponents: diameter > " +
+        s"$PropagationRounds propagation rounds — switching to " +
+        "large-star/small-star")
+      connectedComponentsStar(pair)
     }
   }
 
@@ -1510,9 +1513,10 @@ object Dedup {
     val spark = pair0.sparkSession
     val pair = pair0.toDF("doc1", "doc2")
       .filter(col("doc1") =!= col("doc2")).localCheckpoint()
-    graft.Knobs.withShufflePartitions(spark, 8) {
+    val out = graft.Knobs.withShufflePartitions(spark, 8) { scoped =>
+      val pairS = graft.Knobs.rebind(pair, scoped)
       // invariant: edges held as (u, v) with u > v, deduped
-      var edges = pair
+      var edges = pairS
         .select(greatest(col("doc1"), col("doc2")).as("u"),
           least(col("doc1"), col("doc2")).as("v"))
         .distinct().localCheckpoint()
@@ -1558,6 +1562,8 @@ object Dedup {
         .unionAll(edges.select(col("v").as("doc_id"), col("v").as("lbl"))
           .distinct())
     }
+    // downstream consumers plan under the parent's conf, not the cap
+    graft.Knobs.rebind(out, spark)
   }
 
   // ----------------------------------------------- shared SimHash pieces --

@@ -1108,8 +1108,11 @@ object AdvancedQueries {
     val edges = Seq((7L, 1L), (13L, 3L), (29L, 11L)).map { case (m, c) =>
       nodes.select(col("doc_id").as("src"), ((col("doc_id") * m + c) % n).as("dst"))
     }.reduce(_ unionAll _).localCheckpoint(true)
-    graft.Knobs.withShufflePartitions(s, 8) {
-      bfs(edges, src = 0L, maxHops = 10)
+    graft.Knobs.withShufflePartitions(s, 8) { scoped =>
+      // the hop loop's per-round joins run capped; the final (tiny)
+      // result rebinds to the parent for downstream planning
+      graft.Knobs.rebind(
+          bfs(graft.Knobs.rebind(edges, scoped), src = 0L, maxHops = 10), s)
         .select(col("v").as("doc_id"), col("dist"))
         .orderBy(col("doc_id"))
     }

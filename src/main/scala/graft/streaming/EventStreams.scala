@@ -156,8 +156,11 @@ object EventStreams {
     // stream-stream join keeps FOUR stores per partition): 8 partitions
     // instead of 32 cuts per-batch commit overhead 4x while the state
     // itself is tiny. Size this UP with data volume on a real cluster.
-    graft.Knobs.withShufflePartitions(spark, 8) {
-      val q = agg.writeStream
+    graft.Knobs.withShufflePartitions(spark, 8) { scoped =>
+      // the stream plans (and pins, via its checkpoint) the scoped
+      // session's capped shuffle partitions; the parent session's conf
+      // is untouched for whatever else runs concurrently
+      val q = graft.Knobs.rebind(agg, scoped).writeStream
         .outputMode(OutputMode.Append)
         .format("parquet")
         .option("path", s"$base/data")
@@ -700,13 +703,15 @@ object EventStreams {
     val stream = s.readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", 8)
       .parquet(ensureStaged(s, d))
-    graft.Knobs.withShufflePartitions(s, 8) {
-      val q = stream.writeStream
+    graft.Knobs.withShufflePartitions(s, 8) { scoped =>
+      val q = graft.Knobs.rebind(stream, scoped).writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           val incoming = batch.filter(col("event_type") =!= "__flush")
             .select(col("user_id"), col("ts"), col("event_id"),
               col("event_type"))
-          upsertMerge(s, state, incoming)
+          // the merge runs inside the capped scope too: its state table
+          // is O(users) tiny rows (the reason for the cap)
+          upsertMerge(scoped, state, incoming)
         }
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(Trigger.AvailableNow())

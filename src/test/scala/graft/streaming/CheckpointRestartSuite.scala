@@ -36,8 +36,9 @@ class CheckpointRestartSuite extends SparkSessionSuite {
       .forEach(p => Files.move(p, Paths.get(dir, s"$name.parquet")))
   }
 
-  private def startQuery(in: String, ckpt: String, out: String) = {
-    val stream = spark.readStream.schema(schema).parquet(in)
+  private def startQuery(in: String, ckpt: String, out: String,
+      session: org.apache.spark.sql.SparkSession = spark) = {
+    val stream = session.readStream.schema(schema).parquet(in)
       .dropDuplicates("id")
     stream.writeStream
       .outputMode(OutputMode.Append)
@@ -52,11 +53,11 @@ class CheckpointRestartSuite extends SparkSessionSuite {
     val in = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
     Files.createDirectories(Paths.get(in))
 
-    graft.Knobs.withShufflePartitions(spark, 4) {
+    graft.Knobs.withShufflePartitions(spark, 4) { scoped =>
       // epoch 1: ids 1..5, with 3 duplicated inside the batch window
       writeBatch(in, "b1", Seq(1L -> "a", 2L -> "b", 3L -> "c", 3L -> "c2",
         4L -> "d", 5L -> "e"))
-      val q1 = startQuery(in, ckpt, out)
+      val q1 = startQuery(in, ckpt, out, scoped)
       q1.processAllAvailable()
       q1.stop()
 
@@ -64,7 +65,7 @@ class CheckpointRestartSuite extends SparkSessionSuite {
       // before the stop (tests state recovery), 6 and 7 are new
       writeBatch(in, "b2", Seq(4L -> "dup-after-restart", 6L -> "f", 7L -> "g"))
 
-      val q2 = startQuery(in, ckpt, out)
+      val q2 = startQuery(in, ckpt, out, scoped)
       q2.processAllAvailable()
       q2.stop()
     }
@@ -97,8 +98,9 @@ class CheckpointRestartSuite extends SparkSessionSuite {
       .forEach(p => Files.move(p, Paths.get(dir, s"$name.parquet")))
   }
 
-  private def startAsofQuery(in: String, ckpt: String, out: String) = {
-    val s = spark
+  private def startAsofQuery(in: String, ckpt: String, out: String,
+      session: org.apache.spark.sql.SparkSession = spark) = {
+    val s = session
     import s.implicits._
     implicit val sp: org.apache.spark.sql.SparkSession = s
     val ev = s.readStream.schema(asofSchema).parquet(in)
@@ -135,13 +137,13 @@ class CheckpointRestartSuite extends SparkSessionSuite {
       (7L, 70L * sec, 100L, "error"), // post-restart click wins
       (8L, 40L * sec, 300L, "error")) // user with no click ever: null
 
-    graft.Knobs.withShufflePartitions(spark, 4) {
+    graft.Knobs.withShufflePartitions(spark, 4) { scoped =>
       writeAsofBatch(in, "b1", batch1)
-      val q1 = startAsofQuery(in, ckpt, out)
+      val q1 = startAsofQuery(in, ckpt, out, scoped)
       q1.processAllAvailable()
       q1.stop()
       writeAsofBatch(in, "b2", batch2)
-      val q2 = startAsofQuery(in, ckpt, out)
+      val q2 = startAsofQuery(in, ckpt, out, scoped)
       q2.processAllAvailable()
       q2.stop()
     }
