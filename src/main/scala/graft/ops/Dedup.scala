@@ -435,7 +435,13 @@ object Dedup {
     .mkString(" + ")
 
   /** SQL CTE block `sig, banded, cand, pairs(doc1, doc2, n_match)` —
-    * the MinHash-signature + banded-LSH candidate-pair flow over `sh`. */
+    * the MinHash-signature + banded-LSH candidate-pair flow over `sh`.
+    * Mirrors [[lshCandidatePairs]]' hot-bucket guard (r10 scale sweep:
+    * a 10× fixture with exact-twin groups pushed buckets over
+    * [[BandBucketCap]], where the engine's documented capped drop made
+    * the previously-uncapped oracle diverge — the cap IS the contract,
+    * so the oracle states it too; fixture buckets stay under the cap,
+    * leaving every committed hash unchanged). */
   private def lshPairsSql: String =
     s"""sig AS (
       |  SELECT doc_id, $mhSql FROM sh GROUP BY doc_id),
@@ -443,7 +449,7 @@ object Dedup {
       |  SELECT doc_id, $bandSql FROM sig),
       |cand AS (
       |  ${(0 until Bands).map(b =>
-           s"SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM banded a JOIN banded b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
+           s"SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM banded a JOIN banded b ON a.band$b = b.band$b AND a.doc_id < b.doc_id AND a.band$b NOT IN (SELECT band$b FROM banded GROUP BY band$b HAVING count(*) > $BandBucketCap)")
            .mkString("\n  UNION\n  ")}),
       |pairs AS (
       |  SELECT c.doc1, c.doc2, ($eqCountSql) AS n_match
@@ -2081,11 +2087,17 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Band-join candidate block for [[ingestGrow]]'s oracle, with the
-    * index side and probe side selected by predicates. */
-  private def growCandSql(predA: String, predB: String): String =
+  /** Band-join candidate block for [[ingestGrow]]'s oracle: index side
+    * = docs in the `idxSet` subquery, probe side = docs in `probeSet`.
+    * Membership is by ID SET, not fixture-coupled id-range predicates
+    * (r10 scale sweep: a shifted-id 10× fixture broke the `< 50000`
+    * thresholds while the engine's construction-based membership was
+    * fine — the oracle now states the construction). The index-side
+    * hot-bucket exclusion mirrors [[probeBandIndex]]'s persisted `hot`
+    * list: buckets over [[BandBucketCap]] never produce evidence. */
+  private def growCandSql(idxSet: String, probeSet: String): String =
     (0 until Bands).map(b =>
-      s"SELECT a.doc_id AS existing_id, b.doc_id AS incoming_id FROM banded a JOIN banded b ON a.band$b = b.band$b AND ($predA) AND ($predB)")
+      s"SELECT a.doc_id AS existing_id, b.doc_id AS incoming_id FROM banded a JOIN banded b ON a.band$b = b.band$b AND a.doc_id IN $idxSet AND b.doc_id IN $probeSet AND a.band$b NOT IN (SELECT band$b FROM banded WHERE doc_id IN $idxSet GROUP BY band$b HAVING count(*) > $BandBucketCap)")
       .mkString("\n  UNION\n  ")
 
   private val qSynthSql =
@@ -2114,7 +2126,16 @@ object Dedup {
     * transient twin of it. */
   val ingestGrow: QueryDef = QueryDef.sql(
     "dedup_ingest_grow",
-    s"""WITH corpus AS (
+    s"""WITH cdocs AS (SELECT doc_id FROM documents),
+      |b1docs AS (
+      |  SELECT doc_id + 50000 AS doc_id FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 60000 AS doc_id FROM documents WHERE doc_id % 20 = 10),
+      |b2docs AS (
+      |  SELECT doc_id + 70000 AS doc_id FROM documents WHERE doc_id % 20 = 10
+      |  UNION ALL
+      |  SELECT doc_id + 80000 AS doc_id FROM documents WHERE doc_id % 20 = 5),
+      |corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 50000 AS doc_id,
@@ -2136,30 +2157,29 @@ object Dedup {
       |banded AS (
       |  SELECT doc_id, $bandSql FROM sig),
       |cand1 AS (
-      |  ${growCandSql("a.doc_id < 50000",
-             "b.doc_id >= 50000 AND b.doc_id < 70000")}),
+      |  ${growCandSql("(SELECT doc_id FROM cdocs)",
+             "(SELECT doc_id FROM b1docs)")}),
       |rej1 AS (
       |  SELECT DISTINCT c.incoming_id FROM cand1 c
       |  JOIN sig a ON a.doc_id = c.existing_id
       |  JOIN sig b ON b.doc_id = c.incoming_id
       |  WHERE ($eqCountSql) >= 8),
       |adm1 AS (
-      |  SELECT doc_id FROM corpus
-      |  WHERE doc_id >= 50000 AND doc_id < 70000
-      |    AND doc_id NOT IN (SELECT incoming_id FROM rej1)),
+      |  SELECT doc_id FROM b1docs
+      |  WHERE doc_id NOT IN (SELECT incoming_id FROM rej1)),
+      |idx2 AS (
+      |  SELECT doc_id FROM cdocs UNION ALL SELECT doc_id FROM adm1),
       |cand2 AS (
-      |  ${growCandSql(
-             "a.doc_id < 50000 OR a.doc_id IN (SELECT doc_id FROM adm1)",
-             "b.doc_id >= 70000")}),
+      |  ${growCandSql("(SELECT doc_id FROM idx2)",
+             "(SELECT doc_id FROM b2docs)")}),
       |rej2 AS (
       |  SELECT DISTINCT c.incoming_id FROM cand2 c
       |  JOIN sig a ON a.doc_id = c.existing_id
       |  JOIN sig b ON b.doc_id = c.incoming_id
       |  WHERE ($eqCountSql) >= 8),
       |adm2 AS (
-      |  SELECT doc_id FROM corpus
-      |  WHERE doc_id >= 70000
-      |    AND doc_id NOT IN (SELECT incoming_id FROM rej2))
+      |  SELECT doc_id FROM b2docs
+      |  WHERE doc_id NOT IN (SELECT incoming_id FROM rej2))
       |SELECT * FROM (
       |  SELECT 1 AS batch_no, doc_id FROM adm1
       |  UNION ALL

@@ -769,7 +769,12 @@ object EventStreams {
     * pruning on the index scan. */
   val lshDedup: QueryDef = QueryDef.sqlPrepared(
     "st_lsh_dedup",
-    s"""WITH corpus AS (
+    s"""WITH cdocs AS (SELECT doc_id FROM documents),
+      |bdocs AS (
+      |  SELECT doc_id + 50000 AS doc_id FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 60000 AS doc_id FROM documents WHERE doc_id % 20 = 10),
+      |corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 50000 AS doc_id,
@@ -789,7 +794,11 @@ object EventStreams {
       |  SELECT doc_id, ${graft.ops.Dedup.bandSql} FROM sig),
       |cand AS (
       |  ${(0 until graft.ops.Dedup.SignatureBands).map(b =>
-           s"SELECT a.doc_id AS existing_id, b.doc_id AS incoming_id, $b AS bi FROM banded a JOIN banded b ON a.band$b = b.band$b AND a.doc_id < 50000 AND b.doc_id >= 50000")
+           // index side = the corpus BY MEMBERSHIP (not an id-range —
+           // r10 scale sweep: shifted-id fixtures broke `< 50000` while
+           // the engine's construction-based membership was fine), with
+           // the engine's index-side hot-bucket cap mirrored
+           s"SELECT a.doc_id AS existing_id, b.doc_id AS incoming_id, $b AS bi FROM banded a JOIN banded b ON a.band$b = b.band$b AND a.doc_id IN (SELECT doc_id FROM cdocs) AND b.doc_id IN (SELECT doc_id FROM bdocs) AND a.band$b NOT IN (SELECT band$b FROM banded WHERE doc_id IN (SELECT doc_id FROM cdocs) GROUP BY band$b HAVING count(*) > ${graft.ops.Dedup.BandBucketCap})")
            .mkString("\n  UNION ALL\n  ")})
       |SELECT c.incoming_id, c.existing_id, c.bi,
       |  (${graft.ops.Dedup.eqCountSql}) AS n_match

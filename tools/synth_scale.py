@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Dev-time scale-sweep fixture synthesis (judge r9 item 6).
+
+Builds a ~KX-times fixture dir by unioning the sf0.1 tables with shifted
+id ranges: events (event_id/user_id shifted per copy) and documents
+(doc_id shifted; text kept verbatim, so each document gains K-1 exact
+twins — a realistic web-crawl dedup stress). All other tables are copied
+through unchanged so every registered query and its DuckDB oracle can
+still resolve its views.
+
+Usage: python3 tools/synth_scale.py <outDir> [copies=10]
+
+Then:  SPARK_GRAFT_ONLY='^(adv_asof|adv_sweepline|st_|dedup_)' \
+         java -cp ... graft.Verify <outDir> <verifyOut>
+       python3 tools/selfcheck.py <outDir> <verifyOut>
+
+NOT part of the shipped library — de-risks the sf0.01 gate's blind spot
+(r9's sf0.1 sweep caught two latent defects; this pushes one notch up).
+"""
+import shutil
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+COPY_THROUGH = ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "embeddings"]
+EVENT_STRIDE = 10_000_000   # far above sf0.1's max event_id
+USER_STRIDE = 1_000_000     # far above sf0.1's max user_id
+DOC_STRIDE = 1_000_000      # far above sf0.1's max doc_id
+
+
+def main(out_dir: str, copies: int) -> None:
+    con = duckdb.connect()
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    for t in COPY_THROUGH:
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    ev_parts = " UNION ALL ".join(
+        f"SELECT event_id + {k * EVENT_STRIDE} AS event_id, ts, "
+        f"user_id + {k * USER_STRIDE} AS user_id, event_type, value, props "
+        f"FROM read_parquet('{SRC}/events.parquet')"
+        for k in range(copies))
+    con.execute(
+        f"COPY ({ev_parts}) TO '{out_dir}/events.parquet' (FORMAT PARQUET)")
+    doc_parts = " UNION ALL ".join(
+        f"SELECT doc_id + {k * DOC_STRIDE} AS doc_id, text, lang, source, "
+        f"n_chars FROM read_parquet('{SRC}/documents.parquet')"
+        for k in range(copies))
+    con.execute(
+        f"COPY ({doc_parts}) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)")
+    for t in ["events", "documents"]:
+        n = con.sql(f"SELECT count(*) FROM '{out_dir}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 10)
