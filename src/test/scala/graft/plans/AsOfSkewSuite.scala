@@ -121,6 +121,47 @@ class AsOfSkewSuite extends SparkSessionSuite {
       canon(plain.orderBy("lv").collect())
   }
 
+  test("seeded fuzz: split ≡ unsplit over random skew profiles and configs") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 1 + rnd.nextInt(6)
+      val hotKeys = (0 until 1 + rnd.nextInt(2)).map(_ => rnd.nextInt(nKeys))
+      val nLeft = 500 + rnd.nextInt(1500)
+      val nRight = 50 + rnd.nextInt(400)
+      // duplicate-prone time grid so slice boundaries often land exactly
+      // on row times (the >=-boundary edge); times still unique per key
+      // via a per-key disjoint offset (the operator's tie contract)
+      def rows(n: Int, tag: String) = (0 until n).map { i =>
+        val k = if (rnd.nextBoolean()) hotKeys(rnd.nextInt(hotKeys.length)).toLong
+                else rnd.nextInt(nKeys).toLong
+        (k, k * 1000000L + i * 10L + rnd.nextInt(3), s"$tag$i")
+      }
+      val left = rows(nLeft, "l").toDF("k", "t", "lv")
+        .dropDuplicates("k", "t")
+      val right = rows(nRight, "r").toDF("rk", "rt", "rv")
+        .dropDuplicates("rk", "rt")
+      val cfg = AsOfSkew.Config(
+        slices = 2 + rnd.nextInt(7),
+        hotKeyShare = 0.01 + rnd.nextDouble() * 0.2,
+        sampleFraction = 0.3 + rnd.nextDouble() * 0.7,
+        maxHotKeys = 1 + rnd.nextInt(8),
+        seed = seed.toLong)
+      val tol = if (rnd.nextBoolean()) Some(50L + rnd.nextInt(2000).toLong)
+                else None
+      val unsplit = AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
+          tolerance = tol, broadcastRight = Some(false))
+        .orderBy("k", "t").collect()
+      val split = AsOfSkew.join(left, right, Seq("k" -> "rk"), "t", "rt",
+          tolerance = tol, broadcastRight = Some(false), config = cfg)
+        .orderBy("k", "t").collect()
+      withClue(s"seed=$seed cfg=$cfg tol=$tol: ") {
+        canon(split) shouldBe canon(unsplit)
+      }
+    }
+  }
+
   test("hand fixture: nulls, ties, and cross-slice carry-in are exact") {
     val s = spark
     import s.implicits._
