@@ -174,6 +174,13 @@ case class AsOfJoinExec(
   // buffering operators must copy (same contract as SortMergeJoin)
   override def needCopyResult: Boolean = true
 
+  // this node's produce loop consumes its own iterators (like
+  // SortMergeJoin, which sets the same flag), so checking the limit
+  // there is legitimate — without this, limitNotReachedCond logs a
+  // "[BUG] ... open a JIRA" warning per codegen (and throws outright
+  // under spark.testing)
+  override def canCheckLimitNotReached: Boolean = true
+
   override def doProduce(ctx: CodegenContext): String = {
     val leftInput = ctx.addMutableState("scala.collection.Iterator",
       "asofLeftInput", v => s"$v = inputs[0];")

@@ -24,10 +24,11 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 COPY_THROUGH = ["region", "nation", "customer", "supplier", "part",
-                "orders", "lineitem", "embeddings"]
+                "orders", "lineitem"]
 EVENT_STRIDE = 10_000_000   # far above sf0.1's max event_id
 USER_STRIDE = 1_000_000     # far above sf0.1's max user_id
 DOC_STRIDE = 1_000_000      # far above sf0.1's max doc_id
+VEC_STRIDE = 1_000_000      # far above sf0.1's max vec_id
 
 
 def main(out_dir: str, copies: int) -> None:
@@ -49,7 +50,17 @@ def main(out_dir: str, copies: int) -> None:
         for k in range(copies))
     con.execute(
         f"COPY ({doc_parts}) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)")
-    for t in ["events", "documents"]:
+    # embedding vectors are copied VERBATIM per shifted vec_id — every
+    # vector gains copies-1 exact twins, a deliberate tie stress for the
+    # ANN/top-k family (any non-deterministic tie-break shows up as a
+    # hash mismatch here long before it would at 100 TB)
+    vec_parts = " UNION ALL ".join(
+        f"SELECT vec_id + {k * VEC_STRIDE} AS vec_id, embedding, label "
+        f"FROM read_parquet('{SRC}/embeddings.parquet')"
+        for k in range(copies))
+    con.execute(
+        f"COPY ({vec_parts}) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)")
+    for t in ["events", "documents", "embeddings"]:
         n = con.sql(f"SELECT count(*) FROM '{out_dir}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 
