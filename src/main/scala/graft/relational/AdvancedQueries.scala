@@ -231,10 +231,16 @@ object AdvancedQueries {
     * sort-merge; a single buffered right row per partition at runtime. */
   val asOfNative: QueryDef = QueryDef.sql(
     "adv_asof_native",
+    // the operator's tie contract is "keep right times unique per key"
+    // (an arbitrary winner among duplicate (key, t) right rows), so the
+    // QUERY deduplicates tied clicks to the MAX event_id before the
+    // join — the same deterministic rule the window composition pins —
+    // and the oracle mirrors it (r9 advice, extended to the native
+    // family in r10)
     """WITH clicks AS (
       |  SELECT user_id AS c_user_id, epoch_ns(ts) AS c_t,
-      |         event_id AS click_id
-      |  FROM events WHERE event_type = 'click'),
+      |         max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
       |errors AS (
       |  SELECT user_id, epoch_ns(ts) AS t, event_id AS error_id
       |  FROM events WHERE event_type = 'error')
@@ -247,8 +253,8 @@ object AdvancedQueries {
     val errors = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts").as("t"), col("event_id").as("error_id"))
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user_id"), col("ts").as("c_t"),
-        col("event_id").as("click_id"))
+      .groupBy(col("user_id").as("c_user_id"), col("ts").as("c_t"))
+      .agg(max(col("event_id")).as("click_id"))
     graft.plans.AsOf.join(errors, clicks,
         keys = Seq("user_id" -> "c_user_id"), leftTime = "t", rightTime = "c_t")
       .select(col("error_id"), col("user_id"), col("click_id"),
@@ -270,10 +276,12 @@ object AdvancedQueries {
     * side never shuffles there). */
   val asOfSkew: QueryDef = QueryDef.sql(
     "adv_asof_skew",
+    // tied clicks dedup to the MAX event_id on both engines — see
+    // [[asOfNative]]
     """WITH clicks AS (
       |  SELECT user_id AS c_user_id, epoch_ns(ts) AS c_t,
-      |         event_id AS click_id
-      |  FROM events WHERE event_type = 'click'),
+      |         max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
       |errors AS (
       |  SELECT user_id, epoch_ns(ts) AS t, event_id AS error_id
       |  FROM events WHERE event_type = 'error')
@@ -286,8 +294,8 @@ object AdvancedQueries {
     val errors = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts").as("t"), col("event_id").as("error_id"))
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user_id"), col("ts").as("c_t"),
-        col("event_id").as("click_id"))
+      .groupBy(col("user_id").as("c_user_id"), col("ts").as("c_t"))
+      .agg(max(col("event_id")).as("click_id"))
     graft.plans.AsOfSkew.join(errors, clicks,
         keys = Seq("user_id" -> "c_user_id"), leftTime = "t", rightTime = "c_t",
         broadcastRight = Some(false),
@@ -364,10 +372,12 @@ object AdvancedQueries {
     * greatest time <= t; if even it is too old, nothing matches). */
   val asOfTolerance: QueryDef = QueryDef.sql(
     "adv_asof_tolerance",
+    // tied clicks dedup to the MAX event_id on both engines — see
+    // [[asOfNative]]
     """WITH clicks AS (
       |  SELECT user_id AS c_user_id, epoch_ns(ts) AS c_t,
-      |         event_id AS click_id
-      |  FROM events WHERE event_type = 'click'),
+      |         max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
       |errors AS (
       |  SELECT user_id, epoch_ns(ts) AS t, event_id AS error_id
       |  FROM events WHERE event_type = 'error'),
@@ -385,8 +395,8 @@ object AdvancedQueries {
     val errors = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts").as("t"), col("event_id").as("error_id"))
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user_id"), col("ts").as("c_t"),
-        col("event_id").as("click_id"))
+      .groupBy(col("user_id").as("c_user_id"), col("ts").as("c_t"))
+      .agg(max(col("event_id")).as("click_id"))
     graft.plans.AsOf.join(errors, clicks,
         keys = Seq("user_id" -> "c_user_id"), leftTime = "t", rightTime = "c_t",
         tolerance = java.time.Duration.ofSeconds(600))
@@ -459,10 +469,12 @@ object AdvancedQueries {
     * the suite additionally pins exact agreement between the two. */
   val asOfForwardNative: QueryDef = QueryDef.sql(
     "adv_asof_fwd_native",
+    // forward tie rule: tied clicks dedup to the MIN event_id on both
+    // engines (the forward composition's rule) — see [[asOfNative]]
     """WITH clicks AS (
       |  SELECT user_id AS c_user_id, epoch_ns(ts) AS c_t,
-      |         event_id AS click_id
-      |  FROM events WHERE event_type = 'click'),
+      |         min(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
       |errors AS (
       |  SELECT user_id, epoch_ns(ts) AS t, event_id AS error_id
       |  FROM events WHERE event_type = 'error')
@@ -475,8 +487,8 @@ object AdvancedQueries {
     val errors = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts").as("t"), col("event_id").as("error_id"))
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user_id"), col("ts").as("c_t"),
-        col("event_id").as("click_id"))
+      .groupBy(col("user_id").as("c_user_id"), col("ts").as("c_t"))
+      .agg(min(col("event_id")).as("click_id"))
     graft.plans.AsOf.joinForward(errors, clicks,
         keys = Seq("user_id" -> "c_user_id"), leftTime = "t", rightTime = "c_t")
       .select(col("error_id"), col("user_id"), col("click_id"),

@@ -54,6 +54,17 @@ class AsOfTieSuite extends SparkSessionSuite {
       21L -> 10L) // backward empty: forward min-id click
   }
 
+  test("native-operator family applies the same tie rules (r10)") {
+    // the operator's own tie contract is "keep right times unique per
+    // key", so these queries pre-dedup tied clicks — backward forms
+    // (native, skew, tolerance) to the max id, forward to the min
+    for (q <- Seq("adv_asof_native", "adv_asof_skew", "adv_asof_tolerance"))
+      withClue(s"$q: ") {
+        picks(q) shouldBe Map(20L -> 11L, 21L -> null)
+      }
+    picks("adv_asof_fwd_native") shouldBe Map(20L -> 12L, 21L -> 10L)
+  }
+
   test("streaming as-of enrichment applies the same backward tie rule") {
     val s = spark
     import s.implicits._
