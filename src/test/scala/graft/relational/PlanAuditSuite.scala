@@ -1,6 +1,7 @@
 package graft.relational
 
 import graft.fm.SparkSessionSuite
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan audits for the scale-critical queries added after r1:
   * the claims in the module Scaladoc ("no inequality-only join", "pushed
@@ -297,5 +298,36 @@ class PlanAuditSuite extends SparkSessionSuite {
       assert(plan.contains("PushedFilters: [IsNotNull(event_type), " +
         "EqualTo(event_type,click)]"))
     }
+  }
+
+  /** The bucketed as-of layout must make the join subtree literally
+    * movement-free: the bucketed+sorted scans satisfy the exec's
+    * distribution AND ordering requirements, so EnsureRequirements
+    * inserts NO exchange and NO sort anywhere below the join — the
+    * scan partitioning/ordering flows straight into the merge. */
+  test("bucketed as-of join subtree has zero exchanges and zero sorts") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    AdvancedQueries.stageAsOfBucketed(spark, dir)
+    val df = AdvancedQueries.asOfBucketedJoined(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    val rendered = plan.toString
+    withClue(s"plan:\n$rendered\n") {
+      assert(rendered.contains("AsOfJoin"))
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.isEmpty, "expected no Exchange in the bucketed as-of subtree")
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.isEmpty, "expected no Sort in the bucketed as-of subtree")
+      assert(rendered.contains("SelectedBucketsCount"),
+        "expected bucketed scans")
+    }
+    // and the layout changes the plan, never the answer: bit-identical
+    // to the shuffle-form native as-of on the same fixture
+    val base = graft.SparkEntry.queries("adv_asof_native")(spark, dir)
+      .collect().map(_.toString).sorted
+    val bucketed = df.orderBy(col("error_id"))
+      .collect().map(_.toString).sorted
+    assert(bucketed.sameElements(base))
   }
 }
