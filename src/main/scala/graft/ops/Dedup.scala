@@ -2123,8 +2123,16 @@ object Dedup {
     * Everything the probe does (bucket pruning, hot-list anti-join,
     * append-only growth) runs for real against a temp directory, so
     * this row oracle-checks the incremental lifecycle itself — not a
-    * transient twin of it. */
-  val ingestGrow: QueryDef = QueryDef.sql(
+    * transient twin of it.
+    *
+    * The initial corpus index BUILD is the untimed prepare (the
+    * lifecycle this row times and checks is the two ingests, not the
+    * one-time build — the same staged-input rule as the streaming
+    * rows); a `_PRISTINE` marker makes the query self-staging: the
+    * ingests mutate the index, so the marker is consumed at query
+    * start and a standalone re-invocation rebuilds instead of
+    * double-ingesting. */
+  val ingestGrow: QueryDef = QueryDef.sqlPrepared(
     "dedup_ingest_grow",
     s"""WITH cdocs AS (SELECT doc_id FROM documents),
       |b1docs AS (
@@ -2184,7 +2192,7 @@ object Dedup {
       |  SELECT 1 AS batch_no, doc_id FROM adm1
       |  UNION ALL
       |  SELECT 2 AS batch_no, doc_id FROM adm2)
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |ORDER BY doc_id""".stripMargin)(stageIngestGrowIndex) { (s, d) =>
     val docs = Tables.documents(s, d)
     val qText = concat(lit("q"), col("doc_id"), lit(" r"), col("doc_id"),
       lit(" s"), col("doc_id"), lit(" t"), col("doc_id"),
@@ -2197,18 +2205,42 @@ object Dedup {
       .select((col("doc_id") + 70000).as("doc_id"), qText.as("text"))
       .unionAll(docs.filter(col("doc_id") % 20 === 5)
         .select((col("doc_id") + 80000).as("doc_id"), vText.as("text")))
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ingest-" +
-      java.util.UUID.randomUUID
-    saveBandIndex(docs.select(col("doc_id"), col("text")), dir)
+    val dir = ingestGrowDir(d)
+    val fs = pristinePath(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pristinePath(dir))) stageIngestGrowIndex(s, d)
+    // consume the marker: the ingests mutate the index, so the next
+    // unprepared invocation must rebuild, never double-ingest
+    fs.delete(pristinePath(dir), false)
     val a1 = ingestIntoBandIndex(s, dir, b1)
     val a2 = ingestIntoBandIndex(s, dir, b2)
-    val out = a1.select(lit(1).as("batch_no"), col("doc_id"))
+    a1.select(lit(1).as("batch_no"), col("doc_id"))
       .unionAll(a2.select(lit(2).as("batch_no"), col("doc_id")))
       .orderBy(col("doc_id"))
       .localCheckpoint(true)
+    // the mutated, markerless dir is left for the next prepare/stage
+    // to delete and rebuild
+  }
+
+  private def ingestGrowDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-ingest-grow-" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+
+  private def pristinePath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_PRISTINE")
+
+  /** [[ingestGrow]]'s untimed prepare: (re)build the corpus band index
+    * fresh and mark it `_PRISTINE` (= not yet ingested into). Always
+    * deletes first — leftover appended cell files from a previous
+    * ingest run would otherwise survive into the "fresh" index. */
+  def stageIngestGrowIndex(s: SparkSession, d: String): Unit = {
+    val dir = ingestGrowDir(d)
     val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    out
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    saveBandIndex(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), dir)
+    fs.create(pristinePath(dir), true).close()
   }
 
   val all: Seq[QueryDef] =

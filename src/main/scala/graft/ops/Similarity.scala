@@ -1530,7 +1530,10 @@ object Similarity {
     * probed cells) and the ADMITTED vectors are appended into the
     * index's cell partitions — so batch 2's near-dups of batch-1
     * admissions are rejected by an index that grew, never by a corpus
-    * rescan. Batch 1 carries scaled near-dups of corpus vectors
+    * rescan. The initial IVF build is the untimed prepare with a
+    * consumed `_PRISTINE` marker, exactly as in [[Dedup.ingestGrow]]:
+    * what this row times and checks is the two ingests.
+    * Batch 1 carries scaled near-dups of corpus vectors
     * (rejected) and reversed fresh vectors (admitted); batch 2 carries
     * scaled near-dups of batch 1's admissions (rejected ⇔ the index
     * grew) and rotated fresh vectors (admitted).
@@ -1543,7 +1546,7 @@ object Similarity {
     * arithmetic transiently; the suite separately pins probe-after-
     * append ≡ rebuilt-index, so the persisted path and this transient
     * twin cannot diverge. */
-  val ivfIngestGrow: QueryDef = QueryDef.sql(
+  val ivfIngestGrow: QueryDef = QueryDef.sqlPrepared(
     "sim_ingest_grow",
     s"""WITH prep0 AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1624,7 +1627,7 @@ object Similarity {
       |  SELECT 1 AS batch_no, vec_id FROM adm1
       |  UNION ALL
       |  SELECT 2 AS batch_no, vec_id FROM adm2)
-      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      |ORDER BY vec_id""".stripMargin)(stageIvfIngestGrowIndex) { (s, d) =>
     def withNrm(df: DataFrame): DataFrame = df.withColumn("nrm",
       sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
     val prep = graft.InternalCaches.register(
@@ -1642,18 +1645,42 @@ object Similarity {
         .select((col("vec_id") + 50000).as("vec_id"),
           concat(slice(col("v"), lit(2), size(col("v")) - 1),
             array(element_at(col("v"), 1))).as("v"))))
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-ingest-" +
-      java.util.UUID.randomUUID
-    saveIvfIndex(prep, dir)
+    val dir = ivfIngestGrowDir(d)
+    val fs = ivfPristinePath(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ivfPristinePath(dir))) stageIvfIngestGrowIndex(s, d)
+    // consume the marker: the ingests mutate the index, so the next
+    // unprepared invocation must rebuild, never double-ingest
+    fs.delete(ivfPristinePath(dir), false)
     val a1 = ingestIntoIvfIndex(s, dir, b1)
     val a2 = ingestIntoIvfIndex(s, dir, b2)
-    val out = a1.select(lit(1).as("batch_no"), col("vec_id"))
+    a1.select(lit(1).as("batch_no"), col("vec_id"))
       .unionAll(a2.select(lit(2).as("batch_no"), col("vec_id")))
       .orderBy(col("vec_id"))
       .localCheckpoint(true)
+    // the mutated, markerless dir is left for the next prepare/stage
+    // to delete and rebuild
+  }
+
+  private def ivfIngestGrowDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-ivf-ingest-grow-" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+
+  private def ivfPristinePath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_PRISTINE")
+
+  /** [[ivfIngestGrow]]'s untimed prepare: (re)build the corpus IVF
+    * index fresh and mark it `_PRISTINE` (= not yet ingested into).
+    * Always deletes first — leftover appended cell files from a
+    * previous ingest run would otherwise survive into the "fresh"
+    * index. */
+  def stageIvfIngestGrowIndex(s: SparkSession, d: String): Unit = {
+    val dir = ivfIngestGrowDir(d)
     val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    out
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    saveIvfIndex(prepared(Tables.embeddings(s, d)), dir)
+    fs.create(ivfPristinePath(dir), true).close()
   }
 
   /** POSITIONAL PHRASE SEARCH — the exact-phrase retrieval verb BM25

@@ -614,4 +614,24 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
       liveCounts(dirKeep)
     graft.InternalCaches.releaseAll()
   }
+
+  /** The ingest-grow rows build their corpus index in the untimed
+    * prepare and consume a `_PRISTINE` marker at query start; a
+    * standalone re-invocation (no prepare hook — the driver may call
+    * fn directly, twice) must REBUILD rather than ingest into the
+    * already-mutated index, so back-to-back runs are bit-identical. */
+  test("ingest-grow queries are idempotent across standalone re-runs") {
+    val s = spark
+    Seq("dedup_ingest_grow", "sim_ingest_grow").foreach { q =>
+      val fn = graft.SparkEntry.queries(q)
+      val first = canon(fn(s, sfDir))
+      graft.InternalCaches.releaseAll()
+      val second = canon(fn(s, sfDir))
+      graft.InternalCaches.releaseAll()
+      withClue(s"$q first vs second standalone run:") {
+        second shouldBe first
+      }
+      first should not be empty
+    }
+  }
 }
