@@ -323,7 +323,21 @@ object AdvancedQueries {
     * in ONE file (the condition under which the scan advertises its
     * sort order). Always overwrites — a skip-if-exists would serve
     * stale data after fixture regeneration. */
+  /** Drops `tbl` and its warehouse location. The DROP alone is not
+    * enough: the in-memory catalog forgets tables at JVM exit while
+    * their warehouse directories survive, and `saveAsTable` refuses to
+    * create a table over an orphaned location — so a fresh JVM's first
+    * staging must clear the leftover directory explicitly. */
+  private def dropWithLocation(s: SparkSession, tbl: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    val p = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   def stageAsOfBucketed(s: SparkSession, d: String): Unit = {
+    dropWithLocation(s, asOfErrorsTable(d))
+    dropWithLocation(s, asOfClicksTable(d))
     val ev = Tables.events(s, d)
     val errors = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts").as("t"), col("event_id").as("error_id"))

@@ -33,6 +33,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str) -> None:
     con = duckdb.connect()
+    # An in-memory connection has no temp directory, so out-of-core
+    # operators cannot spill: the heaviest oracles (IVF ingest at the
+    # 10x synth_scale fixture) OOM-killed the process at ~109 GB RSS.
+    # A temp dir + a cap below box RAM turns that into disk spill.
+    con.execute("PRAGMA temp_directory='/tmp/duckdb_selfcheck_spill'")
+    con.execute("PRAGMA memory_limit='48GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
