@@ -1887,7 +1887,13 @@ object Dedup {
     * same planted corpus — the stride/assignment CTEs mirror
     * [[Similarity]]'s ivfRankedSql quantizer (integer stride from
     * count(*), argmin-L2 with cid tiebreak) so the two engines cannot
-    * drift onto different clusterings. */
+    * drift onto different clusterings. The `cold` CTE mirrors
+    * [[SemCellCap]]: cells over the cap are excluded from the pair
+    * stage and their members all kept, exactly as the engine logs and
+    * keeps them (r10 10× sweep: the synthetic twin fixture pushes
+    * every cell over the cap, and an uncapped oracle collapsed 20.7 k
+    * engine survivors to 2 k — the same scale-invariance class as the
+    * BandBucketCap mirror). */
   private val semanticOracleSql =
     s"""WITH corpus AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1914,13 +1920,18 @@ object Dedup {
       |assign AS (
       |  SELECT vec_id, cid AS cell FROM (
       |    SELECT vec_id, cid,
-      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY round(d, 12), cid) AS rn
       |    FROM dist)
       |  WHERE rn = 1),
+      |cold AS (
+      |  SELECT vec_id, cell FROM assign
+      |  WHERE cell NOT IN (
+      |    SELECT cell FROM assign GROUP BY cell
+      |    HAVING count(*) > $SemCellCap)),
       |dots AS (
       |  SELECT x.vec_id AS v1, y.vec_id AS v2, sum(fx.e * fy.e) AS dot
-      |  FROM assign x
-      |  JOIN assign y ON y.cell = x.cell AND x.vec_id < y.vec_id
+      |  FROM cold x
+      |  JOIN cold y ON y.cell = x.cell AND x.vec_id < y.vec_id
       |  JOIN flat fx ON fx.vec_id = x.vec_id
       |  JOIN flat fy ON fy.vec_id = y.vec_id AND fy.pos = fx.pos
       |  GROUP BY x.vec_id, y.vec_id),

@@ -603,8 +603,13 @@ object Similarity {
     def sqDist(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
+    // rank on the 1e-12-QUANTIZED distance (the PQ rule, r10): Spark's
+    // sequential sum and DuckDB's unordered sum can differ by ulps, and
+    // EXACTLY-tied centroids (the 10x twin fixture makes every stride
+    // pick the same vector) then tiebreak on wobble instead of cid —
+    // scattering the two engines onto different cells
     val byDist = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d"), col("cid"))
+      .orderBy(round(col("d"), 12), col("cid"))
     prep.crossJoin(cent)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
         sqDist(col("v"), col("cv")).as("d"))
@@ -664,7 +669,7 @@ object Similarity {
       .filter(col("grn") === 1)
       .select(col("gid"), col("cid"), col("cv"))
     val byCoarse = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d1"), col("gid"))
+      .orderBy(round(col("d1"), 12), col("gid"))
     val probed = prep.crossJoin(broadcast(coarse))
       .select(col("vec_id"), col("v"), col("nrm"), col("gid"),
         sqDist(col("v"), col("gv")).as("d1"))
@@ -672,7 +677,7 @@ object Similarity {
       .filter(col("prn") <= coarseProbe)
       .select(col("vec_id"), col("v"), col("nrm"), col("gid"))
     val byDist = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d"), col("cid"))
+      .orderBy(round(col("d"), 12), col("cid"))
     probed.join(broadcast(grouped), Seq("gid"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
         sqDist(col("v"), col("cv")).as("d"))
@@ -758,7 +763,7 @@ object Similarity {
       |  GROUP BY f.vec_id, c.cid),
       |ranked_cells AS (
       |  SELECT vec_id, cid,
-      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY round(d, 12), cid) AS rn
       |  FROM dist),
       |assign AS (
       |  SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
@@ -1007,8 +1012,9 @@ object Similarity {
     def sqDist(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
+    // 1e-12-quantized distance before the cid tiebreak — see rankedCells
     val byDist = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d"), col("cid"))
+      .orderBy(round(col("d"), 12), col("cid"))
     prep.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
         sqDist(col("v"), col("cv")).as("d"))
@@ -1210,7 +1216,7 @@ object Similarity {
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
     val byDist = Window.partitionBy(col("query_id"))
-      .orderBy(col("d"), col("cid"))
+      .orderBy(round(col("d"), 12), col("cid"))
     val probes = queries
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
@@ -1584,7 +1590,7 @@ object Similarity {
       |  GROUP BY f.vec_id, c.cid),
       |rc AS (
       |  SELECT vec_id, cid,
-      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY round(d, 12), cid) AS rn
       |  FROM dist),
       |assign AS (SELECT vec_id, cid AS cell FROM rc WHERE rn = 1),
       |probe AS (SELECT vec_id, cid AS cell FROM rc WHERE rn <= $IvfNprobe),
