@@ -81,4 +81,28 @@ class TwoLevelQuantizerSuite extends SparkSessionSuite {
       agree.toDouble / flat.size should be >= 0.6
     }
   }
+
+  /** The r10 tie rule: cell ranking compares the 1e-12-QUANTIZED
+    * distance, so EXACTLY-tied centroids (the 10× twin fixture turns
+    * every stride pick into the same vector) break on centroid id —
+    * deterministically, on both engines — instead of on ulp-level
+    * summation-order wobble. Pinned here on a corpus where every
+    * vector (hence every centroid) is identical: the only correct
+    * assignment is the lowest centroid id, for every vector. */
+  test("identical centroids: quantized-distance ties break to the lowest cid") {
+    val s = spark
+    import s.implicits._
+    val emb = (0L until 32L).map(i => (i, Seq.fill(8)(1.5f)))
+      .toDF("vec_id", "embedding")
+    val prep = Similarity.prepared(emb).localCheckpoint()
+    val ranked = Similarity.rankedCells(prep, nlist = 8, upTo = 2)
+    val firstCells = ranked.filter(col("rn") === 1)
+      .select(col("cid")).distinct().collect().map(_.getLong(0))
+    firstCells shouldBe Array(0L)
+    val secondCells = ranked.filter(col("rn") === 2)
+      .select(col("cid")).distinct().collect().map(_.getLong(0))
+    // stride = ceil(32/8) = 4: second-nearest among the tied centroid
+    // twins is the next id, 4
+    secondCells shouldBe Array(4L)
+  }
 }
