@@ -37,8 +37,9 @@ def main(sf_dir: str, out_dir: str) -> None:
     # operators cannot spill: the heaviest oracles (IVF ingest at the
     # 10x synth_scale fixture) OOM-killed the process at ~109 GB RSS.
     # A temp dir + a cap below box RAM turns that into disk spill.
-    con.execute("PRAGMA temp_directory='/tmp/duckdb_selfcheck_spill'")
-    con.execute("PRAGMA memory_limit='48GB'")
+    import os
+    con.execute(f"PRAGMA temp_directory='{os.environ.get('SELFCHECK_TMP', '/tmp/duckdb_selfcheck_spill')}'")
+    con.execute(f"PRAGMA memory_limit='{os.environ.get('SELFCHECK_MEM', '48GB')}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
