@@ -69,8 +69,71 @@ object AsOfStrategy extends SparkStrategy {
   }
 }
 
-/** User-facing constructor for the as-of join. */
+/** User-facing constructor for the as-of join.
+  *
+  * SKEW DISPATCH (r11 — the r10 verdict's top item): [[join]] routes
+  * through the skew-hardened plan ([[AsOfSkew]]) BY DEFAULT, so a
+  * 100-TB caller of the flagship API gets a power-law key rescued
+  * without knowing the wrapper exists. Dispatch runs one narrow
+  * detection job over a key+time sample of the left side; when nothing
+  * is hot (every well-distributed corpus, and every corpus whose
+  * heaviest key is below ~`minHotRows` rows) the plan is EXACTLY the
+  * plain one — same operators, same exchanges, no slice columns.
+  * Conf-tunable, all under `spark.graft.asof.skew.`:
+  *
+  *   - `enabled` (true) — the off-switch;
+  *   - `slices` (8), `hotKeyShare` (0.02), `sampleFraction` (0.05),
+  *     `maxHotKeys` (64), `minHotRows` (1000000), `seed` (42) — the
+  *     [[AsOfSkew.Config]] fields.
+  *
+  * Dispatch only applies where splitting could help: batch frames
+  * (detection samples the left side eagerly — meaningless on a
+  * stream), `LongType` epoch-nanos time columns (the slice arithmetic
+  * contract), and non-broadcast plans (`broadcastRight = Some(true)`
+  * never shuffles the left side, so there is nothing to rescue).
+  * Everything else goes straight to [[joinPlain]]. Recurring workloads
+  * that cannot afford the per-call detection job either pass a
+  * precomputed hint through [[AsOfSkew.join]] directly, call
+  * [[joinPlain]], or flip the conf off. */
 object AsOf {
+
+  private val ConfPrefix = "spark.graft.asof.skew."
+
+  /** Decide plain vs skew-hardened for a [[join]] call. The detection
+    * job (inside [[AsOfSkew.join]]) runs at DataFrame-construction
+    * time; its result only picks the plan, never the answer. */
+  private def dispatch(left: DataFrame, right: DataFrame,
+                       keys: Seq[(String, String)],
+                       leftTime: String, rightTime: String,
+                       tolerance: Option[Long],
+                       broadcastRight: Option[Boolean]): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val conf = left.sparkSession.conf
+    def get(k: String, dflt: String) = conf.get(ConfPrefix + k, dflt)
+    val applicable =
+      get("enabled", "true").toBoolean &&
+      !left.isStreaming && !right.isStreaming &&
+      !broadcastRight.contains(true) &&
+      left.schema(leftTime).dataType == LongType &&
+      right.schema(rightTime).dataType == LongType
+    // straight to plan(): the public entries already enforced their
+    // tolerance-unit policy (the Duration overload arrives here with a
+    // correctly-converted raw value on timestamp columns, which the
+    // raw-Long guard would wrongly reject)
+    if (!applicable)
+      plan(left, right, keys, leftTime, rightTime, tolerance,
+        broadcastRight)
+    else
+      AsOfSkew.join(left, right, keys, leftTime, rightTime, tolerance,
+        broadcastRight,
+        AsOfSkew.Config(
+          slices = get("slices", "8").toInt,
+          hotKeyShare = get("hotKeyShare", "0.02").toDouble,
+          sampleFraction = get("sampleFraction", "0.05").toDouble,
+          maxHotKeys = get("maxHotKeys", "64").toInt,
+          minHotRows = get("minHotRows", "1000000").toLong,
+          seed = get("seed", "42").toLong))
+  }
   /** `left` as-of joins `right` on equal `keys` with the most recent
     * `rightTime <= leftTime`; with `tolerance = Some(t)` the match must
     * additionally satisfy `leftTime - rightTime <= t` (in the time
@@ -98,6 +161,34 @@ object AsOf {
     // exact bug class round 8 hit. So the raw-Long form is restricted to
     // LongType columns; timestamp-typed columns must use the
     // `java.time.Duration` overload, which converts per the column type.
+    if (tolerance.isDefined) {
+      import org.apache.spark.sql.types.LongType
+      val (ltType, rtType) =
+        (left.schema(leftTime).dataType, right.schema(rightTime).dataType)
+      require(ltType == LongType && rtType == LongType,
+        s"raw Long as-of tolerance is unit-ambiguous on time columns of " +
+        s"type ${ltType.simpleString}/${rtType.simpleString}: " +
+        "the value would be applied in the column's storage unit (micros " +
+        "for timestamps), not necessarily the unit you wrote. Pass the " +
+        "tolerance as java.time.Duration (unit-safe), or normalize the " +
+        "time columns to LongType epoch-nanos first " +
+        "(graft.Tables.normalizeEventTime).")
+    }
+    dispatch(left, right, keys, leftTime, rightTime, tolerance, broadcastRight)
+  }
+
+  /** [[join]] WITHOUT the skew dispatch: always the plain single-key
+    * plan, whatever the key distribution. The explicit opt-out for
+    * callers who manage skew at a different layer — above all the
+    * bucketed-layout path (`AdvancedQueries.asOfBucketed`), whose whole
+    * point is that the scan's partitioning/ordering feed the merge with
+    * ZERO exchanges: appending a slice column there would forfeit the
+    * layout. Same raw-Long tolerance guard as [[join]]. */
+  def joinPlain(left: DataFrame, right: DataFrame,
+                keys: Seq[(String, String)],
+                leftTime: String, rightTime: String,
+                tolerance: Option[Long] = None,
+                broadcastRight: Option[Boolean] = None): DataFrame = {
     if (tolerance.isDefined) {
       import org.apache.spark.sql.types.LongType
       val (ltType, rtType) =
@@ -148,7 +239,7 @@ object AsOf {
           Math.multiplyExact(tolerance.getSeconds, 1000000L),
           tolerance.getNano / 1000L)
     }
-    plan(left, right, keys, leftTime, rightTime, Some(raw), broadcastRight)
+    dispatch(left, right, keys, leftTime, rightTime, Some(raw), broadcastRight)
   }
 
   /** [[join]] with a unit-safe `Duration` tolerance and planner-chosen

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -16,23 +16,34 @@ import org.apache.spark.sql.types.LongType
   * broadcasts or inherits AQE skew handling; this wrapper closes the
   * gap for the as-of family.
   *
+  * Since round 11 this is the DEFAULT plan: [[AsOf.join]] dispatches
+  * through [[join]] (conf-tunable, `spark.graft.asof.skew.*`), so the
+  * flagship API rescues a power-law key without the caller knowing the
+  * wrapper exists. [[AsOf.joinPlain]] is the explicit opt-out.
+  *
   * The split is TIME-SLICED, exploiting the operator's own invariant
   * (the best match for a left row at time t is the single greatest
   * right time <= t):
   *
-  *   1. DETECT heavy keys from a seeded key-column sample (the
-  *      [[graft.relational.AdvancedQueries.skewDiagnose]] decision, run
-  *      inline): keys whose sampled share exceeds `hotKeyShare`, capped
-  *      at `maxHotKeys`. Detection is an optimization, never a
-  *      correctness input — splitting a cold key (false positive) or
-  *      missing a warm one (false negative) changes the plan, not the
-  *      answer.
-  *   2. SLICE each hot key's time axis at its left-time quantiles
-  *      (`percentile_approx`, so slices carry ~equal LEFT row counts —
-  *      the side that dominates a skewed as-of). Slice id of a row =
-  *      number of boundaries <= its time: monotone in time, so a right
-  *      row in a LATER slice than a left row always has a strictly
-  *      greater time and is never a candidate for it.
+  *   1. DETECT heavy keys in ONE narrow job over a seeded key+time
+  *      sample of the left side ([[detect]]): per-key sampled counts
+  *      AND per-key time quantiles come out of the same aggregate, the
+  *      sample total rides along as an `Observation` metric, and the
+  *      driver sees at most `maxHotKeys` rows (distributed top-k — no
+  *      unpartitioned window, no second pass). A key is hot when its
+  *      sampled share exceeds `hotKeyShare` AND its estimated absolute
+  *      row count exceeds `minHotRows` — a key too small to straggle a
+  *      partition is never worth two extra plan stages, however large
+  *      its share of a small corpus. Detection is an optimization,
+  *      never a correctness input — splitting a cold key (false
+  *      positive) or missing a warm one (false negative) changes the
+  *      plan, not the answer.
+  *   2. SLICE each hot key's time axis at its left-time sample
+  *      quantiles (`percentile_approx`, so slices carry ~equal LEFT
+  *      row counts — the side that dominates a skewed as-of). Slice id
+  *      of a row = number of boundaries <= its time: monotone in time,
+  *      so a right row in a LATER slice than a left row always has a
+  *      strictly greater time and is never a candidate for it.
   *   3. CARRY-IN: a left row in slice s can still match a right row
   *      from an earlier slice — but only the single greatest-time one,
   *      by the operator's invariant. So for each (hot key, target
@@ -41,8 +52,16 @@ import org.apache.spark.sql.types.LongType
   *      total — independent of data size.
   *   4. JOIN on (key, slice) through the unchanged [[AsOfJoinExec]]:
   *      the hot key now hash-distributes over up to `slices` partitions
-  *      and its merge work parallelizes, at the cost of two tiny extra
-  *      jobs (sample + quantiles) and the carry-in rows.
+  *      and its merge work parallelizes, at the cost of one tiny extra
+  *      job (the detection pass) and the carry-in rows.
+  *
+  * RECURRING WORKLOADS skip detection entirely: `Config.hint` takes a
+  * precomputed hot-key → slice-boundaries map (yesterday's detection
+  * output, a layout-time profile, an operator's domain knowledge), and
+  * the join is planned with ZERO extra driver jobs — the same
+  * pay-once-amortize-forever argument as the bucketed as-of layout.
+  * Boundaries in a hint are plan-only too: any monotone cut points
+  * work, stale ones just balance worse.
   *
   * Tie caveat (same contract as the base operator): among duplicate
   * right (key, time) rows the winner is arbitrary; equal times always
@@ -57,20 +76,27 @@ import org.apache.spark.sql.types.LongType
 object AsOfSkew {
 
   /** Tuning for hot-key detection and splitting. Defaults are sized for
-    * a power-law corpus: a key only earns splitting at >= 2% of sampled
-    * rows (below that, one partition holds < 2% of the data — not a
-    * straggler), and 8 slices turn a 50%-share key into ~6% partitions. */
+    * a power-law corpus at cluster scale: a key only earns splitting at
+    * >= 2% of sampled rows (below that, one partition holds < 2% of the
+    * data — not a straggler) AND >= `minHotRows` estimated rows (a
+    * million-row key is roughly one comfortable task's worth; anything
+    * smaller finishes before splitting could pay), and 8 slices turn a
+    * 50%-share key into ~6% partitions. `hint` supplies precomputed
+    * hot keys + boundaries and skips the detection job entirely. */
   final case class Config(
       slices: Int = 8,
       hotKeyShare: Double = 0.02,
       sampleFraction: Double = 0.05,
       maxHotKeys: Int = 64,
-      seed: Long = 42L) {
+      minHotRows: Long = 1000000L,
+      seed: Long = 42L,
+      hint: Option[Map[Seq[Any], Seq[Long]]] = None) {
     require(slices >= 2, "need at least 2 slices to split a hot key")
     require(hotKeyShare >= 0.0 && hotKeyShare <= 1.0, "hotKeyShare in [0,1]")
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       "sampleFraction in (0,1]")
     require(maxHotKeys >= 1, "maxHotKeys >= 1")
+    require(minHotRows >= 0L, "minHotRows >= 0")
   }
 
   private val LeftSlice = "__asof_skew_ls"
@@ -78,7 +104,7 @@ object AsOfSkew {
 
   /** Backward as-of join ([[AsOf.join]] semantics and output, column
     * for column) with hot-key time-slice splitting. Falls back to the
-    * plain plan when detection finds no hot key. */
+    * plain plan when detection (or the hint) yields no hot key. */
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
            leftTime: String, rightTime: String,
            tolerance: Option[Long] = None,
@@ -92,16 +118,14 @@ object AsOfSkew {
     val lKeys = keys.map(_._1)
     val rKeys = keys.map(_._2)
 
-    val hot = detectHotKeys(left, lKeys, config)
     // boundaries can come back empty for a key whose left times are all
     // equal (quantiles collapse) — nothing to split there
-    val bounds =
-      if (hot.isEmpty) Map.empty[Seq[Any], Seq[Long]]
-      else sliceBoundaries(left, lKeys, leftTime, hot, config)
-        .filter(_._2.nonEmpty)
+    val bounds = config.hint
+      .getOrElse(detect(left, lKeys, leftTime, config))
+      .filter(_._2.nonEmpty)
     if (bounds.isEmpty)
-      return AsOf.join(left, right, keys, leftTime, rightTime, tolerance,
-        broadcastRight)
+      return AsOf.joinPlain(left, right, keys, leftTime, rightTime,
+        tolerance, broadcastRight)
 
     val leftSliced = left.withColumn(LeftSlice,
       sliceExpr(bounds, lKeys, col(leftTime)))
@@ -130,7 +154,7 @@ object AsOfSkew {
         col("__tgt").as(RightSlice)): _*)
     val rightWithCarries = rightSliced.unionByName(carries)
 
-    AsOf.join(leftSliced, rightWithCarries,
+    AsOf.joinPlain(leftSliced, rightWithCarries,
         keys :+ (LeftSlice -> RightSlice), leftTime, rightTime, tolerance,
         broadcastRight)
       .drop(LeftSlice, RightSlice)
@@ -150,58 +174,64 @@ object AsOfSkew {
         s"${f.name} is ${f.dataType.simpleString}"))
     val ln = "__asof_skew_fwd_lt"
     val rn = "__asof_skew_fwd_rt"
+    // a caller hint speaks the ORIGINAL time axis; negate it with the
+    // columns so the forward composition stays a pure reflection
+    val negated = config.copy(hint =
+      config.hint.map(_.map { case (k, bs) => k -> bs.map(-_).sorted }))
     join(left.withColumn(ln, -col(leftTime)),
         right.withColumn(rn, -col(rightTime)),
-        keys, ln, rn, tolerance, broadcastRight, config)
+        keys, ln, rn, tolerance, broadcastRight, negated)
       .drop(ln, rn)
   }
 
-  /** Key tuples whose sampled share of the left side exceeds the
-    * threshold, heaviest first, capped. One narrow job over a seeded
-    * Bernoulli sample of the key columns (column-pruned at the scan). */
-  private[plans] def detectHotKeys(
-      left: DataFrame, keyNames: Seq[String],
-      config: Config): Seq[Seq[Any]] = {
-    val keyCols = keyNames.map(col)
-    val counts = left.select(keyCols: _*)
-      .sample(withReplacement = false, config.sampleFraction, config.seed)
-      .na.drop() // null keys never match — never worth splitting
-      .groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt"))
-      .persist()
-    try {
-      val total = Option(counts.agg(sum(col("__cnt"))).first().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      if (total == 0L) Seq.empty
-      else {
-        // a key below 2 sampled rows is sampling noise, never a straggler
-        val threshold = math.max(2L, (total * config.hotKeyShare).toLong)
-        counts.filter(col("__cnt") >= threshold)
-          .orderBy((col("__cnt").desc +: keyCols): _*)
-          .limit(config.maxHotKeys)
-          .collect()
-          .map(r => keyNames.indices.map(r.get).toSeq)
-          .toSeq
-      }
-    } finally counts.unpersist()
-  }
-
-  /** Per hot key: its interior left-time quantiles, deduplicated and
-    * sorted — the slice boundaries. One filtered aggregate job whose
-    * output is O(maxHotKeys) rows. */
-  private[plans] def sliceBoundaries(
+  /** ONE-PASS hot-key detection (r10 verdict #6 — previously a persist
+    * + three actions): per-key sampled counts and per-key interior
+    * left-time quantiles come out of a single groupBy aggregate over a
+    * seeded Bernoulli key+time sample (column-pruned at the scan); the
+    * sample total rides along as an `Observation` metric of the same
+    * action; `orderBy.limit` makes the collect a distributed top-k, so
+    * the driver sees at most `maxHotKeys` rows regardless of key
+    * cardinality. The share and absolute-size thresholds are applied
+    * driver-side on those rows. Returns hot key -> sorted distinct
+    * slice boundaries. */
+  private[plans] def detect(
       left: DataFrame, keyNames: Seq[String], timeName: String,
-      hotKeys: Seq[Seq[Any]], config: Config): Map[Seq[Any], Seq[Long]] = {
-    val hotPred = hotKeys.map(kv => keyEq(keyNames, kv)).reduce(_ || _)
+      config: Config): Map[Seq[Any], Seq[Long]] = {
+    val keyCols = keyNames.map(col)
     val qs = (1 until config.slices).map(_.toDouble / config.slices).toArray
-    left.filter(hotPred && col(timeName).isNotNull)
-      .groupBy(keyNames.map(col): _*)
-      .agg(percentile_approx(col(timeName), lit(qs), lit(10000)).as("__bs"))
+    val obs = Observation()
+    val top = left.select((keyNames :+ timeName).map(col): _*)
+      .sample(withReplacement = false, config.sampleFraction, config.seed)
+      .na.drop(keyNames) // null keys never match — never worth splitting
+      .filter(col(timeName).isNotNull)
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__cnt"),
+        percentile_approx(col(timeName), lit(qs), lit(10000)).as("__bs"))
+      .observe(obs, sum(col("__cnt")).as("__total"))
+      .orderBy((col("__cnt").desc +: keyCols): _*)
+      .limit(config.maxHotKeys)
       .collect()
-      .map { r =>
-        val kv = keyNames.indices.map(r.get).toSeq
-        val bs = r.getSeq[Long](keyNames.length).distinct.sorted
-        kv -> bs
-      }.toMap
+    val total = obs.get.get("__total") match {
+      case Some(l: java.lang.Long) => l.longValue()
+      case _ => 0L
+    }
+    if (total == 0L) Map.empty
+    else {
+      // a key below 2 sampled rows is sampling noise, never a straggler;
+      // minHotRows scales by the sample rate (expected sampled count of
+      // a key that holds exactly minHotRows rows)
+      val threshold = math.max(
+        math.max(2.0, total * config.hotKeyShare),
+        config.minHotRows * config.sampleFraction)
+      top.iterator
+        .filter(_.getLong(keyNames.length) >= threshold)
+        .map { r =>
+          val kv = keyNames.indices.map(r.get).toSeq
+          val bs = r.getSeq[Long](keyNames.length + 1).distinct.sorted
+          kv -> bs
+        }
+        .toMap
+    }
   }
 
   private def keyEq(names: Seq[String], values: Seq[Any]): Column =

@@ -300,7 +300,114 @@ object AdvancedQueries {
         keys = Seq("user_id" -> "c_user_id"), leftTime = "t", rightTime = "c_t",
         broadcastRight = Some(false),
         config = graft.plans.AsOfSkew.Config(
-          slices = 4, hotKeyShare = 0.0, sampleFraction = 0.5, maxHotKeys = 32))
+          slices = 4, hotKeyShare = 0.0, sampleFraction = 0.5,
+          maxHotKeys = 32, minHotRows = 1))
+      .select(col("error_id"), col("user_id"), col("click_id"),
+        ((col("t") - col("c_t")) / 1000000000L).cast("long").as("gap_seconds"))
+      .orderBy(col("error_id"))
+  }
+
+  /** [[asOfNative]] through the DEFAULT dispatching API (r11, verdict
+    * #1) with the skew conf knobs forced aggressive — the end-to-end
+    * pin that a caller of the FLAGSHIP `AsOf.join` gets the rescued
+    * (time-sliced) plan from conf alone, no wrapper in sight, and that
+    * the dispatch path answers bit-identically to the plain plan
+    * (same DuckDB oracle as every as-of in the family). The conf
+    * values are scoped to this query and restored afterwards, so the
+    * rest of the battery keeps the production defaults (under which
+    * the fixture's heaviest user — far below `minHotRows` — never
+    * triggers a split and every other as-of query's plan is untouched,
+    * the PlanAudit pin). */
+  val asOfSkewAuto: QueryDef = QueryDef.sql(
+    "adv_asof_skew_auto",
+    """WITH clicks AS (
+      |  SELECT user_id AS c_user_id, epoch_ns(ts) AS c_t,
+      |         max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |errors AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id AS error_id
+      |  FROM events WHERE event_type = 'error')
+      |SELECT e.error_id, e.user_id, c.click_id,
+      |  CAST((e.t - c.c_t) // 1000000000 AS BIGINT) AS gap_seconds
+      |FROM errors e
+      |ASOF LEFT JOIN clicks c ON e.user_id = c.c_user_id AND e.t >= c.c_t
+      |ORDER BY error_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("t"), col("event_id").as("error_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user_id"), col("ts").as("c_t"))
+      .agg(max(col("event_id")).as("click_id"))
+    val knobs = Map(
+      "spark.graft.asof.skew.slices" -> "4",
+      "spark.graft.asof.skew.hotKeyShare" -> "0.0",
+      "spark.graft.asof.skew.sampleFraction" -> "0.5",
+      "spark.graft.asof.skew.maxHotKeys" -> "32",
+      "spark.graft.asof.skew.minHotRows" -> "1")
+    val saved = knobs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    knobs.foreach { case (k, v) => s.conf.set(k, v) }
+    // dispatch (detection included) happens eagerly at construction, so
+    // restoring the conf afterwards cannot un-pick the plan
+    val joined =
+      try graft.plans.AsOf.join(errors, clicks,
+        keys = Seq("user_id" -> "c_user_id"), leftTime = "t",
+        rightTime = "c_t", broadcastRight = Some(false))
+      finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    joined
+      .select(col("error_id"), col("user_id"), col("click_id"),
+        ((col("t") - col("c_t")) / 1000000000L).cast("long").as("gap_seconds"))
+      .orderBy(col("error_id"))
+  }
+
+  /** [[asOfSkew]] through the PRECOMPUTED-HINT path (r11, verdict #6):
+    * the recurring-workload shape, where yesterday's detection output
+    * (or a layout-time profile) is handed to the planner and the
+    * per-call detection job is skipped entirely — zero extra driver
+    * jobs before the join, mirroring how the bucketed layout amortizes
+    * its shuffle. Here the "profile" is computed once by a tiny
+    * heaviest-2-users aggregate with midpoint boundaries — crude cuts
+    * on purpose: a hint's boundaries are plan-only (any monotone cut
+    * points are valid, stale ones just balance worse), which is
+    * exactly why a stale profile is safe to reuse. Same oracle as the
+    * whole as-of family: the hint must change the plan, never the
+    * answer. */
+  val asOfSkewHint: QueryDef = QueryDef.sql(
+    "adv_asof_skew_hint",
+    """WITH clicks AS (
+      |  SELECT user_id AS c_user_id, epoch_ns(ts) AS c_t,
+      |         max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |errors AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id AS error_id
+      |  FROM events WHERE event_type = 'error')
+      |SELECT e.error_id, e.user_id, c.click_id,
+      |  CAST((e.t - c.c_t) // 1000000000 AS BIGINT) AS gap_seconds
+      |FROM errors e
+      |ASOF LEFT JOIN clicks c ON e.user_id = c.c_user_id AND e.t >= c.c_t
+      |ORDER BY error_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("t"), col("event_id").as("error_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user_id"), col("ts").as("c_t"))
+      .agg(max(col("event_id")).as("click_id"))
+    // the "yesterday's profile" stand-in: heaviest 2 users + their time
+    // midpoint, one tiny column-pruned aggregate
+    val profile = errors.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("t")).as("lo"), max(col("t")).as("hi"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(2)
+      .collect()
+      .map(r => Seq[Any](r.get(0)) ->
+        Seq((r.getLong(2) + r.getLong(3)) / 2))
+      .toMap
+    graft.plans.AsOfSkew.join(errors, clicks,
+        keys = Seq("user_id" -> "c_user_id"), leftTime = "t", rightTime = "c_t",
+        broadcastRight = Some(false),
+        config = graft.plans.AsOfSkew.Config(hint = Some(profile)))
       .select(col("error_id"), col("user_id"), col("click_id"),
         ((col("t") - col("c_t")) / 1000000000L).cast("long").as("gap_seconds"))
       .orderBy(col("error_id"))
@@ -361,7 +468,11 @@ object AdvancedQueries {
     if (!s.catalog.tableExists(asOfErrorsTable(d)) ||
         !s.catalog.tableExists(asOfClicksTable(d)))
       stageAsOfBucketed(s, d)
-    graft.plans.AsOf.join(
+    // joinPlain: the layout path manages skew at LAYOUT time (a hot key
+    // is split across bucket files when the table is written); letting
+    // the default skew dispatch add a slice column here would forfeit
+    // the zero-exchange property the staging paid for
+    graft.plans.AsOf.joinPlain(
         s.table(asOfErrorsTable(d)), s.table(asOfClicksTable(d)),
         keys = Seq("user_id" -> "c_user_id"),
         leftTime = "t", rightTime = "c_t",
@@ -1347,7 +1458,8 @@ object AdvancedQueries {
 
   val all: Seq[QueryDef] =
     Seq(asOfJoin, asOfNative, asOfTolerance, asOfForward,
-      asOfForwardNative, asOfNearest, asOfSkew, asOfBucketed,
+      asOfForwardNative, asOfNearest, asOfSkew, asOfSkewAuto,
+      asOfSkewHint, asOfBucketed,
       percentiles, pivot, cube,
       saltedAgg, movingAvg, stratifiedSample, sqlInterface, rangeJoinBucketed,
       sampleExactK, zorderLayout, pagerank, hitsQuery, triangles,
