@@ -2233,8 +2233,15 @@ object Dedup {
     // to delete and rebuild
   }
 
+  /** Per-fixture AND per-process (pid component): deterministic within
+    * one JVM so the untimed prepare and the timed query share the
+    * staged index, but two concurrent processes on the same fixture
+    * (e.g. `graft.Verify` alongside a long `sbt test` holding the sbt
+    * lock — the documented iteration workflow) can never race
+    * delete/rebuild vs ingest on one directory (r10 advice). */
   private def ingestGrowDir(d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-ingest-grow-" +
+      s"p${ProcessHandle.current().pid()}-" +
       d.replaceAll("[^A-Za-z0-9]", "_")
 
   private def pristinePath(dir: String) =

@@ -35,7 +35,10 @@ import org.apache.spark.sql.SparkSession
   *
   * The underscore prefix keeps the marker invisible to Spark's parquet
   * listings (the `_SUCCESS` convention). Single-writer discipline is
-  * assumed, as everywhere in the index lifecycle. */
+  * ENFORCED, not assumed (r11): [[begin]]'s marker write is
+  * create-exclusive, so of two concurrent verbs on one directory the
+  * loser fails fast with a diagnostic instead of the two interleaving
+  * mutations silently. */
 private[ops] object IndexIntent {
 
   private def marker(dir: String) = new Path(s"$dir/_INTENT")
@@ -67,11 +70,49 @@ private[ops] object IndexIntent {
         "invariant from the raw index rows, then retry.")
     }
 
-  /** Marks verb start. Fails if the directory is already suspect. */
+  /** Marks verb start. Fails if the directory is already suspect, and
+    * fails FAST if another writer races this one: the marker write is
+    * CREATE-EXCLUSIVE (`FileSystem.create(path, overwrite = false)`),
+    * so two concurrent verbs that both pass [[assertClean]] cannot both
+    * win — the loser throws with one actionable diagnostic instead of
+    * the two verbs silently interleaving marker writes and FS
+    * mutations (r10 verdict #2: the old check-then-overwrite begin
+    * made the single-writer discipline an unenforced assumption). A
+    * writer that DIED holding the marker is the [[assertClean]] case,
+    * and its recovery story is unchanged: the recovery verb enters via
+    * [[beginRepair]], which replaces the marker and clears it at its
+    * own commit point. */
   def begin(s: SparkSession, dir: String, verb: String,
       recovery: String): Unit = {
     assertClean(s, dir, recovery)
-    write(s, dir, verb)
+    val f = fs(s, dir)
+    val p = marker(dir)
+    def lost(cause: Throwable): Nothing =
+      throw new IllegalStateException(
+        s"concurrent lifecycle verb on index at $dir: another writer " +
+        s"created $p between this verb's clean-check and its marker " +
+        "write (begin is create-exclusive). The index lifecycle is " +
+        "single-writer per directory — serialize the verbs; if the " +
+        s"other writer is dead, run $recovery (enters via " +
+        "beginRepair) to clear its marker.", cause)
+    val out: java.io.OutputStream = f match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        // Hadoop's LOCAL create(overwrite=false) is exists()-then-open
+        // — check-then-act, not atomic, so two racers could both win.
+        // java.io.File.createNewFile is O_CREAT|O_EXCL: true exclusive
+        // creation at the syscall level.
+        val jf = new java.io.File(p.toUri.getPath)
+        Option(jf.getParentFile).foreach(_.mkdirs())
+        if (!jf.createNewFile()) lost(null)
+        new java.io.FileOutputStream(jf)
+      case _ =>
+        // HDFS and precondition-capable object stores make
+        // create(overwrite=false) atomic at the metadata layer
+        try f.create(p, false)
+        catch { case e: java.io.IOException => lost(e) }
+    }
+    try out.write((verb + "\n").getBytes("UTF-8")) finally out.close()
   }
 
   /** Marks the start of a RECOVERY verb: an existing marker is

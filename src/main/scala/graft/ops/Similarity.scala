@@ -1668,8 +1668,12 @@ object Similarity {
     // to delete and rebuild
   }
 
+  /** Per-fixture AND per-process (pid component) — same rationale as
+    * `Dedup.ingestGrowDir` (r10 advice): concurrent processes on one
+    * fixture must never share a mutable index directory. */
   private def ivfIngestGrowDir(d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-ivf-ingest-grow-" +
+      s"p${ProcessHandle.current().pid()}-" +
       d.replaceAll("[^A-Za-z0-9]", "_")
 
   private def ivfPristinePath(dir: String) =

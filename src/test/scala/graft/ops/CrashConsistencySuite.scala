@@ -196,4 +196,45 @@ class CrashConsistencySuite extends SparkSessionSuite {
     IndexIntent.pending(s, dir) shouldBe None
     canon(Dedup.probeLineIndex(s, dir, docs.limit(50))) shouldBe clean
   }
+
+  test("concurrent writers on one index directory: exactly one verb " +
+      "wins, the loser fails fast (r10 verdict #2)") {
+    val s = spark
+    val dir = Files.createTempDirectory("bandrace").toString
+    val n = 8
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[
+      Either[Throwable, Unit]]()
+    val threads = (1 to n).map { i =>
+      new Thread(() => {
+        barrier.await()
+        outcomes.add(
+          try Right(IndexIntent.begin(s, dir, s"verb$i", "compactBandIndex"))
+          catch { case t: Throwable => Left(t) })
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(30000))
+    import scala.jdk.CollectionConverters._
+    val (losers, winners) = outcomes.asScala.toSeq.partition(_.isLeft)
+    withClue(s"outcomes: $outcomes: ") {
+      winners.size shouldBe 1
+      losers.size shouldBe n - 1
+      // every loser fails FAST with the actionable diagnostic — either
+      // the create-exclusive race message or (having arrived after the
+      // winner's marker landed) the assertClean suspect-dir message
+      losers.foreach {
+        case Left(t) =>
+          t shouldBe an[IllegalStateException]
+          t.getMessage should include(dir)
+        case _ => fail("unreachable")
+      }
+    }
+    // the winner's verb completes normally; the directory is reusable
+    IndexIntent.end(s, dir)
+    IndexIntent.pending(s, dir) shouldBe None
+    IndexIntent.begin(s, dir, "after", "compactBandIndex")
+    IndexIntent.pending(s, dir) shouldBe Some("after")
+    IndexIntent.end(s, dir)
+  }
 }
