@@ -202,12 +202,28 @@ object Knobs {
     // runtime-set values: carry those over so the ONLY divergence is
     // the cap (static/non-modifiable entries are skipped)
     spark.conf.getAll.foreach { case (k, v) =>
-      try scoped.conf.set(k, v) catch { case _: Throwable => () }
+      copyConfEntry(scoped.conf.set(_: String, _: String), k, v)
     }
     scoped.conf.set(key,
       math.min(cap, spark.conf.get(key).toInt).toString)
     body(scoped)
   }
+
+  /** One conf entry of the [[withShufflePartitions]] carry-over. ONLY
+    * the rejections `RuntimeConfig.set` actually raises for entries a
+    * child session may not take are swallowed — `AnalysisException`
+    * ("Cannot modify the value of a static/Spark config") and
+    * `IllegalArgumentException` (an entry invalid for this session).
+    * Everything else — interrupts, OOM, any genuine fault mid-copy —
+    * propagates (r10 verdict #5: the old `case _: Throwable` hid
+    * those too). */
+  private[graft] def copyConfEntry(
+      set: (String, String) => Unit, k: String, v: String): Unit =
+    try set(k, v)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => ()
+      case _: IllegalArgumentException => ()
+    }
 
   /** Transplants `df`'s logical plan into session `to` (same logical
     * result; planning/execution under `to`'s conf). Works for batch and

@@ -607,7 +607,17 @@ object Similarity {
     // sequential sum and DuckDB's unordered sum can differ by ulps, and
     // EXACTLY-tied centroids (the 10x twin fixture makes every stride
     // pick the same vector) then tiebreak on wobble instead of cid —
-    // scattering the two engines onto different cells
+    // scattering the two engines onto different cells.
+    // RESIDUAL RISK, documented (r10 advice): the absolute 1e-12 grain
+    // is itself implemented differently per engine (Spark rounds via
+    // exact BigDecimal HALF_UP; DuckDB in floating point), so a
+    // distance within FP error of a .5e-12 midpoint can still bucket
+    // differently, and for squared distances >= ~1e4 one ulp exceeds
+    // the grain. Accepted here because the fixture embeddings bound
+    // the squared distances to O(10^2) (ulp ~1e-14, well inside the
+    // grain) and the 1x/10x sweeps show no boundary hit; a corpus with
+    // much larger coordinates should normalize vectors first or move
+    // the rule to a significant-digit grain IN BOTH ENGINES at once.
     val byDist = Window.partitionBy(col("vec_id"))
       .orderBy(round(col("d"), 12), col("cid"))
     prep.crossJoin(cent)

@@ -434,12 +434,70 @@ object AdvancedQueries {
     * enough: the in-memory catalog forgets tables at JVM exit while
     * their warehouse directories survive, and `saveAsTable` refuses to
     * create a table over an orphaned location — so a fresh JVM's first
-    * staging must clear the leftover directory explicitly. */
+    * staging must clear the leftover directory explicitly.
+    *
+    * CATALOG-AWARE (r10 verdict #7): when the catalog still knows the
+    * table, its recorded Location is the path deleted — correct even
+    * for a table created with an explicit LOCATION. The
+    * warehouse-convention path is only the fallback for the
+    * orphaned-directory case, where the convention is all a fresh JVM
+    * has. */
   private def dropWithLocation(s: SparkSession, tbl: String): Unit = {
+    val catalogLoc: Option[String] =
+      if (s.catalog.tableExists(tbl))
+        s.sql(s"DESCRIBE TABLE EXTENDED `$tbl`")
+          .filter(col("col_name") === "Location")
+          .select(col("data_type")).collect()
+          .headOption.map(_.getString(0))
+      else None
     s.sql(s"DROP TABLE IF EXISTS `$tbl`")
-    val p = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+    val p = catalogLoc
+      .map(new org.apache.hadoop.fs.Path(_))
+      .getOrElse(new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase))
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Fingerprint of the events fixture under `d` (file names, sizes,
+    * mtimes): what the bucketed tables were staged FROM. Stored beside
+    * the tables at stage time so the stage-if-missing fallback can
+    * tell "already staged from THIS fixture" apart from "staged from a
+    * prior generation of the same path" (r10 advice — the round-8
+    * fixture-regeneration failure class). */
+  private def eventsFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stats =
+      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+       else Seq(fs.getFileStatus(p)))
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .sortBy(_.getPath.getName)
+    stats.map(st =>
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .mkString(";")
+  }
+
+  private def asOfFpPath(s: SparkSession, d: String) =
+    new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_asof_fp_${asOfTableSuffix(d)}.txt")
+
+  private def writeAsOfFingerprint(s: SparkSession, d: String): Unit = {
+    val p = asOfFpPath(s, d)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(eventsFingerprint(s, d).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def storedAsOfFingerprint(s: SparkSession, d: String): Option[String] = {
+    val p = asOfFpPath(s, d)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
   }
 
   def stageAsOfBucketed(s: SparkSession, d: String): Unit = {
@@ -460,13 +518,19 @@ object AdvancedQueries {
       .write.mode("overwrite").format("parquet")
       .bucketBy(AsOfBuckets, "c_user_id").sortBy("c_user_id", "c_t")
       .saveAsTable(asOfClicksTable(d))
+    writeAsOfFingerprint(s, d)
   }
 
   /** The joined frame behind [[asOfBucketed]], pre-presentation-sort —
     * the subtree the plan audit asserts is exchange-free and sort-free. */
   def asOfBucketedJoined(s: SparkSession, d: String): DataFrame = {
+    // stage-if-missing OR stale (r10 advice): existing tables are only
+    // reused when the stored fixture fingerprint still matches — a
+    // regenerated fixture under the same path restages instead of
+    // silently serving the prior generation's rows
     if (!s.catalog.tableExists(asOfErrorsTable(d)) ||
-        !s.catalog.tableExists(asOfClicksTable(d)))
+        !s.catalog.tableExists(asOfClicksTable(d)) ||
+        !storedAsOfFingerprint(s, d).contains(eventsFingerprint(s, d)))
       stageAsOfBucketed(s, d)
     // joinPlain: the layout path manages skew at LAYOUT time (a hot key
     // is split across bucket files when the table is written); letting

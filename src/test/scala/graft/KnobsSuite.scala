@@ -75,4 +75,34 @@ class KnobsSuite extends SparkSessionSuite {
         df.collect().map(_.toSeq).toSet
     }
   }
+
+  test("conf carry-over swallows only the expected static-conf " +
+      "rejections; genuine faults propagate (r10 verdict #5)") {
+    // the rejections RuntimeConfig.set actually raises are absorbed —
+    // use a REAL static-conf rejection so the test tracks whatever
+    // exception type Spark actually throws
+    val staticRejection =
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.conf.set("spark.sql.warehouse.dir", "/tmp/never-applied")
+      }
+    Knobs.copyConfEntry((_, _) => throw staticRejection, "k", "v")
+    Knobs.copyConfEntry(
+      (_, _) => throw new IllegalArgumentException("bad entry"), "k", "v")
+    // ...but an interrupt mid-copy is a real fault and must escape
+    // (the old `case _: Throwable` hid it)
+    intercept[InterruptedException] {
+      Knobs.copyConfEntry(
+        (_, _) => throw new InterruptedException("stop"), "k", "v")
+    }
+    intercept[OutOfMemoryError] {
+      Knobs.copyConfEntry(
+        (_, _) => throw new OutOfMemoryError("boom"), "k", "v")
+    }
+    // and the real carry-over still works end-to-end: a static conf in
+    // the parent map is skipped, the runtime cap lands
+    val s = spark
+    Knobs.withShufflePartitions(s, 2) { scoped =>
+      scoped.conf.get("spark.sql.shuffle.partitions").toInt shouldBe 2
+    }
+  }
 }

@@ -91,6 +91,29 @@ class PlanAuditSuite extends SparkSessionSuite {
     }
   }
 
+  /** r11: the default skew dispatch in AsOf.join must be PLAN-NEUTRAL
+    * on a corpus with no straggler-sized key — the battery as-of
+    * queries (fixture max key ≈ 25 rows, far under minHotRows) must
+    * plan without slice columns, exactly as before the dispatch
+    * existed. Only adv_asof_skew* (which force aggressive knobs) may
+    * split. */
+  test("default skew dispatch leaves cold-corpus as-of plans unchanged") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("adv_asof_native", "adv_asof_tolerance", "adv_asof_fwd_native")
+      .foreach { q =>
+        val plan = physicalPlan(q)
+        withClue(s"$q plan:\n$plan\n") {
+          assert(!plan.contains("__asof_skew"),
+            "dispatch must not split a cold corpus")
+        }
+      }
+    // and the aggressive-knob query really does split on the same data
+    val skew = physicalPlan("adv_asof_skew")
+    withClue(s"adv_asof_skew plan:\n$skew\n") {
+      assert(skew.contains("__asof_skew"))
+    }
+  }
+
   /** The ORC roundtrip's filter must reach the ORC reader as a pushed
     * predicate, exactly like parquet. */
   test("ORC scan receives the pushed filter") {

@@ -39,7 +39,16 @@ def main(sf_dir: str, out_dir: str) -> None:
     # A temp dir + a cap below box RAM turns that into disk spill.
     import os
     con.execute(f"PRAGMA temp_directory='{os.environ.get('SELFCHECK_TMP', '/tmp/duckdb_selfcheck_spill')}'")
-    con.execute(f"PRAGMA memory_limit='{os.environ.get('SELFCHECK_MEM', '48GB')}'")
+    # Default cap: min(48GB, ~75% of box RAM). A flat 48GB would RAISE
+    # DuckDB's own default (~80% of RAM) on boxes under ~60 GB and turn
+    # previously-safe runs into OOM-kill candidates (r10 advice).
+    if "SELFCHECK_MEM" in os.environ:
+        mem = os.environ["SELFCHECK_MEM"]
+    else:
+        ram_gb = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+                  ) / (1 << 30)
+        mem = f"{min(48, max(1, int(ram_gb * 0.75)))}GB"
+    con.execute(f"PRAGMA memory_limit='{mem}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
