@@ -121,7 +121,17 @@ object AsOfSkew {
     // boundaries can come back empty for a key whose left times are all
     // equal (quantiles collapse) — nothing to split there
     val bounds = config.hint
-      .getOrElse(detect(left, lKeys, leftTime, config))
+      .getOrElse {
+        // CHEAP SKIP: a left side estimated below minHotRows BYTES
+        // cannot contain a minHotRows-ROW key (a row occupies >= 1
+        // byte), so the detection job would be pure overhead. Kills
+        // the per-call sample pass for dim-sized inputs under the
+        // production default — stats only, no job. Conservative in
+        // the safe direction: over-estimates skip nothing.
+        val sizeEst = left.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (sizeEst < config.minHotRows) Map.empty[Seq[Any], Seq[Long]]
+        else detect(left, lKeys, leftTime, config)
+      }
       .filter(_._2.nonEmpty)
     if (bounds.isEmpty)
       return AsOf.joinPlain(left, right, keys, leftTime, rightTime,

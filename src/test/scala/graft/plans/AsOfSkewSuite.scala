@@ -281,6 +281,31 @@ class AsOfSkewSuite extends SparkSessionSuite {
     canon(hinted) shouldBe canon(fwd)
   }
 
+  test("small-input cheap skip: a left side below minHotRows bytes " +
+      "plans plain with ZERO detection actions") {
+    val (left, right) = skewedCorpus // 20k rows ≪ default 1M minHotRows
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = counter.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    Thread.sleep(500)
+    spark.listenerManager.register(listener)
+    try {
+      val df = AsOfSkew.join(left, right, Seq("k" -> "rk"), "t", "rt",
+        broadcastRight = Some(false)) // default config: minHotRows = 1M
+      Thread.sleep(500)
+      withClue("stats-based skip must plan without any driver action: ") {
+        counter.get shouldBe 0
+      }
+      df.columns.toSeq shouldBe Seq("k", "t", "lv", "rk", "rt", "rv")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   private def withSkewConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
