@@ -46,15 +46,21 @@ private[ops] object IndexIntent {
   private def fs(s: SparkSession, dir: String) =
     marker(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** The incomplete verb named by a surviving marker, if any. */
+  /** The incomplete verb named by a surviving marker, if any. A marker
+    * that vanishes between the existence check and the read means the
+    * writer's [[end]] just committed — that is CLEAN, not an error
+    * (snapshot readers legitimately poll a directory a live writer is
+    * appending to; see `CrashConsistencySuite`'s reader/writer race). */
   def pending(s: SparkSession, dir: String): Option[String] = {
     val f = fs(s, dir)
     val p = marker(dir)
     if (!f.exists(p)) None
     else {
-      val in = f.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-      finally in.close()
+      try {
+        val in = f.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
     }
   }
 

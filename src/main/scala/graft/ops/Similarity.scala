@@ -389,28 +389,32 @@ object Similarity {
         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
       val prep = graft.InternalCaches.register(
       prepared(Tables.embeddings(s, d)).persist())
+      // Vectors ride INTO the bucket join and the cosine is computed
+      // inline; the cross-table/probe dedup runs after, on the scalar
+      // (identical on every duplicate — same arrays, same positional
+      // sum, so min() is a pure dedup). Same r11 BENCH_10X lesson as
+      // [[bandedPairCosine]]: dedup-then-fetch shuffles every candidate
+      // through two more joins against the vector table, and the LSH
+      // path degenerates exactly when buckets are dense.
       val tb = lshBucketsMulti(prep)
+        .join(prep.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
       val q = tb.filter(col("vec_id") % QueryStride === 0)
         .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"),
+          col("v").as("qv"), col("nrm").as("qn"),
           explode(probeMasksCol).as("mask"))
       val c = tb.select(col("vec_id").as("neighbor_id"),
-        col("tbl").as("ctbl"), col("bucket").as("cbucket"))
-      // A neighbor can collide in several tables/probes: dedup BEFORE
-      // the (more expensive) vector fetch + dot product.
-      val cand = q.join(c, col("tbl") === col("ctbl") &&
-          col("bucket").bitwiseXOR(col("mask")) === col("cbucket") &&
-          col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id")).distinct()
-      val qv = prep.select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
-      val cv = prep.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
-        col("nrm").as("cn"))
+        col("tbl").as("ctbl"), col("bucket").as("cbucket"),
+        col("v").as("cv"), col("nrm").as("cn"))
       // 1e-12-quantized rank, as in the brute/IVF paths (r6, advice)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(round(col("rawcos"), 12).desc, col("neighbor_id"))
-      cand.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
+      q.join(c, col("tbl") === col("ctbl") &&
+          col("bucket").bitwiseXOR(col("mask")) === col("cbucket") &&
+          col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
-          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rawcos"))
+          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rawcos0"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(min(col("rawcos0")).as("rawcos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -458,25 +462,37 @@ object Similarity {
     * per-position products commute exactly), so the value is
     * bit-identical to the all-pairs kernel's for any pair both emit. */
   def bandedPairCosine(prep: DataFrame, tables: Int = BandTables): DataFrame = {
+    // Both join sides CARRY their vectors so the cosine is computed
+    // inside the bucket join and the cross-table dedup runs after, on
+    // the scalar result. The obvious alternative — dedup the (v1, v2)
+    // candidate set first, then fetch vectors, so each dot runs once —
+    // is what the 10× timed sweep (r11, BENCH_10X) caught degenerating:
+    // at high bucket density every candidate pair paid TWO more shuffle
+    // joins against the vector table, O(candidates) rows shuffled three
+    // times, and the "scale path" lost to the brute kernel (403 s vs
+    // 54 s at 10×). Inline scoring re-runs a duplicate pair's dot once
+    // per extra table (bounded by BandTables, pure codegen'd FLOPs) and
+    // shuffles each candidate exactly once, as a 24-byte scalar row.
+    // The replicated vectors on the probe side are `masks × tables`
+    // copies of the corpus — linear in n, never in candidates.
     val tb = lshBucketsMulti(prep, tables)
+      .join(prep.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
     val a = tb.select(col("vec_id").as("v1"), col("tbl"), col("bucket"),
+      col("v").as("av"), col("nrm").as("n1"),
       explode(probeMasksCol).as("mask"))
     val b = tb.select(col("vec_id").as("v2"), col("tbl").as("ctbl"),
-      col("bucket").as("cbucket"))
+      col("bucket").as("cbucket"), col("v").as("bv"), col("nrm").as("n2"))
     // Within one table a pair meets at most once (one mask matches, id
-    // order fixed); across tables it can repeat — dedup BEFORE the
-    // vector fetch so each dot product runs once.
-    val cand = a.join(b, col("tbl") === col("ctbl") &&
+    // order fixed); across tables it can repeat with an IDENTICAL
+    // rawcos (same arrays, same positional sum), so min() is a pure
+    // dedup — bit-identical to the fetch-then-dot form for every pair.
+    a.join(b, col("tbl") === col("ctbl") &&
         col("bucket").bitwiseXOR(col("mask")) === col("cbucket") &&
         col("v1") < col("v2"))
-      .select(col("v1"), col("v2")).distinct()
-    val av = prep.select(col("vec_id").as("v1"), col("v").as("av"),
-      col("nrm").as("n1"))
-    val bv = prep.select(col("vec_id").as("v2"), col("v").as("bv"),
-      col("nrm").as("n2"))
-    cand.join(av, Seq("v1")).join(bv, Seq("v2"))
       .select(col("v1"), col("v2"),
-        (dot(col("av"), col("bv")) / (col("n1") * col("n2"))).as("rawcos"))
+        (dot(col("av"), col("bv")) / (col("n1") * col("n2"))).as("rawcos0"))
+      .groupBy(col("v1"), col("v2"))
+      .agg(min(col("rawcos0")).as("rawcos"))
   }
 
   /** APPROXIMATE range search — the 100 TB path for threshold pair

@@ -166,6 +166,53 @@ class CrashConsistencySuite extends SparkSessionSuite {
       Similarity.ivfIndexVersions(s, dir).last)) shouldBe live
   }
 
+  test("IVF snapshot reader concurrent with a live writer: committed " +
+      "version replays bit-identically or refuses — never tears") {
+    val s = spark
+    val prep = Similarity.prepared(graft.Tables.embeddings(s, sfDir))
+      .localCheckpoint(true)
+    val base = prep.filter(col("vec_id") < 200)
+    val batches = (0 until 3).map(i =>
+      prep.filter(col("vec_id") >= 200 + i * 100 &&
+        col("vec_id") < 300 + i * 100).localCheckpoint(true))
+    val queries = prep.filter(col("vec_id") % 100 === 0)
+      .localCheckpoint(true)
+
+    val dir = Files.createTempDirectory("ivfsnapread").toString
+    Similarity.saveIvfIndex(base, dir)
+    val v1 = Similarity.ivfIndexVersions(s, dir).last
+    val baseline = canon(
+      Similarity.topKFromIvfIndexAsOf(s, dir, queries, k = 5, version = v1))
+    baseline.nonEmpty shouldBe true
+
+    val writerFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      try batches.foreach(b => Similarity.appendToIvfIndex(dir, b))
+      catch { case t: Throwable => writerFailure.set(t) }
+    })
+    var clean = 0
+    var refused = 0
+    writer.start()
+    while (writer.isAlive) {
+      try {
+        canon(Similarity.topKFromIvfIndexAsOf(s, dir, queries, k = 5,
+          version = v1)) shouldBe baseline
+        clean += 1
+      } catch {
+        case e: IllegalStateException =>
+          e.getMessage should include(dir)
+          refused += 1
+      }
+    }
+    writer.join(120000)
+    writerFailure.get() shouldBe null
+    withClue(s"reads during writer: $clean clean, $refused refused: ") {
+      (clean + refused) should be >= 1
+    }
+    canon(Similarity.topKFromIvfIndexAsOf(s, dir, queries, k = 5,
+      version = v1)) shouldBe baseline
+  }
+
   test("line index: torn merge is detected; the rebuild recovery verb " +
       "clears it") {
     val s = spark
@@ -195,6 +242,71 @@ class CrashConsistencySuite extends SparkSessionSuite {
     Dedup.saveLineIndex(docs, dir)
     IndexIntent.pending(s, dir) shouldBe None
     canon(Dedup.probeLineIndex(s, dir, docs.limit(50))) shouldBe clean
+  }
+
+  test("snapshot reader concurrent with a live writer: every read is " +
+      "either the exact committed-snapshot answer or a clean marker " +
+      "refusal — never a torn result") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val base = docs.filter(col("doc_id") < 200)
+    val batches = (0 until 3).map(i =>
+      docs.filter(col("doc_id") >= 200 + i * 100 &&
+        col("doc_id") < 300 + i * 100).localCheckpoint(true))
+    val probeBatch = Dedup.incomingLshBatch(docs.filter(col("doc_id") < 200))
+      .localCheckpoint(true)
+
+    val dir = Files.createTempDirectory("bandsnapread").toString
+    Dedup.saveBandIndex(base, dir)
+    val v1 = Dedup.bandIndexVersions(s, dir).last
+    val baseline = canon(Dedup.probeBandIndexAsOf(s, dir, probeBatch, v1))
+    baseline.nonEmpty shouldBe true
+
+    // WRITER: sequential appends, each committing a new snapshot and
+    // holding the _INTENT marker across its multi-file mutation.
+    // READER (this thread): probe as-of v1 in a loop. Append-only data
+    // files + immutable count deltas mean a read that passes the
+    // marker check can only see v1's bytes; a read that lands inside a
+    // verb is REFUSED with the actionable diagnostic. Anything else
+    // (a hash-different "success") would be a torn read — the bug this
+    // test exists to catch.
+    val writerFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      try batches.foreach(b => Dedup.appendToBandIndex(dir, b))
+      catch { case t: Throwable => writerFailure.set(t) }
+    })
+    var clean = 0
+    var refused = 0
+    writer.start()
+    while (writer.isAlive) {
+      try {
+        canon(Dedup.probeBandIndexAsOf(s, dir, probeBatch, v1)) shouldBe baseline
+        clean += 1
+      } catch {
+        // the verb name is usually "appendToBandIndex" but the reader
+        // can also land inside begin's create-then-write window, where
+        // the marker exists with its name not yet flushed — both are
+        // the same clean refusal, so pin only the diagnostic's shape
+        case e: IllegalStateException =>
+          e.getMessage should include(dir)
+          refused += 1
+      }
+    }
+    writer.join(120000)
+    writerFailure.get() shouldBe null
+    withClue(s"reads during writer: $clean clean, $refused refused: ") {
+      (clean + refused) should be >= 1
+    }
+
+    // after the writer: v1 still replays bit-identically, and the live
+    // index equals a from-scratch build over the union corpus
+    canon(Dedup.probeBandIndexAsOf(s, dir, probeBatch, v1)) shouldBe baseline
+    val dirFull = Files.createTempDirectory("bandsnapreadfull").toString
+    Dedup.saveBandIndex(docs.filter(col("doc_id") < 500), dirFull)
+    canon(Dedup.probeBandIndex(s, dir, probeBatch)) shouldBe
+      canon(Dedup.probeBandIndex(s, dirFull, probeBatch))
   }
 
   test("concurrent writers on one index directory: exactly one verb " +
