@@ -495,6 +495,99 @@ object Similarity {
       .agg(min(col("rawcos0")).as("rawcos"))
   }
 
+  /** Outcome of the brute-vs-banded density dispatch: the measured LSH
+    * candidate volume (pre-dedup pair rows the banded plan would score)
+    * against the all-pairs volume, and the route taken. BigInt because
+    * per-bucket c² sums overflow Long near n ≈ 1.5 B vectors. */
+  final case class RangeDispatchDecision(
+      n: Long, lshPairs: BigInt, brutePairs: BigInt,
+      useBrute: Boolean, reason: String)
+
+  /** Conf keys for [[rangeSearchPairs]], mirroring the as-of skew
+    * dispatch pattern (`spark.graft.asof.skew.*`):
+    *   - `minLshVectors` (default 4096): at or under this corpus size
+    *     the all-pairs kernel is trivially cheap — route brute with
+    *     ZERO measurement actions.
+    *   - `sharePct` (default 90): route brute when the banded plan
+    *     would score >= sharePct% of the all-pairs volume. With 4-bit
+    *     buckets + Hamming-1 probes in [[BandTables]] tables the share
+    *     is structurally in [~0.625, 2.0] (even spread .. one bucket),
+    *     so 90% cleanly splits spread corpora (measured 0.66 on the
+    *     fixture at every SF — scale-free) from concentrated ones
+    *     where LSH scores MORE dots than brute and prunes nothing. */
+  private val RangeAutoPrefix = "spark.graft.sim.range.auto."
+
+  /** Measure the banded-LSH candidate volume from the bucket histogram
+    * and decide brute vs banded. Cost: ONE Spark action — the same
+    * O(n·d) bucket pass the banded plan starts with, aggregated to at
+    * most [[BandTables]]·16 rows before the driver sees it (the 4-bit
+    * bucket space is fixed; this collect is metadata-sized at any
+    * corpus size, like `AsOfSkew.detect`'s top-k). The volume is EXACT
+    * (no sampling): within-bucket pairs c·(c−1)/2 plus cross pairs
+    * c_a·c_b for buckets at Hamming distance 1, per table, pre-dedup —
+    * precisely the pair rows [[bandedPairCosine]] feeds its dot. */
+  def rangeDispatchDecision(prep: DataFrame,
+      tables: Int = BandTables): RangeDispatchDecision = {
+    val conf = prep.sparkSession.conf
+    val minVec = conf.get(RangeAutoPrefix + "minLshVectors", "4096").toLong
+    val sharePct = conf.get(RangeAutoPrefix + "sharePct", "90").toInt
+    val hist = lshBucketsMulti(prep, tables)
+      .groupBy(col("tbl"), col("bucket")).count()
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val n = hist.filter(_._1 == 0).map(_._3).sum // every vector rides table 0 once
+    val probes = probeMasks.filter(_ != 0)
+    var lsh = BigInt(0)
+    hist.groupBy(_._1).values.foreach { rows =>
+      val c = rows.map(r => r._2 -> r._3).toMap
+      for ((b, cb) <- c) {
+        lsh += BigInt(cb) * (cb - 1) / 2
+        for (m <- probes) {
+          val b2 = b ^ m
+          if (b2 > b) lsh += BigInt(cb) * BigInt(c.getOrElse(b2, 0L))
+        }
+      }
+    }
+    val brute = BigInt(n) * BigInt(n - 1) / 2
+    if (n <= minVec)
+      RangeDispatchDecision(n, lsh, brute, useBrute = true,
+        s"n=$n <= minLshVectors=$minVec: all-pairs is trivially cheap")
+    else if (lsh * 100 >= brute * sharePct)
+      RangeDispatchDecision(n, lsh, brute, useBrute = true,
+        s"banded share ${lsh * 100 / brute.max(1)}% >= sharePct=$sharePct: " +
+          "buckets too dense to prune — brute is cheaper AND exact")
+    else
+      RangeDispatchDecision(n, lsh, brute, useBrute = false,
+        s"banded share ${lsh * 100 / brute.max(1)}% < sharePct=$sharePct")
+  }
+
+  /** THE range-search entry point: all pairs with cosine >= threshold,
+    * routed by a measured density profile — [[bandedPairCosine]] when
+    * the buckets prune (the 100 TB path), [[pairCosineKernel]] when the
+    * corpus is small or so concentrated that the banded plan would
+    * score >= sharePct% of all pairs anyway (there brute is both
+    * cheaper — no bucket pass, no cross-table dedup agg — and a strict
+    * recall improvement, 1.0 vs the banded pin). Dispatch can therefore
+    * only ADD pairs the banded plan would have missed, and only in the
+    * regime where the banded plan had stopped earning its overhead —
+    * the twin-flood adversary the r11 10× sweep built. Callers that
+    * need a pinned candidate generation (oracle replay, recall
+    * studies) use the direct entry points. Decision cost: one
+    * metadata-sized action at DataFrame-construction time; conf-tunable
+    * under `spark.graft.sim.range.auto.*` ([[RangeAutoPrefix]]). */
+  def rangeSearchPairs(prep: DataFrame, threshold: Double,
+      tables: Int = BandTables): DataFrame = {
+    val d = rangeDispatchDecision(prep, tables)
+    if (d.useBrute) pairCosineKernel(prep, threshold)
+    else bandedPairCosine(prep, tables).filter(col("rawcos") >= threshold)
+  }
+
+  /** SQL twin of `lshBucketsMulti(prep, BandTables)` — shared by the
+    * LSH and auto-dispatch range-search oracles. */
+  private lazy val bandBucketsSql = (0 until BandTables)
+    .map(t => s"SELECT $t AS tbl, vec_id, ${bucketBitsSqlTable(t)} AS bucket FROM flat GROUP BY vec_id")
+    .mkString(" UNION ALL ")
+
   /** APPROXIMATE range search — the 100 TB path for threshold pair
     * queries: candidates come from equi-joins on 4-bit hyperplane
     * buckets with Hamming-1 multi-probe (bucket equal, or differing in
@@ -505,9 +598,6 @@ object Similarity {
     * tables trade compute for recall, more planes for sharper
     * pruning. */
   val rangeSearchLsh: QueryDef = {
-    val bandBucketsSql = (0 until BandTables)
-      .map(t => s"SELECT $t AS tbl, vec_id, ${bucketBitsSqlTable(t)} AS bucket FROM flat GROUP BY vec_id")
-      .mkString(" UNION ALL ")
     QueryDef.sql(
       "sim_range_search_lsh",
       s"""WITH $preparedSql,
@@ -539,6 +629,67 @@ object Similarity {
         .select(col("v1"), col("v2"), round(col("rawcos"), 6).as("cos"))
         .orderBy(col("v1"), col("v2"))
     }
+  }
+
+  /** Range search through [[rangeSearchPairs]] — the dispatch IS the
+    * oracle: the DuckDB twin computes the same bucket histogram, the
+    * same exact candidate volume, applies the same rule (the engine's
+    * conf DEFAULTS, 4096 / 90%, inlined as literals), and selects the
+    * matching branch — so the query stays hash-green at ANY scale,
+    * including a fixture where the decision flips (battery SFs n <=
+    * 4096 route brute; the 10× twin fixture n = 20 000, share 66%
+    * routes banded). */
+  val rangeSearchAuto: QueryDef = QueryDef.sql(
+    "sim_range_search_auto",
+    s"""WITH $preparedSql,
+      |buckets AS ($bandBucketsSql),
+      |hist AS (SELECT tbl, bucket, count(*) AS c FROM buckets GROUP BY tbl, bucket),
+      |nn AS (SELECT count(*) AS n FROM prep),
+      |lshp AS (
+      |  SELECT (SELECT coalesce(sum(c * (c - 1) / 2), 0) FROM hist)
+      |       + (SELECT coalesce(sum(a.c * b.c), 0)
+      |          FROM hist a JOIN hist b
+      |            ON b.tbl = a.tbl AND b.bucket > a.bucket
+      |           AND xor(a.bucket, b.bucket) IN (1, 2, 4, 8)) AS p),
+      |decision AS (
+      |  SELECT CASE WHEN nn.n <= 4096
+      |              OR lshp.p * 100 >= 90 * (nn.n * (nn.n - 1) / 2)
+      |         THEN 1 ELSE 0 END AS use_brute FROM nn, lshp),
+      |brute_dots AS (
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2, sum(a.e * b.e) AS dot
+      |  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      |  WHERE (SELECT use_brute FROM decision) = 1
+      |  GROUP BY a.vec_id, b.vec_id),
+      |lsh_cand AS (
+      |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      |  FROM buckets a
+      |  CROSS JOIN unnest($probeMasksSql) m(mask)
+      |  JOIN buckets b
+      |    ON b.tbl = a.tbl
+      |   AND b.bucket = xor(a.bucket, CAST(m.mask AS INTEGER))
+      |   AND a.vec_id < b.vec_id
+      |  WHERE (SELECT use_brute FROM decision) = 0),
+      |lsh_dots AS (
+      |  SELECT v1, v2, sum(a.e * b.e) AS dot
+      |  FROM lsh_cand
+      |  JOIN flat a ON a.vec_id = v1
+      |  JOIN flat b ON b.vec_id = v2 AND b.pos = a.pos
+      |  GROUP BY v1, v2),
+      |chosen AS (
+      |  SELECT v1, v2, dot FROM brute_dots
+      |  UNION ALL
+      |  SELECT v1, v2, dot FROM lsh_dots)
+      |SELECT v1, v2, round(dot / (n1.nrm * n2.nrm), 6) AS cos
+      |FROM chosen
+      |JOIN norms n1 ON n1.vec_id = v1
+      |JOIN norms n2 ON n2.vec_id = v2
+      |WHERE dot / (n1.nrm * n2.nrm) >= 0.35
+      |ORDER BY v1, v2""".stripMargin) { (s, d) =>
+    val prep = graft.InternalCaches.register(
+      prepared(Tables.embeddings(s, d)).persist())
+    rangeSearchPairs(prep, 0.35)
+      .select(col("v1"), col("v2"), round(col("rawcos"), 6).as("cos"))
+      .orderBy(col("v1"), col("v2"))
   }
 
   /** IVF-style approximate top-k with a TRAINED coarse quantizer:
@@ -2088,7 +2239,8 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] =
-    Seq(topKBrute, topKLsh, rangeSearch, rangeSearchLsh, topKIvf, topKIvf2,
+    Seq(topKBrute, topKLsh, rangeSearch, rangeSearchLsh, rangeSearchAuto,
+      topKIvf, topKIvf2,
       hybridRrf,
       hardNegativesQuery, bm25, pqEncode, pqTopK, sq8TopK, ivfIngestGrow,
       phraseSearch, pcaPower)
