@@ -73,6 +73,75 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: QUANTIZED dot product — each per-element
+  * product is quantized to an integer picounit (`floor(x·y·1e12 + 0.5)`,
+  * plain IEEE-double ops that any engine reproduces bit-identically),
+  * then summed in exact int64 arithmetic, and the exact integer total is
+  * returned as a double. The result is therefore independent of
+  * summation order AND of any per-engine rounding implementation — the
+  * foundation of the r11 cross-engine-exact cosine: with norms built
+  * from `dot_product_q(v, v)`, `dot/(n1·n2)` is bit-identical in Spark
+  * and DuckDB, so ranks, thresholds and displays need no absorbing
+  * grain at all. Domain: max |x·y|·1e12·dims must stay under 2^63
+  * (unit-scale embeddings have ample headroom; normalize first
+  * otherwise — same guidance as `Similarity.qSqDist`). Null contract
+  * matches [[DotProduct]] (null input or length mismatch → null). */
+case class DotProductQ(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product_q expects two array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.floor(a.getDouble(i) * b.getDouble(i) * 1e12 + 0.5).toLong
+      i += 1
+    }
+    s.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (long) Math.floor(
+         |      $a.getDouble($i) * $b.getDouble($i) * 1.0E12 + 0.5);
+         |  }
+         |  ${ev.value} = (double) $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductQ =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session extensions registering the engine's native SQL functions.
   * Attach with `SparkSession.builder().withExtensions(new GraftExtensions)`;
   * afterwards `expr("dot_product(a, b)")` resolves to the codegen'd
@@ -83,6 +152,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("dot_product_q"),
+      new ExpressionInfo(classOf[DotProductQ].getName, "dot_product_q"),
+      (exprs: Seq[Expression]) => DotProductQ(exprs.head, exprs(1))))
     e.injectFunction(TokenHash.registration)
     e.injectFunction(CountMinSketchAgg.registration)
     e.injectFunction(HyperLogLogAgg.registration)

@@ -1747,12 +1747,12 @@ object Dedup {
       |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
       |  FROM corpus),
       |norms AS (
-      |  SELECT vec_id, sqrt(sum(e * e)) AS nrm FROM flat GROUP BY vec_id),
+      |  SELECT vec_id, sqrt(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)) AS nrm FROM flat GROUP BY vec_id),
       |dots AS (
-      |  SELECT a.vec_id AS v1, b.vec_id AS v2, sum(a.e * b.e) AS dot
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2, CAST(sum(CAST(floor(a.e * b.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
       |  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
       |  GROUP BY a.vec_id, b.vec_id)
-      |SELECT v1, v2, round(dot / (n1.nrm * n2.nrm), 6) AS cos
+      |SELECT v1, v2, floor(dot / (n1.nrm * n2.nrm) * 1e6 + 0.5) / 1e6 AS cos
       |FROM dots
       |JOIN norms n1 ON n1.vec_id = v1
       |JOIN norms n2 ON n2.vec_id = v2
@@ -1769,7 +1769,7 @@ object Dedup {
       .select((col("vec_id") + 10000).as("vec_id"),
         transform(col("embedding"), x => x.cast("double") * 1.01 + 0.0001).as("v"))
     base.unionAll(planted)
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
   }
 
   /** Embedding-cosine near-dup, EXACT twin: brute-force all-pairs via the
@@ -1780,7 +1780,7 @@ object Dedup {
     QueryDef.sql("dedup_embedding_cos", embCosOracleSql) { (s, d) =>
       Similarity.pairCosineKernel(
           corpusScaledEmb(Tables.embeddings(s, d)), 0.99)
-        .select(col("v1"), col("v2"), round(col("rawcos"), 6).as("cos"))
+        .select(col("v1"), col("v2"), (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
         .orderBy(col("v1"), col("v2"))
     }
 
@@ -1800,7 +1800,7 @@ object Dedup {
           graft.InternalCaches.register(
             corpusScaledEmb(Tables.embeddings(s, d)).persist()))
         .filter(col("rawcos") >= 0.99)
-        .select(col("v1"), col("v2"), round(col("rawcos"), 6).as("cos"))
+        .select(col("v1"), col("v2"), (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
         .orderBy(col("v1"), col("v2"))
     }
 
@@ -1906,7 +1906,7 @@ object Dedup {
       |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
       |  FROM corpus),
       |norms AS (
-      |  SELECT vec_id, sqrt(sum(e * e)) AS nrm FROM flat GROUP BY vec_id),
+      |  SELECT vec_id, sqrt(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)) AS nrm FROM flat GROUP BY vec_id),
       |strd AS (
       |  SELECT (count(*) + ${Similarity.IvfNlist - 1}) // ${Similarity.IvfNlist} AS s
       |  FROM corpus),
@@ -1914,13 +1914,13 @@ object Dedup {
       |  SELECT vec_id AS cid, pos, e FROM flat
       |  WHERE vec_id % (SELECT s FROM strd) = 0),
       |dist AS (
-      |  SELECT f.vec_id, c.cid, sum((f.e - c.e) * (f.e - c.e)) AS d
+      |  SELECT f.vec_id, c.cid, sum(${Similarity.qTermSql("f.e", "c.e")}) AS d
       |  FROM flat f JOIN centflat c ON c.pos = f.pos
       |  GROUP BY f.vec_id, c.cid),
       |assign AS (
       |  SELECT vec_id, cid AS cell FROM (
       |    SELECT vec_id, cid,
-      |      row_number() OVER (PARTITION BY vec_id ORDER BY round(d, 12), cid) AS rn
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
       |    FROM dist)
       |  WHERE rn = 1),
       |cold AS (
@@ -1929,7 +1929,7 @@ object Dedup {
       |    SELECT cell FROM assign GROUP BY cell
       |    HAVING count(*) > $SemCellCap)),
       |dots AS (
-      |  SELECT x.vec_id AS v1, y.vec_id AS v2, sum(fx.e * fy.e) AS dot
+      |  SELECT x.vec_id AS v1, y.vec_id AS v2, CAST(sum(CAST(floor(fx.e * fy.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
       |  FROM cold x
       |  JOIN cold y ON y.cell = x.cell AND x.vec_id < y.vec_id
       |  JOIN flat fx ON fx.vec_id = x.vec_id

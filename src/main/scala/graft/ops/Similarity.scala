@@ -74,7 +74,7 @@ object Similarity {
   def prepared(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** All-pairs cosine >= threshold, fully distributed: grid-partitioned
     * block-pair join (the classic theta-join decomposition). Each vector
@@ -113,45 +113,62 @@ object Similarity {
       .withColumnsRenamed(Map("p1" -> "v1", "p2" -> "v2"))
   }
 
-  /** Dot product by the codegen'd native expression (graft.functions.
-    * DotProduct) when the session has GraftExtensions registered
-    * (Verify/Bench/tests do), else the higher-order-function fallback.
-    * Same value either way — both are sequential left-to-right sums. */
+  /** QUANTIZED dot product in integer picounits, returned as a double
+    * (r11): per element, `floor(x·y·1e12 + 0.5)` — IEEE ops both
+    * engines run bit-identically — then an exact int64 sum, so the
+    * value is independent of summation order and of any per-engine
+    * rounding implementation. With [[prepared]]'s norms built from the
+    * same quantization (`sqrt(dot(v, v))`, i.e. 1e6-scaled), every
+    * `dot/(n1·n2)` cosine in the battery is bit-identical across Spark
+    * and DuckDB — ranks, thresholds and displays need no absorbing
+    * grain (the r5 `round(rawcos, 12)` rule is retired with the wobble
+    * it absorbed). Runs as the codegen'd native expression
+    * (graft.functions.DotProductQ) when the session has GraftExtensions
+    * registered (Verify/Bench/tests do), else the higher-order-function
+    * fallback — same value either way. SQL twins inline the same
+    * expression ([[qDotSql]]). */
   private[ops] def dot(a: Column, b: Column): Column = {
     val active = SparkSession.active
-    if (active.catalog.functionExists("dot_product"))
-      org.apache.spark.sql.functions.call_function("dot_product", a, b)
+    if (active.catalog.functionExists("dot_product_q"))
+      org.apache.spark.sql.functions.call_function("dot_product_q", a, b)
     else
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      aggregate(zip_with(a, b, (x, y) => floor(x * y * lit(1e12) + lit(0.5))),
+        lit(0L), (acc, x) => acc + x).cast("double")
   }
 
+  /** DuckDB twin of [[dot]]: `qDotSql("a.e", "b.e")` is the aggregate
+    * expression for `sum()`-style contexts. */
+  private[graft] def qDotSql(a: String, b: String): String =
+    s"CAST(sum(CAST(floor($a * $b * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)"
+
   /** Exact cosine top-k of `queries` against `corpus` (both prepared),
-    * excluding self-matches. Ranks on the 1e-12-quantized cosine (r6,
-    * advice — the same grain the IVF path adopted in r5: Spark's
-    * sequential dot and DuckDB's sum() can differ by ulps, so ordering
-    * on the raw double leaves rank boundaries one ulp from flipping);
-    * ties broken by neighbor id. */
+    * excluding self-matches. Ranks directly on the raw cosine: since
+    * r11 the cosine itself is cross-engine exact ([[dot]] — integer
+    * picounit dot and norms), so no absorbing grain is needed and
+    * exact ties break by neighbor id identically in both engines
+    * (retires the r5/r6 `round(rawcos, 12)` rule with the ulp wobble
+    * it absorbed). */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("nrm").as("qn"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
       col("nrm").as("cn"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("rawcos"), 12).desc, col("neighbor_id"))
+      .orderBy(col("rawcos").desc, col("neighbor_id"))
     q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rawcos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("rawcos"), 6).as("cos"))
+        (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
   }
 
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
     * data-prep step): for each anchor, the `k` MOST similar corpus
     * vectors that are NOT near-duplicates — a near-dup ranked as a
     * negative is a false negative that poisons the contrastive loss,
-    * so anything at quantized cosine >= `nearDupCut` is excluded
+    * so anything at cosine >= `nearDupCut` is excluded
     * BEFORE ranking and the next-most-similar vectors shift up. The
     * scoring channel here is the exact kernel (the oracle-checkable
     * twin); [[hardNegativesIvf]] is the indexed production channel. */
@@ -162,15 +179,15 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
       col("nrm").as("cn"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("rawcos"), 12).desc, col("neighbor_id"))
+      .orderBy(col("rawcos").desc, col("neighbor_id"))
     q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rawcos"))
-      .filter(round(col("rawcos"), 12) < nearDupCut)
+      .filter(col("rawcos") < nearDupCut)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("rawcos"), 6).as("cos"))
+        (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
   }
 
   /** PRODUCTION hard negatives: same contract as [[hardNegatives]] but
@@ -187,20 +204,20 @@ object Similarity {
   def hardNegativesIvf(queries: DataFrame, corpus: DataFrame, k: Int,
       nearDupCut: Double, nprobe: Int = IvfNprobe,
       overFetch: Int = 5): DataFrame = {
-    // the near-dup cut runs on the 1e-12-quantized cosine — the SAME
-    // grain as [[hardNegatives]] (r7, advice: cutting on the 1e-6
-    // presentation value diverged from the exact twin in the
+    // the near-dup cut runs on the raw (cross-engine-exact, r11)
+    // cosine — the SAME value as [[hardNegatives]] (r7, advice:
+    // cutting on the 1e-6 presentation value diverged from the twin in the
     // [cut−5e-7, cut) boundary band), and the re-rank uses the same
     // quantized ordering
     val cand = ivfTopKDetRaw(corpus, queries, k + overFetch,
       nlist = IvfNlist, nprobe = nprobe).drop("rank")
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("rawcos"), 12).desc, col("neighbor_id"))
-    cand.filter(round(col("rawcos"), 12) < nearDupCut)
+      .orderBy(col("rawcos").desc, col("neighbor_id"))
+    cand.filter(col("rawcos") < nearDupCut)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("rawcos"), 6).as("cos"))
+        (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
   }
 
   /** Hash-checked hard negatives over the planted near-dup corpus:
@@ -220,10 +237,10 @@ object Similarity {
       |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
       |  FROM corpus),
       |norms AS (
-      |  SELECT vec_id, sqrt(sum(e * e)) AS nrm FROM flat GROUP BY vec_id),
+      |  SELECT vec_id, sqrt(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)) AS nrm FROM flat GROUP BY vec_id),
       |dots AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |         sum(q.e * c.e) AS dot
+      |         CAST(sum(CAST(floor(q.e * c.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
       |  FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id <> c.vec_id
       |  WHERE q.vec_id % 25 = 0 AND q.vec_id < 10000
       |  GROUP BY q.vec_id, c.vec_id),
@@ -235,10 +252,10 @@ object Similarity {
       |hard AS (
       |  SELECT query_id, neighbor_id, rawcos,
       |    row_number() OVER (PARTITION BY query_id
-      |                       ORDER BY round(rawcos, 12) DESC, neighbor_id) AS rank
+      |                       ORDER BY rawcos DESC, neighbor_id) AS rank
       |  FROM scored
-      |  WHERE round(rawcos, 12) < 0.99)
-      |SELECT query_id, rank, neighbor_id, round(rawcos, 6) AS cos
+      |  WHERE rawcos < 0.99)
+      |SELECT query_id, rank, neighbor_id, floor(rawcos * 1e6 + 0.5) / 1e6 AS cos
       |FROM hard WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val prep = graft.InternalCaches.register(
@@ -313,7 +330,7 @@ object Similarity {
       |flat AS (
       |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
       |  FROM prep),
-      |norms AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM flat GROUP BY vec_id)""".stripMargin
+      |norms AS (SELECT vec_id, sqrt(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)) AS nrm FROM flat GROUP BY vec_id)""".stripMargin
 
   /** Brute-force exact cosine top-5 for every 50th vector as query. */
   val topKBrute: QueryDef = QueryDef.sql(
@@ -321,7 +338,7 @@ object Similarity {
     s"""WITH $preparedSql,
       |dots AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |         sum(q.e * c.e) AS dot
+      |         CAST(sum(CAST(floor(q.e * c.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
       |  FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id <> c.vec_id
       |  WHERE q.vec_id % 50 = 0
       |  GROUP BY q.vec_id, c.vec_id),
@@ -329,11 +346,11 @@ object Similarity {
       |  SELECT query_id, neighbor_id,
       |    dot / (nq.nrm * nc.nrm) AS rawcos,
       |    row_number() OVER (PARTITION BY query_id
-      |                       ORDER BY round(dot / (nq.nrm * nc.nrm), 12) DESC, neighbor_id) AS rank
+      |                       ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
       |  FROM dots
       |  JOIN norms nq ON nq.vec_id = query_id
       |  JOIN norms nc ON nc.vec_id = neighbor_id)
-      |SELECT query_id, rank, neighbor_id, round(rawcos, 6) AS cos
+      |SELECT query_id, rank, neighbor_id, floor(rawcos * 1e6 + 0.5) / 1e6 AS cos
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val prep = graft.InternalCaches.register(
@@ -372,7 +389,7 @@ object Similarity {
         |   AND q.vec_id <> c.vec_id
         |  WHERE q.vec_id % $QueryStride = 0),
         |dots AS (
-        |  SELECT query_id, neighbor_id, sum(a.e * b.e) AS dot
+        |  SELECT query_id, neighbor_id, CAST(sum(CAST(floor(a.e * b.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
         |  FROM cand
         |  JOIN flat a ON a.vec_id = query_id
         |  JOIN flat b ON b.vec_id = neighbor_id AND b.pos = a.pos
@@ -380,11 +397,11 @@ object Similarity {
         |ranked AS (
         |  SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS rawcos,
         |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY round(dot / (nq.nrm * nc.nrm), 12) DESC, neighbor_id) AS rank
+        |                       ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
         |  FROM dots
         |  JOIN norms nq ON nq.vec_id = query_id
         |  JOIN norms nc ON nc.vec_id = neighbor_id)
-        |SELECT query_id, rank, neighbor_id, round(rawcos, 6) AS cos
+        |SELECT query_id, rank, neighbor_id, floor(rawcos * 1e6 + 0.5) / 1e6 AS cos
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
       val prep = graft.InternalCaches.register(
@@ -405,9 +422,10 @@ object Similarity {
       val c = tb.select(col("vec_id").as("neighbor_id"),
         col("tbl").as("ctbl"), col("bucket").as("cbucket"),
         col("v").as("cv"), col("nrm").as("cn"))
-      // 1e-12-quantized rank, as in the brute/IVF paths (r6, advice)
+      // raw-cosine rank — cross-engine exact since r11, as in the
+      // brute/IVF paths
       val w = Window.partitionBy(col("query_id"))
-        .orderBy(round(col("rawcos"), 12).desc, col("neighbor_id"))
+        .orderBy(col("rawcos").desc, col("neighbor_id"))
       q.join(c, col("tbl") === col("ctbl") &&
           col("bucket").bitwiseXOR(col("mask")) === col("cbucket") &&
           col("query_id") =!= col("neighbor_id"))
@@ -418,7 +436,7 @@ object Similarity {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("rawcos"), 6).as("cos"))
+          (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
         .orderBy(col("query_id"), col("rank"))
     }
   }
@@ -429,10 +447,10 @@ object Similarity {
     "sim_range_search",
     s"""WITH $preparedSql,
       |dots AS (
-      |  SELECT a.vec_id AS v1, b.vec_id AS v2, sum(a.e * b.e) AS dot
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2, CAST(sum(CAST(floor(a.e * b.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
       |  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
       |  GROUP BY a.vec_id, b.vec_id)
-      |SELECT v1, v2, round(dot / (n1.nrm * n2.nrm), 6) AS cos
+      |SELECT v1, v2, floor(dot / (n1.nrm * n2.nrm) * 1e6 + 0.5) / 1e6 AS cos
       |FROM dots
       |JOIN norms n1 ON n1.vec_id = v1
       |JOIN norms n2 ON n2.vec_id = v2
@@ -440,7 +458,7 @@ object Similarity {
       |ORDER BY v1, v2""".stripMargin) { (s, d) =>
     val prep = prepared(Tables.embeddings(s, d))
     pairCosineKernel(prep, 0.35)
-      .select(col("v1"), col("v2"), round(col("rawcos"), 6).as("cos"))
+      .select(col("v1"), col("v2"), (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
       .orderBy(col("v1"), col("v2"))
   }
 
@@ -506,8 +524,9 @@ object Similarity {
   /** Conf keys for [[rangeSearchPairs]], mirroring the as-of skew
     * dispatch pattern (`spark.graft.asof.skew.*`):
     *   - `minLshVectors` (default 4096): at or under this corpus size
-    *     the all-pairs kernel is trivially cheap — route brute with
-    *     ZERO measurement actions.
+    *     the all-pairs kernel is trivially cheap — route brute
+    *     regardless of the measured share (the decision still costs
+    *     its one histogram action; n falls out of the same pass).
     *   - `sharePct` (default 90): route brute when the banded plan
     *     would score >= sharePct% of the all-pairs volume. With 4-bit
     *     buckets + Hamming-1 probes in [[BandTables]] tables the share
@@ -611,12 +630,12 @@ object Similarity {
         |   AND b.bucket = xor(a.bucket, CAST(m.mask AS INTEGER))
         |   AND a.vec_id < b.vec_id),
         |dots AS (
-        |  SELECT v1, v2, sum(a.e * b.e) AS dot
+        |  SELECT v1, v2, CAST(sum(CAST(floor(a.e * b.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
         |  FROM cand
         |  JOIN flat a ON a.vec_id = v1
         |  JOIN flat b ON b.vec_id = v2 AND b.pos = a.pos
         |  GROUP BY v1, v2)
-        |SELECT v1, v2, round(dot / (n1.nrm * n2.nrm), 6) AS cos
+        |SELECT v1, v2, floor(dot / (n1.nrm * n2.nrm) * 1e6 + 0.5) / 1e6 AS cos
         |FROM dots
         |JOIN norms n1 ON n1.vec_id = v1
         |JOIN norms n2 ON n2.vec_id = v2
@@ -626,7 +645,7 @@ object Similarity {
       prepared(Tables.embeddings(s, d)).persist())
       bandedPairCosine(prep)
         .filter(col("rawcos") >= 0.35)
-        .select(col("v1"), col("v2"), round(col("rawcos"), 6).as("cos"))
+        .select(col("v1"), col("v2"), (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
         .orderBy(col("v1"), col("v2"))
     }
   }
@@ -656,7 +675,7 @@ object Similarity {
       |              OR lshp.p * 100 >= 90 * (nn.n * (nn.n - 1) / 2)
       |         THEN 1 ELSE 0 END AS use_brute FROM nn, lshp),
       |brute_dots AS (
-      |  SELECT a.vec_id AS v1, b.vec_id AS v2, sum(a.e * b.e) AS dot
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2, CAST(sum(CAST(floor(a.e * b.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
       |  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
       |  WHERE (SELECT use_brute FROM decision) = 1
       |  GROUP BY a.vec_id, b.vec_id),
@@ -670,7 +689,7 @@ object Similarity {
       |   AND a.vec_id < b.vec_id
       |  WHERE (SELECT use_brute FROM decision) = 0),
       |lsh_dots AS (
-      |  SELECT v1, v2, sum(a.e * b.e) AS dot
+      |  SELECT v1, v2, CAST(sum(CAST(floor(a.e * b.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
       |  FROM lsh_cand
       |  JOIN flat a ON a.vec_id = v1
       |  JOIN flat b ON b.vec_id = v2 AND b.pos = a.pos
@@ -679,7 +698,7 @@ object Similarity {
       |  SELECT v1, v2, dot FROM brute_dots
       |  UNION ALL
       |  SELECT v1, v2, dot FROM lsh_dots)
-      |SELECT v1, v2, round(dot / (n1.nrm * n2.nrm), 6) AS cos
+      |SELECT v1, v2, floor(dot / (n1.nrm * n2.nrm) * 1e6 + 0.5) / 1e6 AS cos
       |FROM chosen
       |JOIN norms n1 ON n1.vec_id = v1
       |JOIN norms n2 ON n2.vec_id = v2
@@ -688,7 +707,7 @@ object Similarity {
     val prep = graft.InternalCaches.register(
       prepared(Tables.embeddings(s, d)).persist())
     rangeSearchPairs(prep, 0.35)
-      .select(col("v1"), col("v2"), round(col("rawcos"), 6).as("cos"))
+      .select(col("v1"), col("v2"), (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
       .orderBy(col("v1"), col("v2"))
   }
 
@@ -741,8 +760,36 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("rawcos"), 6).as("cos"))
+        (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
   }
+
+  /** EXACT, ORDER-INDEPENDENT squared-L2 ranking distance in integer
+    * picounits (r11; replaces the `round(d, 12)` absolute-decimal
+    * grain of r10, whose per-engine rounding implementations could
+    * diverge within FP error of a 5e-13 midpoint and whose grain
+    * collapsed for d >= ~1e4 — r10 advice). Per element both engines
+    * run the IDENTICAL IEEE-double ops on identical inputs (`v` is
+    * cast to double at prep in both): `(x-y)` exact (float-derived
+    * doubles), `·(x-y)` one rounding, `·1e12` one rounding, `+0.5`
+    * one rounding, `floor` exact — bit-identical term in Spark and
+    * DuckDB — then an int64 sum, which is exact and independent of
+    * summation order. No grain, no midpoint, no ulp wobble: the two
+    * engines cannot disagree on the ranking value at all.
+    * Domain: max |x-y|²·1e12·dim must stay under 2^63 ≈ 9.2e18 —
+    * unit-scale embeddings have ~1e4 headroom at dim 1024; larger-
+    * coordinate corpora should normalize first (same guidance the old
+    * grain carried, now enforced only at the int64 edge instead of
+    * silently degrading from d >= 1e4). SQL twins inline the same
+    * expression via [[qTermSql]]. */
+  private[ops] def qSqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => floor((x - y) * (x - y) * lit(1e12) + lit(0.5))),
+      lit(0L), (acc, t) => acc + t)
+
+  /** DuckDB twin of [[qSqDist]]'s per-element term (the `sum(...)`
+    * around it is the twin of the integer fold). */
+  private[graft] def qTermSql(a: String, b: String): String =
+    s"CAST(floor(($a - $b) * ($a - $b) * 1e12 + 0.5) AS BIGINT)"
 
   /** IVF with DETERMINISTIC coarse centroids: every `stride`-th corpus
     * vector serves as a centroid, where `stride = ceil(n/nlist)` for a
@@ -767,29 +814,17 @@ object Similarity {
     val stride = ivfStride(prep.count(), nlist)
     val cent = broadcast(prep.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv")))
-    def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    // rank on the 1e-12-QUANTIZED distance (the PQ rule, r10): Spark's
-    // sequential sum and DuckDB's unordered sum can differ by ulps, and
-    // EXACTLY-tied centroids (the 10x twin fixture makes every stride
-    // pick the same vector) then tiebreak on wobble instead of cid —
-    // scattering the two engines onto different cells.
-    // RESIDUAL RISK, documented (r10 advice): the absolute 1e-12 grain
-    // is itself implemented differently per engine (Spark rounds via
-    // exact BigDecimal HALF_UP; DuckDB in floating point), so a
-    // distance within FP error of a .5e-12 midpoint can still bucket
-    // differently, and for squared distances >= ~1e4 one ulp exceeds
-    // the grain. Accepted here because the fixture embeddings bound
-    // the squared distances to O(10^2) (ulp ~1e-14, well inside the
-    // grain) and the 1x/10x sweeps show no boundary hit; a corpus with
-    // much larger coordinates should normalize vectors first or move
-    // the rule to a significant-digit grain IN BOTH ENGINES at once.
+    // rank on the integer-picounit distance ([[qSqDist]], r11): exact
+    // and order-independent in BOTH engines, so EXACTLY-tied centroids
+    // (the 10x twin fixture makes every stride pick the same vector)
+    // tiebreak on cid from identical values — no summation-order
+    // wobble, no per-engine rounding grain (the r10 round(d,12) rule's
+    // residual midpoint/magnitude risk is gone with the rounding).
     val byDist = Window.partitionBy(col("vec_id"))
-      .orderBy(round(col("d"), 12), col("cid"))
+      .orderBy(col("d"), col("cid"))
     prep.crossJoin(cent)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        sqDist(col("v"), col("cv")).as("d"))
+        qSqDist(col("v"), col("cv")).as("d"))
       .withColumn("rn", row_number().over(byDist))
       .filter(col("rn") <= upTo)
   }
@@ -822,9 +857,6 @@ object Similarity {
     * stays flat so every oracle-checked query is untouched. */
   private[ops] def rankedCellsTwoLevel(prep: DataFrame, nlist: Int,
       upTo: Int, coarseProbe: Int = 2): DataFrame = {
-    def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
     val stride = ivfStride(prep.count(), nlist)
     val cent = prep.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -838,31 +870,32 @@ object Similarity {
     val centRanked = cent.withColumn("rk", row_number().over(byCid) - 1)
     val coarse = centRanked.filter(col("rk") % coarseStride === 0)
       .select(col("cid").as("gid"), col("cv").as("gv"))
-    // round(gd, 12) like every other distance ranking in the engine
-    // (the PQ/IVF tie rule): centroid-to-centroid distances tie just as
-    // readily on twin-heavy corpora, and the SQL twin must land every
-    // fine centroid in the same group
+    // integer-picounit distance ([[qSqDist]]) like every other
+    // distance ranking in the engine (the IVF tie rule, r11):
+    // centroid-to-centroid distances tie just as readily on twin-heavy
+    // corpora, and the SQL twin must land every fine centroid in the
+    // same group
     val byGroup = Window.partitionBy(col("cid"))
-      .orderBy(round(col("gd"), 12), col("gid"))
+      .orderBy(col("gd"), col("gid"))
     val grouped = centRanked.crossJoin(broadcast(coarse))
       .select(col("cid"), col("cv"), col("gid"),
-        sqDist(col("cv"), col("gv")).as("gd"))
+        qSqDist(col("cv"), col("gv")).as("gd"))
       .withColumn("grn", row_number().over(byGroup))
       .filter(col("grn") === 1)
       .select(col("gid"), col("cid"), col("cv"))
     val byCoarse = Window.partitionBy(col("vec_id"))
-      .orderBy(round(col("d1"), 12), col("gid"))
+      .orderBy(col("d1"), col("gid"))
     val probed = prep.crossJoin(broadcast(coarse))
       .select(col("vec_id"), col("v"), col("nrm"), col("gid"),
-        sqDist(col("v"), col("gv")).as("d1"))
+        qSqDist(col("v"), col("gv")).as("d1"))
       .withColumn("prn", row_number().over(byCoarse))
       .filter(col("prn") <= coarseProbe)
       .select(col("vec_id"), col("v"), col("nrm"), col("gid"))
     val byDist = Window.partitionBy(col("vec_id"))
-      .orderBy(round(col("d"), 12), col("cid"))
+      .orderBy(col("d"), col("cid"))
     probed.join(broadcast(grouped), Seq("gid"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        sqDist(col("v"), col("cv")).as("d"))
+        qSqDist(col("v"), col("cv")).as("d"))
       .withColumn("rn", row_number().over(byDist))
       .filter(col("rn") <= upTo)
   }
@@ -880,11 +913,11 @@ object Similarity {
     else rankedCells(prep, nlist, upTo)
 
   /** [[ivfTopKDet]] with the RAW cosine still exposed — the shared core
-    * behind the public top-k (which rounds to the 1e-6 presentation
-    * grain) and [[hardNegativesIvf]] (which must apply its near-dup cut
-    * at the SAME 1e-12 grain the exact twin uses; cutting on the 1e-6
-    * presentation value left a [cut−5e-7, cut) boundary band where the
-    * two channels disagreed — r7, advice). */
+    * behind the public top-k (which quantizes to the 1e-6
+    * presentation grain) and [[hardNegativesIvf]] (which must apply
+    * its near-dup cut on the SAME raw value the exact twin uses;
+    * cutting on the 1e-6 presentation value left a [cut−5e-7, cut)
+    * boundary band where the two channels disagreed — r7, advice). */
   private[ops] def ivfTopKDetRaw(prep: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = IvfNlist, nprobe: Int = 2,
       quantizer: (DataFrame, Int, Int) => DataFrame = rankedCellsAuto)
@@ -901,13 +934,11 @@ object Similarity {
       .join(queries.select(col("vec_id")), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cid").as("cell"))
-    // Rank on the QUANTIZED cosine (r5, advice): Spark's sequential dot
-    // and DuckDB's sum() can differ by ulps, so ordering on the raw
-    // double leaves rank boundaries one ulp from flipping; at 1e-12
-    // grain both engines agree and neighbor_id breaks the (now exact)
-    // ties identically.
+    // Rank on the raw cosine — cross-engine exact since r11 ([[dot]]):
+    // both engines hold identical doubles, so rank boundaries cannot
+    // flip on a ulp and neighbor_id breaks exact ties identically.
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("rawcos"), 12).desc, col("neighbor_id"))
+      .orderBy(col("rawcos").desc, col("neighbor_id"))
     probes.join(assign, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -922,7 +953,7 @@ object Similarity {
       nlist: Int = IvfNlist, nprobe: Int = 2): DataFrame =
     ivfTopKDetRaw(prep, queries, k, nlist, nprobe)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("rawcos"), 6).as("cos"))
+        (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
 
   /** SQL CTE block `strd … ranked` — the deterministic-quantizer IVF
     * candidate + exact-cosine-rank flow (fixed IvfNlist centroid
@@ -942,12 +973,12 @@ object Similarity {
       |  SELECT vec_id AS cid, pos, e FROM flat
       |  WHERE vec_id % (SELECT s FROM strd) = 0),
       |dist AS (
-      |  SELECT f.vec_id, c.cid, sum((f.e - c.e) * (f.e - c.e)) AS d
+      |  SELECT f.vec_id, c.cid, sum(${qTermSql("f.e", "c.e")}) AS d
       |  FROM flat f JOIN centflat c ON c.pos = f.pos
       |  GROUP BY f.vec_id, c.cid),
       |ranked_cells AS (
       |  SELECT vec_id, cid,
-      |    row_number() OVER (PARTITION BY vec_id ORDER BY round(d, 12), cid) AS rn
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
       |  FROM dist),
       |assign AS (
       |  SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
@@ -959,7 +990,7 @@ object Similarity {
       |  FROM probe p JOIN assign a ON a.cell = p.cell
       |  WHERE a.vec_id <> p.query_id),
       |dots AS (
-      |  SELECT query_id, neighbor_id, sum(a.e * b.e) AS dot
+      |  SELECT query_id, neighbor_id, CAST(sum(CAST(floor(a.e * b.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
       |  FROM cand
       |  JOIN flat a ON a.vec_id = query_id
       |  JOIN flat b ON b.vec_id = neighbor_id AND b.pos = a.pos
@@ -967,7 +998,7 @@ object Similarity {
       |ranked AS (
       |  SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS rawcos,
       |    row_number() OVER (PARTITION BY query_id
-      |                       ORDER BY round(dot / (nq.nrm * nc.nrm), 12) DESC, neighbor_id) AS rank
+      |                       ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
       |  FROM dots
       |  JOIN norms nq ON nq.vec_id = query_id
       |  JOIN norms nc ON nc.vec_id = neighbor_id)""".stripMargin
@@ -979,7 +1010,7 @@ object Similarity {
     "sim_topk_ivf",
     s"""WITH $preparedSql,
       |$ivfRankedSql
-      |SELECT query_id, rank, neighbor_id, round(rawcos, 6) AS cos
+      |SELECT query_id, rank, neighbor_id, floor(rawcos * 1e6 + 0.5) / 1e6 AS cos
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val prep = graft.InternalCaches.register(
@@ -1002,7 +1033,7 @@ object Similarity {
     ivfTopKDetRaw(prep, queries, k, nlist, nprobe,
         (p, nl, up) => rankedCellsTwoLevel(p, nl, up, coarseProbe))
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("rawcos"), 6).as("cos"))
+        (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
 
   /** Number of coarse groups for the two-level quantizer at the engine
     * nlist — ⌈√IvfNlist⌉, the [[rankedCellsTwoLevel]] formula. */
@@ -1017,8 +1048,9 @@ object Similarity {
     * fine centroids are the same stride picks as the flat path (the
     * cell vocabulary is UNCHANGED — only the search over it is
     * hierarchical); coarse centroids are every ⌈nfine/⌈√nlist⌉⌉-th fine
-    * centroid in cid order; every distance ranking rounds to the 1e-12
-    * grain before its id tiebreak (the engine-wide tie rule). */
+    * centroid in cid order; every distance ranking runs on the exact
+    * integer-picounit distance before its id tiebreak (the engine-wide
+    * tie rule, r11). */
   private val ivf2RankedSql =
     s"""strd AS (
       |  SELECT (count(*) + ${IvfNlist - 1}) // $IvfNlist AS s FROM prep),
@@ -1036,27 +1068,27 @@ object Similarity {
       |  FROM cent_ranked r JOIN centflat c ON c.cid = r.cid
       |  WHERE r.rk % (SELECT cs FROM cstride) = 0),
       |gdist AS (
-      |  SELECT c.cid, g.gid, sum((c.e - g.e) * (c.e - g.e)) AS gd
+      |  SELECT c.cid, g.gid, sum(${qTermSql("c.e", "g.e")}) AS gd
       |  FROM centflat c JOIN coarseflat g ON g.pos = c.pos
       |  GROUP BY c.cid, g.gid),
       |grouped AS (
       |  SELECT cid, gid FROM (
       |    SELECT cid, gid,
       |      row_number() OVER (PARTITION BY cid
-      |                         ORDER BY round(gd, 12), gid) AS grn
+      |                         ORDER BY gd, gid) AS grn
       |    FROM gdist) AS gr WHERE grn = 1),
       |vgdist AS (
-      |  SELECT f.vec_id, g.gid, sum((f.e - g.e) * (f.e - g.e)) AS d1
+      |  SELECT f.vec_id, g.gid, sum(${qTermSql("f.e", "g.e")}) AS d1
       |  FROM flat f JOIN coarseflat g ON g.pos = f.pos
       |  GROUP BY f.vec_id, g.gid),
       |probed AS (
       |  SELECT vec_id, gid FROM (
       |    SELECT vec_id, gid,
       |      row_number() OVER (PARTITION BY vec_id
-      |                         ORDER BY round(d1, 12), gid) AS prn
+      |                         ORDER BY d1, gid) AS prn
       |    FROM vgdist) AS pr WHERE prn <= $Ivf2CoarseProbe),
       |fdist AS (
-      |  SELECT p.vec_id, gr.cid, sum((f.e - c.e) * (f.e - c.e)) AS d
+      |  SELECT p.vec_id, gr.cid, sum(${qTermSql("f.e", "c.e")}) AS d
       |  FROM probed p
       |  JOIN grouped gr ON gr.gid = p.gid
       |  JOIN flat f ON f.vec_id = p.vec_id
@@ -1065,7 +1097,7 @@ object Similarity {
       |ranked_cells AS (
       |  SELECT vec_id, cid,
       |    row_number() OVER (PARTITION BY vec_id
-      |                       ORDER BY round(d, 12), cid) AS rn
+      |                       ORDER BY d, cid) AS rn
       |  FROM fdist),
       |assign AS (
       |  SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
@@ -1077,7 +1109,7 @@ object Similarity {
       |  FROM probe p JOIN assign a ON a.cell = p.cell
       |  WHERE a.vec_id <> p.query_id),
       |dots AS (
-      |  SELECT query_id, neighbor_id, sum(a.e * b.e) AS dot
+      |  SELECT query_id, neighbor_id, CAST(sum(CAST(floor(a.e * b.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
       |  FROM cand
       |  JOIN flat a ON a.vec_id = query_id
       |  JOIN flat b ON b.vec_id = neighbor_id AND b.pos = a.pos
@@ -1085,7 +1117,7 @@ object Similarity {
       |ranked AS (
       |  SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS rawcos,
       |    row_number() OVER (PARTITION BY query_id
-      |                       ORDER BY round(dot / (nq.nrm * nc.nrm), 12) DESC, neighbor_id) AS rank
+      |                       ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
       |  FROM dots
       |  JOIN norms nq ON nq.vec_id = query_id
       |  JOIN norms nc ON nc.vec_id = neighbor_id)""".stripMargin
@@ -1106,7 +1138,7 @@ object Similarity {
     "sim_topk_ivf2",
     s"""WITH $preparedSql,
       |$ivf2RankedSql
-      |SELECT query_id, rank, neighbor_id, round(rawcos, 6) AS cos
+      |SELECT query_id, rank, neighbor_id, floor(rawcos * 1e6 + 0.5) / 1e6 AS cos
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val prep = graft.InternalCaches.register(
@@ -1316,15 +1348,12 @@ object Similarity {
     * never drift onto different assignment rules. (cid ties break by
     * centroid id, as everywhere in the quantizer.) */
   private def assignToCells(prep: DataFrame, cent: DataFrame): DataFrame = {
-    def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    // 1e-12-quantized distance before the cid tiebreak — see rankedCells
+    // integer-picounit distance before the cid tiebreak — see rankedCells
     val byDist = Window.partitionBy(col("vec_id"))
-      .orderBy(round(col("d"), 12), col("cid"))
+      .orderBy(col("d"), col("cid"))
     prep.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        sqDist(col("v"), col("cv")).as("d"))
+        qSqDist(col("v"), col("cv")).as("d"))
       .withColumn("rn", row_number().over(byDist))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
@@ -1519,24 +1548,22 @@ object Similarity {
     // vector stops ranking immediately, its purge waits for compaction
     val corpus = Dedup.tombstonesOf(s, dir).fold(corpus0)(t =>
       corpus0.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
-    def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
     val byDist = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("d"), 12), col("cid"))
+      .orderBy(col("d"), col("cid"))
     val probes = queries
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
       .crossJoin(broadcast(cent))
-      .withColumn("d", sqDist(col("qv"), col("cv")))
+      .withColumn("d", qSqDist(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(byDist))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"),
         col("cid").as("cell"))
-    // Quantized ranking — must stay identical to ivfTopKDet (the suite
+    // Raw-cosine ranking (cross-engine exact) — must stay identical
+    // to ivfTopKDet (the suite
     // pins index-vs-transient equality).
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("rawcos"), 12).desc, col("neighbor_id"))
+      .orderBy(col("rawcos").desc, col("neighbor_id"))
     probes.join(corpus, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -1544,7 +1571,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("rawcos"), 6).as("cos"))
+        (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
   }
 
   /** PRODUCT QUANTIZATION encode — the compression leg of the ANN
@@ -1559,9 +1586,9 @@ object Similarity {
     * tracks when tuning codebook size. Codebook selection follows the
     * engine's deterministic-quantizer convention ([[ivfTopKDet]]):
     * sub-centroids are stride-sampled rows (vec_id % 97 = 0, first 4),
-    * identically derivable by both engines; distances quantize to
-    * 1e-12 with cid ties (the IVF rule) so assignment can never flip
-    * on a ulp. Shape: codebook is a bounded broadcast (k·M sub-
+    * identically derivable by both engines; distances are exact
+    * integer picounits with cid ties (the IVF rule, r11) so assignment
+    * can never flip on a ulp. Shape: codebook is a bounded broadcast (k·M sub-
     * vectors); assignment is one map-side pass over the corpus —
     * O(n·k·M) arithmetic, no shuffle until the final per-vector
     * regroup, which is a groupBy on the unique vec_id. */
@@ -1582,21 +1609,18 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("sub").as("csub"))
 
-  private def pqSqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-
   /** (vec_id, m, cid, d): winning sub-centroid per (vector, subspace),
-    * distance 1e-12-quantized with cid ties (the IVF rule). */
+    * distance in exact integer picounits ([[qSqDist]]) with cid ties
+    * (the IVF rule). */
   private def pqAssign(e: DataFrame, cent: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("d"), col("cid"))
     e.select(col("vec_id"), col("v"), col("sub"),
         explode(array((0 until 4).map(lit(_)): _*)).as("m"))
       .crossJoin(broadcast(cent))
-      .withColumn("d", round(pqSqDist(
+      .withColumn("d", qSqDist(
         slice(col("v"), col("sub") * col("m") + 1, col("sub")),
-        slice(col("cv"), col("csub") * col("m") + 1, col("csub"))), 12))
+        slice(col("cv"), col("csub") * col("m") + 1, col("csub"))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("m"), col("cid"), col("d"))
@@ -1612,10 +1636,13 @@ object Similarity {
       |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 4),
       |pairs AS (
       |  SELECT e.vec_id, m.m, c.cid,
-      |    round((SELECT sum(power(CAST(e.v[e.sub * m.m + u.i] AS DOUBLE)
-      |                            - CAST(c.cv[c.csub * m.m + u.i] AS DOUBLE),
-      |                            2))
-      |           FROM unnest(generate_series(1, e.sub)) u(i)), 12) AS d
+      |    (SELECT sum(CAST(floor(
+      |             (CAST(e.v[e.sub * m.m + u.i] AS DOUBLE)
+      |              - CAST(c.cv[c.csub * m.m + u.i] AS DOUBLE))
+      |             * (CAST(e.v[e.sub * m.m + u.i] AS DOUBLE)
+      |                - CAST(c.cv[c.csub * m.m + u.i] AS DOUBLE))
+      |             * 1e12 + 0.5) AS BIGINT))
+      |     FROM unnest(generate_series(1, e.sub)) u(i)) AS d
       |  FROM e
       |  CROSS JOIN unnest([0, 1, 2, 3]) m(m)
       |  CROSS JOIN cent c),
@@ -1628,7 +1655,7 @@ object Similarity {
       |  max(CASE WHEN m = 1 THEN cid END) AS c1,
       |  max(CASE WHEN m = 2 THEN cid END) AS c2,
       |  max(CASE WHEN m = 3 THEN cid END) AS c3,
-      |  CAST(sum(CAST(round(d * 1000000) AS BIGINT)) AS BIGINT) AS err_micro
+      |  CAST(sum((d + 500000) // 1000000) AS BIGINT) AS err_micro
       |FROM best WHERE rn = 1
       |GROUP BY vec_id
       |ORDER BY vec_id""".stripMargin) { (s, d) =>
@@ -1640,11 +1667,12 @@ object Similarity {
         max(when(col("m") === 1, col("cid"))).as("c1"),
         max(when(col("m") === 2, col("cid"))).as("c2"),
         max(when(col("m") === 3, col("cid"))).as("c3"),
-        // integer micro-unit residuals: quantize each subspace distance
-        // to 1e-6 units BEFORE summing, so the total is exact integer
-        // arithmetic in both engines (re-rounding the double sum hit
-        // genuine half-up boundary collisions at any grain)
-        sum(round(col("d") * 1e6).cast("long")).as("err_micro"))
+        // integer micro-unit residuals: each subspace distance is
+        // already an exact picounit integer ([[qSqDist]]); nearest-micro
+        // is pure integer arithmetic, so the total cannot wobble in
+        // either engine (re-rounding a double sum hit genuine half-up
+        // boundary collisions at any grain — r8; exact ints since r11)
+        sum(expr("(d + 500000) DIV 1000000")).as("err_micro"))
       .orderBy(col("vec_id"))
   }
 
@@ -1671,10 +1699,13 @@ object Similarity {
       |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 4),
       |pairs AS (
       |  SELECT e.vec_id, m.m, c.cid,
-      |    round((SELECT sum(power(CAST(e.v[e.sub * m.m + u.i] AS DOUBLE)
-      |                            - CAST(c.cv[c.csub * m.m + u.i] AS DOUBLE),
-      |                            2))
-      |           FROM unnest(generate_series(1, e.sub)) u(i)), 12) AS d
+      |    (SELECT sum(CAST(floor(
+      |             (CAST(e.v[e.sub * m.m + u.i] AS DOUBLE)
+      |              - CAST(c.cv[c.csub * m.m + u.i] AS DOUBLE))
+      |             * (CAST(e.v[e.sub * m.m + u.i] AS DOUBLE)
+      |                - CAST(c.cv[c.csub * m.m + u.i] AS DOUBLE))
+      |             * 1e12 + 0.5) AS BIGINT))
+      |     FROM unnest(generate_series(1, e.sub)) u(i)) AS d
       |  FROM e
       |  CROSS JOIN unnest([0, 1, 2, 3]) m(m)
       |  CROSS JOIN cent c),
@@ -1686,7 +1717,7 @@ object Similarity {
       |  WHERE rn = 1),
       |lut AS (
       |  SELECT vec_id AS query_id, m, cid,
-      |    CAST(round(d * 1000000) AS BIGINT) AS lm
+      |    CAST((d + 500000) // 1000000 AS BIGINT) AS lm
       |  FROM pairs WHERE vec_id % 50 = 0),
       |dist AS (
       |  SELECT l.query_id, c.neighbor_id, CAST(sum(l.lm) AS BIGINT) AS dist_micro
@@ -1707,9 +1738,9 @@ object Similarity {
     val allPairs = e.select(col("vec_id"), col("v"), col("sub"),
         explode(array((0 until 4).map(lit(_)): _*)).as("m"))
       .crossJoin(broadcast(cent))
-      .withColumn("d", round(pqSqDist(
+      .withColumn("d", qSqDist(
         slice(col("v"), col("sub") * col("m") + 1, col("sub")),
-        slice(col("cv"), col("csub") * col("m") + 1, col("csub"))), 12))
+        slice(col("cv"), col("csub") * col("m") + 1, col("csub"))))
     val wAssign = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("d"), col("cid"))
     val codes = allPairs
@@ -1718,7 +1749,7 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("m"), col("cid"))
     val lut = allPairs.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("m"), col("cid"),
-        round(col("d") * 1e6).cast("long").as("lm"))
+        expr("(d + 500000) DIV 1000000").as("lm"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("dist_micro"), col("neighbor_id"))
     codes.join(broadcast(lut), Seq("m", "cid"))
@@ -1739,9 +1770,11 @@ object Similarity {
     * training — and queries run ASYMMETRICALLY: the raw query vector is
     * compared against dequantized corpus codes, so only the corpus pays
     * the compression error. Per-dimension squared differences are
-    * rounded to integer micro-units BEFORE the sum (the PQ/ADC
-    * convention), making the ranking a pure integer sort — no
-    * FP-summation-order hazard in either engine.
+    * quantized to integer micro-units BEFORE the sum (the PQ/ADC
+    * convention) via floor(x + 0.5) — the same IEEE ops in both
+    * engines (r11; round()'s per-engine implementations could differ
+    * at representation midpoints) — making the ranking a pure integer
+    * sort: no FP-summation-order hazard, no rounding-impl hazard.
     *
     * 100 TB shape: the range stats are one aggregate producing |dims|
     * rows (broadcast); encoding is map-side against that broadcast; the
@@ -1763,15 +1796,16 @@ object Similarity {
       |codes AS (
       |  SELECT f.vec_id, f.pos,
       |    CASE WHEN s.mx = s.mn THEN 0
-      |         ELSE CAST(round((f.v - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT)
+      |         ELSE CAST(floor((f.v - s.mn) * 255.0 / (s.mx - s.mn) + 0.5) AS BIGINT)
       |    END AS code
       |  FROM f JOIN stats s ON s.pos = f.pos),
       |q AS (SELECT vec_id AS query_id, pos, v AS qv FROM f
       |      WHERE vec_id % 50 = 0),
       |dm AS (
       |  SELECT q.query_id, c.vec_id AS neighbor_id,
-      |    CAST(round(power(q.qv - (s.mn + c.code * (s.mx - s.mn) / 255.0), 2)
-      |               * 1000000) AS BIGINT) AS dm
+      |    CAST(floor((q.qv - (s.mn + c.code * (s.mx - s.mn) / 255.0))
+      |               * (q.qv - (s.mn + c.code * (s.mx - s.mn) / 255.0))
+      |               * 1000000 + 0.5) AS BIGINT) AS dm
       |  FROM codes c
       |  JOIN stats s ON s.pos = c.pos
       |  JOIN q ON q.pos = c.pos
@@ -1797,8 +1831,8 @@ object Similarity {
     val codes = fC.join(broadcast(stats), Seq("pos"))
       .select(col("vec_id"), col("pos"),
         when(col("mx") === col("mn"), 0L)
-          .otherwise(round((col("v") - col("mn")) * 255.0
-            / (col("mx") - col("mn"))).cast("long")).as("code"))
+          .otherwise(floor((col("v") - col("mn")) * 255.0
+            / (col("mx") - col("mn")) + 0.5)).as("code"))
     val q = fC.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("pos"), col("v").as("qv"))
     val deq = col("mn") + col("code") * (col("mx") - col("mn")) / lit(255.0)
@@ -1809,7 +1843,7 @@ object Similarity {
       .join(broadcast(q), Seq("pos"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round((col("qv") - deq) * (col("qv") - deq) * 1e6).cast("long")
+        floor((col("qv") - deq) * (col("qv") - deq) * 1e6 + 0.5)
           .as("dm"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("dm")).as("dist_micro"))
@@ -1885,19 +1919,19 @@ object Similarity {
       |flat AS (
       |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
       |  FROM allv),
-      |norms AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM flat GROUP BY vec_id),
+      |norms AS (SELECT vec_id, sqrt(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)) AS nrm FROM flat GROUP BY vec_id),
       |strd AS (
       |  SELECT (count(*) + ${IvfNlist - 1}) // $IvfNlist AS s FROM prep0),
       |centflat AS (
       |  SELECT vec_id AS cid, pos, e FROM flat
       |  WHERE vec_id < 20000 AND vec_id % (SELECT s FROM strd) = 0),
       |dist AS (
-      |  SELECT f.vec_id, c.cid, sum((f.e - c.e) * (f.e - c.e)) AS d
+      |  SELECT f.vec_id, c.cid, sum(${qTermSql("f.e", "c.e")}) AS d
       |  FROM flat f JOIN centflat c ON c.pos = f.pos
       |  GROUP BY f.vec_id, c.cid),
       |rc AS (
       |  SELECT vec_id, cid,
-      |    row_number() OVER (PARTITION BY vec_id ORDER BY round(d, 12), cid) AS rn
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
       |  FROM dist),
       |assign AS (SELECT vec_id, cid AS cell FROM rc WHERE rn = 1),
       |probe AS (SELECT vec_id, cid AS cell FROM rc WHERE rn <= $IvfNprobe),
@@ -1906,8 +1940,8 @@ object Similarity {
       |  FROM probe p JOIN assign a ON a.cell = p.cell
       |  WHERE p.vec_id >= 20000 AND p.vec_id < 40000 AND a.vec_id < 20000),
       |cos1 AS (
-      |  SELECT dd.qid, max(round(dd.dot / (nq.nrm * nm.nrm), 6)) AS mx
-      |  FROM (SELECT c.qid, c.mid, sum(fa.e * fb.e) AS dot
+      |  SELECT dd.qid, max(floor(dd.dot / (nq.nrm * nm.nrm) * 1e6 + 0.5) / 1e6) AS mx
+      |  FROM (SELECT c.qid, c.mid, CAST(sum(CAST(floor(fa.e * fb.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
       |        FROM cand1 c
       |        JOIN flat fa ON fa.vec_id = c.qid
       |        JOIN flat fb ON fb.vec_id = c.mid AND fb.pos = fa.pos
@@ -1924,8 +1958,8 @@ object Similarity {
       |  WHERE p.vec_id >= 40000
       |    AND (a.vec_id < 20000 OR a.vec_id IN (SELECT vec_id FROM adm1))),
       |cos2 AS (
-      |  SELECT dd.qid, max(round(dd.dot / (nq.nrm * nm.nrm), 6)) AS mx
-      |  FROM (SELECT c.qid, c.mid, sum(fa.e * fb.e) AS dot
+      |  SELECT dd.qid, max(floor(dd.dot / (nq.nrm * nm.nrm) * 1e6 + 0.5) / 1e6) AS mx
+      |  FROM (SELECT c.qid, c.mid, CAST(sum(CAST(floor(fa.e * fb.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
       |        FROM cand2 c
       |        JOIN flat fa ON fa.vec_id = c.qid
       |        JOIN flat fb ON fb.vec_id = c.mid AND fb.pos = fa.pos
@@ -1942,7 +1976,7 @@ object Similarity {
       |  SELECT 2 AS batch_no, vec_id FROM adm2)
       |ORDER BY vec_id""".stripMargin)(stageIvfIngestGrowIndex) { (s, d) =>
     def withNrm(df: DataFrame): DataFrame = df.withColumn("nrm",
-      sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      sqrt(dot(col("v"), col("v"))))
     val prep = graft.InternalCaches.register(
       prepared(Tables.embeddings(s, d)).persist())
     val b1 = withNrm(prep.filter(col("vec_id") % 25 === 0)
