@@ -536,14 +536,14 @@ object Multimodal {
            .mkString(",\n      |  ")}
       |  FROM documents)
       |SELECT mf.media_id,
-      |  round((${(0 until 8).map(f => s"mf.mf$f * o.tf$f").mkString(" + ")})
+      |  floor((${(0 until 8).map(f => s"mf.mf$f * o.tf$f").mkString(" + ")})
       |    / (sqrt(${(0 until 8).map(f => s"mf.mf$f * mf.mf$f").mkString(" + ")})
-      |       * sqrt(${(0 until 8).map(f => s"o.tf$f * o.tf$f").mkString(" + ")})),
-      |    6) AS align_own,
-      |  round((${(0 until 8).map(f => s"mf.mf$f * dc.tf$f").mkString(" + ")})
+      |       * sqrt(${(0 until 8).map(f => s"o.tf$f * o.tf$f").mkString(" + ")}))
+      |    * 1e6 + 0.5) / 1e6 AS align_own,
+      |  floor((${(0 until 8).map(f => s"mf.mf$f * dc.tf$f").mkString(" + ")})
       |    / (sqrt(${(0 until 8).map(f => s"mf.mf$f * mf.mf$f").mkString(" + ")})
-      |       * sqrt(${(0 until 8).map(f => s"dc.tf$f * dc.tf$f").mkString(" + ")})),
-      |    6) AS align_decoy
+      |       * sqrt(${(0 until 8).map(f => s"dc.tf$f * dc.tf$f").mkString(" + ")}))
+      |    * 1e6 + 0.5) / 1e6 AS align_decoy
       |FROM mf
       |JOIN tf o ON o.doc_id = mf.media_id
       |JOIN tf dc ON dc.doc_id = mf.media_id + 1
@@ -570,10 +570,10 @@ object Multimodal {
     mf.join(own, col("media_id") === col("doc_id"))
       .join(decoy, Seq("media_id"))
       .select(col("media_id"),
-        round(dot("mf", "tf").cast("double") / (nrm("mf") * nrm("tf")), 6)
-          .as("align_own"),
-        round(dot("mf", "df").cast("double") / (nrm("mf") * nrm("df")), 6)
-          .as("align_decoy"))
+        (floor(dot("mf", "tf").cast("double") / (nrm("mf") * nrm("tf"))
+          * 1e6 + 0.5) / 1e6).as("align_own"),
+        (floor(dot("mf", "df").cast("double") / (nrm("mf") * nrm("df"))
+          * 1e6 + 0.5) / 1e6).as("align_decoy"))
       .orderBy(col("media_id"))
   }
 

@@ -274,19 +274,25 @@ object Similarity {
   // bits and the Hamming-1 probe masks per engine, so the two queries can
   // never drift onto different buckets.
   private val bucketBitsSql = (0 until Planes)
-    .map(j => s"CASE WHEN sum(e * ((($j*97 + (pos-1)*31) % 17 - 8) / 8.0)) >= 0 THEN ${1 << j} ELSE 0 END")
+    .map(j => s"CASE WHEN sum(CAST(floor(e * ((($j*97 + (pos-1)*31) % 17 - 8) / 8.0) * 1e12 + 0.5) AS BIGINT)) >= 0 THEN ${1 << j} ELSE 0 END")
     .mkString(" + ")
   private val probeMasks: Seq[Int] = Seq(0) ++ (0 until Planes).map(1 << _)
   private val probeMasksSql = probeMasks.mkString("[", ", ", "]")
   private def probeMasksCol: Column = array(probeMasks.map(lit): _*)
 
-  /** 4-bit LSH bucket id per vector (sign of dot with each hyperplane). */
+  /** 4-bit LSH bucket id per vector — sign of the dot with each
+    * hyperplane, computed on the integer-picounit-quantized projection
+    * (r11): per-term `floor(e·coef·1e12 + 0.5)` then an exact int64
+    * sum, so a projection near zero buckets IDENTICALLY in both
+    * engines instead of hanging on summation-order ulps (the last
+    * FP-divergence channel in the vector battery). */
   def lshBuckets(prep: DataFrame): DataFrame = {
     val flat = prep.select(col("vec_id"), col("nrm"),
         posexplode(col("v")).as(Seq("pos0", "e")))
       .select(col("vec_id"), col("nrm"), (col("pos0") + 1).as("pos"), col("e"))
     val bucket = (0 until Planes)
-      .map(j => when(sum(col("e") * hcoef(j, col("pos"))) >= 0, 1 << j)
+      .map(j => when(sum(floor(col("e") * hcoef(j, col("pos")) * lit(1e12)
+          + lit(0.5))) >= 0, 1 << j)
         .otherwise(0))
       .reduce(_ + _)
     flat.groupBy(col("vec_id"), col("nrm")).agg(bucket.as("bucket"))
@@ -297,7 +303,7 @@ object Similarity {
     * global plane indices 4t..4t+3, so `bucketBitsSqlTable(0)` ==
     * [[bucketBitsSql]]. */
   private def bucketBitsSqlTable(t: Int): String = (0 until Planes)
-    .map(j => s"CASE WHEN sum(e * (((${Planes * t + j}*97 + (pos-1)*31) % 17 - 8) / 8.0)) >= 0 THEN ${1 << j} ELSE 0 END")
+    .map(j => s"CASE WHEN sum(CAST(floor(e * (((${Planes * t + j}*97 + (pos-1)*31) % 17 - 8) / 8.0) * 1e12 + 0.5) AS BIGINT)) >= 0 THEN ${1 << j} ELSE 0 END")
     .mkString(" + ")
 
   /** (vec_id, tbl, bucket) for all [[LshTables]] independent tables in
@@ -311,7 +317,8 @@ object Similarity {
       .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("e"))
     val bucketCols = (0 until tables).map { t =>
       (0 until Planes)
-        .map(j => when(sum(col("e") * hcoef(Planes * t + j, col("pos"))) >= 0,
+        .map(j => when(sum(floor(col("e") * hcoef(Planes * t + j, col("pos"))
+            * lit(1e12) + lit(0.5))) >= 0,
           1 << j).otherwise(0))
         .reduce(_ + _).as(s"b$t")
     }
