@@ -1747,7 +1747,7 @@ object Dedup {
       |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
       |  FROM corpus),
       |norms AS (
-      |  SELECT vec_id, sqrt(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)) AS nrm FROM flat GROUP BY vec_id),
+      |  SELECT vec_id, sqrt(greatest(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE), 1)) AS nrm FROM flat GROUP BY vec_id),
       |dots AS (
       |  SELECT a.vec_id AS v1, b.vec_id AS v2, CAST(sum(CAST(floor(a.e * b.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
       |  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
@@ -1769,7 +1769,7 @@ object Dedup {
       .select((col("vec_id") + 10000).as("vec_id"),
         transform(col("embedding"), x => x.cast("double") * 1.01 + 0.0001).as("v"))
     base.unionAll(planted)
-      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .withColumn("nrm", sqrt(greatest(Similarity.dot(col("v"), col("v")), lit(1.0))))
   }
 
   /** Embedding-cosine near-dup, EXACT twin: brute-force all-pairs via the
@@ -1906,7 +1906,7 @@ object Dedup {
       |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
       |  FROM corpus),
       |norms AS (
-      |  SELECT vec_id, sqrt(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)) AS nrm FROM flat GROUP BY vec_id),
+      |  SELECT vec_id, sqrt(greatest(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE), 1)) AS nrm FROM flat GROUP BY vec_id),
       |strd AS (
       |  SELECT (count(*) + ${Similarity.IvfNlist - 1}) // ${Similarity.IvfNlist} AS s
       |  FROM corpus),

@@ -70,11 +70,18 @@ object Similarity {
   /** Per-channel rank depth feeding the RRF fusion. */
   val FusionDepth = 20
 
-  /** (vec_id, v: array<double>, nrm) from an embeddings table. */
+  /** (vec_id, v: array<double>, nrm) from an embeddings table. The
+    * norm is the 1e6-scaled quantized self-dot (`sqrt(dot(v, v))`,
+    * [[dot]]) so `dot/(n1·n2)` is the unitless cross-engine-exact
+    * cosine; a degenerate vector whose every |e| < ~7.1e-7 quantizes
+    * to a zero self-dot, so the norm clamps to 1 (`greatest(..., 1)`,
+    * mirrored in every SQL twin) — its cosines collapse to ~0
+    * IDENTICALLY in both engines instead of dividing by zero (Spark
+    * NULL vs DuckDB inf — the r11 review catch). */
   def prepared(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("nrm", sqrt(greatest(dot(col("v"), col("v")), lit(1.0))))
 
   /** All-pairs cosine >= threshold, fully distributed: grid-partitioned
     * block-pair join (the classic theta-join decomposition). Each vector
@@ -84,8 +91,9 @@ object Similarity {
     * evenly over B·(B+1)/2 tasks, and NO row ever passes through the
     * driver (the r1 version collect()ed the corpus — a guaranteed driver
     * OOM at 100 TB). Per-pair dot products run in the codegen'd
-    * `dot_product` expression (sequential left-to-right sum — value-
-    * identical to the old primitive loop). For huge corpora where even
+    * `dot_product_q` expression (integer-picounit terms, exact int64
+    * sum — order-independent and cross-engine exact, r11). For huge
+    * corpora where even
     * distributed n² is too much, LSH/IVF-bucket first (lshBuckets /
     * ivfCells) and run this kernel per bucket. */
   def pairCosineKernel(prep: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
@@ -207,8 +215,8 @@ object Similarity {
     // the near-dup cut runs on the raw (cross-engine-exact, r11)
     // cosine — the SAME value as [[hardNegatives]] (r7, advice:
     // cutting on the 1e-6 presentation value diverged from the twin in the
-    // [cut−5e-7, cut) boundary band), and the re-rank uses the same
-    // quantized ordering
+    // [cut−5e-7, cut) boundary band), and the re-rank orders on the
+    // same raw (cross-engine-exact, r11) value
     val cand = ivfTopKDetRaw(corpus, queries, k + overFetch,
       nlist = IvfNlist, nprobe = nprobe).drop("rank")
     val w = Window.partitionBy(col("query_id"))
@@ -237,7 +245,7 @@ object Similarity {
       |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
       |  FROM corpus),
       |norms AS (
-      |  SELECT vec_id, sqrt(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)) AS nrm FROM flat GROUP BY vec_id),
+      |  SELECT vec_id, sqrt(greatest(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE), 1)) AS nrm FROM flat GROUP BY vec_id),
       |dots AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |         CAST(sum(CAST(floor(q.e * c.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
@@ -337,7 +345,7 @@ object Similarity {
       |flat AS (
       |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
       |  FROM prep),
-      |norms AS (SELECT vec_id, sqrt(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)) AS nrm FROM flat GROUP BY vec_id)""".stripMargin
+      |norms AS (SELECT vec_id, sqrt(greatest(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE), 1)) AS nrm FROM flat GROUP BY vec_id)""".stripMargin
 
   /** Brute-force exact cosine top-5 for every 50th vector as query. */
   val topKBrute: QueryDef = QueryDef.sql(
@@ -1366,6 +1374,42 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
   }
 
+  /** Arithmetic-convention tag persisted as `_FORMAT` in every IVF
+    * index directory. Bumped whenever a change makes previously
+    * persisted per-vector values incompatible with the live engine —
+    * r11: stored norms moved from the raw fp sum to the 1e6-scaled
+    * quantized convention ([[prepared]]), so a pre-r11 index probed
+    * under r11 arithmetic would score rawcos ~1e6× off and silently
+    * reject every ingest (review catch). Every lifecycle verb and
+    * probe asserts the tag and fails fast with a rebuild instruction
+    * instead. */
+  private val IvfFormatTag = "graft-ivf v2 nrm=pico-quantized"
+  private def ivfFormatPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_FORMAT")
+  private[ops] def writeIvfFormat(s: SparkSession, dir: String): Unit = {
+    val p = ivfFormatPath(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(IvfFormatTag.getBytes("UTF-8")) finally out.close()
+  }
+  private def assertIvfFormat(s: SparkSession, dir: String,
+      verb: String): Unit = {
+    val p = ivfFormatPath(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tag =
+      if (!fs.exists(p)) "ABSENT (pre-r11 index, raw-fp norms)"
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
+    require(tag == IvfFormatTag,
+      s"$verb on '$dir': index format '$tag' != engine's '$IvfFormatTag' " +
+        "— persisted norms follow a different arithmetic convention and " +
+        "every cosine against them would be silently mis-scaled; rebuild " +
+        "the directory with saveIvfIndex")
+  }
+
   def saveIvfIndex(prep: DataFrame, dir: String, nlist: Int = IvfNlist): Unit = {
     // a rebuild is a RECOVERY verb ([[IndexIntent]]): it overwrites
     // every component, so a torn directory is tolerated and repaired
@@ -1382,6 +1426,7 @@ object Similarity {
     // a rebuild starts snapshot history over: v1 = the full build
     clearIvfSnapshots(prep.sparkSession, dir)
     commitIvfSnapshot(prep.sparkSession, dir)
+    writeIvfFormat(prep.sparkSession, dir)
     IndexIntent.end(prep.sparkSession, dir)
   }
 
@@ -1409,6 +1454,7 @@ object Similarity {
     // two writes (corpus append + snapshot commit) — the intent marker
     // makes a crash between them detectable ([[IndexIntent]]): without
     // it, as-of(latest) would silently lag the live corpus
+    assertIvfFormat(spark, dir, "appendToIvfIndex")
     IndexIntent.begin(spark, dir, "appendToIvfIndex",
       "graft.ops.Similarity.compactIvfIndex")
     val cent = spark.read.parquet(s"$dir/centroids")
@@ -1436,8 +1482,11 @@ object Similarity {
     // single FS mutation = single commit point (the parquet job commit
     // is the atomic rename) — the one lifecycle verb that needs no
     // intent marker: a crash mid-job leaves only uncommitted temp files
-    vecIds.select(col("vec_id"))
-      .write.mode("append").parquet(s"$dir/tombstones")
+    {
+      assertIvfFormat(vecIds.sparkSession, dir, "deleteFromIvfIndex")
+      vecIds.select(col("vec_id"))
+        .write.mode("append").parquet(s"$dir/tombstones")
+    }
 
   /** Compact a [[saveIvfIndex]] directory after an append run
     * ([[appendToIvfIndex]] adds one file per batch per touched cell):
@@ -1450,6 +1499,7 @@ object Similarity {
     * amortized into the pass that touches the files anyway. Offline
     * maintenance: run between ingestion rounds. */
   def compactIvfIndex(s: SparkSession, dir: String): Unit = {
+    assertIvfFormat(s, dir, "compactIvfIndex")
     // compaction is the IVF recovery verb: the cell rows are the raw
     // facts and this rewrites them (minus tombstones) and restarts the
     // snapshot log — everything a torn append left suspect
@@ -1515,6 +1565,7 @@ object Similarity {
     * expires history to a fresh v1. */
   def topKFromIvfIndexAsOf(s: SparkSession, dir: String, queries: DataFrame,
       k: Int, version: Int, nprobe: Int = 2): DataFrame = {
+    assertIvfFormat(s, dir, "topKFromIvfIndexAsOf")
     IndexIntent.assertClean(s, dir, "graft.ops.Similarity.compactIvfIndex")
     require(ivfIndexVersions(s, dir).contains(version),
       s"no committed snapshot v$version under $dir (compaction expires history)")
@@ -1539,6 +1590,7 @@ object Similarity {
 
   def topKFromIvfIndex(s: SparkSession, dir: String, queries: DataFrame,
       k: Int, nprobe: Int = 2): DataFrame = {
+    assertIvfFormat(s, dir, "topKFromIvfIndex")
     IndexIntent.assertClean(s, dir, "graft.ops.Similarity.compactIvfIndex")
     topKAgainst(s, dir, queries, k, nprobe,
       cent = s.read.parquet(s"$dir/centroids"),
@@ -1926,7 +1978,7 @@ object Similarity {
       |flat AS (
       |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
       |  FROM allv),
-      |norms AS (SELECT vec_id, sqrt(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)) AS nrm FROM flat GROUP BY vec_id),
+      |norms AS (SELECT vec_id, sqrt(greatest(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE), 1)) AS nrm FROM flat GROUP BY vec_id),
       |strd AS (
       |  SELECT (count(*) + ${IvfNlist - 1}) // $IvfNlist AS s FROM prep0),
       |centflat AS (
@@ -1983,7 +2035,7 @@ object Similarity {
       |  SELECT 2 AS batch_no, vec_id FROM adm2)
       |ORDER BY vec_id""".stripMargin)(stageIvfIngestGrowIndex) { (s, d) =>
     def withNrm(df: DataFrame): DataFrame = df.withColumn("nrm",
-      sqrt(dot(col("v"), col("v"))))
+      sqrt(greatest(dot(col("v"), col("v")), lit(1.0))))
     val prep = graft.InternalCaches.register(
       prepared(Tables.embeddings(s, d)).persist())
     val b1 = withNrm(prep.filter(col("vec_id") % 25 === 0)

@@ -553,6 +553,7 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
     s.read.parquet(s"$dir/corpus")
       .join(del.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .write.partitionBy("cell").parquet(s"$dirTruth/corpus")
+    Similarity.writeIvfFormat(s, dirTruth) // hand-built from a current-convention index
     afterDel shouldBe top(dirTruth)
     afterDel.length should be > 20
     afterDel should not be full // deletions promoted new neighbors
@@ -633,5 +634,44 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
       }
       first should not be empty
     }
+  }
+
+  test("ivf index: probes and verbs fail fast on a foreign or pre-r11 " +
+      "norm convention (_FORMAT guard)") {
+    val s = spark
+    val prep = Similarity.prepared(graft.Tables.embeddings(s, sfDir))
+      .localCheckpoint()
+    val a = prep.filter(col("vec_id") < 200)
+    val queries = prep.filter(col("vec_id") % 100 === 0)
+    val dir = Files.createTempDirectory("ivffmt").toString
+    Similarity.saveIvfIndex(a, dir)
+    // sanity: freshly built index probes fine
+    Similarity.topKFromIvfIndex(s, dir, queries, k = 2).collect()
+
+    // a pre-r11 index has no _FORMAT marker at all (hadoop fs delete
+    // also clears the local-FS crc shadow a raw Files.delete leaves)
+    val fmtPath = new org.apache.hadoop.fs.Path(dir, "_FORMAT")
+    val hfs = fmtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.delete(fmtPath, false)
+    val eProbe = intercept[IllegalArgumentException] {
+      Similarity.topKFromIvfIndex(s, dir, queries, k = 2)
+    }
+    eProbe.getMessage should include("pre-r11")
+    eProbe.getMessage should include("saveIvfIndex")
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(dir, queries)
+    }
+
+    // a future/foreign convention tag is rejected the same way
+    val out = hfs.create(fmtPath, true)
+    try out.write("graft-ivf v99 nrm=other".getBytes("UTF-8"))
+    finally out.close()
+    intercept[IllegalArgumentException] {
+      Similarity.topKFromIvfIndex(s, dir, queries, k = 2)
+    }
+
+    // rebuild restores the current tag and the index works again
+    Similarity.saveIvfIndex(a, dir)
+    Similarity.topKFromIvfIndex(s, dir, queries, k = 2).collect()
   }
 }
