@@ -1736,7 +1736,7 @@ object Dedup {
     * in the simplest all-pairs SQL (the semantics, not the plan — the
     * dedup_simhash/dedup_simhash_banded pattern). */
   private val embCosOracleSql =
-    """WITH corpus AS (
+    s"""WITH corpus AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings
       |  UNION ALL
@@ -1747,9 +1747,9 @@ object Dedup {
       |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
       |  FROM corpus),
       |norms AS (
-      |  SELECT vec_id, sqrt(greatest(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE), 1)) AS nrm FROM flat GROUP BY vec_id),
+      |  SELECT vec_id, ${Similarity.qNormSql} AS nrm FROM flat GROUP BY vec_id),
       |dots AS (
-      |  SELECT a.vec_id AS v1, b.vec_id AS v2, CAST(sum(CAST(floor(a.e * b.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2, ${Similarity.qDotSql("a.e", "b.e")} AS dot
       |  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
       |  GROUP BY a.vec_id, b.vec_id)
       |SELECT v1, v2, floor(dot / (n1.nrm * n2.nrm) * 1e6 + 0.5) / 1e6 AS cos
@@ -1906,7 +1906,7 @@ object Dedup {
       |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
       |  FROM corpus),
       |norms AS (
-      |  SELECT vec_id, sqrt(greatest(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE), 1)) AS nrm FROM flat GROUP BY vec_id),
+      |  SELECT vec_id, ${Similarity.qNormSql} AS nrm FROM flat GROUP BY vec_id),
       |strd AS (
       |  SELECT (count(*) + ${Similarity.IvfNlist - 1}) // ${Similarity.IvfNlist} AS s
       |  FROM corpus),
@@ -1929,7 +1929,7 @@ object Dedup {
       |    SELECT cell FROM assign GROUP BY cell
       |    HAVING count(*) > $SemCellCap)),
       |dots AS (
-      |  SELECT x.vec_id AS v1, y.vec_id AS v2, CAST(sum(CAST(floor(fx.e * fy.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
+      |  SELECT x.vec_id AS v1, y.vec_id AS v2, ${Similarity.qDotSql("fx.e", "fy.e")} AS dot
       |  FROM cold x
       |  JOIN cold y ON y.cell = x.cell AND x.vec_id < y.vec_id
       |  JOIN flat fx ON fx.vec_id = x.vec_id

@@ -149,6 +149,14 @@ object Similarity {
   private[graft] def qDotSql(a: String, b: String): String =
     s"CAST(sum(CAST(floor($a * $b * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)"
 
+  /** DuckDB twin of [[prepared]]'s norm over a flattened `(vec_id, e,
+    * pos)` relation: quantized self-dot with the degenerate-vector
+    * clamp. ONE definition for every SQL twin's `norms` CTE — a grain
+    * or clamp change edits one site, not a scatter of copies (the
+    * one-site-missed drift class the r11 review flagged). */
+  private[graft] def qNormSql: String =
+    s"sqrt(greatest(${qDotSql("e", "e")}, 1))"
+
   /** Exact cosine top-k of `queries` against `corpus` (both prepared),
     * excluding self-matches. Ranks directly on the raw cosine: since
     * r11 the cosine itself is cross-engine exact ([[dot]] — integer
@@ -234,7 +242,7 @@ object Similarity {
     * nearest background vectors (cosine <= 0.51 on this corpus). */
   val hardNegativesQuery: QueryDef = QueryDef.sql(
     "sim_hard_negatives",
-    """WITH corpus AS (
+    s"""WITH corpus AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings
       |  UNION ALL
@@ -245,10 +253,10 @@ object Similarity {
       |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
       |  FROM corpus),
       |norms AS (
-      |  SELECT vec_id, sqrt(greatest(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE), 1)) AS nrm FROM flat GROUP BY vec_id),
+      |  SELECT vec_id, $qNormSql AS nrm FROM flat GROUP BY vec_id),
       |dots AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |         CAST(sum(CAST(floor(q.e * c.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
+      |         ${qDotSql("q.e", "c.e")} AS dot
       |  FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id <> c.vec_id
       |  WHERE q.vec_id % 25 = 0 AND q.vec_id < 10000
       |  GROUP BY q.vec_id, c.vec_id),
@@ -280,10 +288,11 @@ object Similarity {
 
   // Shared by topKLsh and rangeSearchLsh — ONE definition of the bucket
   // bits and the Hamming-1 probe masks per engine, so the two queries can
-  // never drift onto different buckets.
-  private val bucketBitsSql = (0 until Planes)
-    .map(j => s"CASE WHEN sum(CAST(floor(e * ((($j*97 + (pos-1)*31) % 17 - 8) / 8.0) * 1e12 + 0.5) AS BIGINT)) >= 0 THEN ${1 << j} ELSE 0 END")
-    .mkString(" + ")
+  // never drift onto different buckets. Table 0 of the OR-amplified
+  // family IS the single-table rule (global plane indices 0..3), so the
+  // single-table form delegates rather than carrying a second copy of
+  // the plane arithmetic.
+  private val bucketBitsSql = bucketBitsSqlTable(0)
   private val probeMasks: Seq[Int] = Seq(0) ++ (0 until Planes).map(1 << _)
   private val probeMasksSql = probeMasks.mkString("[", ", ", "]")
   private def probeMasksCol: Column = array(probeMasks.map(lit): _*)
@@ -339,13 +348,13 @@ object Similarity {
   }
 
   private val preparedSql =
-    """prep AS (
+    s"""prep AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |flat AS (
       |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
       |  FROM prep),
-      |norms AS (SELECT vec_id, sqrt(greatest(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE), 1)) AS nrm FROM flat GROUP BY vec_id)""".stripMargin
+      |norms AS (SELECT vec_id, $qNormSql AS nrm FROM flat GROUP BY vec_id)""".stripMargin
 
   /** Brute-force exact cosine top-5 for every 50th vector as query. */
   val topKBrute: QueryDef = QueryDef.sql(
@@ -353,7 +362,7 @@ object Similarity {
     s"""WITH $preparedSql,
       |dots AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |         CAST(sum(CAST(floor(q.e * c.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
+      |         ${qDotSql("q.e", "c.e")} AS dot
       |  FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id <> c.vec_id
       |  WHERE q.vec_id % 50 = 0
       |  GROUP BY q.vec_id, c.vec_id),
@@ -404,7 +413,7 @@ object Similarity {
         |   AND q.vec_id <> c.vec_id
         |  WHERE q.vec_id % $QueryStride = 0),
         |dots AS (
-        |  SELECT query_id, neighbor_id, CAST(sum(CAST(floor(a.e * b.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
+        |  SELECT query_id, neighbor_id, ${qDotSql("a.e", "b.e")} AS dot
         |  FROM cand
         |  JOIN flat a ON a.vec_id = query_id
         |  JOIN flat b ON b.vec_id = neighbor_id AND b.pos = a.pos
@@ -462,7 +471,7 @@ object Similarity {
     "sim_range_search",
     s"""WITH $preparedSql,
       |dots AS (
-      |  SELECT a.vec_id AS v1, b.vec_id AS v2, CAST(sum(CAST(floor(a.e * b.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2, ${qDotSql("a.e", "b.e")} AS dot
       |  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
       |  GROUP BY a.vec_id, b.vec_id)
       |SELECT v1, v2, floor(dot / (n1.nrm * n2.nrm) * 1e6 + 0.5) / 1e6 AS cos
@@ -645,7 +654,7 @@ object Similarity {
         |   AND b.bucket = xor(a.bucket, CAST(m.mask AS INTEGER))
         |   AND a.vec_id < b.vec_id),
         |dots AS (
-        |  SELECT v1, v2, CAST(sum(CAST(floor(a.e * b.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
+        |  SELECT v1, v2, ${qDotSql("a.e", "b.e")} AS dot
         |  FROM cand
         |  JOIN flat a ON a.vec_id = v1
         |  JOIN flat b ON b.vec_id = v2 AND b.pos = a.pos
@@ -690,7 +699,7 @@ object Similarity {
       |              OR lshp.p * 100 >= 90 * (nn.n * (nn.n - 1) / 2)
       |         THEN 1 ELSE 0 END AS use_brute FROM nn, lshp),
       |brute_dots AS (
-      |  SELECT a.vec_id AS v1, b.vec_id AS v2, CAST(sum(CAST(floor(a.e * b.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2, ${qDotSql("a.e", "b.e")} AS dot
       |  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
       |  WHERE (SELECT use_brute FROM decision) = 1
       |  GROUP BY a.vec_id, b.vec_id),
@@ -704,7 +713,7 @@ object Similarity {
       |   AND a.vec_id < b.vec_id
       |  WHERE (SELECT use_brute FROM decision) = 0),
       |lsh_dots AS (
-      |  SELECT v1, v2, CAST(sum(CAST(floor(a.e * b.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
+      |  SELECT v1, v2, ${qDotSql("a.e", "b.e")} AS dot
       |  FROM lsh_cand
       |  JOIN flat a ON a.vec_id = v1
       |  JOIN flat b ON b.vec_id = v2 AND b.pos = a.pos
@@ -1005,7 +1014,7 @@ object Similarity {
       |  FROM probe p JOIN assign a ON a.cell = p.cell
       |  WHERE a.vec_id <> p.query_id),
       |dots AS (
-      |  SELECT query_id, neighbor_id, CAST(sum(CAST(floor(a.e * b.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
+      |  SELECT query_id, neighbor_id, ${qDotSql("a.e", "b.e")} AS dot
       |  FROM cand
       |  JOIN flat a ON a.vec_id = query_id
       |  JOIN flat b ON b.vec_id = neighbor_id AND b.pos = a.pos
@@ -1124,7 +1133,7 @@ object Similarity {
       |  FROM probe p JOIN assign a ON a.cell = p.cell
       |  WHERE a.vec_id <> p.query_id),
       |dots AS (
-      |  SELECT query_id, neighbor_id, CAST(sum(CAST(floor(a.e * b.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
+      |  SELECT query_id, neighbor_id, ${qDotSql("a.e", "b.e")} AS dot
       |  FROM cand
       |  JOIN flat a ON a.vec_id = query_id
       |  JOIN flat b ON b.vec_id = neighbor_id AND b.pos = a.pos
@@ -1978,7 +1987,7 @@ object Similarity {
       |flat AS (
       |  SELECT vec_id, unnest(v) AS e, generate_subscripts(v, 1) AS pos
       |  FROM allv),
-      |norms AS (SELECT vec_id, sqrt(greatest(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE), 1)) AS nrm FROM flat GROUP BY vec_id),
+      |norms AS (SELECT vec_id, $qNormSql AS nrm FROM flat GROUP BY vec_id),
       |strd AS (
       |  SELECT (count(*) + ${IvfNlist - 1}) // $IvfNlist AS s FROM prep0),
       |centflat AS (
@@ -2000,7 +2009,7 @@ object Similarity {
       |  WHERE p.vec_id >= 20000 AND p.vec_id < 40000 AND a.vec_id < 20000),
       |cos1 AS (
       |  SELECT dd.qid, max(floor(dd.dot / (nq.nrm * nm.nrm) * 1e6 + 0.5) / 1e6) AS mx
-      |  FROM (SELECT c.qid, c.mid, CAST(sum(CAST(floor(fa.e * fb.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
+      |  FROM (SELECT c.qid, c.mid, ${qDotSql("fa.e", "fb.e")} AS dot
       |        FROM cand1 c
       |        JOIN flat fa ON fa.vec_id = c.qid
       |        JOIN flat fb ON fb.vec_id = c.mid AND fb.pos = fa.pos
@@ -2018,7 +2027,7 @@ object Similarity {
       |    AND (a.vec_id < 20000 OR a.vec_id IN (SELECT vec_id FROM adm1))),
       |cos2 AS (
       |  SELECT dd.qid, max(floor(dd.dot / (nq.nrm * nm.nrm) * 1e6 + 0.5) / 1e6) AS mx
-      |  FROM (SELECT c.qid, c.mid, CAST(sum(CAST(floor(fa.e * fb.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
+      |  FROM (SELECT c.qid, c.mid, ${qDotSql("fa.e", "fb.e")} AS dot
       |        FROM cand2 c
       |        JOIN flat fa ON fa.vec_id = c.qid
       |        JOIN flat fb ON fb.vec_id = c.mid AND fb.pos = fa.pos
