@@ -876,9 +876,11 @@ object Similarity {
     * APPROXIMATE by the standard IVF trade: the true nearest fine
     * centroid is found iff its group is probed — exact on clustered
     * corpora (suite-pinned two-level ≡ flat there), near-exact on
-    * unstructured ones. Select per call, or engine-wide via
-    * `GRAFT_IVF_TWO_LEVEL=true` ([[rankedCellsAuto]]); the DEFAULT
-    * stays flat so every oracle-checked query is untouched. */
+    * unstructured ones. Select per call, per session via the conf
+    * `spark.graft.ivf.twoLevel=true`, or process-wide via the
+    * `GRAFT_IVF_TWO_LEVEL=true` env fallback ([[rankedCellsAuto]]);
+    * the DEFAULT stays flat so every oracle-checked query is
+    * untouched. */
   private[ops] def rankedCellsTwoLevel(prep: DataFrame, nlist: Int,
       upTo: Int, coarseProbe: Int = 2): DataFrame = {
     val stride = ivfStride(prep.count(), nlist)
@@ -925,14 +927,19 @@ object Similarity {
   }
 
   /** Quantizer dispatch: flat [[rankedCells]] by default (every oracle
-    * pins flat), [[rankedCellsTwoLevel]] when GRAFT_IVF_TWO_LEVEL=true
-    * — the deployment switch for large-nlist regimes. Used by
+    * pins flat), [[rankedCellsTwoLevel]] when the session conf
+    * `spark.graft.ivf.twoLevel` is `true` (runtime-settable per
+    * session/query, the same dispatch surface as
+    * `spark.graft.asof.skew.*`; the `GRAFT_IVF_TWO_LEVEL` env var
+    * remains as the process-wide fallback for conf-less launchers) —
+    * the deployment switch for large-nlist regimes. Used by
     * [[ivfTopKDetRaw]] and `Dedup.semanticAssign`, so one flag moves
     * BOTH consumers onto the same quantizer (the single-definition
     * rule). */
   private[graft] def rankedCellsAuto(prep: DataFrame, nlist: Int,
       upTo: Int): DataFrame =
-    if (sys.env.get("GRAFT_IVF_TWO_LEVEL").contains("true"))
+    if (prep.sparkSession.conf.get("spark.graft.ivf.twoLevel",
+        sys.env.getOrElse("GRAFT_IVF_TWO_LEVEL", "false")) == "true")
       rankedCellsTwoLevel(prep, nlist, upTo)
     else rankedCells(prep, nlist, upTo)
 
