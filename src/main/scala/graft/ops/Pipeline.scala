@@ -720,8 +720,110 @@ object Pipeline {
     }
   }
 
+  /** SEQUENCE PACKING — concatenate the token stream of the whole
+    * corpus (deterministic doc_id order, one EOD token after each doc)
+    * and chunk it into fixed `PackBudget`-token context windows: the
+    * GPT-style pretraining packing step. Output is the (sequence, doc)
+    * assignment relation — which sequence(s) each document lands in, at
+    * which offset, with how many of its tokens — i.e. exactly the index
+    * a data loader needs to materialize sequence `i` without scanning
+    * its neighbors. A document longer than the remaining window
+    * straddles the boundary and continues in the next sequence
+    * (`is_split` = 1), so no token is ever dropped or padded except the
+    * tail of the final sequence.
+    *
+    * The global token offset is a distributed two-level prefix sum, NOT
+    * a corpus-wide window (which Spark plans as ONE partition — the
+    * classic global-sort scale-killer): docs cumsum WITHIN a
+    * deterministic bucket (`doc_id DIV PackBucket` — arithmetic, not
+    * sampled boundaries), per-bucket totals aggregate to an
+    * n/PackBucket-row relation whose running sum is each bucket's start
+    * offset, and a broadcast join adds the bucket offset to the local
+    * cumsum. The corpus shuffles once (hash on bucket, with map-side
+    * partial windows bounded at PackBucket rows); the only unbounded
+    * window runs over the BUCKET TOTALS — metadata-sized at any corpus
+    * (10^10 docs → 1.5·10^8 rows of 16 bytes; hierarchically
+    * aggregable the same way if ever needed). Everything is exact
+    * integer arithmetic — counts, cumulative sums, DIV/greatest/least
+    * span clipping — so the assignment is bit-identical on any engine,
+    * any partitioning, any cluster size. */
+  val PackBudget = 512L
+  val PackBucket = 64L
+  val packSequences: QueryDef = QueryDef.sql(
+    "pipe_pack_sequences",
+    s"""WITH q AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tokens,
+      |    doc_id // $PackBucket AS bkt
+      |  FROM documents),
+      |loc AS (
+      |  SELECT doc_id, n_tokens, bkt,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY bkt ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS loc_end
+      |  FROM q),
+      |boff AS (
+      |  SELECT bkt,
+      |    CAST(coalesce(sum(bt) OVER (ORDER BY bkt
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS bkt_off
+      |  FROM (SELECT bkt, sum(n_tokens) AS bt FROM q GROUP BY bkt) t),
+      |pos AS (
+      |  SELECT l.doc_id, l.n_tokens,
+      |    b.bkt_off + l.loc_end - l.n_tokens AS st,
+      |    b.bkt_off + l.loc_end AS en
+      |  FROM loc l JOIN boff b USING (bkt)),
+      |asg AS (
+      |  SELECT doc_id, n_tokens, st, en,
+      |    unnest(generate_series(st // $PackBudget, (en - 1) // $PackBudget))
+      |      AS seq_id
+      |  FROM pos)
+      |SELECT seq_id, doc_id,
+      |  greatest(st, seq_id * $PackBudget) - seq_id * $PackBudget AS seq_off,
+      |  least(en, (seq_id + 1) * $PackBudget)
+      |    - greatest(st, seq_id * $PackBudget) AS span_len,
+      |  n_tokens,
+      |  CAST(CASE WHEN (en - 1) // $PackBudget > st // $PackBudget
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_split
+      |FROM asg
+      |ORDER BY seq_id, doc_id""".stripMargin) { (s, d) =>
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // Unbounded window over BUCKET TOTALS only — |buckets| rows, never
+    // the corpus (see Scaladoc).
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val q = Tables.documents(s, d).select(col("doc_id"),
+      (size(split(col("text"), " ")) + 1).cast("long").as("n_tokens"),
+      expr(s"CAST(doc_id DIV $PackBucket AS BIGINT)").as("bkt"))
+    val loc = q.withColumn("loc_end", sum(col("n_tokens")).over(wLoc))
+    val boff = q.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bt"))
+      .select(col("bkt"),
+        coalesce(sum(col("bt")).over(wOff), lit(0L)).as("bkt_off"))
+    val pos = loc.join(broadcast(boff), Seq("bkt"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("bkt_off") + col("loc_end") - col("n_tokens")).as("st"),
+        (col("bkt_off") + col("loc_end")).as("en"))
+    pos
+      .select(col("doc_id"), col("n_tokens"), col("st"), col("en"),
+        explode(expr(s"sequence(st DIV $PackBudget, (en - 1) DIV $PackBudget)"))
+          .as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        (greatest(col("st"), col("seq_id") * PackBudget)
+          - col("seq_id") * PackBudget).as("seq_off"),
+        (least(col("en"), (col("seq_id") + 1) * PackBudget)
+          - greatest(col("st"), col("seq_id") * PackBudget)).as("span_len"),
+        col("n_tokens"),
+        when(expr(s"(en - 1) DIV $PackBudget > st DIV $PackBudget"), 1L)
+          .otherwise(0L).as("is_split"))
+      .orderBy(col("seq_id"), col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(corpusClean, domainMix, compact, decontaminate, decontaminateBloom,
       trainSplit, profile, shuffleShard, contaminationScore, tokenBudget,
-      dsirSelect)
+      dsirSelect, packSequences)
 }

@@ -834,10 +834,31 @@ object Similarity {
     * clusterings — the single-definition rule the SQL twins already
     * follow via their shared CTE block. */
   private[ops] def rankedCells(prep: DataFrame, nlist: Int,
-      upTo: Int): DataFrame = {
-    val stride = ivfStride(prep.count(), nlist)
-    val cent = broadcast(prep.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv")))
+      upTo: Int): DataFrame =
+    rankedCellsWithCentroids(prep, ivfCentroidTable(prep, nlist), upTo)
+
+  /** Centroid table for the flat quantizer: the [[ivfStride]] picks by
+    * default; Lloyd-refined ([[kmeansCentroids]]) when the session conf
+    * `spark.graft.ivf.kmeansIters` (env fallback
+    * `GRAFT_IVF_KMEANS_ITERS`) is a positive iteration count — the
+    * deployment switch for clustered corpora where refined centroids
+    * balance the cells (fewer over-full cells ⇒ fewer candidates per
+    * probe at equal recall). Defaults to 0 so every stride-pinned
+    * oracle is untouched. */
+  private def ivfCentroidTable(prep: DataFrame, nlist: Int): DataFrame = {
+    val iters = prep.sparkSession.conf.get("spark.graft.ivf.kmeansIters",
+      sys.env.getOrElse("GRAFT_IVF_KMEANS_ITERS", "0")).toInt
+    if (iters > 0) kmeansCentroids(prep, nlist, iters)
+    else {
+      val stride = ivfStride(prep.count(), nlist)
+      prep.filter(col("vec_id") % stride === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+    }
+  }
+
+  /** [[rankedCells]] against an explicit (cid, cv) centroid relation. */
+  private[ops] def rankedCellsWithCentroids(prep: DataFrame,
+      centroids: DataFrame, upTo: Int): DataFrame = {
     // rank on the integer-picounit distance ([[qSqDist]], r11): exact
     // and order-independent in BOTH engines, so EXACTLY-tied centroids
     // (the 10x twin fixture makes every stride pick the same vector)
@@ -846,7 +867,7 @@ object Similarity {
     // residual midpoint/magnitude risk is gone with the rounding).
     val byDist = Window.partitionBy(col("vec_id"))
       .orderBy(col("d"), col("cid"))
-    prep.crossJoin(cent)
+    prep.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
         qSqDist(col("v"), col("cv")).as("d"))
       .withColumn("rn", row_number().over(byDist))
@@ -997,13 +1018,14 @@ object Similarity {
     * Spark; the stride derives from count(*) exactly as
     * [[ivfStride]] does (`//` is DuckDB integer division, matching
     * Scala's `/` on Long). */
-  private val ivfRankedSql =
-    s"""strd AS (
-      |  SELECT (count(*) + ${IvfNlist - 1}) // $IvfNlist AS s FROM prep),
-      |centflat AS (
-      |  SELECT vec_id AS cid, pos, e FROM flat
-      |  WHERE vec_id % (SELECT s FROM strd) = 0),
-      |dist AS (
+  /** The IVF flow AFTER the centroid table exists — assignment, probe,
+    * candidate join, exact-cosine rank — against whatever `centflat`
+    * CTE precedes it. Shared by the flat stride quantizer
+    * ([[ivfRankedSql]]) and the k-means-refined one ([[topKIvfKm]]'s
+    * twin), so the two paths cannot drift (the single-definition
+    * rule). */
+  private val ivfTailSql =
+    s"""dist AS (
       |  SELECT f.vec_id, c.cid, sum(${qTermSql("f.e", "c.e")}) AS d
       |  FROM flat f JOIN centflat c ON c.pos = f.pos
       |  GROUP BY f.vec_id, c.cid),
@@ -1033,6 +1055,14 @@ object Similarity {
       |  FROM dots
       |  JOIN norms nq ON nq.vec_id = query_id
       |  JOIN norms nc ON nc.vec_id = neighbor_id)""".stripMargin
+
+  private val ivfRankedSql =
+    s"""strd AS (
+      |  SELECT (count(*) + ${IvfNlist - 1}) // $IvfNlist AS s FROM prep),
+      |centflat AS (
+      |  SELECT vec_id AS cid, pos, e FROM flat
+      |  WHERE vec_id % (SELECT s FROM strd) = 0),
+      |$ivfTailSql""".stripMargin
 
   /** Hash-checked IVF top-5 (deterministic quantizer — upgraded from
     * r1's rows-only k-means variant, which stays available as the
@@ -2347,10 +2377,177 @@ object Similarity {
     pcaPowerProject(Tables.embeddings(s, d))
   }
 
+  /** Lloyd iterations for [[kmeansQuery]]; fixed so the SQL twin can
+    * unroll them. */
+  val KmIters = 2
+
+  /** K-MEANS LLOYD REFINEMENT with cluster-size-independent,
+    * partition-layout-independent determinism — the piece the stride
+    * quantizer's Scaladoc calls out as classically nondeterministic
+    * ("unlike k-means whose centers depend on partition layout"), made
+    * deterministic the engine way: every centroid recompute quantizes
+    * member elements to integer picounits (`floor(e·1e12 + 0.5)`, the
+    * [[dot]] rule), sums them in exact int64 (order-independent under
+    * ANY partitioning), and divides ONCE by `cnt·1e12` — so the new
+    * centroid coordinate is the same IEEE double on every cluster
+    * size, every engine. Init is the [[ivfStride]] pick (cid = the
+    * picked vec_id; cluster identity persists across iterations), and
+    * every assignment ranks the exact integer-picounit distance
+    * ([[qSqDist]]) with cid tiebreaks — the engine-wide IVF rule. A
+    * cluster that loses all members simply drops out of the next
+    * round's centroid table, identically in both engines.
+    *
+    * 100 TB shape per iteration: the centroid side is ≤ k rows,
+    * broadcast; assignment is a map-side crossJoin against it plus one
+    * shuffle (the per-vector rank window); the recompute shuffles
+    * (cid, pos) partial sums — map-side combine reduces every
+    * partition's contribution to ≤ k·dim rows before the exchange.
+    * Nothing scales worse than iters × corpus scans; the centroid
+    * lineage truncates per iteration (localCheckpoint on ≤ k rows). */
+  private[ops] def kmeansCentroids(prep: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    val stride = ivfStride(prep.count(), k)
+    var cent = prep.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val byDist = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d"), col("cid"))
+      val asg = prep.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("v"), col("cid"),
+          qSqDist(col("v"), col("cv")).as("d"))
+        .withColumn("rn", row_number().over(byDist))
+        .filter(col("rn") === 1)
+      cent = asg
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "e")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(floor(col("e") * 1e12 + lit(0.5)).cast("long")).as("qsum"),
+          count(lit(1)).as("cnt"))
+        .withColumn("ce",
+          col("qsum").cast("double") / (col("cnt").cast("double") * lit(1e12)))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("ce")))),
+          s => s.getField("ce")).as("cv"))
+        .localCheckpoint() // ≤ k rows; truncates the iteration lineage
+    }
+    cent
+  }
+
+  /** Final assignment against [[kmeansCentroids]]' refined table:
+    * (vec_id, cid, exact picounit distance, cluster size). */
+  def kmeansAssign(prep: DataFrame, k: Int, iters: Int): DataFrame = {
+    val cent = kmeansCentroids(prep, k, iters)
+    val byDist = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d"), col("cid"))
+    val bySize = Window.partitionBy(col("cid"))
+    prep.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        qSqDist(col("v"), col("cv")).as("d"))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("d").as("qdist"))
+      .withColumn("csize", count(lit(1)).over(bySize))
+  }
+
+  /** One unrolled Lloyd iteration for the [[kmeansQuery]] twin:
+    * assignment `a$k` against centroid relation `c${k-1}`, recompute
+    * `c$k` — the same quantize → exact-int64-sum → divide-once rule as
+    * the engine. */
+  private def kmeansStepSql(k: Int): String = {
+    val p = k - 1
+    s"""d$k AS (
+      |  SELECT f.vec_id, c.cid, sum(${qTermSql("f.e", "c.e")}) AS d
+      |  FROM flat f JOIN c$p c ON c.pos = f.pos GROUP BY f.vec_id, c.cid),
+      |a$k AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d, cid) AS rn FROM d$k) t WHERE rn = 1),
+      |c$k AS (
+      |  SELECT a.cid, f.pos,
+      |    CAST(sum(CAST(floor(f.e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / (CAST(count(*) AS DOUBLE) * 1e12) AS e
+      |  FROM a$k a JOIN flat f ON f.vec_id = a.vec_id
+      |  GROUP BY a.cid, f.pos)""".stripMargin
+  }
+
+  /** Hash-checked k-means: [[KmIters]] Lloyd refinements of the stride
+    * init at the engine k ([[IvfNlist]]), then the final assignment
+    * with its exact picounit distance and cluster size — the "domain
+    * discovery" clustering step of a training-data pipeline (cluster
+    * the corpus embeddings, then balance/sample per cluster), checked
+    * bit-for-bit against an independent engine replaying the identical
+    * arithmetic. */
+  /** Shared SQL block: stride init `c0` + the [[KmIters]] unrolled
+    * Lloyd steps, ending at centroid relation `c$KmIters`. */
+  private val kmeansCentSql =
+    s"""strd AS (
+      |  SELECT (count(*) + ${IvfNlist - 1}) // $IvfNlist AS s FROM prep),
+      |c0 AS (
+      |  SELECT vec_id AS cid, pos, e FROM flat
+      |  WHERE vec_id % (SELECT s FROM strd) = 0),
+      |${(1 to KmIters).map(kmeansStepSql).mkString(",\n")}""".stripMargin
+
+  val kmeansQuery: QueryDef = QueryDef.sql(
+    "sim_kmeans",
+    s"""WITH $preparedSql,
+      |$kmeansCentSql,
+      |df AS (
+      |  SELECT f.vec_id, c.cid, sum(${qTermSql("f.e", "c.e")}) AS d
+      |  FROM flat f JOIN c$KmIters c ON c.pos = f.pos
+      |  GROUP BY f.vec_id, c.cid),
+      |fin AS (
+      |  SELECT vec_id, cid, CAST(d AS BIGINT) AS qdist FROM (
+      |    SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d, cid) AS rn FROM df) t WHERE rn = 1)
+      |SELECT vec_id, cid, qdist,
+      |  CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS csize
+      |FROM fin
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    kmeansAssign(prepared(Tables.embeddings(s, d)), IvfNlist, KmIters)
+      .orderBy(col("vec_id"))
+  }
+
+  /** [[ivfTopKDet]] with K-MEANS-REFINED centroids: the same IVF flow
+    * ([[ivfTailSql]] / [[ivfTopKDetRaw]]), but the cell vocabulary is
+    * [[kmeansCentroids]]' Lloyd-refined table instead of the raw
+    * stride picks. The library path behind the
+    * `spark.graft.ivf.kmeansIters` deployment conf, pinned here
+    * explicitly (the [[topKIvf2]] pattern: the query selects its
+    * quantizer, the conf moves the default consumers). */
+  def ivfTopKDetKm(prep: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = IvfNlist, nprobe: Int = IvfNprobe,
+      iters: Int = KmIters): DataFrame =
+    ivfTopKDetRaw(prep, queries, k, nlist, nprobe,
+        (p, nl, up) =>
+          rankedCellsWithCentroids(p, kmeansCentroids(p, nl, iters), up))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
+
+  /** Hash-checked top-5 through the k-means-refined quantizer: the
+    * refined centroids change WHERE cell boundaries fall (better
+    * balance on clustered corpora), never the flow — so the twin is
+    * the k-means centroid CTEs feeding the SAME shared IVF tail as
+    * [[topKIvf]]. */
+  val topKIvfKm: QueryDef = QueryDef.sql(
+    "sim_topk_ivf_km",
+    s"""WITH $preparedSql,
+      |$kmeansCentSql,
+      |centflat AS (SELECT cid, pos, e FROM c$KmIters),
+      |$ivfTailSql
+      |SELECT query_id, rank, neighbor_id, floor(rawcos * 1e6 + 0.5) / 1e6 AS cos
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val prep = graft.InternalCaches.register(
+      prepared(Tables.embeddings(s, d)).persist())
+    val queries = prep.filter(col("vec_id") % QueryStride === 0)
+    ivfTopKDetKm(prep, queries, 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(topKBrute, topKLsh, rangeSearch, rangeSearchLsh, rangeSearchAuto,
       topKIvf, topKIvf2,
       hybridRrf,
       hardNegativesQuery, bm25, pqEncode, pqTopK, sq8TopK, ivfIngestGrow,
-      phraseSearch, pcaPower)
+      phraseSearch, pcaPower, kmeansQuery, topKIvfKm)
 }

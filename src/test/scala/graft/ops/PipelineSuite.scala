@@ -82,4 +82,47 @@ class PipelineSuite extends SparkSessionSuite {
     survivors should be <= (trueHits + (total * 5) / 100)
     survivors should be < total
   }
+
+  test("sequence packing matches a sequential driver reference") {
+    val dir = "/root/testdata/sf0.001"
+    val B = Pipeline.PackBudget
+    // the trivially-correct single-threaded packing: walk docs in
+    // doc_id order, keep a running token offset, clip spans to windows
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        // scalatest's inherited `size` shadows functions.size here
+        (expr("size(split(text, ' '))") + 1).cast("long").as("nt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    var off = 0L
+    for ((id, nt) <- docs) {
+      val st = off; val en = off + nt; off = en
+      val isSplit = if ((en - 1) / B > st / B) 1L else 0L
+      var sq = st / B
+      while (sq <= (en - 1) / B) {
+        val begin = math.max(st, sq * B)
+        val stop = math.min(en, (sq + 1) * B)
+        expected += ((sq, id, begin - sq * B, stop - begin, nt, isSplit))
+        sq += 1
+      }
+    }
+    val got = Pipeline.packSequences.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe expected.toSeq
+  }
+
+  test("sequence packing fills every window except the last exactly") {
+    val rows = Pipeline.packSequences.fn(spark, "/root/testdata/sf0.001")
+      .groupBy(col("seq_id")).agg(sum(col("span_len")).as("fill"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val lastSeq = rows.map(_._1).max
+    // seq ids are dense 0..last: no window is skipped
+    rows.map(_._1) shouldBe (0L to lastSeq).toArray
+    rows.filter(_._1 != lastSeq).foreach { case (_, fill) =>
+      fill shouldBe Pipeline.PackBudget
+    }
+    rows.last._2 should be <= Pipeline.PackBudget
+  }
 }

@@ -191,4 +191,82 @@ class SimilaritySuite extends SparkSessionSuite {
     val recall = outRows.intersect(exact).size.toDouble / exact.size
     withClue(s"sq8 recall $recall: ") { recall should be >= 0.9 }
   }
+
+  test("k-means-refined IVF dispatches from conf alone ≡ explicit path") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val prep = Similarity.prepared(graft.Tables.embeddings(s, dir)).persist()
+    val queries = prep.filter(col("vec_id") % Similarity.QueryStride === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toIndexedSeq).sortBy(_.toString)
+    val flat = canon(Similarity.ivfTopKDet(prep, queries, 5, nprobe = Similarity.IvfNprobe))
+    val explicitKm = canon(Similarity.ivfTopKDetKm(prep, queries, 5))
+    try {
+      s.conf.set("spark.graft.ivf.kmeansIters", Similarity.KmIters.toString)
+      canon(Similarity.ivfTopKDet(prep, queries, 5, nprobe = Similarity.IvfNprobe)) shouldBe explicitKm
+    } finally s.conf.unset("spark.graft.ivf.kmeansIters")
+    // off-switch restored: back to the stride quantizer
+    canon(Similarity.ivfTopKDet(prep, queries, 5, nprobe = Similarity.IvfNprobe)) shouldBe flat
+    prep.unpersist()
+  }
+
+  test("k-means-refined IVF keeps within-cluster recall on clustered data") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(3)
+    val centers = Seq.fill(3)(Array.fill(16)(rng.nextGaussian() * 5.0))
+    val emb = (0L until 120L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 0.1).toFloat).toSeq, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val prep = Similarity.prepared(emb).persist()
+    val queries = prep.filter(col("vec_id") < 6)
+    val got = Similarity
+      .ivfTopKDetKm(prep, queries, k = 5, nlist = 6, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    got.length shouldBe 30
+    got.foreach { case (q, n) => (n % 3) shouldBe (q % 3) }
+    prep.unpersist()
+  }
+
+  test("k-means refinement is partition-layout independent") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    def run(parts: Int): IndexedSeq[(Long, Long, Long, Long)] =
+      Similarity
+        .kmeansAssign(
+          Similarity.prepared(
+            graft.Tables.embeddings(s, dir).repartition(parts)),
+          8, Similarity.KmIters)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toIndexedSeq
+    // exact integer picounit sums make the refined centroids — and so
+    // the whole assignment, distances included — bit-identical under
+    // any partitioning (the property plain-double k-means lacks)
+    run(3) shouldBe run(11)
+  }
+
+  test("k-means Lloyd iterations do not worsen stride-init inertia") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val prep = Similarity.prepared(graft.Tables.embeddings(s, dir))
+    def inertia(iters: Int): (Long, Long, Long) = {
+      val rows = Similarity.kmeansAssign(prep, 8, iters).collect()
+      (rows.map(_.getLong(2)).sum, rows.length.toLong,
+        rows.map(_.getLong(1)).distinct.length.toLong)
+    }
+    val (i0, n0, _) = inertia(0) // assignment against the raw stride picks
+    val (i2, n2, k2) = inertia(Similarity.KmIters)
+    n0 shouldBe graft.Tables.embeddings(s, dir).count()
+    n2 shouldBe n0 // every vector keeps exactly one cluster
+    k2 should be <= 8L
+    withClue(s"inertia $i0 -> $i2: ") { i2 should be <= i0 }
+    // csize is consistent: per-cid row counts match the reported size
+    val byCid = Similarity.kmeansAssign(prep, 8, Similarity.KmIters)
+      .collect().groupBy(_.getLong(1))
+    byCid.foreach { case (_, rows) =>
+      rows.map(_.getLong(3)).distinct.toSeq shouldBe Seq(rows.length.toLong)
+    }
+  }
 }
