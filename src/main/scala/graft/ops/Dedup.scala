@@ -442,7 +442,7 @@ object Dedup {
     * the previously-uncapped oracle diverge — the cap IS the contract,
     * so the oracle states it too; fixture buckets stay under the cap,
     * leaving every committed hash unchanged). */
-  private def lshPairsSql: String =
+  private[graft] def lshPairsSql: String =
     s"""sig AS (
       |  SELECT doc_id, $mhSql FROM sh GROUP BY doc_id),
       |banded AS (
@@ -1276,7 +1276,7 @@ object Dedup {
     * drop-1-leading-token copy (+10000) and a drop-2-leading-tokens copy
     * (+20000), so pairwise detection yields chains/triangles that only a
     * transitive-closure step consolidates into one cluster per original. */
-  private def corpusChainSql =
+  private[graft] def corpusChainSql =
     """c1 AS (
       |  SELECT doc_id, substr(text, strpos(text, ' ') + 1) AS text
       |  FROM documents WHERE doc_id % 20 = 0),
@@ -1289,7 +1289,7 @@ object Dedup {
       |         substr(text, strpos(text, ' ') + 1) AS text
       |  FROM c1)""".stripMargin
 
-  private def corpusChain(docs: DataFrame): DataFrame = {
+  private[graft] def corpusChain(docs: DataFrame): DataFrame = {
     val dropFirst = expr("substring(text, instr(text, ' ') + 1)").as("text")
     val c1 = docs.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id"), dropFirst)
@@ -1317,6 +1317,26 @@ object Dedup {
     * primitive. The oracle states the same closure as a recursive CTE.
     * Output: every clustered doc with its canonical (min) member id and
     * the cluster size. */
+  /** CC closure over the n_match >= 8 LSH pair graph, ending at
+    * `clusters(doc_id, cluster_id)` — the recursive-CTE twin of
+    * [[connectedComponents]]. ONE definition for every twin that
+    * consumes cluster labels ([[ccClusters]], [[repSelect]],
+    * `Pipeline.leakageSplit`). */
+  private[graft] val ccClustersSql =
+    """edges0 AS (SELECT doc1, doc2 FROM pairs WHERE n_match >= 8),
+      |nodes AS (
+      |  SELECT doc1 AS doc_id FROM edges0
+      |  UNION SELECT doc2 AS doc_id FROM edges0),
+      |edges AS (
+      |  SELECT doc1 AS src, doc2 AS dst FROM edges0
+      |  UNION SELECT doc2 AS src, doc1 AS dst FROM edges0),
+      |reach AS (
+      |  SELECT doc_id AS a, doc_id AS b FROM nodes
+      |  UNION
+      |  SELECT r.a, e.dst AS b FROM reach r JOIN edges e ON e.src = r.b),
+      |clusters AS (
+      |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
   val ccClusters: QueryDef = QueryDef.sql(
     "dedup_cc_clusters",
     s"""WITH RECURSIVE $corpusChainSql,
@@ -1376,19 +1396,7 @@ object Dedup {
       |$encodedToksSql,
       |$shinglesSql,
       |$lshPairsSql,
-      |edges0 AS (SELECT doc1, doc2 FROM pairs WHERE n_match >= 8),
-      |nodes AS (
-      |  SELECT doc1 AS doc_id FROM edges0
-      |  UNION SELECT doc2 AS doc_id FROM edges0),
-      |edges AS (
-      |  SELECT doc1 AS src, doc2 AS dst FROM edges0
-      |  UNION SELECT doc2 AS src, doc1 AS dst FROM edges0),
-      |reach AS (
-      |  SELECT doc_id AS a, doc_id AS b FROM nodes
-      |  UNION
-      |  SELECT r.a, e.dst AS b FROM reach r JOIN edges e ON e.src = r.b),
-      |clusters AS (
-      |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      |$ccClustersSql,
       |mem AS (
       |  SELECT c.doc_id, coalesce(cl.cluster_id, c.doc_id) AS cluster_id,
       |         len(string_split(c.text, ' ')) AS n_toks

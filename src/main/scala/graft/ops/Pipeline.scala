@@ -720,6 +720,68 @@ object Pipeline {
     }
   }
 
+  /** LEAKAGE-SAFE SPLITTING — train/val/test assignment where every
+    * member of a near-dup cluster lands in the SAME split. The naive
+    * per-doc hash split ([[trainSplit]]) tears near-dup clusters
+    * across the boundary: a doc trains while its 95 %-identical twin
+    * evaluates — the classic silent-contamination path that inflates
+    * eval scores. Fix: the split key is the doc's CC cluster label
+    * from the MinHash-LSH near-dup graph (its own id for singletons),
+    * hashed with [[trainSplit]]'s exact rule — so the 90/5/5 banding,
+    * the stability argument (adding docs never moves existing ones
+    * unless their cluster gains a lower-id member), and the
+    * determinism story all carry over unchanged while the tear
+    * becomes structurally impossible: split is a FUNCTION of
+    * cluster_id. Runs on the chain corpus (the module's plant
+    * convention — documents ∪ two truncation levels of every 20th
+    * doc) so real multi-member clusters exercise the property.
+    *
+    * 100 TB shape: everything up to the labels is [[Dedup]]'s banded
+    * candidate generation + join-agg CC (never all-pairs); the split
+    * itself adds ONE left join of the corpus ids against the (small —
+    * only clustered docs) label relation and a map-side hash. The
+    * suite additionally proves the naive split WOULD have torn a
+    * planted cluster. */
+  val leakageSplit: QueryDef = QueryDef.sql(
+    "pipe_leakage_split",
+    s"""WITH RECURSIVE ${Dedup.corpusChainSql},
+      |${Dedup.encodedToksSql},
+      |${Dedup.shinglesSql},
+      |${Dedup.lshPairsSql},
+      |${Dedup.ccClustersSql},
+      |keyed AS (
+      |  SELECT c.doc_id, coalesce(cl.cluster_id, c.doc_id) AS split_key
+      |  FROM corpus c LEFT JOIN clusters cl ON cl.doc_id = c.doc_id),
+      |assigned AS (
+      |  SELECT doc_id, split_key,
+      |    ('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 4))::INT % 100
+      |      AS bucket
+      |  FROM keyed)
+      |SELECT doc_id, split_key, bucket,
+      |  CASE WHEN bucket < 90 THEN 'train'
+      |       WHEN bucket < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM assigned
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val corpus = Dedup.corpusChain(Tables.documents(s, d))
+    val sh = Dedup.shingles(Dedup.encodedToks(corpus))
+    val edges0 = Dedup.lshCandidatePairs(sh)
+      .filter(col("n_match") >= 8).select(col("doc1"), col("doc2"))
+    val labels = Dedup.connectedComponents(edges0)
+    corpus.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("split_key"))
+      .select(col("doc_id"), col("split_key"),
+        (conv(substring(md5(col("split_key").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100).as("bucket"))
+      .select(col("doc_id"), col("split_key"), col("bucket"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SEQUENCE PACKING — concatenate the token stream of the whole
     * corpus (deterministic doc_id order, one EOD token after each doc)
     * and chunk it into fixed `PackBudget`-token context windows: the
@@ -825,5 +887,5 @@ object Pipeline {
   val all: Seq[QueryDef] =
     Seq(corpusClean, domainMix, compact, decontaminate, decontaminateBloom,
       trainSplit, profile, shuffleShard, contaminationScore, tokenBudget,
-      dsirSelect, packSequences)
+      dsirSelect, packSequences, leakageSplit)
 }

@@ -83,6 +83,29 @@ class PipelineSuite extends SparkSessionSuite {
     survivors should be < total
   }
 
+  test("leakage-safe split keeps every near-dup cluster in one split") {
+    val rows = Pipeline.leakageSplit.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    // split is a function of the cluster key — no cluster is ever torn
+    rows.groupBy(_._2).values.foreach { members =>
+      members.map(_._4).distinct.length shouldBe 1
+    }
+    val clusters = rows.groupBy(_._2).values.filter(_.length > 1).toSeq
+    clusters.length should be > 0 // the chain corpus plants real clusters
+    // and the fix matters: the NAIVE per-doc hash split would have torn
+    // at least one of those clusters across the train/val/test boundary
+    def naiveSplit(docId: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+      val bucket = Integer.parseInt(
+        md.take(2).map("%02x".format(_)).mkString, 16) % 100
+      if (bucket < 90) "train" else if (bucket < 95) "val" else "test"
+    }
+    clusters.count(_.map(m => naiveSplit(m._1)).distinct.length > 1) should
+      be > 0
+  }
+
   test("sequence packing matches a sequential driver reference") {
     val dir = "/root/testdata/sf0.001"
     val B = Pipeline.PackBudget
