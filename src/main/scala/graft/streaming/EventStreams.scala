@@ -915,8 +915,170 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  // --------------------------- streaming incremental sequence packing --
+
+  /** Context-window token budget and shard count for the streaming
+    * packer (the batch packer's budget, `Pipeline.PackBudget`). */
+  private val StPackBudget = 512L
+  private val StPackShards = 4
+  private val StPackFiles = 5
+
+  private def packStagedDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-packdocs-staged-" +
+      math.abs(d.hashCode)
+
+  /** Stages documents as [[StPackFiles]] doc_id-RANGE files with
+    * strictly ascending modification times, so the file source (oldest
+    * first, one file per trigger) replays the corpus in doc_id order —
+    * the determinism contract that lets the accumulated incremental
+    * output equal the batch packing oracle. */
+  def stagePackDocs(s: SparkSession, d: String): Unit = {
+    val dir = packStagedDir(d)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.mkdirs(p)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val step = maxId / StPackFiles + 1
+    for (i <- 0 until StPackFiles) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/_stage$i")
+      docs.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).head
+      val dest = new org.apache.hadoop.fs.Path(dir, f"batch$i%03d.parquet")
+      fs.rename(part, dest)
+      fs.delete(tmp, true)
+      fs.setTimes(dest, 1000L * (i + 1), -1) // ascending, tie-free
+    }
+    val marker = new org.apache.hadoop.fs.Path(dir, StagedMarker)
+    fs.create(marker, true).close()
+  }
+
+  /** STREAMING INCREMENTAL SEQUENCE PACKING — the streaming twin of
+    * `pipe_pack_sequences`: as document batches arrive, each SHARD
+    * (doc_id % [[StPackShards]] — the loader convention) extends its
+    * own token stream and chunks it into [[StPackBudget]]-token
+    * context windows WITHOUT repacking anything already emitted. The
+    * only cross-batch state is one running token offset per shard,
+    * persisted as an append-only (shard, off, epoch) log — the reader
+    * takes each shard's latest epoch, so an at-least-once replayed
+    * epoch re-appends identical rows and changes nothing (the
+    * ingestDocsStream idempotence convention; assignments are keyed
+    * the same way and distinct-ed on read). Within a batch the packing
+    * is the same exact-integer window arithmetic as the batch op,
+    * partitioned by shard.
+    *
+    * 100 TB shape: per epoch the plan is one bounded-window pass over
+    * the BATCH (never the accumulated corpus), a broadcast of the
+    * |shards|-row offset table, and two appends; state size is
+    * |shards| rows regardless of history. This is exactly how a
+    * production loader keeps a growing corpus packed: sequences
+    * already written are immutable, new docs only ever extend the
+    * tail. */
+  def packDocsStream(s: SparkSession, sourceDir: String,
+      checkpointDir: String, stateDir: String, outDir: String): Unit = {
+    val q = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        val statePath = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val latestByShard = Window.partitionBy(col("shard"))
+          .orderBy(col("epoch").desc)
+        val offsets =
+          if (fs.exists(statePath))
+            s.read.parquet(stateDir)
+              .withColumn("rn", row_number().over(latestByShard))
+              .filter(col("rn") === 1).select(col("shard"), col("off"))
+          else s.range(0).select(col("id").as("shard"), col("id").as("off"))
+        val wLoc = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pos = batch
+          .select(col("doc_id"),
+            (size(split(col("text"), " ")) + 1).cast("long").as("n_tokens"),
+            pmod(col("doc_id"), lit(StPackShards.toLong)).as("shard"))
+          .withColumn("loc_end", sum(col("n_tokens")).over(wLoc))
+          .join(broadcast(offsets), Seq("shard"), "left")
+          .withColumn("base", coalesce(col("off"), lit(0L)))
+          .withColumn("st", col("base") + col("loc_end") - col("n_tokens"))
+          .withColumn("en", col("base") + col("loc_end"))
+        pos
+          .select(col("shard"), col("doc_id"), col("st"), col("en"),
+            explode(expr(
+              s"sequence(st DIV $StPackBudget, (en - 1) DIV $StPackBudget)"))
+              .as("seq_id"))
+          .select(col("shard"), col("seq_id"), col("doc_id"),
+            (greatest(col("st"), col("seq_id") * StPackBudget)
+              - col("seq_id") * StPackBudget).as("seq_off"),
+            (least(col("en"), (col("seq_id") + 1) * StPackBudget)
+              - greatest(col("st"), col("seq_id") * StPackBudget))
+              .as("span_len"),
+            when(expr(s"(en - 1) DIV $StPackBudget > st DIV $StPackBudget"),
+              1L).otherwise(0L).as("is_split"))
+          .withColumn("epoch", lit(epoch))
+          .write.mode("append").parquet(outDir)
+        pos.groupBy(col("shard"))
+          .agg((max(col("base")) + sum(col("n_tokens"))).as("off"))
+          .withColumn("epoch", lit(epoch))
+          .write.mode("append").parquet(stateDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  val packStream: QueryDef = QueryDef.sqlPrepared(
+    "st_pack_sequences",
+    s"""WITH q AS (
+      |  SELECT doc_id, doc_id % $StPackShards AS shard,
+      |    CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |loc AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS en
+      |  FROM q),
+      |pos AS (SELECT doc_id, shard, n_tokens, en - n_tokens AS st, en
+      |        FROM loc),
+      |asg AS (
+      |  SELECT doc_id, shard, st, en,
+      |    unnest(generate_series(st // $StPackBudget,
+      |                           (en - 1) // $StPackBudget)) AS seq_id
+      |  FROM pos)
+      |SELECT shard, seq_id, doc_id,
+      |  greatest(st, seq_id * $StPackBudget) - seq_id * $StPackBudget
+      |    AS seq_off,
+      |  least(en, (seq_id + 1) * $StPackBudget)
+      |    - greatest(st, seq_id * $StPackBudget) AS span_len,
+      |  CAST(CASE WHEN (en - 1) // $StPackBudget > st // $StPackBudget
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_split
+      |FROM asg
+      |ORDER BY shard, seq_id, doc_id""".stripMargin)(
+    stagePackDocs) { (s, d) =>
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-stream-out/" +
+      s"st_pack-${java.util.UUID.randomUUID}"
+    packDocsStream(s,
+      ensureStagedIn(s, packStagedDir(d), stagePackDocs(s, d)),
+      s"$base/ckpt", s"$base/state", s"$base/out")
+    val out = s.read.parquet(s"$base/out")
+      .select(col("shard"), col("seq_id"), col("doc_id"), col("seq_off"),
+        col("span_len"), col("is_split"))
+      .distinct() // replayed epochs re-append identical rows
+      .orderBy(col("shard"), col("seq_id"), col("doc_id"))
+      .localCheckpoint(true)
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    out
+  }
+
   val all: Seq[QueryDef] =
     Seq(tumblingHourly, slidingHalfHour, streamDedup, intervalJoin,
       enrichStatic, asofEnrichStream, sessionsStream, sessionsBatch,
-      cmsUsers, upsertState, lshDedup)
+      cmsUsers, upsertState, lshDedup, packStream)
 }

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.fm.SparkSessionSuite
+import org.apache.spark.sql.functions._
+
+/** Incremental packing across TWO stream runs sharing one checkpoint and
+  * one state log: run 1 packs the first three doc ranges; the corpus
+  * then GROWS by two more ranges; run 2 resumes from the checkpoint and
+  * packs only the new arrivals. Pins the two properties that make
+  * streaming packing useful at all:
+  *
+  *   - PREFIX STABILITY: every assignment emitted by run 1 is still
+  *     present bit-for-bit after run 2 — growing the corpus never
+  *     repacks (rewrites) an already-emitted sequence;
+  *   - ONE-PASS EQUALITY: the accumulated two-run output equals packing
+  *     the full grown corpus in a single pass (the sequential per-shard
+  *     driver reference).
+  */
+class PackStreamSuite extends SparkSessionSuite {
+
+  private val B = 512L
+  private val Shards = 4
+
+  test("streaming packer extends a grown corpus without repacking") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-pack").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+
+    def text(i: Int): String = ("w " * (i % 97 + 3)).trim
+    def stage(name: String, ids: Range, mtime: Long): Unit = {
+      val tmp = s"$base/stage-$name"
+      ids.map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val dest = Paths.get(in, s"$name.parquet")
+      Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .forEach(p => Files.move(p, dest))
+      new java.io.File(dest.toString).setLastModified(mtime) shouldBe true
+    }
+
+    def collected(): Set[(Long, Long, Long, Long, Long, Long)] =
+      s.read.parquet(s"$base/out")
+        .select(col("shard"), col("seq_id"), col("doc_id"), col("seq_off"),
+          col("span_len"), col("is_split"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+
+    stage("b0", 0 until 40, 1000L)
+    stage("b1", 40 until 80, 2000L)
+    stage("b2", 80 until 120, 3000L)
+    EventStreams.packDocsStream(s, in, s"$base/ckpt", s"$base/state",
+      s"$base/out")
+    val firstRun = collected()
+
+    stage("b3", 120 until 160, 4000L)
+    stage("b4", 160 until 200, 5000L)
+    EventStreams.packDocsStream(s, in, s"$base/ckpt", s"$base/state",
+      s"$base/out")
+    val accumulated = collected()
+
+    // prefix stability: nothing emitted by run 1 was rewritten
+    firstRun.subsetOf(accumulated) shouldBe true
+    accumulated.size should be > firstRun.size
+
+    // one-pass equality: sequential per-shard packing of the FULL corpus
+    val expected = scala.collection.mutable.Set
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    val offsets = scala.collection.mutable.Map.empty[Long, Long]
+    for (i <- 0 until 200) {
+      val shard = i.toLong % Shards
+      val nt = text(i).split(" ").length.toLong + 1
+      val st = offsets.getOrElse(shard, 0L)
+      val en = st + nt
+      offsets(shard) = en
+      val isSplit = if ((en - 1) / B > st / B) 1L else 0L
+      var sq = st / B
+      while (sq <= (en - 1) / B) {
+        val begin = math.max(st, sq * B)
+        val stop = math.min(en, (sq + 1) * B)
+        expected += ((shard, sq, i.toLong, begin - sq * B, stop - begin,
+          isSplit))
+        sq += 1
+      }
+    }
+    accumulated shouldBe expected.toSet
+  }
+}
