@@ -2252,6 +2252,27 @@ object Dedup {
       s"p${ProcessHandle.current().pid()}-" +
       d.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Best-effort sweep of OTHER processes' dead per-pid staging dirs
+    * under `prefix` (this pid's dir is skipped; a live pid's dir is
+    * skipped). Per-pid isolation fixed the cross-process race (r10
+    * advice) but left each run's full staged index in tmpdir forever —
+    * repeated Verify/test runs would fill the disk (r11 review). */
+  private[ops] def sweepDeadPidDirs(s: SparkSession, prefix: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"))
+    val fs = tmp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val self = ProcessHandle.current().pid()
+    val PidPat = (java.util.regex.Pattern.quote(prefix) + "p(\\d+)-.*").r
+    try fs.listStatus(tmp).foreach { st =>
+      st.getPath.getName match {
+        case PidPat(pid) if pid.toLong != self &&
+            !ProcessHandle.of(pid.toLong).isPresent =>
+          try fs.delete(st.getPath, true) catch { case _: java.io.IOException => () }
+        case _ => ()
+      }
+    } catch { case _: java.io.IOException => () }
+  }
+
   private def pristinePath(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "_PRISTINE")
 
@@ -2260,6 +2281,7 @@ object Dedup {
     * deletes first — leftover appended cell files from a previous
     * ingest run would otherwise survive into the "fresh" index. */
   def stageIngestGrowIndex(s: SparkSession, d: String): Unit = {
+    sweepDeadPidDirs(s, "graft-ingest-grow-")
     val dir = ingestGrowDir(d)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -503,7 +503,8 @@ object Similarity {
     * own threshold. The dot is order-immune (summed by position;
     * per-position products commute exactly), so the value is
     * bit-identical to the all-pairs kernel's for any pair both emit. */
-  def bandedPairCosine(prep: DataFrame, tables: Int = BandTables): DataFrame = {
+  def bandedPairCosine(prep: DataFrame, tables: Int = BandTables,
+      buckets: Option[DataFrame] = None): DataFrame = {
     // Both join sides CARRY their vectors so the cosine is computed
     // inside the bucket join and the cross-table dedup runs after, on
     // the scalar result. The obvious alternative — dedup the (v1, v2)
@@ -517,7 +518,7 @@ object Similarity {
     // shuffles each candidate exactly once, as a 24-byte scalar row.
     // The replicated vectors on the probe side are `masks × tables`
     // copies of the corpus — linear in n, never in candidates.
-    val tb = lshBucketsMulti(prep, tables)
+    val tb = buckets.getOrElse(lshBucketsMulti(prep, tables))
       .join(prep.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
     val a = tb.select(col("vec_id").as("v1"), col("tbl"), col("bucket"),
       col("v").as("av"), col("nrm").as("n1"),
@@ -570,11 +571,22 @@ object Similarity {
     * c_a·c_b for buckets at Hamming distance 1, per table, pre-dedup —
     * precisely the pair rows [[bandedPairCosine]] feeds its dot. */
   def rangeDispatchDecision(prep: DataFrame,
-      tables: Int = BandTables): RangeDispatchDecision = {
+      tables: Int = BandTables,
+      minLshVectors: Option[Long] = None,
+      sharePctPin: Option[Int] = None,
+      buckets: Option[DataFrame] = None): RangeDispatchDecision = {
+    // Explicit pins beat the session conf: an oracle-checked query must
+    // fix its thresholds as literals mirrored in its SQL twin (the
+    // topKIvf2/topKIvfKm rule — a stray session knob would flip the
+    // Spark route while the twin's inlined defaults stayed put, r11
+    // review). The conf remains the deployment surface for library
+    // callers that pass no pins.
     val conf = prep.sparkSession.conf
-    val minVec = conf.get(RangeAutoPrefix + "minLshVectors", "4096").toLong
-    val sharePct = conf.get(RangeAutoPrefix + "sharePct", "90").toInt
-    val hist = lshBucketsMulti(prep, tables)
+    val minVec = minLshVectors.getOrElse(
+      conf.get(RangeAutoPrefix + "minLshVectors", "4096").toLong)
+    val sharePct = sharePctPin.getOrElse(
+      conf.get(RangeAutoPrefix + "sharePct", "90").toInt)
+    val hist = buckets.getOrElse(lshBucketsMulti(prep, tables))
       .groupBy(col("tbl"), col("bucket")).count()
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
@@ -619,10 +631,20 @@ object Similarity {
     * metadata-sized action at DataFrame-construction time; conf-tunable
     * under `spark.graft.sim.range.auto.*` ([[RangeAutoPrefix]]). */
   def rangeSearchPairs(prep: DataFrame, threshold: Double,
-      tables: Int = BandTables): DataFrame = {
-    val d = rangeDispatchDecision(prep, tables)
-    if (d.useBrute) pairCosineKernel(prep, threshold)
-    else bandedPairCosine(prep, tables).filter(col("rawcos") >= threshold)
+      tables: Int = BandTables,
+      minLshVectors: Option[Long] = None,
+      sharePctPin: Option[Int] = None): DataFrame = {
+    // ONE bucket pass serves both the dispatch histogram and (on the
+    // banded route) the join sides — unpersisted, the O(n·d) bucket
+    // computation would run once for the decision and again inside
+    // bandedPairCosine (r11 review).
+    val bk = graft.InternalCaches.register(
+      lshBucketsMulti(prep, tables).persist())
+    val d = rangeDispatchDecision(prep, tables, minLshVectors, sharePctPin,
+      Some(bk))
+    if (d.useBrute) { bk.unpersist(); pairCosineKernel(prep, threshold) }
+    else bandedPairCosine(prep, tables, Some(bk))
+      .filter(col("rawcos") >= threshold)
   }
 
   /** SQL twin of `lshBucketsMulti(prep, BandTables)` — shared by the
@@ -730,7 +752,10 @@ object Similarity {
       |ORDER BY v1, v2""".stripMargin) { (s, d) =>
     val prep = graft.InternalCaches.register(
       prepared(Tables.embeddings(s, d)).persist())
-    rangeSearchPairs(prep, 0.35)
+    // thresholds PINNED to the literals the twin inlines — a session
+    // knob must never flip this oracle-checked route
+    rangeSearchPairs(prep, 0.35, minLshVectors = Some(4096L),
+      sharePctPin = Some(90))
       .select(col("v1"), col("v2"), (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
       .orderBy(col("v1"), col("v2"))
   }
@@ -1460,6 +1485,14 @@ object Similarity {
     // a rebuild is a RECOVERY verb ([[IndexIntent]]): it overwrites
     // every component, so a torn directory is tolerated and repaired
     IndexIntent.beginRepair(prep.sparkSession, dir, "saveIvfIndex")
+    // the convention tag goes FIRST: everything this verb writes is v2
+    // arithmetic, and tagging last left a crash window where the
+    // half-built directory's advertised recovery verb
+    // ([[compactIvfIndex]]) dead-ended on its own format assertion
+    // with a misleading "pre-r11 index" diagnostic (r11 review). A
+    // crash mid-BUILD is still best recovered by re-running
+    // saveIvfIndex itself — only the build has the source rows.
+    writeIvfFormat(prep.sparkSession, dir)
     // a rebuild starts a fresh lifecycle: drop any tombstone log left
     // by deletes against a previous index in this directory
     Dedup.clearTombstones(prep.sparkSession, dir)
@@ -1472,7 +1505,6 @@ object Similarity {
     // a rebuild starts snapshot history over: v1 = the full build
     clearIvfSnapshots(prep.sparkSession, dir)
     commitIvfSnapshot(prep.sparkSession, dir)
-    writeIvfFormat(prep.sparkSession, dir)
     IndexIntent.end(prep.sparkSession, dir)
   }
 
@@ -2131,6 +2163,7 @@ object Similarity {
     * previous ingest run would otherwise survive into the "fresh"
     * index. */
   def stageIvfIngestGrowIndex(s: SparkSession, d: String): Unit = {
+    Dedup.sweepDeadPidDirs(s, "graft-ivf-ingest-grow-")
     val dir = ivfIngestGrowDir(d)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

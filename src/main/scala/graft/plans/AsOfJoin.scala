@@ -148,19 +148,11 @@ object AsOf {
   /** `broadcastRight`: None (default) lets the planner choose by the
     * right side's size statistics vs `autoBroadcastJoinThreshold`;
     * Some(true)/Some(false) force the broadcast / shuffle form. */
-  def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
-           leftTime: String, rightTime: String,
-           tolerance: Option[Long] = None,
-           broadcastRight: Option[Boolean] = None): DataFrame = {
-    // UNIT SAFETY: a raw-Long tolerance subtracts the time columns'
-    // underlying long slots, so its unit is whatever those slots hold —
-    // nanos for LongType epoch-nanos columns (the engine convention, see
-    // Tables.normalizeEventTime), but MICROS for Timestamp/TimestampNTZ
-    // columns. A caller who wrote nanos against a column that silently
-    // widened to timestamp would get a ×1000 window with no error — the
-    // exact bug class round 8 hit. So the raw-Long form is restricted to
-    // LongType columns; timestamp-typed columns must use the
-    // `java.time.Duration` overload, which converts per the column type.
+  /** The raw-Long tolerance unit guard shared by [[join]] and
+    * [[joinPlain]] — one definition so the policy and its message
+    * cannot drift between the two public entries. */
+  private def requireRawLongTolerance(left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String, tolerance: Option[Long]): Unit =
     if (tolerance.isDefined) {
       import org.apache.spark.sql.types.LongType
       val (ltType, rtType) =
@@ -174,6 +166,21 @@ object AsOf {
         "time columns to LongType epoch-nanos first " +
         "(graft.Tables.normalizeEventTime).")
     }
+
+  def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+           leftTime: String, rightTime: String,
+           tolerance: Option[Long] = None,
+           broadcastRight: Option[Boolean] = None): DataFrame = {
+    // UNIT SAFETY: a raw-Long tolerance subtracts the time columns'
+    // underlying long slots, so its unit is whatever those slots hold —
+    // nanos for LongType epoch-nanos columns (the engine convention, see
+    // Tables.normalizeEventTime), but MICROS for Timestamp/TimestampNTZ
+    // columns. A caller who wrote nanos against a column that silently
+    // widened to timestamp would get a ×1000 window with no error — the
+    // exact bug class round 8 hit. So the raw-Long form is restricted to
+    // LongType columns; timestamp-typed columns must use the
+    // `java.time.Duration` overload, which converts per the column type.
+    requireRawLongTolerance(left, right, leftTime, rightTime, tolerance)
     dispatch(left, right, keys, leftTime, rightTime, tolerance, broadcastRight)
   }
 
@@ -189,19 +196,7 @@ object AsOf {
                 leftTime: String, rightTime: String,
                 tolerance: Option[Long] = None,
                 broadcastRight: Option[Boolean] = None): DataFrame = {
-    if (tolerance.isDefined) {
-      import org.apache.spark.sql.types.LongType
-      val (ltType, rtType) =
-        (left.schema(leftTime).dataType, right.schema(rightTime).dataType)
-      require(ltType == LongType && rtType == LongType,
-        s"raw Long as-of tolerance is unit-ambiguous on time columns of " +
-        s"type ${ltType.simpleString}/${rtType.simpleString}: " +
-        "the value would be applied in the column's storage unit (micros " +
-        "for timestamps), not necessarily the unit you wrote. Pass the " +
-        "tolerance as java.time.Duration (unit-safe), or normalize the " +
-        "time columns to LongType epoch-nanos first " +
-        "(graft.Tables.normalizeEventTime).")
-    }
+    requireRawLongTolerance(left, right, leftTime, rightTime, tolerance)
     plan(left, right, keys, leftTime, rightTime, tolerance, broadcastRight)
   }
 

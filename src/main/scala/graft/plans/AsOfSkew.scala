@@ -122,14 +122,37 @@ object AsOfSkew {
     // equal (quantiles collapse) — nothing to split there
     val bounds = config.hint
       .getOrElse {
-        // CHEAP SKIP: a left side estimated below minHotRows BYTES
-        // cannot contain a minHotRows-ROW key (a row occupies >= 1
-        // byte), so the detection job would be pure overhead. Kills
-        // the per-call sample pass for dim-sized inputs under the
-        // production default — stats only, no job. Conservative in
-        // the safe direction: over-estimates skip nothing.
-        val sizeEst = left.queryExecution.optimizedPlan.stats.sizeInBytes
-        if (sizeEst < config.minHotRows) Map.empty[Seq[Any], Seq[Long]]
+        // CHEAP SKIP: a left side whose plan statistics PROVE it cannot
+        // hold a minHotRows-row key plans plain with no detection job —
+        // stats only, no action. Provable means: an exact rowCount
+        // (local relations, CBO/ANALYZE'd tables), or — for plans with
+        // NO storage relation, whose sizeInBytes is rows × schema
+        // default widths — the byte estimate divided by that width.
+        // A file scan's sizeInBytes is COMPRESSED bytes scaled by
+        // column pruning, and a skewed (= repetitive, RLE-friendly)
+        // key column can encode far below one byte per row, so the
+        // previous `bytes < rows` premise silently disabled the rescue
+        // on exactly the corpora it targets (r11 review) — storage-
+        // backed plans without a rowCount now always detect (one
+        // column-pruned sampled job; trivial next to any file-backed
+        // workload).
+        val plan = left.queryExecution.optimizedPlan
+        val stats = plan.stats
+        import org.apache.spark.sql.execution.datasources.LogicalRelation
+        import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        val storageBacked = plan.exists {
+          case _: LogicalRelation => true
+          case _: DataSourceV2Relation => true
+          case _: org.apache.spark.sql.catalyst.catalog.HiveTableRelation => true
+          case _ => false
+        }
+        val provablySmall = stats.rowCount.exists(_ < config.minHotRows) || (
+          !storageBacked && {
+            val rowBytes =
+              BigInt(left.schema.map(_.dataType.defaultSize).sum.max(8))
+            stats.sizeInBytes / rowBytes < BigInt(config.minHotRows)
+          })
+        if (provablySmall) Map.empty[Seq[Any], Seq[Long]]
         else detect(left, lKeys, leftTime, config)
       }
       .filter(_._2.nonEmpty)

@@ -187,8 +187,39 @@ object EventStreams {
     * the first write, so checking it would accept a dir whose sentinel
     * (or duplicate batch) append never ran — a crash between writes
     * would then silently starve the watermark and drop the trailing
-    * windows on every later stage-if-missing call. */
+    * windows on every later stage-if-missing call. The marker BODY is
+    * the source fixture's fingerprint (file names, sizes, mtimes):
+    * stage-if-missing reuse validates it, so a REGENERATED fixture
+    * under the same path restages instead of silently streaming the
+    * prior generation — the round-8 staleness class, the same fix the
+    * bucketed as-of tables got (r11 review: the packer staging
+    * re-introduced the marker-existence-only check). */
   private val StagedMarker = "_GRAFT_STAGED"
+
+  /** Fingerprint of `$d/$table.parquet` (names, sizes, mtimes of its
+    * data files — the eventsFingerprint convention). */
+  private def fixtureFingerprint(s: SparkSession, d: String,
+      table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stats =
+      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+       else Seq(fs.getFileStatus(p)))
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .sortBy(_.getPath.getName)
+    stats.map(st =>
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .mkString(";")
+  }
+
+  /** Writes the staged marker with the fixture fingerprint as body. */
+  private def writeStagedMarker(s: SparkSession, dir: String,
+      fingerprint: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(dir, StagedMarker)
+    val out = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .create(marker, true)
+    try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Stages the bounded fixture for the streaming file source (which
     * needs a directory, not a single file), via Spark writes only —
@@ -218,26 +249,34 @@ object EventStreams {
         lit(0.0).as("value"),
         lit("").as("props"))
       .write.mode("append").parquet(dir)
-    val marker = new org.apache.hadoop.fs.Path(dir, StagedMarker)
-    marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .create(marker, true).close()
+    writeStagedMarker(s, dir, fixtureFingerprint(s, d, "events"))
   }
 
   def stageStreamingEvents(s: SparkSession, d: String): Unit =
     stageEvents(s, d, stagedDir(d), None)
 
   /** Stage-if-missing fallback so the query closures stand alone when
-    * the driver calls them without the prepare hook. */
+    * the driver calls them without the prepare hook. Reuse requires the
+    * marker's stored fingerprint to match the CURRENT fixture — a
+    * regenerated fixture restages instead of serving stale rows. */
   private def ensureStagedIn(s: SparkSession, dir: String,
-      stage: => Unit): String = {
+      fingerprint: String)(stage: => Unit): String = {
     val marker = new org.apache.hadoop.fs.Path(dir, StagedMarker)
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) stage
+    val fresh = fs.exists(marker) && {
+      val in = fs.open(marker)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      stored == fingerprint
+    }
+    if (!fresh) stage
     dir
   }
 
   private def ensureStaged(s: SparkSession, d: String): String =
-    ensureStagedIn(s, stagedDir(d), stageStreamingEvents(s, d))
+    ensureStagedIn(s, stagedDir(d), fixtureFingerprint(s, d, "events"))(
+      stageStreamingEvents(s, d))
 
   private def streamingEvents(s: SparkSession, d: String): DataFrame =
     s.readStream.schema(eventSchema).parquet(ensureStaged(s, d))
@@ -297,7 +336,8 @@ object EventStreams {
     stageEvents(s, d, stagedDedupDir(d), Some(10))
 
   private def ensureDupStaged(s: SparkSession, d: String): String =
-    ensureStagedIn(s, stagedDedupDir(d), stageDuplicatedEvents(s, d))
+    ensureStagedIn(s, stagedDedupDir(d),
+      fixtureFingerprint(s, d, "events"))(stageDuplicatedEvents(s, d))
 
   /** Streaming deduplication — the ingestion-dedup pattern every
     * at-least-once pipeline needs: `dropDuplicatesWithinWatermark` on
@@ -743,9 +783,7 @@ object EventStreams {
     val dir = lshStagedDir(d)
     graft.ops.Dedup.incomingLshBatch(Tables.documents(s, d))
       .write.mode("overwrite").parquet(dir)
-    val marker = new org.apache.hadoop.fs.Path(dir, StagedMarker)
-    marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .create(marker, true).close()
+    writeStagedMarker(s, dir, fixtureFingerprint(s, d, "documents"))
   }
 
   /** STREAMING near-dup ingestion dedup — the streaming twin of
@@ -826,7 +864,8 @@ object EventStreams {
       sig.withColumnRenamed("doc_id", "existing_id"))((acc, j) =>
       acc.withColumnRenamed(s"mh$j", s"smh$j"))
     val stream = s.readStream.schema(docSchema)
-      .parquet(ensureStagedIn(s, lshStagedDir(d), stageLshBatch(s, d)))
+      .parquet(ensureStagedIn(s, lshStagedDir(d),
+        fixtureFingerprint(s, d, "documents"))(stageLshBatch(s, d)))
     val signed = graft.ops.Dedup.withRowSignature(stream, "text")
       .withColumnRenamed("doc_id", "incoming_id")
     val probe = signed.select(
@@ -952,8 +991,7 @@ object EventStreams {
       fs.delete(tmp, true)
       fs.setTimes(dest, 1000L * (i + 1), -1) // ascending, tie-free
     }
-    val marker = new org.apache.hadoop.fs.Path(dir, StagedMarker)
-    fs.create(marker, true).close()
+    writeStagedMarker(s, dir, fixtureFingerprint(s, d, "documents"))
   }
 
   /** STREAMING INCREMENTAL SEQUENCE PACKING — the streaming twin of
@@ -988,9 +1026,18 @@ object EventStreams {
         val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
         val latestByShard = Window.partitionBy(col("shard"))
           .orderBy(col("epoch").desc)
+        // STRICTLY-EARLIER epochs only: output, state append, and the
+        // checkpoint commit are three non-atomic steps, so a crash
+        // after the state append replays this epoch — an unfiltered
+        // read would then pick the failed attempt's own row as `base`
+        // and emit SHIFTED (non-identical) assignments, breaking the
+        // replay-idempotence contract. Filtered, the replay recomputes
+        // from the same pre-batch offsets and re-appends identical
+        // rows (review catch, r11).
         val offsets =
           if (fs.exists(statePath))
             s.read.parquet(stateDir)
+              .filter(col("epoch") < epoch)
               .withColumn("rn", row_number().over(latestByShard))
               .filter(col("rn") === 1).select(col("shard"), col("off"))
           else s.range(0).select(col("id").as("shard"), col("id").as("off"))
@@ -1064,7 +1111,8 @@ object EventStreams {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-stream-out/" +
       s"st_pack-${java.util.UUID.randomUUID}"
     packDocsStream(s,
-      ensureStagedIn(s, packStagedDir(d), stagePackDocs(s, d)),
+      ensureStagedIn(s, packStagedDir(d),
+        fixtureFingerprint(s, d, "documents"))(stagePackDocs(s, d)),
       s"$base/ckpt", s"$base/state", s"$base/out")
     val out = s.read.parquet(s"$base/out")
       .select(col("shard"), col("seq_id"), col("doc_id"), col("seq_off"),

@@ -166,6 +166,40 @@ class CrashConsistencySuite extends SparkSessionSuite {
       Similarity.ivfIndexVersions(s, dir).last)) shouldBe live
   }
 
+  test("IVF index: a BUILD that dies mid-flight never strands the " +
+      "directory outside its advertised recovery verbs") {
+    val s = spark
+    val prep = Similarity.prepared(graft.Tables.embeddings(s, sfDir))
+      .localCheckpoint(true)
+    val queries = prep.filter(col("vec_id") % 100 === 0)
+
+    // (1) rebuild over an EXISTING index dies after its opening steps:
+    // the directory must stay inside the compactIvfIndex recovery path
+    // (the _FORMAT tag is written FIRST now — tagging last left this
+    // state dead-ending on compaction's own format assertion with a
+    // misleading 'pre-r11 index' diagnostic; r11 review)
+    val dir = Files.createTempDirectory("ivfbuildcrash").toString
+    Similarity.saveIvfIndex(prep, dir)
+    val live = canon(Similarity.topKFromIvfIndex(s, dir, queries, k = 5))
+    IndexIntent.beginRepair(s, dir, "saveIvfIndex") // crash: marker stays
+    val e = intercept[IllegalStateException] {
+      Similarity.topKFromIvfIndex(s, dir, queries, k = 5)
+    }
+    e.getMessage should include("compactIvfIndex")
+    Similarity.compactIvfIndex(s, dir) // must not dead-end on _FORMAT
+    canon(Similarity.topKFromIvfIndex(s, dir, queries, k = 5)) shouldBe live
+
+    // (2) a FIRST build dies right after its opening steps (intent +
+    // format tag, no data yet): re-running the build — the documented
+    // mid-build recovery, only the build has the source rows — succeeds
+    val dir2 = Files.createTempDirectory("ivfbuildcrash2").toString
+    IndexIntent.beginRepair(s, dir2, "saveIvfIndex")
+    Similarity.writeIvfFormat(s, dir2)
+    Similarity.saveIvfIndex(prep, dir2)
+    IndexIntent.pending(s, dir2) shouldBe None
+    canon(Similarity.topKFromIvfIndex(s, dir2, queries, k = 5)) shouldBe live
+  }
+
   test("IVF snapshot reader concurrent with a live writer: committed " +
       "version replays bit-identically or refuses — never tears") {
     val s = spark

@@ -58,6 +58,19 @@ class PackStreamSuite extends SparkSessionSuite {
 
     stage("b3", 120 until 160, 4000L)
     stage("b4", 160 until 200, 5000L)
+    // Simulate the crash-replay corruption vector (review catch): a
+    // prior attempt of run 2's first epoch (batch id 3) appended its
+    // state rows but died before the checkpoint commit. The replay
+    // must read offsets from STRICTLY EARLIER epochs — an unfiltered
+    // latest-epoch read would pick these rows as `base` and emit
+    // shifted assignments. The phantom rows carry exactly what that
+    // failed attempt would have written: per-shard offsets after docs
+    // 0..159 (same deterministic computation, same input).
+    val phantomOff = (0 until 160).groupBy(_ % Shards).map { case (sh, ids) =>
+      (sh.toLong, ids.map(i => text(i).split(" ").length.toLong + 1).sum, 3L)
+    }.toSeq
+    phantomOff.toDF("shard", "off", "epoch")
+      .write.mode("append").parquet(s"$base/state")
     EventStreams.packDocsStream(s, in, s"$base/ckpt", s"$base/state",
       s"$base/out")
     val accumulated = collected()
