@@ -172,6 +172,28 @@ object Tables {
     normalizeEventTime(apply(s, d, "events"), "ts", "events")
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Fingerprint of `$d/$table.parquet` (names, sizes, mtimes of its
+    * data files) — THE fixture-freshness convention: every
+    * stage-if-missing reuse (bucketed as-of tables, streaming staging
+    * markers) validates a stored copy of this against the live
+    * fixture, so a regenerated fixture restages instead of silently
+    * serving the prior generation (the round-8 staleness class). One
+    * definition; consumers delegate (r11 review — two private copies
+    * had already appeared). */
+  private[graft] def fixtureFingerprint(s: SparkSession, d: String,
+      table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stats =
+      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+       else Seq(fs.getFileStatus(p)))
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .sortBy(_.getPath.getName)
+    stats.map(st =>
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .mkString(";")
+  }
 }
 
 /** Session-level execution knobs shared across modules. */

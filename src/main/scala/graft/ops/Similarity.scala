@@ -1577,6 +1577,20 @@ object Similarity {
     * amortized into the pass that touches the files anyway. Offline
     * maintenance: run between ingestion rounds. */
   def compactIvfIndex(s: SparkSession, dir: String): Unit = {
+    // VERB-AWARE recovery (r11 review): compaction restores invariants
+    // FROM the raw cell rows, so it can repair a torn append/delete —
+    // but a build that died mid-flight may have left the rows
+    // themselves incomplete (or, worse, a pre-r11 directory it was
+    // about to overwrite), and "compacting" those would bless
+    // corrupt data with a clean marker and a fresh snapshot. Only the
+    // build has the source rows; refuse and say so.
+    IndexIntent.pending(s, dir).filter(_ == "saveIvfIndex").foreach { _ =>
+      throw new IllegalStateException(
+        s"index at $dir is a build ('saveIvfIndex') that did not " +
+        "complete — its cell rows may be missing or from the directory " +
+        "being overwritten, so compaction cannot restore them. Re-run " +
+        "saveIvfIndex (it repairs torn directories) instead.")
+    }
     assertIvfFormat(s, dir, "compactIvfIndex")
     // compaction is the IVF recovery verb: the cell rows are the raw
     // facts and this rewrites them (minus tombstones) and restarts the

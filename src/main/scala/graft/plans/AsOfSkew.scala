@@ -122,36 +122,38 @@ object AsOfSkew {
     // equal (quantiles collapse) — nothing to split there
     val bounds = config.hint
       .getOrElse {
-        // CHEAP SKIP: a left side whose plan statistics PROVE it cannot
-        // hold a minHotRows-row key plans plain with no detection job —
-        // stats only, no action. Provable means: an exact rowCount
-        // (local relations, CBO/ANALYZE'd tables), or — for plans with
-        // NO storage relation, whose sizeInBytes is rows × schema
-        // default widths — the byte estimate divided by that width.
-        // A file scan's sizeInBytes is COMPRESSED bytes scaled by
-        // column pruning, and a skewed (= repetitive, RLE-friendly)
-        // key column can encode far below one byte per row, so the
-        // previous `bytes < rows` premise silently disabled the rescue
-        // on exactly the corpora it targets (r11 review) — storage-
-        // backed plans without a rowCount now always detect (one
-        // column-pruned sampled job; trivial next to any file-backed
-        // workload).
+        // CHEAP SKIP: plans whose EVERY leaf is a LocalRelation or
+        // Range carry a sizeInBytes that is literally rows × schema
+        // default widths, so the width-derived row bound is exact —
+        // those (dim-sized literals, test corpora, generated ranges)
+        // plan plain with zero detection actions. EVERYTHING ELSE
+        // always detects (one column-pruned sampled job; trivial next
+        // to any real workload): a file scan's sizeInBytes is
+        // COMPRESSED bytes and a skewed (= repetitive, RLE-friendly)
+        // key column encodes below one byte per row; a cached
+        // InMemoryRelation reports compressed columnar bytes the same
+        // way; a CBO rowCount above a filter/join is a selectivity
+        // ESTIMATE, not a proof. Each of those "bounds" silently
+        // disabled the rescue on exactly its target corpora (r11
+        // review, two passes).
         val plan = left.queryExecution.optimizedPlan
-        val stats = plan.stats
-        import org.apache.spark.sql.execution.datasources.LogicalRelation
-        import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-        val storageBacked = plan.exists {
-          case _: LogicalRelation => true
-          case _: DataSourceV2Relation => true
-          case _: org.apache.spark.sql.catalyst.catalog.HiveTableRelation => true
+        import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Range => LogicalRange}
+        val leaves = plan.collectLeaves()
+        val exactlySized = leaves.nonEmpty && leaves.forall {
+          case _: LocalRelation => true
+          case _: LogicalRange => true
           case _ => false
         }
-        val provablySmall = stats.rowCount.exists(_ < config.minHotRows) || (
-          !storageBacked && {
-            val rowBytes =
-              BigInt(left.schema.map(_.dataType.defaultSize).sum.max(8))
-            stats.sizeInBytes / rowBytes < BigInt(config.minHotRows)
-          })
+        val provablySmall = exactlySized && {
+          // Spark's size-only stats compute rows × (8-byte overhead +
+          // Σ defaultSize) for these leaves and preserve that identity
+          // through projections; dividing by the same width recovers
+          // the row count exactly (a Filter in between only inflates
+          // size → overestimates rows → skips nothing).
+          val rowBytes =
+            BigInt(8 + left.schema.map(_.dataType.defaultSize).sum)
+          plan.stats.sizeInBytes / rowBytes < BigInt(config.minHotRows)
+        }
         if (provablySmall) Map.empty[Seq[Any], Seq[Long]]
         else detect(left, lKeys, leftTime, config)
       }

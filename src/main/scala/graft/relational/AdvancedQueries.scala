@@ -464,18 +464,8 @@ object AdvancedQueries {
     * tell "already staged from THIS fixture" apart from "staged from a
     * prior generation of the same path" (r10 advice — the round-8
     * fixture-regeneration failure class). */
-  private def eventsFingerprint(s: SparkSession, d: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val stats =
-      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-       else Seq(fs.getFileStatus(p)))
-        .filterNot(_.getPath.getName.startsWith("_"))
-        .sortBy(_.getPath.getName)
-    stats.map(st =>
-      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .mkString(";")
-  }
+  private def eventsFingerprint(s: SparkSession, d: String): String =
+    graft.Tables.fixtureFingerprint(s, d, "events")
 
   private def asOfFpPath(s: SparkSession, d: String) =
     new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"),

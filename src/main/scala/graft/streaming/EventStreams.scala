@@ -196,21 +196,10 @@ object EventStreams {
     * re-introduced the marker-existence-only check). */
   private val StagedMarker = "_GRAFT_STAGED"
 
-  /** Fingerprint of `$d/$table.parquet` (names, sizes, mtimes of its
-    * data files — the eventsFingerprint convention). */
+  /** Delegates to the single fixture-fingerprint definition
+    * ([[graft.Tables.fixtureFingerprint]]). */
   private def fixtureFingerprint(s: SparkSession, d: String,
-      table: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val stats =
-      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-       else Seq(fs.getFileStatus(p)))
-        .filterNot(_.getPath.getName.startsWith("_"))
-        .sortBy(_.getPath.getName)
-    stats.map(st =>
-      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .mkString(";")
-  }
+      table: String): String = Tables.fixtureFingerprint(s, d, table)
 
   /** Writes the staged marker with the fixture fingerprint as body. */
   private def writeStagedMarker(s: SparkSession, dir: String,
@@ -1010,8 +999,13 @@ object EventStreams {
     *
     * 100 TB shape: per epoch the plan is one bounded-window pass over
     * the BATCH (never the accumulated corpus), a broadcast of the
-    * |shards|-row offset table, and two appends; state size is
-    * |shards| rows regardless of history. This is exactly how a
+    * |shards|-row offset table, and two appends. The offset LOG grows
+    * one row per (shard, epoch) — append-only is load-bearing (a
+    * replayed epoch must still see its predecessors' rows; overwriting
+    * with the latest view would destroy exactly what the replay
+    * needs), so a long-lived deployment compacts rows older than the
+    * last committed epoch the same way any append-only log does; the
+    * latest VIEW is always |shards| rows. This is exactly how a
     * production loader keeps a growing corpus packed: sequences
     * already written are immutable, new docs only ever extend the
     * tail. */
@@ -1034,15 +1028,26 @@ object EventStreams {
         // replay-idempotence contract. Filtered, the replay recomputes
         // from the same pre-batch offsets and re-appends identical
         // rows (review catch, r11).
+        // explicit schema: a crash during the very first state append
+        // can leave stateDir existing with ZERO committed files, and a
+        // schema-INFERRING read would then throw on every replay —
+        // permanently wedging the stream (r11 review, second pass).
+        // With the schema given, an empty dir reads as zero rows and
+        // the replay correctly starts from offset 0.
         val offsets =
           if (fs.exists(statePath))
-            s.read.parquet(stateDir)
+            s.read.schema("shard LONG, off LONG, epoch LONG")
+              .parquet(stateDir)
               .filter(col("epoch") < epoch)
               .withColumn("rn", row_number().over(latestByShard))
               .filter(col("rn") === 1).select(col("shard"), col("off"))
           else s.range(0).select(col("id").as("shard"), col("id").as("off"))
         val wLoc = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // ONE pass over source + state log per epoch: the positioned
+        // batch feeds two writes (assignments, new offsets), and
+        // unpersisted each would re-read the file AND re-scan the
+        // state log AND re-run the window (r11 review, second pass)
         val pos = batch
           .select(col("doc_id"),
             (size(split(col("text"), " ")) + 1).cast("long").as("n_tokens"),
@@ -1052,6 +1057,7 @@ object EventStreams {
           .withColumn("base", coalesce(col("off"), lit(0L)))
           .withColumn("st", col("base") + col("loc_end") - col("n_tokens"))
           .withColumn("en", col("base") + col("loc_end"))
+          .localCheckpoint(true)
         pos
           .select(col("shard"), col("doc_id"), col("st"), col("en"),
             explode(expr(

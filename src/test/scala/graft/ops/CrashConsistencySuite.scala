@@ -173,11 +173,14 @@ class CrashConsistencySuite extends SparkSessionSuite {
       .localCheckpoint(true)
     val queries = prep.filter(col("vec_id") % 100 === 0)
 
-    // (1) rebuild over an EXISTING index dies after its opening steps:
-    // the directory must stay inside the compactIvfIndex recovery path
-    // (the _FORMAT tag is written FIRST now — tagging last left this
-    // state dead-ending on compaction's own format assertion with a
-    // misleading 'pre-r11 index' diagnostic; r11 review)
+    // (1) rebuild over an EXISTING index dies after its opening steps.
+    // Compaction must REFUSE with a rebuild redirect — a crashed build
+    // may have torn the rows themselves (or be mid-overwrite of a
+    // pre-r11 directory whose v1-norm rows the fresh _FORMAT tag would
+    // otherwise bless), so "compacting" them would commit corrupt data
+    // under a clean marker (r11 review, second pass). The advertised
+    // chain is: probe error → compactIvfIndex → its refusal names the
+    // real recovery (saveIvfIndex), which repairs.
     val dir = Files.createTempDirectory("ivfbuildcrash").toString
     Similarity.saveIvfIndex(prep, dir)
     val live = canon(Similarity.topKFromIvfIndex(s, dir, queries, k = 5))
@@ -186,7 +189,11 @@ class CrashConsistencySuite extends SparkSessionSuite {
       Similarity.topKFromIvfIndex(s, dir, queries, k = 5)
     }
     e.getMessage should include("compactIvfIndex")
-    Similarity.compactIvfIndex(s, dir) // must not dead-end on _FORMAT
+    val refusal = intercept[IllegalStateException] {
+      Similarity.compactIvfIndex(s, dir)
+    }
+    refusal.getMessage should include("saveIvfIndex")
+    Similarity.saveIvfIndex(prep, dir) // the real mid-build recovery
     canon(Similarity.topKFromIvfIndex(s, dir, queries, k = 5)) shouldBe live
 
     // (2) a FIRST build dies right after its opening steps (intent +
