@@ -353,4 +353,36 @@ class PlanAuditSuite extends SparkSessionSuite {
       .collect().map(_.toString).sorted
     assert(bucketed.sameElements(base))
   }
+
+  /** The r11 training-data operators keep their scale claims in the
+    * physical plan: packing's only single-partition window runs over
+    * the BUCKET TOTALS (one SinglePartition exchange, corpus windows
+    * partitioned by bucket), k-means' centroid side is a broadcast
+    * (never a shuffled or cartesian corpus×centroid join), and the
+    * leakage split's candidate generation stays equi-join. */
+  test("r11 ops: packing window scoping, k-means broadcast, no cartesian") {
+    val pack = physicalPlan("pipe_pack_sequences")
+    withClue(s"pipe_pack_sequences plan:\n$pack\n") {
+      assert(!pack.contains("CartesianProduct"))
+      // offsets relation reaches the corpus via broadcast, not shuffle
+      assert(pack.contains("BroadcastHashJoin") ||
+        pack.contains("BroadcastExchange"))
+      // exactly one single-partition exchange — the bucket-total
+      // cumulative window, metadata-sized at any corpus
+      assert("Exchange SinglePartition".r.findAllIn(pack).size <= 1)
+    }
+    Seq("sim_kmeans", "sim_topk_ivf_km").foreach { q =>
+      val plan = physicalPlan(q)
+      withClue(s"$q plan:\n$plan\n") {
+        assert(!plan.contains("CartesianProduct"))
+        // fixed-budget centroid tables ride a broadcast side
+        assert(plan.contains("BroadcastNestedLoopJoin") ||
+          plan.contains("BroadcastExchange"))
+      }
+    }
+    val split = physicalPlan("pipe_leakage_split")
+    withClue(s"pipe_leakage_split plan:\n$split\n") {
+      assert(!split.contains("CartesianProduct"))
+    }
+  }
 }
