@@ -136,6 +136,35 @@ class PipelineSuite extends SparkSessionSuite {
     got shouldBe expected.toSeq
   }
 
+  test("packing index reconstructs the exact original token stream") {
+    // The loader contract: materializing every sequence from the
+    // (seq, doc, seq_off, span_len) index — slicing each doc's
+    // EOD-terminated token array by its spans, in (seq_id, seq_off)
+    // order — must reproduce the concatenated corpus token stream
+    // LOSSLESSLY. This pins that spans tile each doc without gap or
+    // overlap AND that cross-window splits resume at the right token.
+    val dir = "/root/testdata/sf0.001"
+    val docToks = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1).split(" ") :+ "<EOD>"))
+      .toMap
+    val rows = Pipeline.packSequences.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)) // (seq_id, seq_off)
+    // per-doc running cursor: a doc's spans must consume its tokens
+    // in order across windows
+    val cursor = scala.collection.mutable.Map.empty[Long, Int]
+    val reconstructed = rows.flatMap { case (_, doc, _, len) =>
+      val from = cursor.getOrElse(doc, 0)
+      cursor(doc) = from + len.toInt
+      docToks(doc).slice(from, from + len.toInt)
+    }
+    val original = docToks.toSeq.sortBy(_._1).flatMap(_._2)
+    reconstructed.toSeq shouldBe original
+    // every doc fully consumed
+    cursor.foreach { case (doc, n) => n shouldBe docToks(doc).length }
+  }
+
   test("sequence packing fills every window except the last exactly") {
     val rows = Pipeline.packSequences.fn(spark, "/root/testdata/sf0.001")
       .groupBy(col("seq_id")).agg(sum(col("span_len")).as("fill"))
