@@ -185,13 +185,28 @@ object Tables {
       table: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // RECURSIVE listing (r11 advice): a top-level-only list rendered a
+    // nested/partitioned layout as `name:0:mtime` directory entries, so
+    // a regeneration that only rewrote files INSIDE subdirectories
+    // could false-match and silently serve the prior generation — the
+    // exact staleness class this helper exists to close. listFiles
+    // returns only leaf FILES with their full path, so every nested
+    // data file participates (keyed by path relative to the table root
+    // — stable across table relocation, unique within it).
+    val root = p.toUri.getPath
     val stats =
-      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-       else Seq(fs.getFileStatus(p)))
-        .filterNot(_.getPath.getName.startsWith("_"))
-        .sortBy(_.getPath.getName)
-    stats.map(st =>
-      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      if (fs.getFileStatus(p).isDirectory) {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.LocatedFileStatus]
+        while (it.hasNext) buf += it.next()
+        buf.toSeq.filterNot(_.getPath.getName.startsWith("_"))
+      } else Seq(fs.getFileStatus(p))
+    stats
+      .map(st => (st.getPath.toUri.getPath.stripPrefix(root), st))
+      .sortBy(_._1)
+      .map { case (rel, st) =>
+        s"$rel:${st.getLen}:${st.getModificationTime}" }
       .mkString(";")
   }
 }

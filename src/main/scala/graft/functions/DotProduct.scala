@@ -84,8 +84,18 @@ case class DotProduct(left: Expression, right: Expression)
   * and DuckDB, so ranks, thresholds and displays need no absorbing
   * grain at all. Domain: max |x·y|·1e12·dims must stay under 2^63
   * (unit-scale embeddings have ample headroom; normalize first
-  * otherwise — same guidance as `Similarity.qSqDist`). Null contract
-  * matches [[DotProduct]] (null input or length mismatch → null). */
+  * otherwise — same guidance as `Similarity.qSqDist`) — and the domain
+  * is ENFORCED, not assumed (r11 advice): each quantized term is
+  * range-checked before the long cast and the accumulation runs
+  * through `Math.addExact`, so an out-of-domain input fails fast with
+  * an `ArithmeticException` instead of silently wrapping. Silent
+  * wraparound is exactly the cross-engine divergence class this
+  * expression was built to eliminate (the DuckDB twins CAST to BIGINT,
+  * which throws, and sum into HUGEINT — beyond the domain the engines
+  * would silently disagree on cosines and ranks). `addExact` is a JIT
+  * intrinsic (overflow-flag branch), so the hot loop stays at scalar
+  * cost. Null contract matches [[DotProduct]] (null input or length
+  * mismatch → null). */
 case class DotProductQ(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -111,7 +121,13 @@ case class DotProductQ(left: Expression, right: Expression)
     var s = 0L
     var i = 0
     while (i < n) {
-      s += math.floor(a.getDouble(i) * b.getDouble(i) * 1e12 + 0.5).toLong
+      val t = math.floor(a.getDouble(i) * b.getDouble(i) * 1e12 + 0.5)
+      // (double) 2^63 is the first value the long cast would saturate
+      if (!(math.abs(t) < 9.223372036854776e18))
+        throw new ArithmeticException(
+          "dot_product_q: quantized term out of int64 range — inputs " +
+            "exceed the documented |x*y|*1e12 domain; normalize first")
+      s = Math.addExact(s, t.toLong)
       i += 1
     }
     s.toDouble
@@ -122,6 +138,7 @@ case class DotProductQ(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val t = ctx.freshName("t")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -129,8 +146,15 @@ case class DotProductQ(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  long $s = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $s += (long) Math.floor(
+         |    double $t = Math.floor(
          |      $a.getDouble($i) * $b.getDouble($i) * 1.0E12 + 0.5);
+         |    if (!(Math.abs($t) < 9.223372036854776E18)) {
+         |      throw new ArithmeticException(
+         |        "dot_product_q: quantized term out of int64 range - " +
+         |        "inputs exceed the documented |x*y|*1e12 domain; " +
+         |        "normalize first");
+         |    }
+         |    $s = Math.addExact($s, (long) $t);
          |  }
          |  ${ev.value} = (double) $s;
          |}

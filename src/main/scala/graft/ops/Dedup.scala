@@ -1008,7 +1008,25 @@ object Dedup {
     val nBuckets = s.read.parquet(s"$dir/meta").head().getInt(0)
     val signed = withRowSignature(batch, "text")
       .withColumnRenamed("doc_id", "incoming_id")
-    val probe = signed.select(
+    // PROBE-SIDE SIGNATURE COLLAPSE (r11 verdict #1, the ingest-grow
+    // weak flag): a duplicate-flooded batch puts c identical signatures
+    // into every touched bucket, multiplying candidate volume by c with
+    // zero information gain. Evidence is a pure function of (signature,
+    // index), so probe ONE representative per distinct signature and
+    // expand members back afterwards — exact, and the band join's probe
+    // side now scales with DISTINCT batch signatures. Docs too short to
+    // shingle carry null signatures; the window groups them together
+    // (null keys compare equal in partitioning) and their null bands
+    // join nothing, same as before.
+    val sigKey = (0 until h).map(j => col(s"mh$j"))
+    val signedG = graft.InternalCaches.register(signed
+      .withColumn("rep_id", min(col("incoming_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(sigKey: _*)))
+      .persist())
+    val memberMap = signedG
+      .select(col("incoming_id").as("member_id"), col("rep_id"))
+    val reps = signedG.filter(col("incoming_id") === col("rep_id"))
+    val probe = reps.select(
       (col("incoming_id") +: (0 until h).map(j => col(s"mh$j"))) :+
         explode(array((0 until Bands).map(b =>
           struct(lit(b).as("bi"), col(s"band$b").as("bv"))): _*)).as("band"): _*)
@@ -1041,13 +1059,18 @@ object Dedup {
     val nMatch = (0 until h)
       .map(j => when(col(s"mh$j") === col(s"smh$j"), 1).otherwise(0))
       .reduce(_ + _)
-    probe
+    val repEvidence = probe
       .join(idx, Seq("bucket", "bi", "bv"))
       .join(ssig, Seq("existing_id"))
       .withColumn("n_match", nMatch)
       .filter(col("n_match") >= minMatch)
-      .select(col("incoming_id"), col("existing_id"), col("bi"),
-        col("n_match"))
+      .select(col("incoming_id").as("rep_id"), col("existing_id"),
+        col("bi"), col("n_match"))
+    // expand: every batch member inherits its representative's evidence
+    // rows verbatim (identical signature ⇒ identical evidence)
+    repEvidence.join(memberMap, Seq("rep_id"))
+      .select(col("member_id").as("incoming_id"), col("existing_id"),
+        col("bi"), col("n_match"))
   }
 
   /** One SELF-GROWING ingestion round against a persisted band index
@@ -1625,63 +1648,72 @@ object Dedup {
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
       |ORDER BY doc1, doc2""".stripMargin
 
-  /** 32-bit SimHash per doc (tf-weighted bit votes over rolling-hash
-    * token ids spread by a Knuth multiplier), then near-dup pairs at
-    * Hamming distance <= 3. All-pairs join here as the oracle-twin
-    * fixture variant; [[simHashBanded]] is the production plan. */
-  val simHash: QueryDef = QueryDef.sql(
-    "dedup_simhash",
-    s"""WITH $corpusNearSql,
-      |$encodedToksSql,
-      |$simSigSql
-      |$simPairsSelectSql""".stripMargin) { (s, d) =>
+  /** (doc_id, bands) signature table for the SimHash family: the 32-bit
+    * simhash decomposed into [[SimBands]] byte-wide band values — the
+    * [[HammingBands]] input shape (bands partition the bits, so the
+    * band-array Hamming distance IS the full simhash Hamming). */
+  private def simBandSigs(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
     val sig = simSig(encodedToks(corpusNear(Tables.documents(s, d))))
-    val a = sig.as("a"); val b = sig.as("b")
-    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-    a.join(b, col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-        hamming.as("hamming"))
-      .filter(col("hamming") <= HammingMax)
-      .orderBy(col("doc1"), col("doc2"))
+    sig.select(col("doc_id"),
+      array((0 until SimBands).map(b =>
+        shiftright(col("simhash"), SimBandBits * b)
+          .bitwiseAND(lit((1 << SimBandBits) - 1))): _*).as("bands"))
   }
 
-  /** PRODUCTION SimHash: identical semantics to [[simHash]] (Hamming <= 3
-    * pairs), but candidates come from an EQUI-join on 8-bit simhash bands
-    * instead of an all-pairs inequality join. Pigeonhole makes the
-    * banding exact, not approximate: two 32-bit signatures within
-    * Hamming distance 3 differ in at most 3 of the 4 bands, so they
-    * agree exactly on at least one band and meet in its bucket. The plan
-    * is the linear LSH shape — explode 4 band rows per doc, hash-join on
-    * (band index, band value), dedup candidates, verify Hamming — with
-    * no inequality-only (cartesian) join anywhere. */
-  val simHashBanded: QueryDef =
+  private def simHashQuery(name: String, route: Option[Boolean]): QueryDef =
     // The oracle states the SEMANTICS (all qualifying pairs) in the
-    // simplest SQL; only the Spark plan needs the scalable shape.
+    // simplest SQL; the routes only pick the plan — every route is
+    // exact, so one route-invariant oracle serves all three variants.
     QueryDef.sql(
-      "dedup_simhash_banded",
+      name,
       s"""WITH $corpusNearSql,
         |$encodedToksSql,
         |$simSigSql
         |$simPairsSelectSql""".stripMargin) { (s, d) =>
-      val sig = simSig(encodedToks(corpusNear(Tables.documents(s, d))))
-      val bands = sig.select(col("doc_id"), col("simhash"),
-        explode(array((0 until SimBands).map(b => struct(lit(b).as("bi"),
-          shiftright(col("simhash"), SimBandBits * b)
-            .bitwiseAND(lit((1 << SimBandBits) - 1)).as("bv"))): _*))
-          .as("band"))
-        .select(col("doc_id"), col("simhash"),
-          col("band.bi").as("bi"), col("band.bv").as("bv"))
-      val a = bands.as("a"); val b = bands.as("b")
-      a.join(b, col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-          col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
-        .distinct()
-        .select(col("doc1"), col("doc2"),
-          bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
-        .filter(col("hamming") <= HammingMax)
+      // No threshold pins: the oracle is route-invariant (every route
+      // is exact), so the conf may freely re-route deployments — unlike
+      // sim_range_search_auto, whose twin mirrors the decision rule and
+      // therefore must pin the literals.
+      HammingBands.pairs(simBandSigs(s, d), "doc_id", "bands",
+          HammingMax, name, route = route)
+        .select(col("id1").as("doc1"), col("id2").as("doc2"),
+          col("hamming"))
         .orderBy(col("doc1"), col("doc2"))
     }
+
+  /** 32-bit SimHash per doc (tf-weighted bit votes over rolling-hash
+    * token ids spread by a Knuth multiplier), then near-dup pairs at
+    * Hamming distance <= 3, via the exact brute kernel over UNIQUE
+    * signatures ([[HammingBands.pairs]] with the brute route pinned):
+    * duplicate floods collapse to one representative per signature
+    * before any pairing, so the r11 10× densification blowup (53×,
+    * verdict #1) is now output-bound expansion instead of density²
+    * candidate generation. */
+  val simHash: QueryDef = simHashQuery("dedup_simhash", Some(true))
+
+  /** PRODUCTION SimHash: identical semantics to [[simHash]] (Hamming <= 3
+    * pairs), banded route pinned — candidates come from an EQUI-join on
+    * 8-bit simhash bands over unique signatures. Pigeonhole makes the
+    * banding exact, not approximate: two 32-bit signatures within
+    * Hamming distance 3 differ in at most 3 of the 4 bands, so they
+    * agree exactly on at least one band and meet in its bucket. The plan
+    * is the linear LSH shape — collapse to unique signatures, explode 4
+    * band rows per signature, hash-join on (band index, band value),
+    * dedup candidates, verify Hamming, expand members — with no
+    * inequality-only (cartesian) join anywhere. */
+  val simHashBanded: QueryDef = simHashQuery("dedup_simhash_banded", Some(false))
+
+  /** SimHash through the measured density dispatch ([[HammingBands
+    * .decide]]): ONE metadata-sized aggregate computes the exact banded
+    * candidate volume over unique signatures and routes brute vs banded
+    * — brute when uniques are few or bands too dense to prune, banded
+    * otherwise. Both routes are exact, so the oracle is route-invariant
+    * and stays hash-green at ANY scale, including fixtures where the
+    * decision flips (battery SFs route brute at u <= 4096; a spread
+    * corpus above that routes banded — the `sim_range_search_auto`
+    * pattern without needing a twin-mirrored decision rule). */
+  val simHashAuto: QueryDef = simHashQuery("dedup_simhash_auto", None)
 
   /** Maximum document frequency a shingle may have and still participate
     * in the Jaccard inverted-index join. A shingle appearing in d docs
@@ -2293,6 +2325,7 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(exact, lineDedup, substringDedup, minHashLsh, ccClusters, repSelect,
-      simHash, simHashBanded, ngramJaccard, embeddingCos, embeddingCosBanded,
+      simHash, simHashBanded, simHashAuto, ngramJaccard, embeddingCos,
+      embeddingCosBanded,
       semantic, incremental, incrementalLsh, ingestGrow)
 }

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared engine for every Hamming-banded near-dup family (SimHash,
+  * pHash, CTPH/fuzzy): all pairs of signatures within a Hamming budget,
+  * where a signature is an array of fixed-width band values and the
+  * banded candidate generation is EXACT by pigeonhole (a qualifying
+  * pair agrees on at least one full band, so it meets in that band's
+  * equi-join bucket).
+  *
+  * Two scale hazards, two countermeasures (r11 verdict #1 — the five
+  * `weak` queries all ran 26–53× at the 10× densification fixture):
+  *
+  *  1. '''Signature collapse.''' Duplicate-flooded corpora (the exact
+  *     situation dedup exists for) put c copies of one signature in
+  *     every band bucket, so candidate volume grows with density² even
+  *     though the DISTINCT signature population didn't grow at all.
+  *     Collapse first: group ids by full signature, run candidate
+  *     generation and Hamming verification over UNIQUE signatures only,
+  *     then expand group members back (intra-group pairs are Hamming 0
+  *     by construction; inter-group pairs inherit the group pair's
+  *     distance). Work becomes O(uniques²-bounded candidates + output);
+  *     the expansion is output-bound and therefore irreducible.
+  *  2. '''Density dispatch.''' Among unique signatures the banded plan
+  *     can still stop pruning (near-identical-but-unequal floods): the
+  *     exact banded candidate volume Σ_bucket c·(c−1)/2 is ONE
+  *     metadata-sized aggregate over the band histogram (no
+  *     cross-bucket probes in these families, so no driver-side
+  *     histogram walk is needed — cheaper than the cosine dispatch at
+  *     `Similarity.rangeDispatchDecision`). When that volume reaches
+  *     `sharePct`% of all-pairs-over-uniques, the banded explode +
+  *     exchange + distinct stops earning its overhead and the plan
+  *     routes to the brute kernel, which is cheaper AND identical in
+  *     output (both routes are exact, so every oracle in this family is
+  *     route-invariant — unlike the cosine family, no SQL twin has to
+  *     mirror the decision rule).
+  *
+  * Conf surface `spark.graft.hamming.auto.*` (`minBrute`, `sharePct`)
+  * via [[graft.DispatchConf]]; explicit pins beat the conf per the
+  * standing pin rule. A pinned `route` skips the decision job entirely
+  * (zero extra actions).
+  */
+object HammingBands {
+
+  private val ConfPrefix = "spark.graft.hamming.auto."
+
+  /** Candidate route for one [[pairs]] call, with the measured exact
+    * volumes that picked it. BigInt: per-bucket c² sums overflow Long
+    * near u ≈ 3·10⁹ unique signatures. */
+  final case class Decision(
+      uniques: Long, bandPairs: BigInt, brutePairs: BigInt,
+      useBrute: Boolean, reason: String)
+
+  /** Measure the banded candidate volume over `usig` (unique-signature
+    * rows `gid`, `bands`) and decide brute vs banded. Cost: one Spark
+    * action aggregating the (band, value) histogram to a SINGLE row —
+    * `u` rides the same pass as the band-0 count (every signature has
+    * a band 0). The volume is exact, pre-dedup: precisely the pair
+    * rows the banded join would feed its `distinct`. */
+  def decide(usig: DataFrame, family: String,
+      minBrutePin: Option[Long] = None,
+      sharePctPin: Option[Int] = None): Decision = {
+    val knobs = graft.DispatchConf(usig.sparkSession, ConfPrefix)
+    val minBrute = knobs.long("minBrute", 4096L, minBrutePin)
+    val sharePct = knobs.int("sharePct", 90, sharePctPin)
+    val row = usig
+      .select(posexplode(col("bands")).as(Seq("bi", "bv")))
+      .groupBy(col("bi"), col("bv")).agg(count(lit(1)).as("c"))
+      .agg(
+        coalesce(sum(when(col("bi") === 0, col("c"))), lit(0L)).as("u"),
+        // 2·pairs, summed exactly in decimal(38,0): c·(c−1) stays
+        // integral and the sum cannot wrap where a Long would
+        coalesce(sum((col("c") * (col("c") - 1)).cast(DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO)).as("p2"))
+      .head()
+    val u = row.getLong(0)
+    val band2 = BigInt(row.getDecimal(1).toBigInteger)
+    val brute2 = BigInt(u) * BigInt(u - 1L).max(BigInt(0))
+    val d =
+      if (u <= minBrute)
+        Decision(u, band2 / 2, brute2 / 2, useBrute = true,
+          s"u=$u <= minBrute=$minBrute: all-pairs over uniques is trivially cheap")
+      else if (band2 * 100 >= brute2 * sharePct)
+        Decision(u, band2 / 2, brute2 / 2, useBrute = true,
+          s"banded share ${band2 * 100 / brute2.max(1)}% >= sharePct=$sharePct: " +
+            "bands too dense to prune — brute is cheaper and identical")
+      else
+        Decision(u, band2 / 2, brute2 / 2, useBrute = false,
+          s"banded share ${band2 * 100 / brute2.max(1)}% < sharePct=$sharePct")
+    val routeName = if (d.useBrute) "brute" else "banded"
+    System.err.println(s"[hamming] $family: $routeName route — ${d.reason}")
+    d
+  }
+
+  /** Exact Hamming distance between two band arrays (bands partition
+    * the signature bits, so Σ per-band popcounts = full popcount). */
+  private def hammingOf(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (p, q) => bit_count(p.bitwiseXOR(q)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** THE family entry point: all id pairs (`id1 < id2`) whose band-array
+    * signatures are within `maxHamming`, via signature collapse + the
+    * density dispatch. `sigs` must carry one row per id with columns
+    * `idCol` (orderable id) and `bandsCol` (array<long> of band values);
+    * output columns are `(id1, id2, hamming)`.
+    *
+    * `route`: `Some(true)` pins brute-over-uniques, `Some(false)` pins
+    * banded, `None` measures and dispatches (one metadata-sized action
+    * at DataFrame-construction time — the r11 dispatch-cost contract).
+    * All three produce identical rows; the route only picks the plan. */
+  def pairs(sigs: DataFrame, idCol: String, bandsCol: String,
+      maxHamming: Int, family: String,
+      route: Option[Boolean] = None,
+      minBrutePin: Option[Long] = None,
+      sharePctPin: Option[Int] = None): DataFrame = {
+    // collapse: one representative (min id) per distinct signature.
+    // ONE window pass (hash-partition by the band array + min) serves
+    // both the unique-signature table and the member→group map.
+    val gmap = graft.InternalCaches.register(
+      sigs.select(col(idCol).as("hb_id"), col(bandsCol).as("bands"))
+        .withColumn("gid",
+          min(col("hb_id")).over(Window.partitionBy(col("bands"))))
+        .persist())
+    val usig = gmap.filter(col("hb_id") === col("gid"))
+      .select(col("gid"), col("bands"))
+
+    // intra-group pairs: identical signatures, Hamming 0 — pure output
+    // expansion (every such pair is in the result set by definition)
+    val members = gmap.select(col("gid"), col("hb_id"))
+    val intra = members.as("m1").join(members.as("m2"),
+        col("m1.gid") === col("m2.gid") && col("m1.hb_id") < col("m2.hb_id"))
+      .select(col("m1.hb_id").as("id1"), col("m2.hb_id").as("id2"),
+        lit(0L).as("hamming"))
+
+    // inter-group candidates over UNIQUE signatures, routed
+    val useBrute = route.getOrElse(
+      decide(usig, family, minBrutePin, sharePctPin).useBrute)
+    val uPairs =
+      if (useBrute)
+        usig.as("a").join(usig.as("b"), col("a.gid") < col("b.gid"))
+          .select(col("a.gid").as("g1"), col("b.gid").as("g2"),
+            hammingOf(col("a.bands"), col("b.bands")).as("hamming"))
+          .filter(col("hamming") <= maxHamming)
+      else {
+        val ex = usig.select(col("gid"),
+          posexplode(col("bands")).as(Seq("bi", "bv")))
+        ex.as("a").join(ex.as("b"),
+            col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+              col("a.gid") < col("b.gid"))
+          .select(col("a.gid").as("g1"), col("b.gid").as("g2"))
+          .distinct()
+          .join(usig.as("ua"), col("g1") === col("ua.gid"))
+          .join(usig.as("ub"), col("g2") === col("ub.gid"))
+          .select(col("g1"), col("g2"),
+            hammingOf(col("ua.bands"), col("ub.bands")).as("hamming"))
+          .filter(col("hamming") <= maxHamming)
+      }
+
+    // expand group members back: groups are disjoint and g1 != g2, so
+    // every (member, member) cross pair is distinct; least/greatest
+    // restores the id1 < id2 canonical order
+    val inter = uPairs
+      .join(members.as("e1"), col("g1") === col("e1.gid"))
+      .join(members.as("e2"), col("g2") === col("e2.gid"))
+      .select(
+        least(col("e1.hb_id"), col("e2.hb_id")).as("id1"),
+        greatest(col("e1.hb_id"), col("e2.hb_id")).as("id2"),
+        col("hamming"))
+
+    inter.unionAll(intra)
+  }
+}

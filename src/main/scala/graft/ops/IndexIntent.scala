@@ -39,7 +39,7 @@ import org.apache.spark.sql.SparkSession
   * create-exclusive, so of two concurrent verbs on one directory the
   * loser fails fast with a diagnostic instead of the two interleaving
   * mutations silently. */
-private[ops] object IndexIntent {
+private[graft] object IndexIntent {
 
   private def marker(dir: String) = new Path(s"$dir/_INTENT")
 

@@ -468,22 +468,14 @@ object Multimodal {
               (a, k) => a + (blockHash(b * 8 + k) % 2L) *
                 element_at(pows, (k + 1).cast("int")))).as("bands"))
         .persist())
-      val ex = sigs.select(col("media_id"),
-        posexplode(col("bands")).as(Seq("bi", "bv")))
-      val cand = ex.as("a")
-        .join(ex.as("b"),
-          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
-            col("a.media_id") < col("b.media_id"))
-        .select(col("a.media_id").as("ida"), col("b.media_id").as("idb"))
-        .distinct()
-      cand
-        .join(sigs.as("x"), col("ida") === col("x.media_id"))
-        .join(sigs.as("y"), col("idb") === col("y.media_id"))
-        .select(col("ida"), col("idb"),
-          aggregate(zip_with(col("x.bands"), col("y.bands"),
-            (p, q) => bit_count(p.bitwiseXOR(q)).cast("long")),
-            lit(0L), (a, v) => a + v).as("hamming"))
-        .filter(col("hamming") <= 7)
+      // collapse + density dispatch ([[HammingBands]]): exact twins
+      // (the densification adversary — this family ran 26.2× at the
+      // r11 10× fixture) collapse to one signature before any pairing;
+      // candidates among UNIQUE signatures route brute vs banded from
+      // one measured metadata-sized aggregate. Route-invariant: the
+      // all-pairs oracle above is exact for every route.
+      HammingBands.pairs(sigs, "media_id", "bands", 7, "mm_fuzzy_dedup")
+        .select(col("id1").as("ida"), col("id2").as("idb"), col("hamming"))
         .orderBy(col("ida"), col("idb"))
     }
   }
@@ -699,22 +691,13 @@ object Multimodal {
               a + bit * element_at(pows, (k + 1).cast("int"))
             })).as("bands"))
         .persist())
-      val ex = sigs.select(col("media_id"),
-        posexplode(col("bands")).as(Seq("bi", "bv")))
-      val cand = ex.as("a")
-        .join(ex.as("b"),
-          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
-            col("a.media_id") < col("b.media_id"))
-        .select(col("a.media_id").as("ida"), col("b.media_id").as("idb"))
-        .distinct()
-      cand
-        .join(sigs.as("x"), col("ida") === col("x.media_id"))
-        .join(sigs.as("y"), col("idb") === col("y.media_id"))
-        .select(col("ida"), col("idb"),
-          aggregate(zip_with(col("x.bands"), col("y.bands"),
-            (p, q) => bit_count(p.bitwiseXOR(q)).cast("long")),
-            lit(0L), (a, v) => a + v).as("hamming"))
-        .filter(col("hamming") <= 2)
+      // collapse + density dispatch ([[HammingBands]]): the r11 10×
+      // densification fixture drove this family 47.5× through the old
+      // uncollapsed band join; unique-signature candidate generation
+      // plus the measured brute-vs-banded route makes the duplicate
+      // flood pure output expansion. Route-invariant oracle.
+      HammingBands.pairs(sigs, "media_id", "bands", 2, "mm_phash_dedup")
+        .select(col("id1").as("ida"), col("id2").as("idb"), col("hamming"))
         .orderBy(col("ida"), col("idb"))
     }
   }

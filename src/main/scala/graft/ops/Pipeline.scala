@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus-cleaning pipeline — the composition a training-data
@@ -794,23 +795,67 @@ object Pipeline {
     * (`is_split` = 1), so no token is ever dropped or padded except the
     * tail of the final sequence.
     *
-    * The global token offset is a distributed two-level prefix sum, NOT
-    * a corpus-wide window (which Spark plans as ONE partition — the
+    * The global token offset is a distributed THREE-level prefix sum,
+    * NOT a corpus-wide window (which Spark plans as ONE partition — the
     * classic global-sort scale-killer): docs cumsum WITHIN a
-    * deterministic bucket (`doc_id DIV PackBucket` — arithmetic, not
-    * sampled boundaries), per-bucket totals aggregate to an
-    * n/PackBucket-row relation whose running sum is each bucket's start
-    * offset, and a broadcast join adds the bucket offset to the local
-    * cumsum. The corpus shuffles once (hash on bucket, with map-side
-    * partial windows bounded at PackBucket rows); the only unbounded
-    * window runs over the BUCKET TOTALS — metadata-sized at any corpus
-    * (10^10 docs → 1.5·10^8 rows of 16 bytes; hierarchically
-    * aggregable the same way if ever needed). Everything is exact
+    * deterministic bucket (`doc_id DIV bucket` — arithmetic, not
+    * sampled boundaries); per-bucket totals cumsum WITHIN a
+    * super-bucket (`bkt DIV superFactor`); and only the SUPER-bucket
+    * totals — n/(bucket·superFactor) rows, 2.4 k rows even at 10^10
+    * docs with the defaults — ride the one unbounded single-partition
+    * window. The bucket-offset relation then joins back WITHOUT a
+    * forced broadcast (r11 verdict #4: `broadcast(boff)` at 10^10 docs
+    * forced ~2.4 GB past the broadcast threshold) — the planner
+    * broadcasts it while it is small and shuffle-joins it when it is
+    * not; both levels are conf-tunable (`spark.graft.pack.bucket`,
+    * `spark.graft.pack.superFactor`). The OUTPUT is bucket-invariant
+    * (st/en are the same global offsets at any width), so the widths
+    * are plumbing knobs, never semantics — the oracle states the
+    * offsets with the default widths and stays green at any engine
+    * setting. The corpus shuffles once (hash on bucket, with map-side
+    * partial windows bounded at `bucket` rows). Everything is exact
     * integer arithmetic — counts, cumulative sums, DIV/greatest/least
     * span clipping — so the assignment is bit-identical on any engine,
     * any partitioning, any cluster size. */
   val PackBudget = 512L
   val PackBucket = 64L
+  val PackSuperFactor = 4096L
+
+  /** The three-level exact prefix sum behind [[packSequences]], over an
+    * (id, n, bkt) relation: global running-sum END offset per row, in
+    * (bkt, id) order == id order. Exposed for suite-level width sweeps
+    * (the output must be identical at ANY positive widths). */
+  private[graft] def hierarchicalOffsets(q: DataFrame,
+      superFactor: Long): DataFrame = {
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // level 2: bucket totals cumsum WITHIN their super-bucket — bounded
+    // at superFactor rows per window partition
+    val wSb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sbkt")).orderBy(col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // level 3: THE unbounded window — super-bucket totals only
+    val wS = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sbkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val loc = q.withColumn("loc_end", sum(col("n_tokens")).over(wLoc))
+    val bt = q.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("sbkt", expr(s"CAST(bkt DIV $superFactor AS BIGINT)"))
+    val btLoc = bt.withColumn("in_off",
+      coalesce(sum(col("bt")).over(wSb), lit(0L)))
+    val soff = bt.groupBy(col("sbkt")).agg(sum(col("bt")).as("sbt"))
+      .select(col("sbkt"), coalesce(sum(col("sbt")).over(wS), lit(0L)).as("s_off"))
+    // soff is metadata-sized — the planner broadcasts it on its own;
+    // boff joins loc un-hinted (broadcast while small, shuffle at scale)
+    val boff = btLoc.join(soff, Seq("sbkt"))
+      .select(col("bkt"), (col("s_off") + col("in_off")).as("bkt_off"))
+    loc.join(boff, Seq("bkt"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("bkt_off") + col("loc_end") - col("n_tokens")).as("st"),
+        (col("bkt_off") + col("loc_end")).as("en"))
+  }
   val packSequences: QueryDef = QueryDef.sql(
     "pipe_pack_sequences",
     s"""WITH q AS (
@@ -849,26 +894,13 @@ object Pipeline {
       |    THEN 1 ELSE 0 END AS BIGINT) AS is_split
       |FROM asg
       |ORDER BY seq_id, doc_id""".stripMargin) { (s, d) =>
-    val wLoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bkt")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    // Unbounded window over BUCKET TOTALS only — |buckets| rows, never
-    // the corpus (see Scaladoc).
-    val wOff = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bkt"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val knobs = graft.DispatchConf(s, "spark.graft.pack.")
+    val bucket = knobs.long("bucket", PackBucket)
+    val superF = knobs.long("superFactor", PackSuperFactor)
     val q = Tables.documents(s, d).select(col("doc_id"),
       (size(split(col("text"), " ")) + 1).cast("long").as("n_tokens"),
-      expr(s"CAST(doc_id DIV $PackBucket AS BIGINT)").as("bkt"))
-    val loc = q.withColumn("loc_end", sum(col("n_tokens")).over(wLoc))
-    val boff = q.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bt"))
-      .select(col("bkt"),
-        coalesce(sum(col("bt")).over(wOff), lit(0L)).as("bkt_off"))
-    val pos = loc.join(broadcast(boff), Seq("bkt"))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("bkt_off") + col("loc_end") - col("n_tokens")).as("st"),
-        (col("bkt_off") + col("loc_end")).as("en"))
+      expr(s"CAST(doc_id DIV $bucket AS BIGINT)").as("bkt"))
+    val pos = hierarchicalOffsets(q, superF)
     pos
       .select(col("doc_id"), col("n_tokens"), col("st"), col("en"),
         explode(expr(s"sequence(st DIV $PackBudget, (en - 1) DIV $PackBudget)"))

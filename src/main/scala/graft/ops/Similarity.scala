@@ -575,17 +575,13 @@ object Similarity {
       minLshVectors: Option[Long] = None,
       sharePctPin: Option[Int] = None,
       buckets: Option[DataFrame] = None): RangeDispatchDecision = {
-    // Explicit pins beat the session conf: an oracle-checked query must
-    // fix its thresholds as literals mirrored in its SQL twin (the
-    // topKIvf2/topKIvfKm rule — a stray session knob would flip the
-    // Spark route while the twin's inlined defaults stayed put, r11
-    // review). The conf remains the deployment surface for library
-    // callers that pass no pins.
-    val conf = prep.sparkSession.conf
-    val minVec = minLshVectors.getOrElse(
-      conf.get(RangeAutoPrefix + "minLshVectors", "4096").toLong)
-    val sharePct = sharePctPin.getOrElse(
-      conf.get(RangeAutoPrefix + "sharePct", "90").toInt)
+    // Pins beat the session conf — the rule is now centralized in
+    // [[graft.DispatchConf]] (r11 verdict #7), shared with the as-of
+    // skew dispatch, the IVF quantizer conf, and the Hamming-band
+    // dispatchers.
+    val knobs = graft.DispatchConf(prep.sparkSession, RangeAutoPrefix)
+    val minVec = knobs.long("minLshVectors", 4096L, minLshVectors)
+    val sharePct = knobs.int("sharePct", 90, sharePctPin)
     val hist = buckets.getOrElse(lshBucketsMulti(prep, tables))
       .groupBy(col("tbl"), col("bucket")).count()
       .collect()
@@ -703,7 +699,10 @@ object Similarity {
     * matching branch — so the query stays hash-green at ANY scale,
     * including a fixture where the decision flips (battery SFs n <=
     * 4096 route brute; the 10× twin fixture n = 20 000, share 66%
-    * routes banded). */
+    * routes banded). The twin's decision arithmetic is exact INTEGER
+    * (`//` + HUGEINT casts, r11 advice) to mirror the Scala rule's
+    * BigInt — a double-valued `/` could flip the twin's branch
+    * relative to the engine's past ~2^53 candidate pairs. */
   val rangeSearchAuto: QueryDef = QueryDef.sql(
     "sim_range_search_auto",
     s"""WITH $preparedSql,
@@ -711,14 +710,16 @@ object Similarity {
       |hist AS (SELECT tbl, bucket, count(*) AS c FROM buckets GROUP BY tbl, bucket),
       |nn AS (SELECT count(*) AS n FROM prep),
       |lshp AS (
-      |  SELECT (SELECT coalesce(sum(c * (c - 1) / 2), 0) FROM hist)
-      |       + (SELECT coalesce(sum(a.c * b.c), 0)
+      |  SELECT (SELECT coalesce(sum(CAST(c AS HUGEINT) * (c - 1) // 2), 0)
+      |          FROM hist)
+      |       + (SELECT coalesce(sum(CAST(a.c AS HUGEINT) * b.c), 0)
       |          FROM hist a JOIN hist b
       |            ON b.tbl = a.tbl AND b.bucket > a.bucket
       |           AND xor(a.bucket, b.bucket) IN (1, 2, 4, 8)) AS p),
       |decision AS (
       |  SELECT CASE WHEN nn.n <= 4096
-      |              OR lshp.p * 100 >= 90 * (nn.n * (nn.n - 1) / 2)
+      |              OR lshp.p * 100 >= 90 * (CAST(nn.n AS HUGEINT)
+      |                                       * (nn.n - 1) // 2)
       |         THEN 1 ELSE 0 END AS use_brute FROM nn, lshp),
       |brute_dots AS (
       |  SELECT a.vec_id AS v1, b.vec_id AS v2, ${qDotSql("a.e", "b.e")} AS dot
@@ -826,9 +827,15 @@ object Similarity {
     * engines cannot disagree on the ranking value at all.
     * Domain: max |x-y|²·1e12·dim must stay under 2^63 ≈ 9.2e18 —
     * unit-scale embeddings have ~1e4 headroom at dim 1024; larger-
-    * coordinate corpora should normalize first (same guidance the old
-    * grain carried, now enforced only at the int64 edge instead of
-    * silently degrading from d >= 1e4). SQL twins inline the same
+    * coordinate corpora should normalize first. The domain is a CALLER
+    * CONTRACT here, not enforced (r11 advice — honest wording): this
+    * is composed `functions` codegen, where Spark's long conversion
+    * saturates per term and the sum wraps silently, while the DuckDB
+    * twins throw on BIGINT overflow — beyond the domain the engines
+    * could silently disagree. The native-kernel sibling
+    * [[graft.functions.DotProductQ]] DOES enforce it (range check +
+    * `Math.addExact`); normalize, or route through it, when the input
+    * scale is not known to be bounded. SQL twins inline the same
     * expression via [[qTermSql]]. */
   private[ops] def qSqDist(a: Column, b: Column): Column =
     aggregate(
@@ -871,8 +878,9 @@ object Similarity {
     * probe at equal recall). Defaults to 0 so every stride-pinned
     * oracle is untouched. */
   private def ivfCentroidTable(prep: DataFrame, nlist: Int): DataFrame = {
-    val iters = prep.sparkSession.conf.get("spark.graft.ivf.kmeansIters",
-      sys.env.getOrElse("GRAFT_IVF_KMEANS_ITERS", "0")).toInt
+    val iters = graft.DispatchConf(prep.sparkSession, "spark.graft.ivf.")
+      .int("kmeansIters",
+        sys.env.getOrElse("GRAFT_IVF_KMEANS_ITERS", "0").toInt)
     if (iters > 0) kmeansCentroids(prep, nlist, iters)
     else {
       val stride = ivfStride(prep.count(), nlist)
@@ -1457,14 +1465,33 @@ object Similarity {
   private val IvfFormatTag = "graft-ivf v2 nrm=pico-quantized"
   private def ivfFormatPath(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "_FORMAT")
-  private[ops] def writeIvfFormat(s: SparkSession, dir: String): Unit = {
+  /** Write the index format file: the arithmetic-convention tag plus
+    * the QUANTIZER the build trained (`stride` or `kmeans<iters>`,
+    * r11 verdict #3) — a persisted index must advertise which coarse
+    * quantizer its centroids came from, both for operators (is this
+    * index refined?) and so a future quantizer-SENSITIVE verb can
+    * assert against it. Default `stride` keeps hand-built test
+    * directories on the historical meaning. */
+  private[ops] def writeIvfFormat(s: SparkSession, dir: String,
+      quantizer: String = "stride"): Unit = {
     val p = ivfFormatPath(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(IvfFormatTag.getBytes("UTF-8")) finally out.close()
+    try out.write(s"$IvfFormatTag quantizer=$quantizer".getBytes("UTF-8"))
+    finally out.close()
   }
+
+  /** Parse + assert the format file, returning the recorded quantizer.
+    * COMPATIBILITY is by component: the arithmetic convention must
+    * match [[IvfFormatTag]] exactly (mis-scaled norms are silent data
+    * corruption); the quantizer component is returned to the verb —
+    * every current verb (append/compact/probe/as-of) reads centroids
+    * back from the directory and is therefore correct under EITHER
+    * quantizer, so none rejects on it, but each now knows what it is
+    * operating on. A tag without the component is a pre-r12 index:
+    * quantizer `stride` (the only build path that existed). */
   private def assertIvfFormat(s: SparkSession, dir: String,
-      verb: String): Unit = {
+      verb: String): String = {
     val p = ivfFormatPath(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val tag =
@@ -1474,14 +1501,35 @@ object Similarity {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
       }
-    require(tag == IvfFormatTag,
-      s"$verb on '$dir': index format '$tag' != engine's '$IvfFormatTag' " +
+    val (arith, quantizer) = tag.indexOf(" quantizer=") match {
+      case -1 => (tag, "stride")
+      case i  => (tag.substring(0, i), tag.substring(i + " quantizer=".length))
+    }
+    require(arith == IvfFormatTag,
+      s"$verb on '$dir': index format '$arith' != engine's '$IvfFormatTag' " +
         "— persisted norms follow a different arithmetic convention and " +
         "every cosine against them would be silently mis-scaled; rebuild " +
         "the directory with saveIvfIndex")
+    quantizer
   }
 
-  def saveIvfIndex(prep: DataFrame, dir: String, nlist: Int = IvfNlist): Unit = {
+  /** Build (or rebuild) a persisted IVF index. The coarse quantizer
+    * follows the SAME dispatch as the transient query path
+    * ([[ivfCentroidTable]], r11 verdict #3 — the old build hard-coded
+    * stride picks, so a deployment that turned on
+    * `spark.graft.ivf.kmeansIters` got refined centroids on transient
+    * queries but could never persist them): `kmeansItersPin` beats the
+    * session conf (`spark.graft.ivf.kmeansIters`, env fallback) per the
+    * standing pin rule, 0 means stride. The trained quantizer is
+    * recorded in the format tag and frozen for the index lifetime —
+    * append/compact/probe read the persisted centroids back, so every
+    * downstream verb is quantizer-agnostic by construction. */
+  def saveIvfIndex(prep: DataFrame, dir: String, nlist: Int = IvfNlist,
+      kmeansItersPin: Option[Int] = None): Unit = {
+    val iters = graft.DispatchConf(prep.sparkSession, "spark.graft.ivf.")
+      .int("kmeansIters",
+        sys.env.getOrElse("GRAFT_IVF_KMEANS_ITERS", "0").toInt,
+        kmeansItersPin)
     // a rebuild is a RECOVERY verb ([[IndexIntent]]): it overwrites
     // every component, so a torn directory is tolerated and repaired
     IndexIntent.beginRepair(prep.sparkSession, dir, "saveIvfIndex")
@@ -1492,13 +1540,18 @@ object Similarity {
     // with a misleading "pre-r11 index" diagnostic (r11 review). A
     // crash mid-BUILD is still best recovered by re-running
     // saveIvfIndex itself — only the build has the source rows.
-    writeIvfFormat(prep.sparkSession, dir)
+    writeIvfFormat(prep.sparkSession, dir,
+      if (iters > 0) s"kmeans$iters" else "stride")
     // a rebuild starts a fresh lifecycle: drop any tombstone log left
     // by deletes against a previous index in this directory
     Dedup.clearTombstones(prep.sparkSession, dir)
-    val stride = ivfStride(prep.count(), nlist)
-    val cent = prep.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val cent =
+      if (iters > 0) kmeansCentroids(prep, nlist, iters)
+      else {
+        val stride = ivfStride(prep.count(), nlist)
+        prep.filter(col("vec_id") % stride === 0)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+      }
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
     assignToCells(prep, cent)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")

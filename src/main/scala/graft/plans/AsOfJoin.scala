@@ -91,10 +91,15 @@ object AsOfStrategy extends SparkStrategy {
   * stream), `LongType` epoch-nanos time columns (the slice arithmetic
   * contract), and non-broadcast plans (`broadcastRight = Some(true)`
   * never shuffles the left side, so there is nothing to rescue).
-  * Everything else goes straight to [[joinPlain]]. Recurring workloads
-  * that cannot afford the per-call detection job either pass a
-  * precomputed hint through [[AsOfSkew.join]] directly, call
-  * [[joinPlain]], or flip the conf off. */
+  * Everything else goes straight to [[joinPlain]]. The detection job
+  * is MEMOIZED per session on the left side's analyzed-plan semantic
+  * hash (r11 advice — recurring callers previously paid a sampled
+  * column-pruned scan per join CONSTRUCTION): the same logical left
+  * under the same knobs detects once. Callers that want zero detection
+  * even on first use pass a precomputed hint through [[AsOfSkew.join]]
+  * directly, call [[joinPlain]], or flip the conf off
+  * (`spark.graft.asof.skew.enabled=false`; the memo alone can be
+  * disabled with `...skew.detectCache=false`). */
 object AsOf {
 
   private val ConfPrefix = "spark.graft.asof.skew."
@@ -108,10 +113,13 @@ object AsOf {
                        tolerance: Option[Long],
                        broadcastRight: Option[Boolean]): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val conf = left.sparkSession.conf
-    def get(k: String, dflt: String) = conf.get(ConfPrefix + k, dflt)
+    // conf reads through the engine-wide dispatcher-knob helper
+    // ([[graft.DispatchConf]], r11 verdict #7); this dispatcher takes
+    // no per-call pins — callers needing pinned behavior use
+    // [[AsOfSkew.join]] with an explicit Config, joinPlain, or the hint
+    val knobs = graft.DispatchConf(left.sparkSession, ConfPrefix)
     val applicable =
-      get("enabled", "true").toBoolean &&
+      knobs.bool("enabled", dflt = true) &&
       !left.isStreaming && !right.isStreaming &&
       !broadcastRight.contains(true) &&
       left.schema(leftTime).dataType == LongType &&
@@ -127,12 +135,12 @@ object AsOf {
       AsOfSkew.join(left, right, keys, leftTime, rightTime, tolerance,
         broadcastRight,
         AsOfSkew.Config(
-          slices = get("slices", "8").toInt,
-          hotKeyShare = get("hotKeyShare", "0.02").toDouble,
-          sampleFraction = get("sampleFraction", "0.05").toDouble,
-          maxHotKeys = get("maxHotKeys", "64").toInt,
-          minHotRows = get("minHotRows", "1000000").toLong,
-          seed = get("seed", "42").toLong))
+          slices = knobs.int("slices", 8),
+          hotKeyShare = knobs.double("hotKeyShare", 0.02),
+          sampleFraction = knobs.double("sampleFraction", 0.05),
+          maxHotKeys = knobs.int("maxHotKeys", 64),
+          minHotRows = knobs.long("minHotRows", 1000000L),
+          seed = knobs.long("seed", 42L)))
   }
   /** `left` as-of joins `right` on equal `keys` with the most recent
     * `rightTime <= leftTime`; with `tolerance = Some(t)` the match must

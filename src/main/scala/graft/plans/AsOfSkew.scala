@@ -155,7 +155,7 @@ object AsOfSkew {
           plan.stats.sizeInBytes / rowBytes < BigInt(config.minHotRows)
         }
         if (provablySmall) Map.empty[Seq[Any], Seq[Long]]
-        else detect(left, lKeys, leftTime, config)
+        else detectMemo(left, lKeys, leftTime, config)
       }
       .filter(_._2.nonEmpty)
     if (bounds.isEmpty)
@@ -217,6 +217,40 @@ object AsOfSkew {
         right.withColumn(rn, -col(rightTime)),
         keys, ln, rn, tolerance, broadcastRight, negated)
       .drop(ln, rn)
+  }
+
+  /** Session-scoped memo for [[detect]] (r11 advice: `AsOf.join` ran
+    * an eager sampled-scan job at DataFrame-CONSTRUCTION time for
+    * every recurring parquet-backed call). Keyed by (session identity,
+    * analyzed-plan semantic hash, key/time names, knobs-sans-hint):
+    * the same logical left side under the same knobs detects ONCE per
+    * session. Safe by construction — the detection result only picks
+    * the plan, never the answer, so a stale entry (data rewritten
+    * in-place under an identical plan mid-session) costs at most a
+    * suboptimal plan choice, the same stakes as AQE's cached stats.
+    * Bounded (entries are ≤ maxHotKeys boundary lists; the map clears
+    * past 256 plans); opt out per session with
+    * `spark.graft.asof.skew.detectCache=false`. */
+  private val detectCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Seq[String], String, Config), Map[Seq[Any], Seq[Long]]]()
+
+  private def detectMemo(
+      left: DataFrame, keyNames: Seq[String], timeName: String,
+      config: Config): Map[Seq[Any], Seq[Long]] = {
+    val cacheOn = graft.DispatchConf(left.sparkSession,
+      "spark.graft.asof.skew.").bool("detectCache", dflt = true)
+    if (!cacheOn) return detect(left, keyNames, timeName, config)
+    val key = (System.identityHashCode(left.sparkSession),
+      left.queryExecution.analyzed.semanticHash(),
+      keyNames, timeName, config.copy(hint = None))
+    val hit = detectCache.get(key)
+    if (hit != null) hit
+    else {
+      val d = detect(left, keyNames, timeName, config)
+      if (detectCache.size() >= 256) detectCache.clear()
+      detectCache.put(key, d)
+      d
+    }
   }
 
   /** ONE-PASS hot-key detection (r10 verdict #6 — previously a persist

@@ -246,7 +246,7 @@ class PlanAuditSuite extends SparkSessionSuite {
     * equi-join — substring span dedup, the perceptual-hash bands, and
     * the SQ8 scan must never plan a cartesian. */
   test("r7 ops: substring/phash/sq8/token-budget plans stay equi-join") {
-    Seq("dedup_substring", "mm_phash_dedup", "pipe_token_budget")
+    Seq("dedup_substring", "pipe_token_budget")
       .foreach { q =>
         val plan = physicalPlan(q)
         withClue(s"$q plan:\n$plan\n") {
@@ -255,6 +255,25 @@ class PlanAuditSuite extends SparkSessionSuite {
         }
         graft.InternalCaches.releaseAll()
       }
+    // mm_phash_dedup routes through the r12 Hamming dispatch: at the
+    // audit fixture its unique-signature count is tiny, so the auto
+    // route legitimately picks the brute kernel (a bounded
+    // BroadcastNestedLoopJoin over UNIQUES — never a corpus cartesian).
+    // The PRODUCTION (banded) shape is pinned under a conf that forces
+    // it; both shapes must stay cartesian-free.
+    withHammingRoute(minBrute = "0", sharePct = "1000") {
+      val banded = physicalPlan("mm_phash_dedup")
+      withClue(s"mm_phash_dedup banded plan:\n$banded\n") {
+        assert(!banded.contains("CartesianProduct"))
+        assert(!banded.contains("BroadcastNestedLoopJoin"))
+      }
+      graft.InternalCaches.releaseAll()
+    }
+    val bruteP = physicalPlan("mm_phash_dedup")
+    withClue(s"mm_phash_dedup brute plan:\n$bruteP\n") {
+      assert(!bruteP.contains("CartesianProduct"))
+    }
+    graft.InternalCaches.releaseAll()
     // SQ8: the range-stats and query tables ride broadcasts (two
     // BroadcastExchanges); the corpus side never shuffles for the scan.
     val sq8 = physicalPlan("sim_sq8_topk")
@@ -269,13 +288,36 @@ class PlanAuditSuite extends SparkSessionSuite {
     * posexplode there is no exchange at all — the only shuffles in the
     * whole plan are the candidate-join and Hamming-verify stages. */
   test("phash signatures are map-side; bounded shuffle count") {
-    val plan = physicalPlan("mm_phash_dedup")
-    withClue(plan) {
-      // media scan → signature is join-free until the band self-join
-      assert("Exchange".r.findAllIn(plan).size <= 8)
-      assert(!plan.contains("CartesianProduct"))
+    // audit the PRODUCTION (banded) route; the r12 collapse adds the
+    // signature-group window + expansion joins, so the bound moved from
+    // 8 (pre-collapse) to 12 — still a fixed constant, never O(corpus)
+    withHammingRoute(minBrute = "0", sharePct = "1000") {
+      val plan = physicalPlan("mm_phash_dedup")
+      withClue(plan) {
+        // media scan → signature is join-free until the collapse
+        // window. Count DISTINCT exchanges: the persisted signature-
+        // group map renders its cached subtree (and its one exchange)
+        // once per reference in the plan STRING, but executes once.
+        val distinctExchanges =
+          "Exchange [a-z]+\\w*(\\([^,)]*|)".r.findAllIn(plan).toSet
+        assert(distinctExchanges.size <= 6, s"exchanges: $distinctExchanges")
+        assert(!plan.contains("CartesianProduct"))
+      }
+      graft.InternalCaches.releaseAll()
     }
-    graft.InternalCaches.releaseAll()
+  }
+
+  /** Pin the Hamming-band dispatch (`spark.graft.hamming.auto.*`) for
+    * the duration of `body`, restoring the session defaults after. */
+  private def withHammingRoute(minBrute: String, sharePct: String)(
+      body: => Unit): Unit = {
+    val c = spark.conf
+    c.set("spark.graft.hamming.auto.minBrute", minBrute)
+    c.set("spark.graft.hamming.auto.sharePct", sharePct)
+    try body finally {
+      c.unset("spark.graft.hamming.auto.minBrute")
+      c.unset("spark.graft.hamming.auto.sharePct")
+    }
   }
 
   /** r9: the forward/nearest as-of family keeps the backward form's
