@@ -136,6 +136,35 @@ class PipelineSuite extends SparkSessionSuite {
     got shouldBe expected.toSeq
   }
 
+  /** r12 (r11 verdict #4): the bucket widths are plumbing, never
+    * semantics — the hierarchical offsets are identical at any
+    * positive widths, including degenerate ones that force MANY
+    * buckets and MANY super-buckets (the high-bucket-count path the
+    * old forced `broadcast(boff)` design could not survive at 10^10
+    * docs). Checked against the one-window global prefix sum. */
+  test("packing offsets are bucket-width invariant (hierarchical path)") {
+    val s = spark
+    import s.implicits._
+    val q0 = (0L until 500L).map(i => (i, i % 37 + 1))
+      .toDF("doc_id", "n_tokens")
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val reference = q0.withColumn("en", sum(col("n_tokens")).over(wAll))
+      .select(col("doc_id"), (col("en") - col("n_tokens")).as("st"), col("en"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for ((bucket, superF) <- Seq((64L, 4096L), (3L, 2L), (1L, 1L), (500L, 7L))) {
+      val q = q0.withColumn("bkt",
+        expr(s"CAST(doc_id DIV $bucket AS BIGINT)"))
+      val got = Pipeline.hierarchicalOffsets(q, superF)
+        .select(col("doc_id"), col("st"), col("en"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      withClue(s"bucket=$bucket superFactor=$superF: ") {
+        got shouldBe reference
+      }
+    }
+  }
+
   test("packing index reconstructs the exact original token stream") {
     // The loader contract: materializing every sequence from the
     // (seq, doc, seq_off, span_len) index — slicing each doc's
