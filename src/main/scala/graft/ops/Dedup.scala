@@ -1675,7 +1675,7 @@ object Dedup {
       // is exact), so the conf may freely re-route deployments — unlike
       // sim_range_search_auto, whose twin mirrors the decision rule and
       // therefore must pin the literals.
-      HammingBands.pairs(simBandSigs(s, d), "doc_id", "bands",
+      HammingBands.pairs(simBandSigs(s, d), "doc_id", "bands", SimBands,
           HammingMax, name, route = route)
         .select(col("id1").as("doc1"), col("id2").as("doc2"),
           col("hamming"))

@@ -97,10 +97,18 @@ object HammingBands {
   }
 
   /** Exact Hamming distance between two band arrays (bands partition
-    * the signature bits, so Σ per-band popcounts = full popcount). */
-  private def hammingOf(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (p, q) => bit_count(p.bitwiseXOR(q)).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    * the signature bits, so Σ per-band popcounts = full popcount).
+    * Statically unrolled over `element_at` — a `zip_with` + `aggregate`
+    * HOF pair allocates an intermediate array per CANDIDATE PAIR,
+    * which tripled dedup_simhash's per-pair verify cost in the first
+    * r12 cut; the unrolled form codegens to `nBands` xor+popcount
+    * instructions, the same cost as the pre-collapse single-long
+    * popcount. */
+  private def hammingOf(a: Column, b: Column, nBands: Int): Column =
+    (1 to nBands)
+      .map(i => bit_count(element_at(a, i).bitwiseXOR(element_at(b, i)))
+        .cast("long"))
+      .reduce(_ + _)
 
   /** THE family entry point: all id pairs (`id1 < id2`) whose band-array
     * signatures are within `maxHamming`, via signature collapse + the
@@ -112,7 +120,7 @@ object HammingBands {
     * banded, `None` measures and dispatches (one metadata-sized action
     * at DataFrame-construction time — the r11 dispatch-cost contract).
     * All three produce identical rows; the route only picks the plan. */
-  def pairs(sigs: DataFrame, idCol: String, bandsCol: String,
+  def pairs(sigs: DataFrame, idCol: String, bandsCol: String, nBands: Int,
       maxHamming: Int, family: String,
       route: Option[Boolean] = None,
       minBrutePin: Option[Long] = None,
@@ -141,9 +149,15 @@ object HammingBands {
       decide(usig, family, minBrutePin, sharePctPin).useBrute)
     val uPairs =
       if (useBrute)
-        usig.as("a").join(usig.as("b"), col("a.gid") < col("b.gid"))
+        // the unique-signature relation is rows of (id, nBands longs) —
+        // tiny whenever brute is the right route (u <= minBrute, or a
+        // dense corpus whose output is quadratic anyway); the hint
+        // guarantees a broadcast nested-loop instead of a cartesian,
+        // whose per-pair overhead dominated the first r12 cut
+        usig.as("a").join(broadcast(usig.as("b")),
+            col("a.gid") < col("b.gid"))
           .select(col("a.gid").as("g1"), col("b.gid").as("g2"),
-            hammingOf(col("a.bands"), col("b.bands")).as("hamming"))
+            hammingOf(col("a.bands"), col("b.bands"), nBands).as("hamming"))
           .filter(col("hamming") <= maxHamming)
       else {
         val ex = usig.select(col("gid"),
@@ -156,7 +170,7 @@ object HammingBands {
           .join(usig.as("ua"), col("g1") === col("ua.gid"))
           .join(usig.as("ub"), col("g2") === col("ub.gid"))
           .select(col("g1"), col("g2"),
-            hammingOf(col("ua.bands"), col("ub.bands")).as("hamming"))
+            hammingOf(col("ua.bands"), col("ub.bands"), nBands).as("hamming"))
           .filter(col("hamming") <= maxHamming)
       }
 

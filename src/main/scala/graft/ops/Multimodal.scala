@@ -474,7 +474,7 @@ object Multimodal {
       // candidates among UNIQUE signatures route brute vs banded from
       // one measured metadata-sized aggregate. Route-invariant: the
       // all-pairs oracle above is exact for every route.
-      HammingBands.pairs(sigs, "media_id", "bands", 7, "mm_fuzzy_dedup")
+      HammingBands.pairs(sigs, "media_id", "bands", 8, 7, "mm_fuzzy_dedup")
         .select(col("id1").as("ida"), col("id2").as("idb"), col("hamming"))
         .orderBy(col("ida"), col("idb"))
     }
@@ -696,7 +696,7 @@ object Multimodal {
       // uncollapsed band join; unique-signature candidate generation
       // plus the measured brute-vs-banded route makes the duplicate
       // flood pure output expansion. Route-invariant oracle.
-      HammingBands.pairs(sigs, "media_id", "bands", 2, "mm_phash_dedup")
+      HammingBands.pairs(sigs, "media_id", "bands", 8, 2, "mm_phash_dedup")
         .select(col("id1").as("ida"), col("id2").as("idb"), col("hamming"))
         .orderBy(col("ida"), col("idb"))
     }

@@ -59,7 +59,7 @@ class HammingBandsSuite extends SparkSessionSuite {
     val ref = reference(sigs, 3)
     ref.exists(_._3 == 0L) shouldBe true // intra-group pairs present
     for (route <- Seq(Some(true), Some(false), None)) {
-      val got = collected(HammingBands.pairs(sigs, "id", "bands", 3,
+      val got = collected(HammingBands.pairs(sigs, "id", "bands", 4, 3,
         s"suite-route-$route", route = route,
         minBrutePin = Some(50L), sharePctPin = Some(90)))
       withClue(s"route=$route: ") { got shouldBe ref }
@@ -86,7 +86,7 @@ class HammingBandsSuite extends SparkSessionSuite {
 
     // and the flood corpus still answers EXACTLY on the auto route
     val ref = reference(flood, 3)
-    val got = collected(HammingBands.pairs(flood, "id", "bands", 3,
+    val got = collected(HammingBands.pairs(flood, "id", "bands", 4, 3,
       "suite-flood-auto", minBrutePin = Some(100L), sharePctPin = Some(90)))
     got shouldBe ref
   }
