@@ -2065,9 +2065,27 @@ object Similarity {
     * round probes against them too. Returns the admitted rows. */
   def ingestIntoIvfIndex(s: SparkSession, dir: String, batch: DataFrame,
       cut: Double = 0.99, nprobe: Int = IvfNprobe): DataFrame = {
-    val rejected = topKFromIvfIndex(s, dir, batch, k = 1, nprobe = nprobe)
+    // PROBE-SIDE COLLAPSE (r12, the Hamming-band pattern applied to the
+    // vector side — sim_ingest_grow ran 39.6× at the r11 10×
+    // densification fixture): a duplicate-flooded batch probes the same
+    // cells with c identical vectors for one bit of information each.
+    // The admit/reject verdict is a pure function of the VECTOR — cell
+    // assignment, cosine, and the >= cut test all derive from v alone,
+    // and the probe's self-exclusion (query_id != vec_id) never fires
+    // because batch ids are not yet indexed (the append contract) — so
+    // ONE representative per distinct vector probes and members inherit
+    // its verdict. Exact, and the cell join's probe side now scales
+    // with DISTINCT batch vectors.
+    val gmap = graft.InternalCaches.register(batch
+      .withColumn("__rep",
+        min(col("vec_id")).over(Window.partitionBy(col("v"))))
+      .persist())
+    val reps = gmap.filter(col("vec_id") === col("__rep")).drop("__rep")
+    val rejectedReps = topKFromIvfIndex(s, dir, reps, k = 1, nprobe = nprobe)
       .filter(col("cos") >= cut)
-      .select(col("query_id").as("vec_id"))
+      .select(col("query_id").as("__rep"))
+    val rejected = gmap.join(rejectedReps, Seq("__rep"))
+      .select(col("vec_id"))
     val admitted = batch.join(rejected, Seq("vec_id"), "left_anti")
       .localCheckpoint(true)
     appendToIvfIndex(dir, admitted)
