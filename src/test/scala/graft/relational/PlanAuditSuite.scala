@@ -262,12 +262,14 @@ class PlanAuditSuite extends SparkSessionSuite {
     // The PRODUCTION (banded) shape is pinned under a conf that forces
     // it; both shapes must stay cartesian-free.
     withHammingRoute(minBrute = "0", sharePct = "1000") {
-      val banded = physicalPlan("mm_phash_dedup")
-      withClue(s"mm_phash_dedup banded plan:\n$banded\n") {
-        assert(!banded.contains("CartesianProduct"))
-        assert(!banded.contains("BroadcastNestedLoopJoin"))
+      Seq("mm_phash_dedup", "mm_fuzzy_dedup").foreach { q =>
+        val banded = physicalPlan(q)
+        withClue(s"$q banded plan:\n$banded\n") {
+          assert(!banded.contains("CartesianProduct"))
+          assert(!banded.contains("BroadcastNestedLoopJoin"))
+        }
+        graft.InternalCaches.releaseAll()
       }
-      graft.InternalCaches.releaseAll()
     }
     val bruteP = physicalPlan("mm_phash_dedup")
     withClue(s"mm_phash_dedup brute plan:\n$bruteP\n") {
