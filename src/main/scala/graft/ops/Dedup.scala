@@ -422,13 +422,18 @@ object Dedup {
 
   // mod-reduce each fold step: 8 chained *1009 terms would overflow
   // int64 otherwise (and DuckDB's hugeint would silently diverge).
-  private[graft] def bandSql = (0 until Bands).map { b =>
+  private[graft] def bandExprSql(b: Int): String = {
     val base = b * RowsPerBand
     (1 until RowsPerBand)
       .foldLeft(s"mh$base")((acc, i) =>
-        s"(($acc * 1009 + mh${base + i}) % 1000000007)") +
-      s" AS band$b"
-  }.mkString(", ")
+        s"(($acc * 1009 + mh${base + i}) % 1000000007)")
+  }
+
+  private[graft] def bandSql = (0 until Bands)
+    .map(b => s"${bandExprSql(b)} AS band$b").mkString(", ")
+
+  private[graft] def mhListSql = (0 until NumHashes)
+    .map(j => s"mh$j").mkString(", ")
 
   private[graft] def eqCountSql = (0 until NumHashes)
     .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
@@ -441,15 +446,21 @@ object Dedup {
     * [[BandBucketCap]], where the engine's documented capped drop made
     * the previously-uncapped oracle diverge — the cap IS the contract,
     * so the oracle states it too; fixture buckets stay under the cap,
-    * leaving every committed hash unchanged). */
+    * leaving every committed hash unchanged). r13: the cap counts
+    * DISTINCT SIGNATURES per band bucket, mirroring the engine's
+    * signature collapse — an exact-duplicate flood contributes one. */
   private[graft] def lshPairsSql: String =
     s"""sig AS (
       |  SELECT doc_id, $mhSql FROM sh GROUP BY doc_id),
       |banded AS (
       |  SELECT doc_id, $bandSql FROM sig),
       |cand AS (
-      |  ${(0 until Bands).map(b =>
-           s"SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM banded a JOIN banded b ON a.band$b = b.band$b AND a.doc_id < b.doc_id AND a.band$b NOT IN (SELECT band$b FROM banded GROUP BY band$b HAVING count(*) > $BandBucketCap)")
+      |  ${((0 until Bands).map(b =>
+           s"SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM banded a JOIN banded b ON a.band$b = b.band$b AND a.doc_id < b.doc_id AND a.band$b NOT IN (SELECT ${bandExprSql(b)} AS hb$b FROM (SELECT DISTINCT $mhListSql FROM sig) GROUP BY 1 HAVING count(*) > $BandBucketCap)") :+
+           // identical-signature pairs bypass the cap (the engine's
+           // intra-group expansion): an exact duplicate is never lost
+           // to the fanout guard
+           s"SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ${(0 until NumHashes).map(j => s"a.mh$j = b.mh$j").mkString(" AND ")}")
            .mkString("\n  UNION\n  ")}),
       |pairs AS (
       |  SELECT c.doc1, c.doc2, ($eqCountSql) AS n_match
@@ -457,17 +468,25 @@ object Dedup {
       |  JOIN sig a ON a.doc_id = c.doc1
       |  JOIN sig b ON b.doc_id = c.doc2)""".stripMargin
 
-  /** Maximum docs a single (band, value) bucket may hold and still
-    * self-join in [[lshCandidatePairs]] (r6, verdict): a bucket of b
-    * docs emits b·(b−1)/2 candidates, so one boilerplate-heavy cluster
-    * (thousands of near-identical docs) turns the band join quadratic —
-    * the same stop-phrase failure mode [[DfCap]] guards the Jaccard
-    * index against. Hot buckets are dropped WITH A LOGGED COUNT; the
-    * default is far above any fixture bucket (max observed 3), so the
-    * uncapped SQL oracle stays bit-identical. A production corpus that
-    * trips it should consolidate the hot cluster by exact-hash dedup
-    * first — docs identical enough to share a full band at that volume
-    * are usually byte-identical. */
+  /** Maximum DISTINCT SIGNATURES a single (band, value) bucket may hold
+    * and still self-join in [[lshCandidatePairs]] (r6, verdict): a
+    * bucket of b distinct signatures emits b·(b−1)/2 candidate GROUPS,
+    * so one boilerplate-heavy cluster (thousands of near-identical,
+    * differently-signed docs) turns the band join quadratic — the same
+    * stop-phrase failure mode [[DfCap]] guards the Jaccard index
+    * against. Hot buckets are dropped WITH A LOGGED COUNT; the default
+    * is far above any fixture bucket (max observed 3), so the SQL
+    * oracle's mirrored cap never trips on committed fixtures.
+    *
+    * r13 (verdict #1/#7): the cap counts DISTINCT SIGNATURES, not docs
+    * — under the old per-doc count, c exact copies of ONE signature
+    * (exactly the input dedup exists for) pushed every one of its band
+    * buckets over the cap and the hot-exclusion silently ADMITTED all
+    * of them (the r12 100× probe: 50 000/50 000 planted near-dups
+    * admitted). Exact duplicates carry zero extra candidate
+    * information, so they cannot evict a signature from the probe
+    * path; only genuine signature diversity (true boilerplate — the
+    * hazard the cap exists for) can trip it. */
   private[graft] val BandBucketCap = 64
 
   /** Spark twin of [[lshPairsSql]]: shingle set → (doc1, doc2, n_match).
@@ -544,57 +563,168 @@ object Dedup {
     withBands.drop("_tids", "_shing")
   }
 
+  /** Layout-convention tag persisted as `_FORMAT` in every band index
+    * directory (the [[Similarity]] IVF `_FORMAT` seam applied here).
+    * v2 (r13) is the SIGNATURE-COLLAPSED layout: band rows and bucket
+    * counts are per DISTINCT signature, not per doc — the r12 100×
+    * probe demonstrated the per-doc layout goes recall-blind under a
+    * duplicate flood (c exact copies of one signature pushed every one
+    * of its band buckets past [[BandBucketCap]], so the hot-exclusion
+    * ADMITTED all 50 000 planted corpus near-dups: the cap meant to
+    * bound boilerplate fanout was tripped by exactly the input dedup
+    * exists for). A v1 directory (no `_FORMAT` file) fails fast on
+    * every verb with a rebuild instruction — probing per-doc band rows
+    * under v2 semantics would double-expand evidence silently. */
+  private val BandFormatTag = "graft-band v2 sig-collapsed"
+  private def bandFormatPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_FORMAT")
+  private def writeBandFormat(s: SparkSession, dir: String): Unit = {
+    val p = bandFormatPath(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(BandFormatTag.getBytes("UTF-8"))
+    finally out.close()
+  }
+  private def assertBandFormat(s: SparkSession, dir: String,
+      verb: String): Unit = {
+    val p = bandFormatPath(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tag =
+      if (!fs.exists(p)) "ABSENT (pre-r13 per-doc layout)"
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
+    require(tag == BandFormatTag,
+      s"$verb on '$dir': band index layout '$tag' != engine's " +
+        s"'$BandFormatTag' — v2 stores one band row per DISTINCT " +
+        "signature (duplicate floods can no longer blind the probe via " +
+        "the bucket cap); probing a per-doc layout under v2 semantics " +
+        "would mis-expand evidence. Rebuild the directory with " +
+        "saveBandIndex.")
+  }
+
+  private def mhCols: Seq[Column] = (0 until NumHashes).map(j => col(s"mh$j"))
+
+  /** Group-table partition key: signatures hash-bucket by their full
+    * 16-hash content so the append/delete merges read only touched
+    * partitions (a collision here only co-locates two groups in one
+    * partition file — group identity is the full signature columns). */
+  private def gbucketOf(nBuckets: Int): Column =
+    pmod(xxhash64(mhCols: _*), lit(nBuckets.toLong)).cast("int")
+
   /** Persist a corpus's MinHash signature table + band index to `dir`,
     * hash-bucketed by band value — the PRODUCTION shape behind the
     * incremental/streaming near-dup probes (the Similarity.saveIvfIndex
     * pattern applied to LSH): at corpus scale the index is not
     * broadcastable, so it lives bucketed on storage and a probe prunes
-    * to the touched buckets. Layout: `dir/sig` (doc_id, mh0..15) and
-    * `dir/bands` (doc_id, bi, bv) partitioned by
-    * `bucket = pmod(bv, nBuckets)` (band values are already uniform
-    * hashes, so modulo buckets evenly). */
-  def saveBandIndex(docs: DataFrame, dir: String, nBuckets: Int = 16): Unit = {
+    * to the touched buckets.
+    *
+    * v2 layout (SIGNATURE-COLLAPSED — the [[HammingBands.pairs]]
+    * collapse applied to the on-disk convention, r12 verdict #1):
+    *
+    *  - `dir/sig` (doc_id, mh0..15): per-doc signatures, append-only.
+    *  - `dir/members` (doc_id, gid): each doc's signature GROUP, where
+    *    gid = the doc id of the group's representative. Append-only.
+    *  - `dir/bands` (gid, bi, bv) partitioned by
+    *    `bucket = pmod(bv, nBuckets)`: ONE row set per DISTINCT live
+    *    signature. Append-only (a signature's band rows are written
+    *    when it first becomes live).
+    *  - `dir/groups` (mh0..15, gid, live_cnt) partitioned by
+    *    `gbucket = pmod(xxhash64(sig), nBuckets)`: the one keyed state
+    *    besides counts — how appends/deletes know whether a batch
+    *    signature is already indexed (merge over touched partitions,
+    *    the counts pattern).
+    *  - `dir/counts` (bucket, bi, bv, cnt): cnt = number of DISTINCT
+    *    LIVE signatures whose band `bi` has value `bv` — the flood
+    *    fix: c exact copies of one signature contribute 1, so only
+    *    genuine signature DIVERSITY (true boilerplate) can push a
+    *    bucket over the cap.
+    *  - `dir/hot` (bi, bv): buckets over `cap`, excluded from probes
+    *    with the same logged-drop contract as before.
+    *
+    * `cap` is persisted in `dir/meta` beside the bucket modulus — both
+    * are part of the index, not probe-time arguments. */
+  def saveBandIndex(docs: DataFrame, dir: String, nBuckets: Int = 16,
+      cap: Int = BandBucketCap): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     // a rebuild is a RECOVERY verb: it overwrites every component from
     // scratch, so it tolerates (and on success clears) a torn state
     IndexIntent.beginRepair(spark, dir, "saveBandIndex")
+    // the layout tag goes FIRST (the IVF lesson): everything this verb
+    // writes is v2 convention, and tagging last would leave a crash
+    // window where the recovery verb rejects its own half-built dir
+    writeBandFormat(spark, dir)
     // a rebuild starts a fresh lifecycle: drop any tombstone log left
     // by deletes against a previous index in this directory
     clearTombstones(spark, dir)
     corpusSignatures(docs).write.mode("overwrite").parquet(s"$dir/sig")
-    val sig = spark.read.parquet(s"$dir/sig")
-    val bands = bandRowsOf(sig)
-      .withColumn("bucket", pmod(col("bv"), lit(nBuckets)).cast("int"))
-    bands.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
-    // the bucket modulus is PART OF the index — a probe under a
-    // different modulus computes different buckets and silently loses
-    // matches to the partition-pruning filter, so it is persisted and
+    // the bucket modulus and cap are PART OF the index — a probe under
+    // a different modulus computes different buckets and silently loses
+    // matches to the partition-pruning filter, so both persist and are
     // read back rather than re-supplied
-    Seq(nBuckets).toDF("n_buckets")
+    Seq((nBuckets, cap)).toDF("n_buckets", "cap")
       .write.mode("overwrite").parquet(s"$dir/meta")
-    // per-(band, value) bucket counts, partitioned like the band rows:
-    // the incremental path ([[appendToBandIndex]]) merges ONLY the
-    // touched partitions, so the over-cap list stays maintainable at
-    // O(batch) without rescanning the corpus
-    val counts = spark.read.parquet(s"$dir/bands")
-      .groupBy(col("bucket"), col("bi"), col("bv"))
-      .agg(count(lit(1)).as("cnt"))
-    counts.write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dir/counts")
-    // the over-cap (bi, bv) list TRAVELS WITH THE INDEX (r7, advice):
-    // without it, [[probeBandIndex]] and the streaming probe fanned out
-    // unbounded on a boilerplate bucket while the inline batch flavor
-    // enforced [[BandBucketCap]] — three 'same contract' flavors with
-    // diverging admission. The list is tiny by construction (it takes
-    // > cap identical-band docs to enter).
-    val hot = spark.read.parquet(s"$dir/counts")
-      .filter(col("cnt") > BandBucketCap).select(col("bi"), col("bv"))
-    hot.write.mode("overwrite").parquet(s"$dir/hot")
+    rebuildDerivedFromSig(spark, dir, nBuckets, cap)
     // a rebuild starts snapshot history over: v1 = the full build
     clearBandSnapshots(spark, dir)
     commitBandSnapshot(spark, dir, None)
     IndexIntent.end(spark, dir)
+  }
+
+  /** (Re)derive every non-sig component — members, groups, bands,
+    * counts, hot — from `dir/sig`, the raw per-doc facts. Shared by the
+    * build and by compaction's recovery path: on the clean path the
+    * incremental state is identical (suite-pinned), and on the recovery
+    * path this is what discards a torn merge a crashed append/delete
+    * left behind. One window pass serves members and the unique rows. */
+  private def rebuildDerivedFromSig(spark: SparkSession, dir: String,
+      nBuckets: Int, cap: Int): Unit = {
+    val sig = spark.read.parquet(s"$dir/sig")
+    val g = sig.withColumn("gid",
+      min(col("doc_id")).over(Window.partitionBy(mhCols: _*)))
+      .localCheckpoint(true)
+    g.select(col("doc_id"), col("gid"))
+      .write.mode("overwrite").parquet(s"$dir/members")
+    val groups = g.groupBy((mhCols :+ col("gid")): _*)
+      .agg(count(lit(1)).as("live_cnt"))
+      .withColumn("gbucket", gbucketOf(nBuckets))
+    // one task (= one file) per partition value; STATIC overwrite so a
+    // compaction-time rebuild truncates the whole component, never
+    // leaves stale partitions from before the rewrite
+    groups.repartition(col("gbucket")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("gbucket").parquet(s"$dir/groups")
+    // unique-signature rows, shaped like sig with doc_id = gid, feed
+    // the band arithmetic unchanged
+    val usig = g.filter(col("doc_id") === col("gid"))
+    val bands = bandRowsOf(usig)
+      .withColumnRenamed("doc_id", "gid")
+      .withColumn("bucket", pmod(col("bv"), lit(nBuckets)).cast("int"))
+    bands.repartition(col("bucket")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("bucket").parquet(s"$dir/bands")
+    // per-(band, value) DISTINCT-signature counts, partitioned like the
+    // band rows: the incremental path ([[appendToBandIndex]]) merges
+    // ONLY the touched partitions, so the over-cap list stays
+    // maintainable at O(batch) without rescanning the corpus
+    val counts = spark.read.parquet(s"$dir/bands")
+      .groupBy(col("bucket"), col("bi"), col("bv"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    counts.repartition(col("bucket")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("bucket").parquet(s"$dir/counts")
+    // the over-cap (bi, bv) list TRAVELS WITH THE INDEX (r7, advice):
+    // without it, [[probeBandIndex]] and the streaming probe fanned out
+    // unbounded on a boilerplate bucket while the inline batch flavor
+    // enforced the cap — three 'same contract' flavors with diverging
+    // admission. The list is tiny by construction (it takes > cap
+    // DISTINCT-signature docs sharing a band value to enter).
+    counts.filter(col("cnt") > cap).select(col("bi"), col("bv"))
+      .write.mode("overwrite").parquet(s"$dir/hot")
   }
 
   /** INCREMENTAL maintenance for a [[saveBandIndex]] directory (r7,
@@ -624,6 +754,13 @@ object Dedup {
     * function of its own document. Callers append ADMITTED docs (the
     * [[probeBandIndex]] survivors); re-appending an already-indexed
     * doc_id would duplicate its rows, as in any append-only log. */
+  /** (n_buckets, cap) persisted by [[saveBandIndex]]. */
+  private def readBandMeta(s: SparkSession, dir: String): (Int, Int) = {
+    val row = s.read.parquet(s"$dir/meta")
+      .select(col("n_buckets"), col("cap")).head()
+    (row.getInt(0), row.getInt(1))
+  }
+
   def appendToBandIndex(dir: String, batch: DataFrame): Unit = {
     val spark = batch.sparkSession
     // intent marker precedes the first mutation: any crash inside this
@@ -631,39 +768,92 @@ object Dedup {
     // torn directory (see [[IndexIntent]])
     IndexIntent.begin(spark, dir, "appendToBandIndex",
       "graft.ops.Dedup.compactBandIndex")
-    val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
-    // one materialization of the batch signatures feeds both appends
+    assertBandFormat(spark, dir, "appendToBandIndex")
+    val (nBuckets, cap) = readBandMeta(spark, dir)
+    // one materialization of the batch signatures feeds every append
     val sig = corpusSignatures(batch).localCheckpoint(true)
     sig.write.mode("append").parquet(s"$dir/sig")
-    val bands = bandRowsOf(sig)
-      .withColumn("bucket", pmod(col("bv"), lit(nBuckets)).cast("int"))
+    // batch signature groups: multiplicity + batch-local representative
+    val bg = sig.groupBy(mhCols: _*)
+      .agg(min(col("doc_id")).as("bgid"), count(lit(1)).as("m"))
+      .withColumn("gbucket", gbucketOf(nBuckets))
       .localCheckpoint(true)
-    bands.write.mode("append").partitionBy("bucket").parquet(s"$dir/bands")
-    val batchCounts = bands.groupBy(col("bucket"), col("bi"), col("bv"))
-      .agg(count(lit(1)).as("cnt"))
+    if (bg.isEmpty) { IndexIntent.end(spark, dir); return }
     // bounded by construction: at most nBuckets distinct small ints
+    val touchedG = bg.select(col("gbucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // GROUP MERGE — the heart of the v2 collapse: a batch signature is
+    // NEW (no group row), REVIVED (row with live_cnt = 0: every member
+    // deleted since it was last live), or ALREADY LIVE. Only new
+    // signatures append band rows; new ∪ revived contribute +1 count
+    // deltas; already-live signatures change neither (c more copies of
+    // an indexed signature is zero new candidate information — the
+    // flood fix).
+    val mhNames = (0 until NumHashes).map(j => s"mh$j")
+    val old = spark.read.parquet(s"$dir/groups")
+      .filter(col("gbucket").isin(touchedG: _*)) // partition-pruned read
+    val merged = old.join(bg.withColumnRenamed("gbucket", "bg_gbucket"),
+        mhNames, "full_outer")
+      .select(
+        (mhNames.map(col) :+
+          coalesce(col("gbucket"), col("bg_gbucket")).as("gbucket") :+
+          coalesce(col("gid"), col("bgid")).as("gid") :+
+          (coalesce(col("live_cnt"), lit(0L)) +
+            coalesce(col("m"), lit(0L))).as("new_live") :+
+          (col("m").isNotNull &&
+            coalesce(col("live_cnt"), lit(0L)) === 0L).as("newly_live") :+
+          col("gid").isNull.as("brand_new")): _*)
+      // materialize BEFORE overwriting the partitions being read
+      .localCheckpoint(true)
+    merged.select((col("gbucket") +: mhNames.map(col)) :+ col("gid") :+
+        col("new_live").as("live_cnt"): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gbucket").parquet(s"$dir/groups")
+    // every batch doc maps to its group's representative — gid comes
+    // from the MERGE (an already-indexed signature keeps its gid)
+    sig.join(merged.select((mhNames.map(col) :+ col("gid")): _*), mhNames)
+      .select(col("doc_id"), col("gid"))
+      .write.mode("append").parquet(s"$dir/members")
+    // band rows append for BRAND-NEW signatures only (a revived group's
+    // rows are already on disk; re-appending would double its evidence)
+    def bandsOf(src: DataFrame): DataFrame =
+      bandRowsOf(src.select((col("gid").as("doc_id") +: mhCols): _*))
+        .withColumnRenamed("doc_id", "gid")
+        .withColumn("bucket", pmod(col("bv"), lit(nBuckets)).cast("int"))
+    bandsOf(merged.filter(col("brand_new")))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/bands")
+    // +1 distinct-signature count per band bucket per NEWLY-LIVE
+    // signature (brand-new or revived — revived recompute their band
+    // values from the signature columns, the same arithmetic)
+    val batchCounts = bandsOf(merged.filter(col("newly_live")))
+      .groupBy(col("bucket"), col("bi"), col("bv"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val touched = batchCounts.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.nonEmpty) {
-      val merged = spark.read.parquet(s"$dir/counts")
+      val mergedCounts = spark.read.parquet(s"$dir/counts")
         .filter(col("bucket").isin(touched: _*)) // partition-pruned read
         .unionByName(batchCounts)
         .groupBy(col("bucket"), col("bi"), col("bv"))
         .agg(sum(col("cnt")).as("cnt"))
         // materialize BEFORE overwriting the partitions being read
         .localCheckpoint(true)
-      merged.write.mode("overwrite")
+      mergedCounts.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").parquet(s"$dir/counts")
       val hot = spark.read.parquet(s"$dir/hot")
-        .unionByName(merged.filter(col("cnt") > BandBucketCap)
+        .unionByName(mergedCounts.filter(col("cnt") > cap)
           .select(col("bi"), col("bv")))
         .distinct().localCheckpoint(true)
       hot.write.mode("overwrite").parquet(s"$dir/hot")
-      // each append commits a snapshot: manifest of the (append-only)
-      // live files + this batch's counts as an immutable delta
-      commitBandSnapshot(spark, dir, Some(batchCounts))
     }
+    // each append commits a snapshot: manifest of the (append-only)
+    // live files + this batch's counts as an immutable delta. Committed
+    // even when the delta is empty (all-already-live batch): the
+    // manifest must still list the new sig/members files
+    commitBandSnapshot(spark, dir, Some(batchCounts))
     IndexIntent.end(spark, dir)
   }
 
@@ -741,7 +931,8 @@ object Dedup {
     }
     val lines =
       listParquetFiles(s, dir, "sig").map("sig\t" + _) ++
-        listParquetFiles(s, dir, "bands").map("bands\t" + _)
+        listParquetFiles(s, dir, "bands").map("bands\t" + _) ++
+        listParquetFiles(s, dir, "members").map("members\t" + _)
     val mdir = new org.apache.hadoop.fs.Path(s"$dir/manifests")
     fs.mkdirs(mdir)
     val out = fs.create(
@@ -773,6 +964,7 @@ object Dedup {
   def probeBandIndexAsOf(s: SparkSession, dir: String, batch: DataFrame,
       version: Int, minMatch: Int = 8): DataFrame = {
     IndexIntent.assertClean(s, dir, "graft.ops.Dedup.compactBandIndex")
+    assertBandFormat(s, dir, "probeBandIndexAsOf")
     require(bandIndexVersions(s, dir).contains(version),
       s"no committed snapshot v$version under $dir (compaction expires history)")
     val mpath = new org.apache.hadoop.fs.Path(s"$dir/manifests/v$version.txt")
@@ -788,16 +980,18 @@ object Dedup {
     }
     def files(component: String): Seq[String] =
       manifest.collect { case (c, f) if c == component => f }
+    val cap = readBandMeta(s, dir)._2
     val sig = s.read.parquet(files("sig"): _*)
     val bands = s.read.option("basePath", s"$dir/bands")
       .parquet(files("bands"): _*)
+    val members = s.read.parquet(files("members"): _*)
     val counts = s.read.parquet(s"$dir/count_deltas")
       .filter(col("version") <= version)
       .groupBy(col("bucket"), col("bi"), col("bv"))
       .agg(sum(col("cnt")).as("cnt"))
-    val hot = counts.filter(col("cnt") > BandBucketCap)
+    val hot = counts.filter(col("cnt") > cap)
       .select(col("bi"), col("bv"))
-    probeAgainst(s, dir, batch, minMatch, sig, bands, hot)
+    probeAgainst(s, dir, batch, minMatch, sig, bands, members, hot)
   }
 
   /** The DELETE verb of the band-index lifecycle (build / append /
@@ -871,26 +1065,60 @@ object Dedup {
     val spark = deletedDocs.sparkSession
     IndexIntent.begin(spark, dir, "deleteFromBandIndex",
       "graft.ops.Dedup.compactBandIndex")
-    val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    assertBandFormat(spark, dir, "deleteFromBandIndex")
+    val (nBuckets, cap) = readBandMeta(spark, dir)
     deletedDocs.select(col("doc_id"))
       .write.mode("append").parquet(s"$dir/tombstones")
+    // the batch re-signs itself and its per-SIGNATURE multiplicities
+    // merge NEGATED into the group table; a signature whose live count
+    // hits 0 is NEWLY DEAD and its band buckets lose one DISTINCT
+    // signature each — the count key of the v2 layout
     val sig = corpusSignatures(deletedDocs).localCheckpoint(true)
-    val bands = bandRowsOf(sig)
+    val dg = sig.groupBy(mhCols: _*)
+      .agg(count(lit(1)).as("m"))
+      .withColumn("gbucket", gbucketOf(nBuckets))
+      .localCheckpoint(true)
+    if (dg.isEmpty) { IndexIntent.end(spark, dir); return }
+    val touchedG = dg.select(col("gbucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val mhNames = (0 until NumHashes).map(j => s"mh$j")
+    val old = spark.read.parquet(s"$dir/groups")
+      .filter(col("gbucket").isin(touchedG: _*)) // partition-pruned read
+    // left join: a deleted signature must already be indexed (the
+    // delete contract); unmatched old rows pass through unchanged
+    val merged = old.join(
+        dg.select((mhNames.map(col) :+ col("m")): _*), mhNames, "left_outer")
+      .select(
+        (mhNames.map(col) :+ col("gbucket") :+ col("gid") :+
+          (col("live_cnt") - coalesce(col("m"), lit(0L))).as("new_live") :+
+          (col("live_cnt") > 0L &&
+            col("live_cnt") - coalesce(col("m"), lit(0L)) <= 0L)
+            .as("newly_dead")): _*)
+      // materialize BEFORE overwriting the partitions being read
+      .localCheckpoint(true)
+    merged.select((col("gbucket") +: mhNames.map(col)) :+ col("gid") :+
+        col("new_live").as("live_cnt"): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gbucket").parquet(s"$dir/groups")
+    val negCounts = bandRowsOf(
+        merged.filter(col("newly_dead"))
+          .select((col("gid").as("doc_id") +: mhCols): _*))
       .withColumn("bucket", pmod(col("bv"), lit(nBuckets)).cast("int"))
-    val negCounts = bands.groupBy(col("bucket"), col("bi"), col("bv"))
+      .groupBy(col("bucket"), col("bi"), col("bv"))
       .agg((-count(lit(1))).as("cnt")).localCheckpoint(true)
     // bounded by construction: at most nBuckets distinct small ints
     val touched = negCounts.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.nonEmpty) {
-      val merged = spark.read.parquet(s"$dir/counts")
+      val mergedCounts = spark.read.parquet(s"$dir/counts")
         .filter(col("bucket").isin(touched: _*)) // partition-pruned read
         .unionByName(negCounts)
         .groupBy(col("bucket"), col("bi"), col("bv"))
         .agg(sum(col("cnt")).as("cnt"))
         // materialize BEFORE overwriting the partitions being read
         .localCheckpoint(true)
-      merged.write.mode("overwrite")
+      mergedCounts.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").parquet(s"$dir/counts")
       // hot re-derives for the touched keys only — out if ≤ cap now, in
@@ -898,15 +1126,16 @@ object Dedup {
       val touchedKeys = negCounts.select(col("bi"), col("bv")).distinct()
       val hot = spark.read.parquet(s"$dir/hot")
         .join(broadcast(touchedKeys), Seq("bi", "bv"), "left_anti")
-        .unionByName(merged.filter(col("cnt") > BandBucketCap)
+        .unionByName(mergedCounts.filter(col("cnt") > cap)
           .select(col("bi"), col("bv")))
         .distinct().localCheckpoint(true)
       hot.write.mode("overwrite").parquet(s"$dir/hot")
-      // the delete is a commit like any other: its negated counts are
-      // the version's delta, keeping as-of reconstruction exact (see
-      // the SNAPSHOT contract above)
-      commitBandSnapshot(spark, dir, Some(negCounts))
     }
+    // the delete is a commit like any other: its negated counts are
+    // the version's delta, keeping as-of reconstruction exact (see
+    // the SNAPSHOT contract above). Committed even when no group died
+    // (the tombstone itself is state a version boundary should cover)
+    commitBandSnapshot(spark, dir, Some(negCounts))
     IndexIntent.end(spark, dir)
   }
 
@@ -943,27 +1172,25 @@ object Dedup {
     // compaction is THE recovery verb: it tolerates a torn directory
     // (surviving _INTENT marker) and restores every invariant below
     IndexIntent.beginRepair(s, dir, "compactBandIndex")
+    assertBandFormat(s, dir, "compactBandIndex")
+    val (nBuckets, cap) = readBandMeta(s, dir)
     val ts = tombstonesOf(s, dir).map(t =>
       t.select(col("doc_id")).distinct().localCheckpoint(true))
     val purge: DataFrame => DataFrame = df =>
       ts.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    // sig is the ONE component compacted as a row-preserving rewrite
+    // (minus the tombstone purge); everything else — members, groups,
+    // bands, counts, hot — REBUILDS from the purged signatures, the raw
+    // per-doc facts. On the clean path the rebuilt state is identical
+    // to the incrementally maintained files (suite-pinned); on the
+    // recovery path this is what discards a torn merge a crashed
+    // append/delete left behind (r10). Rebuilding also re-REPRESENTS
+    // any group whose representative was tombstoned: the new gid is the
+    // minimum SURVIVING member, so a purged doc id can never anchor
+    // band rows (probe output is representative-invariant — gid never
+    // reaches the output — but the verify join must find gid in sig).
     IndexCompaction.rewrite(s, s"$dir/sig", None, sigFiles, purge)
-    IndexCompaction.rewrite(s, s"$dir/bands", Some("bucket"), 1, purge)
-    // counts/hot REBUILD from the compacted band rows — the raw
-    // per-row facts — rather than trusting the incrementally
-    // maintained files: on the clean path the two are identical
-    // (suite-pinned), and on the recovery path this is what discards
-    // a torn merge a crashed append/delete left behind (r10)
-    val counts = s.read.parquet(s"$dir/bands")
-      .groupBy(col("bucket"), col("bi"), col("bv"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    // one task (= one file) per bucket partition, the compacted layout
-    counts.repartition(col("bucket")).write.mode("overwrite")
-      .option("partitionOverwriteMode", "static")
-      .partitionBy("bucket").parquet(s"$dir/counts")
-    counts.filter(col("cnt") > BandBucketCap).select(col("bi"), col("bv"))
-      .write.mode("overwrite").parquet(s"$dir/hot")
+    rebuildDerivedFromSig(s, dir, nBuckets, cap)
     ts.foreach(t => t.limit(0).write.mode("overwrite")
       .parquet(s"$dir/tombstones"))
     // compaction rewrote the data files old manifests point at —
@@ -990,9 +1217,11 @@ object Dedup {
   def probeBandIndex(s: SparkSession, dir: String, batch: DataFrame,
       minMatch: Int = 8): DataFrame = {
     IndexIntent.assertClean(s, dir, "graft.ops.Dedup.compactBandIndex")
+    assertBandFormat(s, dir, "probeBandIndex")
     probeAgainst(s, dir, batch, minMatch,
       sig = s.read.parquet(s"$dir/sig"),
       bands = s.read.parquet(s"$dir/bands"),
+      members = s.read.parquet(s"$dir/members"),
       hot = s.read.parquet(s"$dir/hot"))
   }
 
@@ -1000,12 +1229,37 @@ object Dedup {
     * the current-state probe and the [[probeBandIndexAsOf]] time-travel
     * probe share it verbatim, so the two views cannot diverge in
     * semantics, only in which files they read. */
+  /** The probe's three relations BEFORE expansion: rep-level evidence
+    * (one row per probe-signature × index-signature × band agreement at
+    * ≥ minMatch), the probe-side member map, and the index-side member
+    * map with pending tombstones already removed. [[probeAgainst]]
+    * expands them into the full evidence contract; the admission path
+    * ([[ingestIntoBandIndex]]) decides rejection at REP level first —
+    * a member is rejected iff its representative has evidence against
+    * ≥ 1 LIVE index member — so a duplicate-flooded batch never
+    * materializes the quadratic member × member evidence it doesn't
+    * need. */
+  private case class ProbeParts(repEvidence: DataFrame,
+      memberMap: DataFrame, liveMembers: DataFrame)
+
   private def probeAgainst(s: SparkSession, dir: String, batch: DataFrame,
-      minMatch: Int, sig: DataFrame, bands: DataFrame,
+      minMatch: Int, sig: DataFrame, bands: DataFrame, members: DataFrame,
       hot: DataFrame): DataFrame = {
+    val parts = probeParts(s, dir, batch, minMatch, sig, bands, members, hot)
+    parts.repEvidence
+      .join(parts.liveMembers
+        .select(col("doc_id").as("existing_id"), col("gid")), Seq("gid"))
+      .join(parts.memberMap, Seq("rep_id"))
+      .select(col("member_id").as("incoming_id"), col("existing_id"),
+        col("bi"), col("n_match"))
+  }
+
+  private def probeParts(s: SparkSession, dir: String, batch: DataFrame,
+      minMatch: Int, sig: DataFrame, bands: DataFrame, members: DataFrame,
+      hot: DataFrame): ProbeParts = {
     val h = NumHashes
     // the modulus travels with the index (see saveBandIndex)
-    val nBuckets = s.read.parquet(s"$dir/meta").head().getInt(0)
+    val nBuckets = readBandMeta(s, dir)._1
     val signed = withRowSignature(batch, "text")
       .withColumnRenamed("doc_id", "incoming_id")
     // PROBE-SIDE SIGNATURE COLLAPSE (r11 verdict #1, the ingest-grow
@@ -1041,36 +1295,42 @@ object Dedup {
     val touched = probe.select(col("bucket"))
       .filter(col("bucket").isNotNull).distinct()
       .collect().map(_.getInt(0)).toSeq
-    // pending logical deletes (bounded by deletions since the last
-    // compaction) are anti-joined off the index side: a tombstoned doc
-    // stops producing evidence the moment it is deleted, even though
-    // its rows are purged only at the next compaction. Deletes apply
-    // to EVERY snapshot view: right-to-be-forgotten wins over time
-    // travel.
-    val idx0 = bands
+    // INDEX-SIDE SIGNATURE COLLAPSE (r12 verdict #1 — the v2 layout):
+    // the index's band rows are per DISTINCT signature (gid-anchored),
+    // so the band join, the hot anti-join, AND the bucket-cap counts
+    // all operate on signature diversity — a duplicate flood of an
+    // indexed signature can neither multiply candidates nor push its
+    // buckets over the cap and blind the probe. Verification runs once
+    // per (probe signature, index signature); evidence then expands to
+    // the group's member docs, which is output-bound.
+    val idx = bands
       .filter(col("bucket").isin(touched: _*))
       .join(broadcast(hot), Seq("bi", "bv"), "left_anti")
-    val idx = tombstonesOf(s, dir).fold(idx0)(t =>
-        idx0.join(broadcast(t), Seq("doc_id"), "left_anti"))
-      .withColumnRenamed("doc_id", "existing_id")
-    val ssig = (0 until h).foldLeft(
-      sig.withColumnRenamed("doc_id", "existing_id"))(
+    val ssig = (0 until h).foldLeft(sig.withColumnRenamed("doc_id", "gid"))(
       (acc, j) => acc.withColumnRenamed(s"mh$j", s"smh$j"))
     val nMatch = (0 until h)
       .map(j => when(col(s"mh$j") === col(s"smh$j"), 1).otherwise(0))
       .reduce(_ + _)
     val repEvidence = probe
       .join(idx, Seq("bucket", "bi", "bv"))
-      .join(ssig, Seq("existing_id"))
+      .join(ssig, Seq("gid"))
       .withColumn("n_match", nMatch)
       .filter(col("n_match") >= minMatch)
-      .select(col("incoming_id").as("rep_id"), col("existing_id"),
+      .select(col("incoming_id").as("rep_id"), col("gid"),
         col("bi"), col("n_match"))
-    // expand: every batch member inherits its representative's evidence
-    // rows verbatim (identical signature ⇒ identical evidence)
-    repEvidence.join(memberMap, Seq("rep_id"))
-      .select(col("member_id").as("incoming_id"), col("existing_id"),
-        col("bi"), col("n_match"))
+    // the caller expands BOTH sides: the index group's member docs
+    // (pending logical deletes anti-joined off liveMembers — a
+    // tombstoned doc stops producing evidence the moment it is deleted,
+    // even though its rows are purged only at the next compaction, and
+    // deletes apply to EVERY snapshot view: right-to-be-forgotten wins
+    // over time travel; note the group's REPRESENTATIVE may itself be
+    // tombstoned while other members live — its sig row still anchors
+    // verification until compaction re-represents the group), then the
+    // probe's members (every batch member inherits its representative's
+    // evidence rows verbatim: identical signature ⇒ identical evidence)
+    val liveMembers = tombstonesOf(s, dir).fold(members)(t =>
+      members.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    ProbeParts(repEvidence, memberMap, liveMembers)
   }
 
   /** One SELF-GROWING ingestion round against a persisted band index
@@ -1090,43 +1350,133 @@ object Dedup {
     * wrapper gets this per-micro-batch sequencing for free. */
   def ingestIntoBandIndex(s: SparkSession, dir: String, batch: DataFrame,
       minMatch: Int = 8): DataFrame = {
-    val rejected = probeBandIndex(s, dir, batch, minMatch)
-      .select(col("incoming_id").as("doc_id")).distinct()
+    IndexIntent.assertClean(s, dir, "graft.ops.Dedup.compactBandIndex")
+    assertBandFormat(s, dir, "ingestIntoBandIndex")
+    // admission decides at REP level: a batch member is rejected iff
+    // its representative's signature has evidence against ≥ 1 LIVE
+    // index member. Semi-joins keep this output-bound — the full
+    // member × member evidence expansion (the probeBandIndex contract)
+    // is never materialized on the admission path, so a
+    // duplicate-flooded batch probing a duplicate-flooded index costs
+    // O(distinct signatures + batch), not O(flood²).
+    val parts = probeParts(s, dir, batch, minMatch,
+      sig = s.read.parquet(s"$dir/sig"),
+      bands = s.read.parquet(s"$dir/bands"),
+      members = s.read.parquet(s"$dir/members"),
+      hot = s.read.parquet(s"$dir/hot"))
+    val rejectedReps = parts.repEvidence
+      .join(parts.liveMembers.select(col("gid")), Seq("gid"), "left_semi")
+      .select(col("rep_id")).distinct()
+    val rejected = parts.memberMap
+      .join(rejectedReps, Seq("rep_id"), "left_semi")
+      .select(col("member_id").as("doc_id")).distinct()
     val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     appendToBandIndex(dir, admitted)
     admitted
   }
 
-  private[ops] def lshCandidatePairs(sh: DataFrame,
-      bucketCap: Int = BandBucketCap): DataFrame = {
-    val sig = graft.InternalCaches.register(signatures(sh).persist())
-    val bandRows = bandRowsOf(sig)
-    // Hot-bucket guard: count each (band, value) bucket, drop buckets
-    // over the cap before the self-join. The hot list is tiny (it takes
-    // >cap identical-band docs to enter), so the anti-join broadcasts.
+  /** The MinHash band flow's SIGNATURE COLLAPSE (r12 verdict #7 — the
+    * [[HammingBands.pairs]] mechanism applied to the LSH family): group
+    * docs by full 16-hash signature, run band-bucket candidate
+    * generation and signature verification over UNIQUE signatures only,
+    * and let callers expand group members back. The hot-bucket cap
+    * therefore counts DISTINCT signatures — a duplicate flood (c exact
+    * copies of one signature, exactly the input dedup exists for) can
+    * no longer push its band buckets over [[BandBucketCap]] and
+    * silently drop itself from the candidate set, and the band
+    * self-join's volume scales with signature DIVERSITY, not corpus
+    * density. Intra-group pairs (identical signatures, n_match = 16 by
+    * construction) are pure output expansion and bypass the cap — an
+    * exact duplicate must never be lost to a fanout guard. */
+  private case class LshCollapsed(members: DataFrame, uPairs: DataFrame)
+
+  private def lshCollapsed(sh: DataFrame, bucketCap: Int): LshCollapsed = {
+    // one window pass serves both the member→group map and the
+    // unique-signature table (the HammingBands.pairs shape)
+    val g = graft.InternalCaches.register(signatures(sh)
+      .withColumn("gid",
+        min(col("doc_id")).over(Window.partitionBy(mhCols: _*)))
+      .persist())
+    val members = g.select(col("doc_id"), col("gid"))
+    val usig = g.filter(col("doc_id") === col("gid"))
+    val bandRows = bandRowsOf(usig)
+    // Hot-bucket guard over UNIQUE signatures: drop buckets with more
+    // than `bucketCap` distinct signatures before the self-join. The
+    // hot list is tiny (it takes >cap distinct-signature docs sharing
+    // a band value to enter), so the anti-join broadcasts.
     val hot = bandRows.groupBy(col("bi"), col("bv"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > bucketCap)
       .select(col("bi"), col("bv"))
     val nHot = hot.count()
     if (nHot > 0)
       System.err.println(s"[dedup] lshCandidatePairs: dropped $nHot " +
-        s"band bucket(s) larger than $bucketCap docs (candidates from " +
-        "them would be quadratic; exact-dedup the hot cluster instead)")
+        s"band bucket(s) larger than $bucketCap DISTINCT signatures " +
+        "(candidates from them would be quadratic; raise the cap or " +
+        "pre-cluster the boilerplate instead)")
     val kept = bandRows.join(broadcast(hot), Seq("bi", "bv"), "left_anti")
     val a = kept.as("a"); val bb = kept.as("b")
     val cand = a.join(bb, col("a.bi") === col("b.bi") &&
         col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .select(col("a.doc_id").as("g1"), col("b.doc_id").as("g2"))
       .distinct()
-    val sa = sig.as("sa"); val sb = sig.as("sb")
+    val sa = usig.as("sa"); val sb = usig.as("sb")
     val nMatch = (0 until NumHashes)
       .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
       .reduce(_ + _)
-    cand
-      .join(sa, col("sa.doc_id") === col("doc1"))
-      .join(sb, col("sb.doc_id") === col("doc2"))
-      .select(col("doc1"), col("doc2"), nMatch.as("n_match"))
+    val uPairs = cand
+      .join(sa, col("sa.doc_id") === col("g1"))
+      .join(sb, col("sb.doc_id") === col("g2"))
+      .select(col("g1"), col("g2"), nMatch.as("n_match"))
+    LshCollapsed(members, uPairs)
+  }
+
+  /** Full pair contract: every (doc1 < doc2, n_match) the banded flow
+    * detects — intra-group pairs expand to C(c,2) rows per
+    * duplicate-group of size c because the contract IS all pairs (and
+    * the oracle requires it); graph consumers that only need
+    * connectivity should take [[lshCandidateEdges]] instead. */
+  private[ops] def lshCandidatePairs(sh: DataFrame,
+      bucketCap: Int = BandBucketCap): DataFrame = {
+    val c = lshCollapsed(sh, bucketCap)
+    val m1 = c.members.as("m1"); val m2 = c.members.as("m2")
+    val intra = m1.join(m2, col("m1.gid") === col("m2.gid") &&
+        col("m1.doc_id") < col("m2.doc_id"))
+      .select(col("m1.doc_id").as("doc1"), col("m2.doc_id").as("doc2"),
+        lit(NumHashes).as("n_match"))
+    val e1 = c.members.as("e1"); val e2 = c.members.as("e2")
+    // groups are disjoint and g1 != g2, so every cross pair is distinct;
+    // least/greatest restores the doc1 < doc2 canonical order
+    val inter = c.uPairs
+      .join(e1, col("g1") === col("e1.gid"))
+      .join(e2, col("g2") === col("e2.gid"))
+      .select(least(col("e1.doc_id"), col("e2.doc_id")).as("doc1"),
+        greatest(col("e1.doc_id"), col("e2.doc_id")).as("doc2"),
+        col("n_match"))
+    inter.unionAll(intra)
+  }
+
+  /** STAR-EDGE contract for graph consumers (r12 verdict #3): a
+    * connectivity-EQUIVALENT edge relation in which each duplicate
+    * group of size c contributes c−1 star edges (gid → member) instead
+    * of C(c,2) pairs, and each qualifying group pair contributes ONE
+    * (g1, g2) edge instead of |G1|·|G2| cross pairs. Any n_match
+    * threshold ≤ 16 filters both relations to the same connected
+    * components (intra edges carry n_match = 16; a (g1, g2) edge
+    * qualifies iff every cross-member pair does, since members share
+    * their group's signature verbatim), so CC labels — min doc id per
+    * component — are bit-identical to the pair-fed run (suite-pinned)
+    * while the edge volume drops from flood-quadratic to output-linear.
+    * Consumers: [[ccClusters]], [[repSelect]], `Pipeline.leakageSplit`. */
+  private[ops] def lshCandidateEdges(sh: DataFrame,
+      bucketCap: Int = BandBucketCap): DataFrame = {
+    val c = lshCollapsed(sh, bucketCap)
+    val intra = c.members.filter(col("doc_id") =!= col("gid"))
+      .select(col("gid").as("doc1"), col("doc_id").as("doc2"),
+        lit(NumHashes).as("n_match"))
+    c.uPairs.select(col("g1").as("doc1"), col("g2").as("doc2"),
+        col("n_match"))
+      .unionAll(intra)
   }
 
   // ---------------------------------------------- exact-substring dedup --
@@ -1386,7 +1736,10 @@ object Dedup {
       |  ON s.cluster_id = c.cluster_id
       |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
     val sh = shingles(encodedToks(corpusChain(Tables.documents(s, d))))
-    val edges0 = lshCandidatePairs(sh)
+    // connectivity only — the star-edge contract (c−1 edges per
+    // duplicate group, one edge per group pair) feeds CC the same
+    // components as the all-pairs relation at ~flood² fewer rows
+    val edges0 = lshCandidateEdges(sh)
       .filter(col("n_match") >= 8).select(col("doc1"), col("doc2"))
     val labels = connectedComponents(edges0)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
@@ -1436,7 +1789,7 @@ object Dedup {
       |ORDER BY cluster_id""".stripMargin) { (s, d) =>
     val corpus = corpusChain(Tables.documents(s, d))
     val sh = shingles(encodedToks(corpus))
-    val edges0 = lshCandidatePairs(sh)
+    val edges0 = lshCandidateEdges(sh)
       .filter(col("n_match") >= 8).select(col("doc1"), col("doc2"))
     val labels = connectedComponents(edges0)
     val mem = corpus
@@ -2107,10 +2460,14 @@ object Dedup {
     val bandRows = bandRowsOf(sig)
     // the same hot-bucket guard lshCandidatePairs enforces, applied to
     // the INDEX side: a batch doc probing a boilerplate bucket of b
-    // corpus docs fans out b candidates — capped with a logged drop
-    // (fixture max bucket 3, so the uncapped oracle is unaffected)
+    // DISTINCT corpus signatures fans out b candidates — capped with a
+    // logged drop, counting distinct signatures (r13: the collapse
+    // contract — exact-duplicate floods cannot blind the probe; fixture
+    // max bucket 3, so the uncapped oracle is unaffected)
     val idx0 = bandRows.filter(col("doc_id") < 50000)
-    val hot = idx0.groupBy(col("bi"), col("bv"))
+    val hot = bandRowsOf(sig.filter(col("doc_id") < 50000)
+        .dropDuplicates((0 until NumHashes).map(j => s"mh$j")))
+      .groupBy(col("bi"), col("bv"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > BandBucketCap)
       .select(col("bi"), col("bv"))
     val nHot = hot.count()
@@ -2148,7 +2505,7 @@ object Dedup {
     * list: buckets over [[BandBucketCap]] never produce evidence. */
   private def growCandSql(idxSet: String, probeSet: String): String =
     (0 until Bands).map(b =>
-      s"SELECT a.doc_id AS existing_id, b.doc_id AS incoming_id FROM banded a JOIN banded b ON a.band$b = b.band$b AND a.doc_id IN $idxSet AND b.doc_id IN $probeSet AND a.band$b NOT IN (SELECT band$b FROM banded WHERE doc_id IN $idxSet GROUP BY band$b HAVING count(*) > $BandBucketCap)")
+      s"SELECT a.doc_id AS existing_id, b.doc_id AS incoming_id FROM banded a JOIN banded b ON a.band$b = b.band$b AND a.doc_id IN $idxSet AND b.doc_id IN $probeSet AND a.band$b NOT IN (SELECT ${bandExprSql(b)} AS hb$b FROM (SELECT DISTINCT $mhListSql FROM sig WHERE doc_id IN $idxSet) GROUP BY 1 HAVING count(*) > $BandBucketCap)")
       .mkString("\n  UNION\n  ")
 
   private val qSynthSql =

@@ -766,7 +766,7 @@ object Pipeline {
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val corpus = Dedup.corpusChain(Tables.documents(s, d))
     val sh = Dedup.shingles(Dedup.encodedToks(corpus))
-    val edges0 = Dedup.lshCandidatePairs(sh)
+    val edges0 = Dedup.lshCandidateEdges(sh)
       .filter(col("n_match") >= 8).select(col("doc1"), col("doc2"))
     val labels = Dedup.connectedComponents(edges0)
     corpus.select(col("doc_id"))

@@ -825,7 +825,7 @@ object EventStreams {
            // r10 scale sweep: shifted-id fixtures broke `< 50000` while
            // the engine's construction-based membership was fine), with
            // the engine's index-side hot-bucket cap mirrored
-           s"SELECT a.doc_id AS existing_id, b.doc_id AS incoming_id, $b AS bi FROM banded a JOIN banded b ON a.band$b = b.band$b AND a.doc_id IN (SELECT doc_id FROM cdocs) AND b.doc_id IN (SELECT doc_id FROM bdocs) AND a.band$b NOT IN (SELECT band$b FROM banded WHERE doc_id IN (SELECT doc_id FROM cdocs) GROUP BY band$b HAVING count(*) > ${graft.ops.Dedup.BandBucketCap})")
+           s"SELECT a.doc_id AS existing_id, b.doc_id AS incoming_id, $b AS bi FROM banded a JOIN banded b ON a.band$b = b.band$b AND a.doc_id IN (SELECT doc_id FROM cdocs) AND b.doc_id IN (SELECT doc_id FROM bdocs) AND a.band$b NOT IN (SELECT ${graft.ops.Dedup.bandExprSql(b)} AS hb$b FROM (SELECT DISTINCT ${graft.ops.Dedup.mhListSql} FROM sig WHERE doc_id IN (SELECT doc_id FROM cdocs)) GROUP BY 1 HAVING count(*) > ${graft.ops.Dedup.BandBucketCap})")
            .mkString("\n  UNION ALL\n  ")})
       |SELECT c.incoming_id, c.existing_id, c.bi,
       |  (${graft.ops.Dedup.eqCountSql}) AS n_match
@@ -841,9 +841,13 @@ object EventStreams {
     // the same index-side hot-bucket cap the batch flavors enforce (r7,
     // advice: without it the three 'same contract' flavors diverged on
     // a boilerplate bucket, and the probe join fanned out unbounded);
-    // fixture max bucket is 3, so the uncapped oracle is unaffected
+    // r13: counted over DISTINCT signatures, the collapse contract —
+    // an exact-duplicate flood cannot blind the probe. Fixture max
+    // bucket is 3, so the mirrored oracle is unaffected.
     val bandRows = graft.ops.Dedup.corpusBandRows(sig)
-    val hot = bandRows.groupBy(col("bi"), col("bv"))
+    val hot = graft.ops.Dedup.corpusBandRows(
+        sig.dropDuplicates((0 until h).map(j => s"mh$j")))
+      .groupBy(col("bi"), col("bv"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > graft.ops.Dedup.BandBucketCap)
       .select(col("bi"), col("bv"))

@@ -54,33 +54,53 @@ class DedupSuite extends SparkSessionSuite {
     }
   }
 
-  /** A boilerplate-heavy corpus (1000 byte-identical docs) puts all
-    * 1000 in ONE band bucket — uncapped, that is ~500k candidate pairs
-    * from a single bucket. The cap must drop the hot bucket (logging
-    * it) while leaving cold buckets' pairs intact. */
-  test("MinHash band buckets over the cap are dropped and logged") {
+  /** r13 (verdict #7): the SIGNATURE COLLAPSE makes a duplicate FLOOD
+    * (1000 byte-identical docs — the input dedup exists for) yield its
+    * FULL pair set with no capped drop: the flood is ONE distinct
+    * signature, so the bucket never goes hot, and the C(1000,2) intra
+    * pairs are output-bound expansion. Under the r12 per-doc count this
+    * exact corpus tripped the cap and silently dropped all 499,500
+    * pairs. The cap still fires on genuine signature DIVERSITY. */
+  test("MinHash flood yields full pairs; diversity over the cap drops and logs") {
     val s = spark
     import s.implicits._
-    val hot = (0L until 1000L).map((_, "alpha beta gamma delta epsilon"))
+    val flood = (0L until 1000L).map((_, "alpha beta gamma delta epsilon"))
     val pairDocs = Seq(
       (2000L, "zeta eta theta iota kappa"),
       (2001L, "zeta eta theta iota kappa"))
-    val corpus = (hot ++ pairDocs).toDF("doc_id", "text")
+    val corpus = (flood ++ pairDocs).toDF("doc_id", "text")
     val sh = Dedup.shingles(Dedup.encodedToks(corpus))
     val errBuf = new java.io.ByteArrayOutputStream()
     val oldErr = System.err
     System.setErr(new java.io.PrintStream(errBuf, true))
-    val got =
-      try Dedup.lshCandidatePairs(sh).collect()
+    val nPairs =
+      try Dedup.lshCandidatePairs(sh).count()
       finally System.setErr(oldErr)
-    // bounded: ONLY the cold 2-doc bucket's pair survives — not 499,500
-    // hot-bucket pairs
-    got.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
-      Seq((2000L, 2001L))
-    errBuf.toString should include("band bucket")
-    // and a cap above the bucket size leaves the corpus uncapped
-    Dedup.lshCandidatePairs(sh, bucketCap = 2000).count() shouldBe
-      (1000L * 999 / 2 + 1)
+    // the FULL pair relation: C(1000,2) flood pairs + the planted pair;
+    // no hot bucket (1 distinct signature each), no logged drop
+    nPairs shouldBe (1000L * 999 / 2 + 1)
+    errBuf.toString should not include "band bucket"
+
+    // genuine diversity: distinct-signature near-dups sharing a band.
+    // cap = 0 makes every bucket hot — banded (inter-group) candidates
+    // all drop with a log, while identical-signature pairs (intra) are
+    // exempt from the fanout guard by contract.
+    val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val near = docs.unionAll(Dedup.incomingLshBatch(docs))
+    val shNear = Dedup.shingles(Dedup.encodedToks(near))
+    val uncapped = Dedup.lshCandidatePairs(shNear)
+    uncapped.filter(col("n_match") < 16).count() should be > 0L
+    val errBuf2 = new java.io.ByteArrayOutputStream()
+    System.setErr(new java.io.PrintStream(errBuf2, true))
+    val capped =
+      try Dedup.lshCandidatePairs(shNear, bucketCap = 0)
+        .localCheckpoint(true)
+      finally System.setErr(oldErr)
+    capped.filter(col("n_match") < 16).count() shouldBe 0L
+    errBuf2.toString should include("band bucket")
+    // intra pairs (n_match = 16 by construction) survive any cap
+    capped.count() shouldBe uncapped.filter(col("n_match") === 16).count()
   }
 
   /** A 100-node path is the propagation worst case (min label needs 99
@@ -118,6 +138,35 @@ class DedupSuite extends SparkSessionSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       withClue(s"trial $trial (n=$n): ") { star shouldBe prop }
     }
+  }
+
+  /** r13 (verdict #3): graph consumers take the star-edge contract —
+    * (gid → member) + one edge per group pair — which must yield
+    * bit-identical CC labels to the all-pairs relation at a fraction
+    * of the edge volume on a flooded corpus. */
+  test("star-edge contract: CC labels identical to the pair-fed run") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    // chain corpus (multi-member clusters) + a 40-copy flood (one
+    // fat duplicate group)
+    val flood = (1L to 40L).map(i =>
+      (800000L + i, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Dedup.corpusChain(docs).unionAll(flood)
+    val sh = Dedup.shingles(Dedup.encodedToks(corpus))
+    val pairs = Dedup.lshCandidatePairs(sh)
+      .filter(col("n_match") >= 8).select(col("doc1"), col("doc2"))
+      .localCheckpoint(true)
+    val edges = Dedup.lshCandidateEdges(sh)
+      .filter(col("n_match") >= 8).select(col("doc1"), col("doc2"))
+      .localCheckpoint(true)
+    // the flood alone is C(40,2) = 780 pairs but only 39 star edges
+    (pairs.count() - edges.count()) should be >= (780L - 39L)
+    def labelsOf(e: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(e).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labelsOf(edges) shouldBe labelsOf(pairs)
   }
 
   test("cc_clusters puts every planted near-dup triple in one cluster") {

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * covering the same corpus in one build — from-scratch for the band
   * index (signatures are pure per-doc facts), frozen-centroid one-pass
   * for IVF (the quantizer is frozen at build time by design). Also
-  * pins the maintained over-cap list: a bucket pushed over
-  * BandBucketCap by appends must stop producing probe evidence, the
-  * capped semantics all three LSH-dedup flavors now share. */
+  * pins the maintained over-cap list under the r13 v2 layout: the cap
+  * counts DISTINCT signatures, so an exact-duplicate flood can never
+  * blind the probe, while genuine signature diversity over the cap
+  * still stops producing evidence — the capped semantics all three
+  * LSH-dedup flavors share. */
 class IndexMaintenanceSuite extends SparkSessionSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
@@ -166,33 +168,76 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
     canon(Dedup.probeBandIndexAsOf(s, dir, probeBatch, 2)) shouldBe expectedV2
   }
 
-  test("band index: appends push a bucket over the cap -> probes go quiet") {
+  /** r13 (verdict #1): the v2 SIGNATURE-COLLAPSED layout — a duplicate
+    * FLOOD can no longer blind the probe. Under the r12 per-doc layout
+    * this exact scenario (70 identical docs > BandBucketCap = 64)
+    * pushed the boilerplate's band buckets over the cap and the
+    * hot-exclusion silently ADMITTED every later copy; v2 counts
+    * DISTINCT signatures, so the flood is one bucket entry and every
+    * later copy is rejected. */
+  test("band index: an exact-duplicate flood does NOT blind the probe") {
     val s = spark
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val docs = graft.Tables.documents(s, sfDir)
       .select(col("doc_id"), col("text"))
-    val dir = Files.createTempDirectory("bandhot").toString
+    val dir = Files.createTempDirectory("bandflood").toString
     Dedup.saveBandIndex(docs, dir)
-    // sanity: a fresh index over the fixture has an empty hot list and
-    // a near-dup probe produces evidence
     s.read.parquet(s"$dir/hot").count() shouldBe 0L
     val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val dupProbe = Seq((990000L, boiler)).toDF("doc_id", "text")
-    // append a boilerplate cluster: 70 identical docs land in ONE
-    // (bi, bv) bucket per band — over BandBucketCap = 64
+    // a boilerplate cluster: 70 identical docs, 10x over the old
+    // per-doc trip point relative to distinct signatures
     val cluster = (1 to 70).map(i => (900000L + i, boiler)).toDF("doc_id", "text")
     Dedup.appendToBandIndex(dir, cluster)
-    s.read.parquet(s"$dir/hot").count() should be >= 1L
-    // the hot bucket is anti-joined out of the probe: an incoming copy
-    // of the boilerplate emits NO evidence (the capped semantics the
-    // inline lshCandidatePairs/incrementalLsh flavors share) instead of
-    // fanning out 70 candidates
-    Dedup.probeBandIndex(s, dir, dupProbe).count() shouldBe 0L
+    // ONE distinct signature -> the bucket stays cold
+    s.read.parquet(s"$dir/hot").count() shouldBe 0L
+    // an incoming copy is evidenced against EVERY flood member (the
+    // full evidence contract; admission needs only its existence)
+    val ev = Dedup.probeBandIndex(s, dir, dupProbe)
+      .select(col("existing_id")).distinct().count()
+    ev shouldBe 70L
+    // the self-growing loop: a second flood of the same text is
+    // REJECTED outright — the v1 layout admitted all of it
+    val flood2 = (1 to 50).map(i => (950000L + i, boiler)).toDF("doc_id", "text")
+    Dedup.ingestIntoBandIndex(s, dir, flood2).count() shouldBe 0L
     // cold buckets are unaffected: the original near-dup batch still
     // produces its evidence
     Dedup.probeBandIndex(s, dir, Dedup.incomingLshBatch(docs))
       .count() should be > 10L
+  }
+
+  /** The cap itself still guards the probe — against genuine signature
+    * DIVERSITY (true boilerplate), the hazard it exists for. cap = 0
+    * makes every non-empty bucket hot: the probe must go fully quiet. */
+  test("band index: distinct-signature diversity over the cap quiets the bucket") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("bandcap0").toString
+    Dedup.saveBandIndex(docs, dir, cap = 0)
+    s.read.parquet(s"$dir/hot").count() should be >= 1L
+    Dedup.probeBandIndex(s, dir, Dedup.incomingLshBatch(docs))
+      .count() shouldBe 0L
+    // and with cap = 1, only buckets holding >= 2 DISTINCT signatures
+    // go hot: find a planted near-dup whose signature DIFFERS from its
+    // source but shares a band (n_match in [8, 16)), index the pair,
+    // and assert exactly the shared band values are hot
+    val pair = Dedup.lshCandidatePairs(
+        Dedup.shingles(Dedup.encodedToks(
+          docs.unionAll(Dedup.incomingLshBatch(docs)))))
+      .filter(col("n_match") >= 8 && col("n_match") < 16)
+      .limit(1).collect()
+    pair should not be empty
+    val Seq(d1, d2) = Seq(pair(0).getLong(0), pair(0).getLong(1))
+    val corpus = docs.unionAll(Dedup.incomingLshBatch(docs))
+      .filter(col("doc_id").isin(d1, d2))
+    val dir2 = Files.createTempDirectory("bandcap1").toString
+    Dedup.saveBandIndex(corpus, dir2, cap = 1)
+    // two distinct signatures sharing >= 1 band value -> that bucket
+    // (and only diversity buckets) enters hot
+    s.read.parquet(s"$dir2/hot").count() should be >= 1L
   }
 
   test("ivf index: append ≡ frozen-centroid one-pass; old files untouched") {
@@ -537,10 +582,12 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
     s.read.parquet(s"$dir/tombstones").count() shouldBe 0L
     s.read.parquet(s"$dir/sig").count() shouldBe
       s.read.parquet(s"$dirKeep/sig").count()
+    // v2 band rows are per distinct signature, anchored at the group
+    // representative — identical doc sets give identical (gid, bi, bv)
     canon(s.read.parquet(s"$dir/bands")
-        .select(col("doc_id"), col("bi"), col("bv"))) shouldBe
+        .select(col("gid"), col("bi"), col("bv"))) shouldBe
       canon(s.read.parquet(s"$dirKeep/bands")
-        .select(col("doc_id"), col("bi"), col("bv")))
+        .select(col("gid"), col("bi"), col("bv")))
     canon(Dedup.probeBandIndex(s, dir, probeBatch)) shouldBe evTruth
     // the lifecycle continues: ingestion resumes against the purged
     // index exactly as against the never-deleted one
@@ -551,34 +598,51 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
       canon(Dedup.probeBandIndex(s, dirFull2, probeBatch))
   }
 
+  /** v2 hot semantics: only DISTINCT-signature diversity heats a
+    * bucket, so the delete-side transition is now "removing a distinct
+    * signature pulls the bucket under the cap" (hot maintenance runs
+    * both directions). cap = 1 over a planted (source, variant) pair
+    * whose signatures differ but share ≥ 1 band value makes the shared
+    * bucket hot; deleting the variant must cool it and wake probes. */
   test("band index: delete pulls a hot bucket under the cap — probes wake up") {
     val s = spark
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val docs = graft.Tables.documents(s, sfDir)
       .select(col("doc_id"), col("text"))
+    // a near-dup pair with DIFFERENT signatures sharing a band
+    // (n_match in [8, 16) — banded candidates share a band by
+    // construction, and n_match < 16 means the signatures differ)
+    val near = docs.unionAll(Dedup.incomingLshBatch(docs))
+    val pair = Dedup.lshCandidatePairs(
+        Dedup.shingles(Dedup.encodedToks(near)))
+      .filter(col("n_match") >= 8 && col("n_match") < 16)
+      .limit(1).collect()
+    pair should not be empty
+    val Seq(d1, d2) = Seq(pair(0).getLong(0), pair(0).getLong(1))
+    val corpus = near.filter(col("doc_id").isin(d1, d2))
+      .localCheckpoint(true)
     val dir = Files.createTempDirectory("banddelhot").toString
-    Dedup.saveBandIndex(docs, dir)
-    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    val cluster = (1 to 70).map(i => (900000L + i, boiler)).toDF("doc_id", "text")
-    Dedup.appendToBandIndex(dir, cluster)
+    Dedup.saveBandIndex(corpus, dir, cap = 1)
     s.read.parquet(s"$dir/hot").count() should be >= 1L
-    val dupProbe = Seq((990000L, boiler)).toDF("doc_id", "text")
-    Dedup.probeBandIndex(s, dir, dupProbe).count() shouldBe 0L
-    // retract 30 cluster docs: live count 40 ≤ cap — the bucket must
-    // LEAVE the hot list (hot maintenance runs both directions) and
-    // probes must see the remaining 40 again
-    val delCluster = (1 to 30).map(i => (900000L + i, boiler)).toDF("doc_id", "text")
-    Dedup.deleteFromBandIndex(dir, delCluster)
+    // probe with an exact copy of d1: the shared bucket is hot, so at
+    // least d1's shared-band evidence is suppressed (fewer than the 2
+    // full-agreement rows)
+    val dupProbe = corpus.filter(col("doc_id") === d1)
+      .select(lit(990000L).as("doc_id"), col("text"))
+    Dedup.probeBandIndex(s, dir, dupProbe)
+      .filter(col("existing_id") === d1).count() should be < 2L
+    // retract the OTHER signature: the bucket drops to 1 distinct
+    // signature ≤ cap — it must LEAVE the hot list and probes must see
+    // d1's full evidence again
+    Dedup.deleteFromBandIndex(dir, corpus.filter(col("doc_id") === d2))
     s.read.parquet(s"$dir/hot").count() shouldBe 0L
-    // 40 surviving cluster docs × 2 bands of full-signature agreement
-    Dedup.probeBandIndex(s, dir, dupProbe).count() shouldBe 80L
-    // and the result is exactly what an index built without the 30
-    // would say
+    val woken = Dedup.probeBandIndex(s, dir, dupProbe)
+    woken.filter(col("existing_id") === d1).count() shouldBe 2L
+    // and the result is exactly what an index never containing d2 says
     val dirTruth = Files.createTempDirectory("banddelhottruth").toString
-    Dedup.saveBandIndex(docs.unionAll(
-      (31 to 70).map(i => (900000L + i, boiler)).toDF("doc_id", "text")), dirTruth)
-    canon(Dedup.probeBandIndex(s, dir, dupProbe)) shouldBe
+    Dedup.saveBandIndex(corpus.filter(col("doc_id") === d1), dirTruth, cap = 1)
+    canon(woken) shouldBe
       canon(Dedup.probeBandIndex(s, dirTruth, dupProbe))
   }
 
