@@ -194,16 +194,25 @@ object Tables {
     // data file participates (keyed by path relative to the table root
     // — stable across table relocation, unique within it).
     val root = p.toUri.getPath
+    // hidden-entry rule on EVERY path segment of the table-relative
+    // path, not just the leaf name (r12 advice): a recursive listing
+    // sees files INSIDE hidden directories (e.g. a _temporary/ tree a
+    // crashed writer left behind), and a leaf-only filter would let
+    // that residue perturb the staleness checksum. Matches Spark's own
+    // listing convention (`_` and `.` prefixes are invisible).
+    def hidden(rel: String): Boolean = rel.split('/')
+      .exists(seg => seg.startsWith("_") || seg.startsWith("."))
     val stats =
       if (fs.getFileStatus(p).isDirectory) {
         val it = fs.listFiles(p, true)
         val buf = scala.collection.mutable.ArrayBuffer
           .empty[org.apache.hadoop.fs.LocatedFileStatus]
         while (it.hasNext) buf += it.next()
-        buf.toSeq.filterNot(_.getPath.getName.startsWith("_"))
+        buf.toSeq
       } else Seq(fs.getFileStatus(p))
     stats
       .map(st => (st.getPath.toUri.getPath.stripPrefix(root), st))
+      .filterNot { case (rel, _) => hidden(rel.stripPrefix("/")) }
       .sortBy(_._1)
       .map { case (rel, st) =>
         s"$rel:${st.getLen}:${st.getModificationTime}" }

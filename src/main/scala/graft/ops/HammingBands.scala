@@ -39,10 +39,12 @@ import org.apache.spark.sql.types.DecimalType
   *     route-invariant — unlike the cosine family, no SQL twin has to
   *     mirror the decision rule).
   *
-  * Conf surface `spark.graft.hamming.auto.*` (`minBrute`, `sharePct`)
-  * via [[graft.DispatchConf]]; explicit pins beat the conf per the
-  * standing pin rule. A pinned `route` skips the decision job entirely
-  * (zero extra actions).
+  * Conf surface `spark.graft.hamming.auto.*` (`minBrute`, `sharePct`,
+  * `maxBroadcast`) via [[graft.DispatchConf]]; explicit pins beat the
+  * conf per the standing pin rule. Every route (pinned or dispatched)
+  * pays one single-row pre-pass action — it buys the duplicate-free
+  * collapse skip and the broadcast gate (see [[pairs]]); a pinned
+  * route still skips the heavier histogram decision job.
   */
 object HammingBands {
 
@@ -59,16 +61,24 @@ object HammingBands {
     * rows `gid`, `bands`) and decide brute vs banded. Cost: one Spark
     * action aggregating the (band, value) histogram to a SINGLE row —
     * `u` rides the same pass as the band-0 count (every signature has
-    * a band 0). The volume is exact, pre-dedup: precisely the pair
-    * rows the banded join would feed its `distinct`. */
+    * a band 0) unless the caller already measured it (`uKnown`, the
+    * [[pairs]] pre-pass). Null band VALUES are excluded from the
+    * histogram (r12 advice): they never match the banded equi-join, so
+    * counting them would inflate the measured share and could mis-route
+    * to brute — the current families never produce null bands, but the
+    * helper is the shared family entry point. The volume is exact,
+    * pre-dedup: precisely the pair rows the banded join would feed its
+    * `distinct`. */
   def decide(usig: DataFrame, family: String,
       minBrutePin: Option[Long] = None,
-      sharePctPin: Option[Int] = None): Decision = {
+      sharePctPin: Option[Int] = None,
+      uKnown: Option[Long] = None): Decision = {
     val knobs = graft.DispatchConf(usig.sparkSession, ConfPrefix)
     val minBrute = knobs.long("minBrute", 4096L, minBrutePin)
     val sharePct = knobs.int("sharePct", 90, sharePctPin)
     val row = usig
       .select(posexplode(col("bands")).as(Seq("bi", "bv")))
+      .filter(col("bv").isNotNull)
       .groupBy(col("bi"), col("bv")).agg(count(lit(1)).as("c"))
       .agg(
         coalesce(sum(when(col("bi") === 0, col("c"))), lit(0L)).as("u"),
@@ -77,7 +87,7 @@ object HammingBands {
         coalesce(sum((col("c") * (col("c") - 1)).cast(DecimalType(38, 0))),
           lit(java.math.BigDecimal.ZERO)).as("p2"))
       .head()
-    val u = row.getLong(0)
+    val u = uKnown.getOrElse(row.getLong(0))
     val band2 = BigInt(row.getDecimal(1).toBigInteger)
     val brute2 = BigInt(u) * BigInt(u - 1L).max(BigInt(0))
     val d =
@@ -117,49 +127,95 @@ object HammingBands {
     * output columns are `(id1, id2, hamming)`.
     *
     * `route`: `Some(true)` pins brute-over-uniques, `Some(false)` pins
-    * banded, `None` measures and dispatches (one metadata-sized action
-    * at DataFrame-construction time — the r11 dispatch-cost contract).
-    * All three produce identical rows; the route only picks the plan. */
+    * banded, `None` measures and dispatches. All three produce
+    * identical rows; the route only picks the plan.
+    *
+    * Cost contract (r12 verdict #6): every call pays ONE metadata-sized
+    * pre-pass action — a single-row (row count, distinct signatures)
+    * aggregate. When the two are equal the corpus is duplicate-free and
+    * the collapse is identity work, so the window pass and both
+    * expansion joins are SKIPPED outright: the 1× overhead the r12
+    * collapse charged the dedup cohort (~+0.5–1 s/query on
+    * duplicate-free fixtures) disappears, while duplicated corpora take
+    * the collapse path exactly as before. The pre-pass also yields `u`
+    * for the broadcast gate below, and for the dispatch (whose
+    * histogram action is only paid when `route` is None).
+    *
+    * Broadcast gate (r12 advice): the brute kernel hints broadcast —
+    * without the hint Spark plans an inequality-only join as
+    * CartesianProduct, whose per-pair overhead dwarfs the popcount —
+    * but a broadcast of millions of unique signatures would blow the
+    * driver, turning a slow-but-feasible plan into a hard job failure.
+    * The hint is therefore gated on `u <= maxBroadcast`
+    * (`spark.graft.hamming.auto.maxBroadcast`, default 4M rows — tens
+    * of MB at nBands longs each): above it, a DISPATCHED brute route
+    * falls back to the banded plan (identical output, no memory
+    * hazard), and a PINNED brute route keeps the pin but drops the
+    * hint, with one logged line either way. */
   def pairs(sigs: DataFrame, idCol: String, bandsCol: String, nBands: Int,
       maxHamming: Int, family: String,
       route: Option[Boolean] = None,
       minBrutePin: Option[Long] = None,
       sharePctPin: Option[Int] = None): DataFrame = {
+    val maxBroadcast = graft.DispatchConf(sigs.sparkSession, ConfPrefix)
+      .long("maxBroadcast", 4L * 1000 * 1000, None)
+    val nu = sigs.agg(count(lit(1)).as("n"),
+      count_distinct(col(bandsCol)).as("u")).head()
+    val n = nu.getLong(0)
+    val u = nu.getLong(1)
+    // null-signature rows (ids with no computable signature) are never
+    // counted by count_distinct, so they force n > u — i.e. the
+    // collapse path, whose window groups them into one null-keyed group
+    // that joins nothing. The skip below therefore only fires when
+    // every row carries a distinct non-null signature.
+    val dupFree = n == u
+
     // collapse: one representative (min id) per distinct signature.
     // ONE window pass (hash-partition by the band array + min) serves
     // both the unique-signature table and the member→group map.
-    val gmap = graft.InternalCaches.register(
-      sigs.select(col(idCol).as("hb_id"), col(bandsCol).as("bands"))
-        .withColumn("gid",
-          min(col("hb_id")).over(Window.partitionBy(col("bands"))))
-        .persist())
-    val usig = gmap.filter(col("hb_id") === col("gid"))
-      .select(col("gid"), col("bands"))
-
-    // intra-group pairs: identical signatures, Hamming 0 — pure output
-    // expansion (every such pair is in the result set by definition)
-    val members = gmap.select(col("gid"), col("hb_id"))
-    val intra = members.as("m1").join(members.as("m2"),
-        col("m1.gid") === col("m2.gid") && col("m1.hb_id") < col("m2.hb_id"))
-      .select(col("m1.hb_id").as("id1"), col("m2.hb_id").as("id2"),
-        lit(0L).as("hamming"))
+    // Skipped when duplicate-free: every id is its own representative.
+    val gmap =
+      if (dupFree) null
+      else graft.InternalCaches.register(
+        sigs.select(col(idCol).as("hb_id"), col(bandsCol).as("bands"))
+          .withColumn("gid",
+            min(col("hb_id")).over(Window.partitionBy(col("bands"))))
+          .persist())
+    val usig =
+      if (dupFree) sigs.select(col(idCol).as("gid"), col(bandsCol).as("bands"))
+      else gmap.filter(col("hb_id") === col("gid"))
+        .select(col("gid"), col("bands"))
 
     // inter-group candidates over UNIQUE signatures, routed
-    val useBrute = route.getOrElse(
-      decide(usig, family, minBrutePin, sharePctPin).useBrute)
+    val decision = route match {
+      case Some(b) => Decision(u, BigInt(-1), BigInt(-1), b, "pinned")
+      case None => decide(usig, family, minBrutePin, sharePctPin, Some(u))
+    }
+    val hintBroadcast = u <= maxBroadcast
+    val useBrute =
+      if (decision.useBrute && !hintBroadcast && route.isEmpty) {
+        System.err.println(s"[hamming] $family: dispatched brute route " +
+          s"overridden to banded — u=$u > maxBroadcast=$maxBroadcast " +
+          "(an unbroadcastable unique-signature relation must not hint)")
+        false
+      } else decision.useBrute
+    if (useBrute && !hintBroadcast)
+      System.err.println(s"[hamming] $family: pinned brute route with " +
+        s"u=$u > maxBroadcast=$maxBroadcast — dropping the broadcast " +
+        "hint; expect a cartesian plan (pin banded instead)")
     val uPairs =
-      if (useBrute)
+      if (useBrute) {
         // the unique-signature relation is rows of (id, nBands longs) —
         // tiny whenever brute is the right route (u <= minBrute, or a
         // dense corpus whose output is quadratic anyway); the hint
         // guarantees a broadcast nested-loop instead of a cartesian,
         // whose per-pair overhead dominated the first r12 cut
-        usig.as("a").join(broadcast(usig.as("b")),
-            col("a.gid") < col("b.gid"))
+        val b = if (hintBroadcast) broadcast(usig.as("b")) else usig.as("b")
+        usig.as("a").join(b, col("a.gid") < col("b.gid"))
           .select(col("a.gid").as("g1"), col("b.gid").as("g2"),
             hammingOf(col("a.bands"), col("b.bands"), nBands).as("hamming"))
           .filter(col("hamming") <= maxHamming)
-      else {
+      } else {
         val ex = usig.select(col("gid"),
           posexplode(col("bands")).as(Seq("bi", "bv")))
         ex.as("a").join(ex.as("b"),
@@ -174,17 +230,29 @@ object HammingBands {
           .filter(col("hamming") <= maxHamming)
       }
 
-    // expand group members back: groups are disjoint and g1 != g2, so
-    // every (member, member) cross pair is distinct; least/greatest
-    // restores the id1 < id2 canonical order
-    val inter = uPairs
-      .join(members.as("e1"), col("g1") === col("e1.gid"))
-      .join(members.as("e2"), col("g2") === col("e2.gid"))
-      .select(
-        least(col("e1.hb_id"), col("e2.hb_id")).as("id1"),
-        greatest(col("e1.hb_id"), col("e2.hb_id")).as("id2"),
-        col("hamming"))
-
-    inter.unionAll(intra)
+    if (dupFree)
+      // identity expansion: unique ids ARE the members, g1 < g2 already
+      uPairs.select(col("g1").as("id1"), col("g2").as("id2"), col("hamming"))
+    else {
+      // intra-group pairs: identical signatures, Hamming 0 — pure
+      // output expansion (every such pair is in the result set by
+      // definition)
+      val members = gmap.select(col("gid"), col("hb_id"))
+      val intra = members.as("m1").join(members.as("m2"),
+          col("m1.gid") === col("m2.gid") && col("m1.hb_id") < col("m2.hb_id"))
+        .select(col("m1.hb_id").as("id1"), col("m2.hb_id").as("id2"),
+          lit(0L).as("hamming"))
+      // expand group members back: groups are disjoint and g1 != g2, so
+      // every (member, member) cross pair is distinct; least/greatest
+      // restores the id1 < id2 canonical order
+      val inter = uPairs
+        .join(members.as("e1"), col("g1") === col("e1.gid"))
+        .join(members.as("e2"), col("g2") === col("e2.gid"))
+        .select(
+          least(col("e1.hb_id"), col("e2.hb_id")).as("id1"),
+          greatest(col("e1.hb_id"), col("e2.hb_id")).as("id2"),
+          col("hamming"))
+      inter.unionAll(intra)
+    }
   }
 }

@@ -833,10 +833,12 @@ object Similarity {
     * saturates per term and the sum wraps silently, while the DuckDB
     * twins throw on BIGINT overflow — beyond the domain the engines
     * could silently disagree. The native-kernel sibling
-    * [[graft.functions.DotProductQ]] DOES enforce it (range check +
-    * `Math.addExact`); normalize, or route through it, when the input
-    * scale is not known to be bounded. SQL twins inline the same
-    * expression via [[qTermSql]]. */
+    * [[graft.functions.DotProductQ]] DOES enforce it, via the
+    * branchless post-loop domain assertion (track max |term| in the
+    * loop, assert max·n < 2^63 after it — an in-loop
+    * `Math.addExact` was rejected as ~50% slower); normalize, or route
+    * through it, when the input scale is not known to be bounded. SQL
+    * twins inline the same expression via [[qTermSql]]. */
   private[ops] def qSqDist(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => floor((x - y) * (x - y) * lit(1e12) + lit(0.5))),

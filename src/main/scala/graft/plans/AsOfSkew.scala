@@ -232,7 +232,18 @@ object AsOfSkew {
     * past 256 plans); opt out per session with
     * `spark.graft.asof.skew.detectCache=false`. */
   private val detectCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int, Seq[String], String, Config), Map[Seq[Any], Seq[Long]]]()
+    (String, Int, Seq[String], String, Config), Map[Seq[Any], Seq[Long]]]()
+
+  /** Stable per-session token (r12 advice: identityHashCode can be
+    * REUSED after a session is GC'd, so a new session with an equal
+    * semanticHash could be served a dead session's detection). The
+    * WeakHashMap holds sessions weakly — a dead session's token is
+    * unreachable and can never be minted again (UUID), so its cache
+    * entries are inert until the size-bound clear sweeps them. */
+  private val sessionTokens = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+  private def sessionToken(s: org.apache.spark.sql.SparkSession): String =
+    sessionTokens.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
 
   private def detectMemo(
       left: DataFrame, keyNames: Seq[String], timeName: String,
@@ -240,7 +251,7 @@ object AsOfSkew {
     val cacheOn = graft.DispatchConf(left.sparkSession,
       "spark.graft.asof.skew.").bool("detectCache", dflt = true)
     if (!cacheOn) return detect(left, keyNames, timeName, config)
-    val key = (System.identityHashCode(left.sparkSession),
+    val key = (sessionToken(left.sparkSession),
       left.queryExecution.analyzed.semanticHash(),
       keyNames, timeName, config.copy(hint = None))
     val hit = detectCache.get(key)

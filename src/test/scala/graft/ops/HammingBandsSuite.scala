@@ -91,6 +91,44 @@ class HammingBandsSuite extends SparkSessionSuite {
     got shouldBe ref
   }
 
+  /** r13 (verdict #6): on a duplicate-free corpus the pre-pass detects
+    * n == u and skips the collapse window and both expansion joins —
+    * same rows, no Window node in the plan. */
+  test("duplicate-free corpora skip the collapse window (plan-pinned)") {
+    val spread = sigDf(0L until 300L, spreadSig) // all signatures distinct
+    val df = HammingBands.pairs(spread, "id", "bands", 4, 3,
+      "suite-dupfree", route = Some(false))
+    collected(df) shouldBe reference(spread, 3)
+    df.queryExecution.executedPlan.toString should not include "Window"
+    // a corpus with one duplicate takes the collapse path (Window)
+    val dup = sigDf((0L until 300L) :+ 9000L,
+      i => spreadSig(if (i == 9000L) 0L else i))
+    val df2 = HammingBands.pairs(dup, "id", "bands", 4, 3,
+      "suite-dup", route = Some(false))
+    collected(df2) shouldBe reference(dup, 3)
+    df2.queryExecution.executedPlan.toString should include("Window")
+  }
+
+  /** r12 advice (medium): the brute route's broadcast hint is gated on
+    * the measured unique count — above `maxBroadcast` a DISPATCHED
+    * brute decision falls back to the banded plan (identical rows, no
+    * driver-memory hazard) instead of hinting an unbroadcastable
+    * relation. */
+  test("dispatched brute above maxBroadcast falls back to banded") {
+    val s = spark
+    val flood = sigDf(0L until 600L, floodSig)
+    s.conf.set("spark.graft.hamming.auto.maxBroadcast", "10")
+    try {
+      val df = HammingBands.pairs(flood, "id", "bands", 4, 3,
+        "suite-gate", minBrutePin = Some(5L), sharePctPin = Some(90))
+      // the banded fallback must not plan a broadcast of the 600-row
+      // unique relation nor a cartesian
+      val plan = df.queryExecution.executedPlan.toString
+      plan should not include "CartesianProduct"
+      collected(df) shouldBe reference(flood, 3)
+    } finally s.conf.unset("spark.graft.hamming.auto.maxBroadcast")
+  }
+
   test("tiny corpora short-circuit to brute via minBrute") {
     val tiny = sigDf(0L until 40L, spreadSig)
     val d = HammingBands.decide(tiny.withColumnRenamed("id", "gid"),
