@@ -729,31 +729,39 @@ object Dedup {
 
   /** INCREMENTAL maintenance for a [[saveBandIndex]] directory (r7,
     * verdict #1 — ingestion must not rebuild the whole index per
-    * batch): sign the admitted `batch` (doc_id, text) with the SAME
-    * batch-chain arithmetic the full build uses, then
+    * batch; r13 — the v2 signature-collapsed layout): sign the admitted
+    * `batch` (doc_id, text) with the SAME batch-chain arithmetic the
+    * full build uses, then
     *
-    *  - APPEND its signature rows to `dir/sig` and its band rows into
-    *    their bucket partitions of `dir/bands` — signatures are pure
-    *    per-doc facts (no keyed update), so append-only files suffice
-    *    and every pre-existing file is left untouched byte-for-byte
-    *    (stronger than a partition rewrite; asserted by SHA-256 in the
-    *    suite);
-    *  - MERGE the batch's (bi, bv) counts into the touched partitions
-    *    of `dir/counts` via dynamic partition overwrite (the
-    *    `upsertMerge` pattern — this is the one keyed state, hence the
-    *    one rewrite);
-    *  - EXTEND `dir/hot` with buckets the merge pushed over
-    *    [[BandBucketCap]] — counts only grow, so old hot entries stay
-    *    hot and the update is old ∪ newly-over-cap, never a rescan.
+    *  - APPEND its signature rows to `dir/sig` — per-doc facts, so
+    *    append-only files suffice and every pre-existing file is left
+    *    untouched byte-for-byte (stronger than a partition rewrite;
+    *    asserted by SHA-256 in the suite);
+    *  - MERGE the batch's per-SIGNATURE multiplicities into the touched
+    *    partitions of `dir/groups` (the `upsertMerge` pattern): a batch
+    *    signature is BRAND-NEW (no row — gets the batch rep as gid),
+    *    REVIVED (row at live_cnt 0 — keeps its gid; its band rows are
+    *    already on disk), or ALREADY LIVE (count bump only);
+    *  - APPEND (doc_id, gid) rows to `dir/members` for every batch doc,
+    *    and band rows to `dir/bands` for BRAND-NEW signatures only —
+    *    more copies of an indexed signature add zero candidate
+    *    information, the flood fix;
+    *  - MERGE +1 per band bucket per NEWLY-LIVE signature into
+    *    `dir/counts` and EXTEND `dir/hot` with buckets the merge pushed
+    *    over the cap — counts only grow on append, so old hot entries
+    *    stay hot and the update is old ∪ newly-over-cap, never a
+    *    rescan.
     *
-    * Work per batch: O(batch) signing + O(batch) appends + a merge
-    * over only the touched count partitions. A probe after any append
+    * Work per batch: O(batch) signing + O(batch) appends + merges over
+    * only the touched group/count partitions. A probe after any append
     * sequence is bit-identical to probing an index rebuilt from
     * scratch over the union corpus (suite-pinned, including
-    * split-order invariance) because every persisted row is a pure
-    * function of its own document. Callers append ADMITTED docs (the
-    * [[probeBandIndex]] survivors); re-appending an already-indexed
-    * doc_id would duplicate its rows, as in any append-only log. */
+    * split-order invariance): every persisted row is a pure function of
+    * its own document except the gid anchor, and probe output is
+    * representative-invariant (gid never reaches the output). Callers
+    * append ADMITTED docs (the [[probeBandIndex]] survivors);
+    * re-appending an already-indexed doc_id would duplicate its rows,
+    * as in any append-only log. */
   /** (n_buckets, cap) persisted by [[saveBandIndex]]. */
   private def readBandMeta(s: SparkSession, dir: String): (Int, Int) = {
     val row = s.read.parquet(s"$dir/meta")

@@ -21,9 +21,13 @@ class PlanAuditSuite extends SparkSessionSuite {
   test("banded and bucketed pair queries contain no cartesian join") {
     // sim_topk_lsh joined the list in r5: the OR-amplified multi-table
     // candidates are still pure (table, bucket) equi-joins.
+    // r13: the star-edge consumers (cc/rep-select/leakage) route
+    // through the collapsed MinHash flow — its window + member
+    // expansion joins must stay equi-joins too.
     Seq("dedup_simhash_banded", "dedup_minhash_lsh", "sim_range_search_lsh",
       "adv_range_join_bucketed", "dedup_embedding_cos_banded", "sim_topk_lsh",
-      "sim_bm25", "adv_pagerank", "dedup_incremental_lsh")
+      "sim_bm25", "adv_pagerank", "dedup_incremental_lsh",
+      "dedup_cc_clusters", "dedup_rep_select", "pipe_leakage_split")
       .foreach { q =>
         val plan = physicalPlan(q)
         withClue(s"$q plan:\n$plan\n") {
