@@ -1964,6 +1964,95 @@ object Dedup {
     graft.Knobs.rebind(out, spark)
   }
 
+  // --------------------------------------------------- incremental CC --
+
+  /** INCREMENTAL connected-components label maintenance: merge a batch
+    * of new edges into an existing (doc_id, lbl) label table WITHOUT
+    * re-solving the full graph — at 100 TB the near-dup cluster labels
+    * are a persisted table and re-running CC over the whole corpus per
+    * ingest batch is exactly the kind of global recompute the persisted
+    * band index exists to avoid.
+    *
+    * Algorithm (star contraction): a labeled component is connectivity-
+    * equivalent to the star doc_id → lbl (the label IS a member — the
+    * component minimum — so contracting each old component to its star
+    * preserves both connectivity and the global minimum). Components
+    * TOUCHED by a new edge are found via one equi-join of the new-edge
+    * endpoints against the labels; only their members' star edges enter
+    * the solve, together with the new edges. Everything else carries
+    * over verbatim through an anti-join. New-edge endpoints absent from
+    * the label table (brand-new docs, or old docs that had no edges)
+    * need no special casing — they enter the solve as plain nodes of
+    * the new-edge graph.
+    *
+    * Equivalence (suite-pinned, including the hard case where one late
+    * edge BRIDGES two existing components): for any split of an edge
+    * set E into E_old ∪ E_new,
+    * `incrementalCC(connectedComponents(E_old), E_new)` is row-identical
+    * to `connectedComponents(E)` — so the oracle can state full-rebuild
+    * semantics and stay route-invariant, the [[simHashAuto]] property.
+    *
+    * 100 TB shape: per-batch cost is O(|E_new| + |affected members|) —
+    * two equi-joins against the label table (both prunable to the
+    * batch's label partitions when labels are stored bucketed on
+    * doc_id) plus a CC solve over the touched subgraph only; the
+    * untouched corpus is never shuffled. The touched-label relation is
+    * bounded by the batch's endpoint count, so AQE broadcasts it. */
+  private[graft] def incrementalCC(oldLabels: DataFrame,
+      newEdges0: DataFrame): DataFrame = {
+    val newEdges = newEdges0.toDF("doc1", "doc2").localCheckpoint()
+    val old = oldLabels.toDF("doc_id", "lbl")
+    val ends = newEdges.select(col("doc1").as("doc_id"))
+      .unionAll(newEdges.select(col("doc2").as("doc_id"))).distinct()
+    val touched = old.join(ends, Seq("doc_id"))
+      .select(col("lbl")).distinct()
+    // members of touched components, contracted to their label stars
+    val star = old.join(touched, Seq("lbl"))
+      .filter(col("doc_id") =!= col("lbl"))
+      .select(col("doc_id").as("doc1"), col("lbl").as("doc2"))
+    val merged = connectedComponents(star.unionAll(newEdges))
+    val untouched = old.join(touched, Seq("lbl"), "left_anti")
+    untouched.select(col("doc_id"), col("lbl")).unionAll(merged)
+  }
+
+  /** [[ccClusters]] through the INCREMENTAL path: a deterministic
+    * hash-split holds back ~1/4 of the near-dup edges as the "late
+    * batch", labels are solved over the rest, and [[incrementalCC]]
+    * merges the late edges in. The oracle is the full-rebuild closure —
+    * identical SQL to [[ccClusters]] — so the CORRECTNESS row pins
+    * incremental ≡ rebuild on the fixture graph (where the held-back
+    * edges both extend and BRIDGE surviving components). In deployment
+    * the late-edge relation is the persisted band index's probe output
+    * ([[incrementalLsh]]), and the label table is the persisted state
+    * this operator maintains. */
+  val ccIncremental: QueryDef = QueryDef.sql(
+    "dedup_cc_incremental",
+    s"""WITH RECURSIVE $corpusChainSql,
+      |$encodedToksSql,
+      |$shinglesSql,
+      |$lshPairsSql,
+      |$ccClustersSql
+      |SELECT c.doc_id, c.cluster_id, s.n AS cluster_size
+      |FROM clusters c
+      |JOIN (SELECT cluster_id, count(*) AS n
+      |      FROM clusters GROUP BY cluster_id) s
+      |  ON s.cluster_id = c.cluster_id
+      |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+    val sh = shingles(encodedToks(corpusChain(Tables.documents(s, d))))
+    // materialize the edge list once — both splits read it, and its
+    // upstream is the full MinHash pipeline over the corpus
+    val allEdges = lshCandidateEdges(sh)
+      .filter(col("n_match") >= 8).select(col("doc1"), col("doc2"))
+      .localCheckpoint()
+    val late = pmod(xxhash64(col("doc1"), col("doc2")), lit(4)) === 0
+    val oldLabels = connectedComponents(allEdges.filter(!late))
+    val labels = incrementalCC(oldLabels, allEdges.filter(late))
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------- shared SimHash pieces --
 
   /** 32 signature bits: at 16 bits (r1) ~1% of ALL pairs collided by
@@ -2689,7 +2778,8 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] =
-    Seq(exact, lineDedup, substringDedup, minHashLsh, ccClusters, repSelect,
+    Seq(exact, lineDedup, substringDedup, minHashLsh, ccClusters,
+      ccIncremental, repSelect,
       simHash, simHashBanded, simHashAuto, ngramJaccard, embeddingCos,
       embeddingCosBanded,
       semantic, incremental, incrementalLsh, ingestGrow)

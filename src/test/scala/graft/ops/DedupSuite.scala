@@ -23,6 +23,66 @@ class DedupSuite extends SparkSessionSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L)
   }
 
+  /** r13: incremental label maintenance ≡ full rebuild, including the
+    * hard cases — a late edge BRIDGING two existing components, a new
+    * node attaching to an old component, a brand-new component, and an
+    * untouched component whose labels must carry over verbatim. */
+  test("incrementalCC equals full rebuild on bridge/attach/new/untouched") {
+    val s = spark
+    import s.implicits._
+    val oldE = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // path component min 1
+      (10L, 11L),                             // pair component min 10
+      (20L, 21L), (21L, 22L),                 // triangle-ish min 20
+      (40L, 41L)).toDF("doc1", "doc2")        // untouched by any new edge
+    val newE = Seq(
+      (5L, 10L),    // BRIDGES components 1 and 10 → one component, min 1
+      (30L, 22L),   // new node into component 20
+      (100L, 101L)) // brand-new component
+      .toDF("doc1", "doc2")
+    val oldLabels = Dedup.connectedComponents(oldE)
+    val got = Dedup.incrementalCC(oldLabels, newE)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(oldE.unionAll(newE))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe full
+    got(10L) shouldBe 1L   // the bridge really merged
+    got(30L) shouldBe 20L  // the attach really labeled
+    got(40L) shouldBe 40L; got(41L) shouldBe 40L // carried verbatim
+  }
+
+  /** Property: for random graphs under ANY edge split, incremental
+    * merge of the held-back edges equals the full one-shot solve. Also
+    * pins the degenerate splits (all edges old / all edges new). */
+  test("incrementalCC matches full rebuild on random splits") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(1913)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 15
+      val edges = Seq.fill(n)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val full = Dedup.connectedComponents(edges.toDF("doc1", "doc2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (keepEvery <- Seq(1, 3)) { // 1 = all edges arrive late
+        val (late, early) = edges.zipWithIndex
+          .partition { case (_, i) => i % keepEvery == 0 }
+        val oldLabels =
+          Dedup.connectedComponents(early.map(_._1).toDF("doc1", "doc2"))
+        val got = Dedup.incrementalCC(
+            oldLabels, late.map(_._1).toDF("doc1", "doc2"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        withClue(s"trial $trial keepEvery $keepEvery: ") { got shouldBe full }
+      }
+      // empty late batch: labels carry through unchanged
+      val all = Dedup.connectedComponents(edges.toDF("doc1", "doc2"))
+      val idle = Dedup.incrementalCC(all,
+          Seq.empty[(Long, Long)].toDF("doc1", "doc2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"trial $trial empty batch: ") { idle shouldBe full }
+    }
+  }
+
   /** Property: on random graphs, the distributed label propagation must
     * agree exactly with a driver-side union-find. */
   test("connectedComponents matches union-find on random graphs") {
