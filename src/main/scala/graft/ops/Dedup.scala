@@ -1248,7 +1248,12 @@ object Dedup {
     * materializes the quadratic member × member evidence it doesn't
     * need. */
   private case class ProbeParts(repEvidence: DataFrame,
-      memberMap: DataFrame, liveMembers: DataFrame)
+      memberMap: DataFrame, liveMembers: DataFrame,
+      // one row per DISTINCT batch signature (rep_id, mh0..15,
+      // band0..N): the collapsed probe side, exposed so label
+      // maintenance ([[ingestWithLabels]]) can build batch-internal
+      // rep-level edges without re-signing the batch
+      reps: DataFrame)
 
   private def probeAgainst(s: SparkSession, dir: String, batch: DataFrame,
       minMatch: Int, sig: DataFrame, bands: DataFrame, members: DataFrame,
@@ -1338,7 +1343,10 @@ object Dedup {
     // evidence rows verbatim: identical signature ⇒ identical evidence)
     val liveMembers = tombstonesOf(s, dir).fold(members)(t =>
       members.join(broadcast(t), Seq("doc_id"), "left_anti"))
-    ProbeParts(repEvidence, memberMap, liveMembers)
+    val repRows = reps.select(col("incoming_id").as("rep_id") +:
+      ((0 until h).map(j => col(s"mh$j")) ++
+        (0 until Bands).map(b => col(s"band$b"))): _*)
+    ProbeParts(repEvidence, memberMap, liveMembers, repRows)
   }
 
   /** One SELF-GROWING ingestion round against a persisted band index
@@ -2006,10 +2014,16 @@ object Dedup {
       .unionAll(newEdges.select(col("doc2").as("doc_id"))).distinct()
     val touched = old.join(ends, Seq("doc_id"))
       .select(col("lbl")).distinct()
-    // members of touched components, contracted to their label stars
+    // members of touched components, contracted to their label stars.
+    // Lineage-truncated (lazy — materialized by connectedComponents'
+    // own eager checkpoint): the label table appears on both sides of
+    // the touched self-join, and unioning that shared-attribute plan
+    // with the new edges trips Union's constraint rewrite in the
+    // Spark 4.1 analyzer (NoSuchElementException on a child attr).
     val star = old.join(touched, Seq("lbl"))
       .filter(col("doc_id") =!= col("lbl"))
       .select(col("doc_id").as("doc1"), col("lbl").as("doc2"))
+      .localCheckpoint(false)
     val merged = connectedComponents(star.unionAll(newEdges))
     val untouched = old.join(touched, Seq("lbl"), "left_anti")
     untouched.select(col("doc_id"), col("lbl")).unionAll(merged)
@@ -2051,6 +2065,287 @@ object Dedup {
     labels.join(sizes, Seq("lbl"))
       .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------- persisted CC labels --
+
+  /** Latest committed labels version under `labelsDir`: subdirectories
+    * `v{N}` whose parquet job committed (`_SUCCESS` present). An
+    * interrupted write leaves no `_SUCCESS` and stays invisible — the
+    * same commit-marker convention the band snapshots use. 0 = none. */
+  private def latestLabelsVersion(s: SparkSession, labelsDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+") && fs.exists(
+          new org.apache.hadoop.fs.Path(p, s"$n/_SUCCESS")) =>
+        n.drop(1).toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  private def labelsIntentPath(labelsDir: String) =
+    new org.apache.hadoop.fs.Path(labelsDir, "_INTENT")
+
+  /** The current (doc_id, lbl) label table. Fails fast when a torn
+    * [[ingestWithLabels]] left its intent marker — the labels may then
+    * lag the index by one batch, and the recovery verb is
+    * [[buildBandLabels]] (labels are DERIVED state: a rebuild from the
+    * index is always available, the compaction recovery property). */
+  def readBandLabels(s: SparkSession, labelsDir: String): DataFrame = {
+    val fs = labelsIntentPath(labelsDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(!fs.exists(labelsIntentPath(labelsDir)),
+      s"labels under '$labelsDir' have a pending ingest intent (a " +
+        "crashed ingestWithLabels may have appended the batch to the " +
+        "index without committing its labels) — rebuild with " +
+        "graft.ops.Dedup.buildBandLabels")
+    val v = latestLabelsVersion(s, labelsDir)
+    require(v > 0,
+      s"no committed labels under '$labelsDir' — run buildBandLabels")
+    s.read.parquet(s"$labelsDir/v$v")
+  }
+
+  private def writeBandLabels(labels: DataFrame, labelsDir: String): Unit = {
+    val s = labels.sparkSession
+    val v = latestLabelsVersion(s, labelsDir) + 1
+    labels.write.mode("overwrite").parquet(s"$labelsDir/v$v")
+  }
+
+  /** The v2 band index's own near-dup edge relation at rep level — the
+    * [[lshCandidateEdges]] star contract read straight off the
+    * persisted layout, no re-shingling: star edges rep → member per
+    * live signature group (rep = the group's minimum LIVE doc, so a
+    * tombstoned representative never re-enters as a graph node), plus
+    * ONE edge per verified group pair from the bands self-join
+    * (per-DISTINCT-signature rows, so a duplicate flood cannot inflate
+    * the join; hot buckets excluded with the probe's logged-drop
+    * contract). Null-signature groups (docs too short to shingle) are
+    * excluded — those docs share a storage group but are not near-dups
+    * of each other. */
+  private def indexSelfEdges(s: SparkSession, dir: String,
+      minMatch: Int): DataFrame = {
+    val members = s.read.parquet(s"$dir/members")
+    val live = tombstonesOf(s, dir).fold(members)(t =>
+      members.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    val groups = s.read.parquet(s"$dir/groups")
+    val realG = groups.filter(col("mh0").isNotNull)
+    val liveReal = live.join(realG.select(col("gid")), Seq("gid"), "left_semi")
+    val rmin = liveReal.groupBy(col("gid")).agg(min(col("doc_id")).as("rep"))
+    val star = liveReal.join(rmin, Seq("gid"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc1"), col("doc_id").as("doc2"))
+    val hot = s.read.parquet(s"$dir/hot")
+    val cold = s.read.parquet(s"$dir/bands")
+      .join(broadcast(hot), Seq("bi", "bv"), "left_anti")
+    val cand = cold.as("x").join(cold.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.bi") === col("y.bi") &&
+          col("x.bv") === col("y.bv") && col("x.gid") < col("y.gid"))
+      .select(col("x.gid").as("g1"), col("y.gid").as("g2")).distinct()
+    val sa = realG.select(col("gid").as("g1") +:
+      (0 until NumHashes).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val sb = realG.select(col("gid").as("g2") +:
+      (0 until NumHashes).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val nm = (0 until NumHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val cross = cand.join(sa, Seq("g1")).join(sb, Seq("g2"))
+      .filter(nm >= minMatch)
+      // a group whose members are all tombstoned has no live rep and
+      // drops out here — dead docs never evidence (probe semantics)
+      .join(rmin.select(col("gid").as("g1"), col("rep").as("r1")), Seq("g1"))
+      .join(rmin.select(col("gid").as("g2"), col("rep").as("r2")), Seq("g2"))
+      .select(col("r1").as("doc1"), col("r2").as("doc2"))
+    cross.unionAll(star)
+  }
+
+  /** (Re)build the PERSISTED near-dup cluster labels for a band index:
+    * connected components over [[indexSelfEdges]], committed as the
+    * next labels version. This is both the bootstrap and the RECOVERY
+    * verb — labels are derived state, so any torn [[ingestWithLabels]]
+    * (or a delete, which invalidates min-labels) is repaired by
+    * re-deriving from the index, exactly the compaction recovery
+    * property. Labels contain only clustered LIVE docs (the
+    * [[ccClusters]] contract: singletons are their own trivial
+    * cluster by omission). */
+  def buildBandLabels(s: SparkSession, dir: String, labelsDir: String,
+      minMatch: Int = 8): DataFrame = {
+    IndexIntent.assertClean(s, dir, "graft.ops.Dedup.compactBandIndex")
+    assertBandFormat(s, dir, "buildBandLabels")
+    val labels = connectedComponents(indexSelfEdges(s, dir, minMatch))
+      .localCheckpoint(true)
+    writeBandLabels(labels, labelsDir)
+    val fs = labelsIntentPath(labelsDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(labelsIntentPath(labelsDir), false)
+    labels
+  }
+
+  /** CLUSTER-MAINTAINING ingestion — the 100 TB deployment path for
+    * near-dup cluster labels: index the batch AND bring the persisted
+    * labels forward incrementally, without ever re-solving the corpus
+    * graph. Per batch:
+    *
+    *  1. probe the batch against the index at REP level (the
+    *     signature-collapsed probe — evidence is per distinct batch
+    *     signature × index signature);
+    *  2. build the batch's NEW edges, all rep-level: batch-rep ↔
+    *     index-group live rep (cross), batch rep → member stars
+    *     (identical signatures), and verified batch-rep pairs from a
+    *     band self-join over the collapsed batch (internal; the
+    *     index's distinct-signature cap applies, logged drop);
+    *  3. [[incrementalCC]] merges them into the labels — cost tracks
+    *     the batch and the touched components, never the corpus;
+    *  4. the batch appends to the index ([[appendToBandIndex]]) and
+    *     the merged labels commit as the next version.
+    *
+    * The result is row-identical to rebuilding labels from scratch
+    * over the grown index (suite-pinned, sequential batches included)
+    * — the [[incrementalCC]] equivalence plus the fact that the union
+    * of index-self, cross, and batch-internal edges is exactly the
+    * grown index's [[indexSelfEdges]] connectivity (caps aside: each
+    * side caps its own diversity, the documented logged-drop
+    * semantic). Unlike [[ingestIntoBandIndex]] this appends the WHOLE
+    * batch — admission (keep/drop) and cluster maintenance are
+    * different verbs; batch doc_ids must be new, as with any append.
+    * A crash between the append and the labels commit leaves an
+    * intent marker; [[readBandLabels]] then fails fast and
+    * [[buildBandLabels]] re-derives. */
+  def ingestWithLabels(s: SparkSession, dir: String, labelsDir: String,
+      batch: DataFrame, minMatch: Int = 8): DataFrame = {
+    IndexIntent.assertClean(s, dir, "graft.ops.Dedup.compactBandIndex")
+    assertBandFormat(s, dir, "ingestWithLabels")
+    val oldLabels = readBandLabels(s, labelsDir)
+    val parts = probeParts(s, dir, batch, minMatch,
+      sig = s.read.parquet(s"$dir/sig"),
+      bands = s.read.parquet(s"$dir/bands"),
+      members = s.read.parquet(s"$dir/members"),
+      hot = s.read.parquet(s"$dir/hot"))
+    val rmin = parts.liveMembers.groupBy(col("gid"))
+      .agg(min(col("doc_id")).as("rep"))
+    val crossE = parts.repEvidence.select(col("rep_id"), col("gid")).distinct()
+      .join(rmin, Seq("gid"))
+      .select(col("rep_id").as("doc1"), col("rep").as("doc2"))
+    // batch stars: members inherit their rep's identity — but never
+    // through the null-signature group (too-short docs share storage,
+    // not similarity)
+    val nullReps = parts.reps.filter(col("mh0").isNull)
+      .select(col("rep_id"))
+    val batchStar = parts.memberMap
+      .join(broadcast(nullReps), Seq("rep_id"), "left_anti")
+      .filter(col("member_id") =!= col("rep_id"))
+      .select(col("rep_id").as("doc1"), col("member_id").as("doc2"))
+    // batch-internal cross-signature edges over the COLLAPSED batch,
+    // under the index's own distinct-signature cap
+    val cap = readBandMeta(s, dir)._2
+    val realReps = parts.reps.filter(col("mh0").isNotNull)
+    val bexp = realReps.select(col("rep_id"),
+        explode(array((0 until Bands).map(b =>
+          struct(lit(b).as("bi"), col(s"band$b").as("bv"))): _*)).as("band"))
+      .select(col("rep_id"), col("band.bi").as("bi"), col("band.bv").as("bv"))
+    val hotB = bexp.groupBy(col("bi"), col("bv"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > cap)
+      .select(col("bi"), col("bv"))
+    val nHotB = hotB.count()
+    if (nHotB > 0)
+      System.err.println(s"[dedup] ingestWithLabels: dropped $nHotB " +
+        s"batch band value(s) with > $cap distinct signatures from the " +
+        "batch-internal pair stage (hot-bucket contract)")
+    val coldB = bexp.join(broadcast(hotB), Seq("bi", "bv"), "left_anti")
+    val candB = coldB.as("x").join(coldB.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.rep_id") < col("y.rep_id"))
+      .select(col("x.rep_id").as("p1"), col("y.rep_id").as("p2")).distinct()
+    val sa = realReps.select(col("rep_id").as("p1") +:
+      (0 until NumHashes).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val sb = realReps.select(col("rep_id").as("p2") +:
+      (0 until NumHashes).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val nm = (0 until NumHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val internalE = candB.join(sa, Seq("p1")).join(sb, Seq("p2"))
+      .filter(nm >= minMatch)
+      .select(col("p1").as("doc1"), col("p2").as("doc2"))
+    // merge FIRST (against the pre-append index state the edges were
+    // computed from), materialized before the index mutates
+    val labels = incrementalCC(oldLabels,
+        crossE.unionAll(batchStar).unionAll(internalE))
+      .localCheckpoint(true)
+    val fs = labelsIntentPath(labelsDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(labelsDir)))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(labelsDir))
+    fs.create(labelsIntentPath(labelsDir), true).close()
+    appendToBandIndex(dir, batch)
+    writeBandLabels(labels, labelsDir)
+    fs.delete(labelsIntentPath(labelsDir), false)
+    labels
+  }
+
+  /** Staging dir for [[ingestLabels]] — per-fixture and per-process,
+    * the [[ingestGrowDir]] convention. `index/` and `labels/` live
+    * under one root so stage/sweep manage them together. */
+  private def ingestLabelsDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-ingest-labels-" +
+      s"p${ProcessHandle.current().pid()}-" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** [[ingestLabels]]'s untimed prepare: split the chain corpus by a
+    * doc-id hash (~3/4 "already ingested"), build the band index and
+    * its labels over that part, mark `_PRISTINE`. */
+  def stageIngestLabelsIndex(s: SparkSession, d: String): Unit = {
+    sweepDeadPidDirs(s, "graft-ingest-labels-")
+    val root = ingestLabelsDir(d)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val corpus = corpusChain(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val late = pmod(xxhash64(col("doc_id")), lit(4)) === 0
+    saveBandIndex(corpus.filter(!late), s"$root/index")
+    buildBandLabels(s, s"$root/index", s"$root/labels")
+    fs.create(pristinePath(root), true).close()
+  }
+
+  /** End-to-end PERSISTED cluster maintenance under ingest: labels
+    * built over ~3/4 of the chain corpus, then ONE
+    * [[ingestWithLabels]] batch (the held-back quarter, hash-selected
+    * so chains straddle the split) merges in — extending old clusters,
+    * bridging where a late doc connects them, and starting new ones.
+    * The oracle is the FULL-REBUILD closure over the whole corpus
+    * (identical SQL to [[ccClusters]]): the incremental path must land
+    * on exactly the labels a from-scratch solve produces, the
+    * route-invariance contract. */
+  val ingestLabels: QueryDef = QueryDef.sqlPrepared(
+    "dedup_ingest_labels",
+    s"""WITH RECURSIVE $corpusChainSql,
+      |$encodedToksSql,
+      |$shinglesSql,
+      |$lshPairsSql,
+      |$ccClustersSql
+      |SELECT c.doc_id, c.cluster_id, s.n AS cluster_size
+      |FROM clusters c
+      |JOIN (SELECT cluster_id, count(*) AS n
+      |      FROM clusters GROUP BY cluster_id) s
+      |  ON s.cluster_id = c.cluster_id
+      |ORDER BY c.doc_id""".stripMargin)(stageIngestLabelsIndex) { (s, d) =>
+    val root = ingestLabelsDir(d)
+    val fs = pristinePath(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pristinePath(root))) stageIngestLabelsIndex(s, d)
+    // consume the marker: the ingest mutates index AND labels, so the
+    // next unprepared invocation must rebuild, never double-ingest
+    fs.delete(pristinePath(root), false)
+    val corpus = corpusChain(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val late = pmod(xxhash64(col("doc_id")), lit(4)) === 0
+    val labels = ingestWithLabels(s, s"$root/index", s"$root/labels",
+      corpus.filter(late))
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
   }
 
   // ----------------------------------------------- shared SimHash pieces --
@@ -2782,5 +3077,5 @@ object Dedup {
       ccIncremental, repSelect,
       simHash, simHashBanded, simHashAuto, ngramJaccard, embeddingCos,
       embeddingCosBanded,
-      semantic, incremental, incrementalLsh, ingestGrow)
+      semantic, incremental, incrementalLsh, ingestGrow, ingestLabels)
 }

@@ -738,6 +738,101 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
     * standalone re-invocation (no prepare hook — the driver may call
     * fn directly, twice) must REBUILD rather than ingest into the
     * already-mutated index, so back-to-back runs are bit-identical. */
+  /** r13: PERSISTED cluster labels under ingest. The route-invariance
+    * contract: after any sequence of ingestWithLabels batches, the
+    * committed labels are row-identical to buildBandLabels re-derived
+    * from the grown index (the full-rebuild route) — extend, attach,
+    * batch-internal cluster, identical-signature stars, and
+    * too-short (null-signature) docs all included. Also pins the
+    * crash posture: a torn ingest's intent marker fails readers fast
+    * and buildBandLabels recovers; an uncommitted labels version
+    * (no _SUCCESS) stays invisible. */
+  test("band labels: ingest ≡ rebuild over grown index; torn ingest recovers") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 200)
+    val dropFirst = expr("substring(text, instr(text, ' ') + 1)").as("text")
+    def copyOf(id: Long, newId: Long) = docs.filter(col("doc_id") === id)
+      .select(lit(newId).as("doc_id"), dropFirst)
+    val batch0 = docs
+      .unionAll(copyOf(0, 1000)).unionAll(copyOf(20, 1020))
+    // batch 1: extend {20,1020}, attach to singleton 40, one
+    // batch-internal near-dup cluster around 60 (5001/5002 share one
+    // signature — the star path), and two too-short docs that share
+    // the null-signature storage group but must NOT cluster
+    val shorts = s.createDataFrame(Seq((9001L, "a b"), (9002L, "a b")))
+      .toDF("doc_id", "text")
+    val batch1 = copyOf(20, 2020).unionAll(copyOf(40, 2040))
+      .unionAll(copyOf(60, 5001)).unionAll(copyOf(60, 5002))
+      .unionAll(shorts)
+    // second batch: extend the batch-1-born cluster across ingests
+    val batch2 = copyOf(60, 6060)
+
+    val root = Files.createTempDirectory("bandlabels").toString
+    Dedup.saveBandIndex(batch0, s"$root/index")
+    Dedup.buildBandLabels(s, s"$root/index", s"$root/labels")
+    val l1 = Dedup.ingestWithLabels(s, s"$root/index", s"$root/labels", batch1)
+    val l2 = Dedup.ingestWithLabels(s, s"$root/index", s"$root/labels", batch2)
+
+    // route invariance: rebuild from the grown index, fresh labels dir
+    val rebuilt = Dedup.buildBandLabels(s, s"$root/index", s"$root/labels_rb")
+    canon(l2) shouldBe canon(rebuilt)
+    // and the committed version is what the verb returned
+    canon(Dedup.readBandLabels(s, s"$root/labels")) shouldBe canon(l2)
+
+    val m = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m(2020) shouldBe m(20)             // extended old cluster
+    m(1020) shouldBe m(20)
+    m(2040) shouldBe m(40)             // attached to old singleton
+    m(5001) shouldBe m(60)             // batch-internal cluster crossed
+    m(5002) shouldBe m(60)             //   in via base 60
+    m(6060) shouldBe m(60)             // second ingest extended it
+    m.get(9001) shouldBe None          // too-short docs never cluster
+    m.get(9002) shouldBe None
+
+    // uncommitted version (no _SUCCESS) is invisible to readers
+    Files.createDirectories(Paths.get(s"$root/labels/v99"))
+    canon(Dedup.readBandLabels(s, s"$root/labels")) shouldBe canon(l2)
+
+    // torn ingest: marker present → readers fail fast with the verb
+    Files.createFile(Paths.get(s"$root/labels/_INTENT"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.readBandLabels(s, s"$root/labels")
+    }
+    e.getMessage should include("buildBandLabels")
+    // ...and the recovery verb clears it and re-derives
+    val recovered = Dedup.buildBandLabels(s, s"$root/index", s"$root/labels")
+    canon(recovered) shouldBe canon(l2)
+    canon(Dedup.readBandLabels(s, s"$root/labels")) shouldBe canon(l2)
+  }
+
+  /** r13: deletes invalidate min-labels; the documented remedy is a
+    * labels rebuild, which must exclude tombstoned docs and re-anchor
+    * a component whose minimum was deleted. */
+  test("band labels: rebuild after delete drops tombstoned docs, re-mins") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    val dropFirst = expr("substring(text, instr(text, ' ') + 1)").as("text")
+    def copyOf(id: Long, newId: Long) = docs.filter(col("doc_id") === id)
+      .select(lit(newId).as("doc_id"), dropFirst)
+    val root = Files.createTempDirectory("bandlabelsdel").toString
+    Dedup.saveBandIndex(
+      docs.unionAll(copyOf(20, 1020)).unionAll(copyOf(20, 1021)), s"$root/index")
+    val before = Dedup.buildBandLabels(s, s"$root/index", s"$root/labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    before(1020) shouldBe 20L; before(1021) shouldBe 20L
+    Dedup.deleteFromBandIndex(s"$root/index",
+      docs.filter(col("doc_id") === 20))
+    val after = Dedup.buildBandLabels(s, s"$root/index", s"$root/labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    after.get(20L) shouldBe None       // tombstoned doc gone
+    after(1021) shouldBe 1020L         // component re-anchored on the
+    after(1020) shouldBe 1020L         //   surviving minimum
+  }
+
   test("ingest-grow queries are idempotent across standalone re-runs") {
     val s = spark
     Seq("dedup_ingest_grow", "sim_ingest_grow").foreach { q =>
