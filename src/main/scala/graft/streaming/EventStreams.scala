@@ -947,6 +947,40 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** STREAMING cluster-label maintenance (r13) — the
+    * [[ingestDocsStream]] loop for the persisted label lifecycle: each
+    * micro-batch runs [[graft.ops.Dedup.ingestWithLabels]], so the
+    * index grows by the batch AND the committed labels version
+    * advances one commit per epoch — near-dup clusters extend, bridge,
+    * and are born as ingestion observes them, with the CURRENT labels
+    * readable mid-stream at any epoch boundary
+    * ([[graft.ops.Dedup.readBandLabels]] sees the latest committed
+    * version; a crash mid-epoch leaves the intent marker and readers
+    * fail fast to the rebuild verb). At-least-once: a replayed epoch
+    * re-appends its batch (the [[ingestDocsStream]] append-log
+    * convention) and re-derives a SUPERSET of the same edges against
+    * the already-grown index — connectivity is idempotent under edge
+    * replay, so the label STATE self-heals even though index rows
+    * duplicate (suite-pinned by the rebuild-equivalence invariant
+    * ingestWithLabels carries per batch). */
+  def labelDocsStream(s: SparkSession, indexDir: String, labelsDir: String,
+      sourceDir: String, checkpointDir: String): Unit = {
+    val q = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Dedup.ingestWithLabels(s, indexDir, labelsDir,
+          batch.select(col("doc_id"), col("text")))
+        graft.InternalCaches.releaseAll()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   // --------------------------- streaming incremental sequence packing --
 
   /** Context-window token budget and shard count for the streaming

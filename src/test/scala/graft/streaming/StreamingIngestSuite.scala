@@ -53,6 +53,54 @@ class StreamingIngestSuite extends SparkSessionSuite {
     s.read.parquet(admitted).count() shouldBe 3L
   }
 
+  /** r13: streaming label maintenance — clusters must extend across
+    * micro-batches (a near-dup of an EARLIER epoch's arrival joins its
+    * cluster), and the final committed labels must equal a from-scratch
+    * rebuild over the grown index (the ingest ≡ rebuild invariant,
+    * epoch-by-epoch through the stream). */
+  test("streaming labels: clusters grow across micro-batches, final ≡ rebuild") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    val base = Files.createTempDirectory("graft-label-stream").toString
+    val (idx, lbl, src, ckpt) =
+      (s"$base/idx", s"$base/labels", s"$base/src", s"$base/ckpt")
+    graft.ops.Dedup.saveBandIndex(docs, idx)
+    graft.ops.Dedup.buildBandLabels(s, idx, lbl)
+
+    // epoch 0: near-dup of corpus doc 20 + one brand-new doc
+    Seq((91020L, "na1 nb1 nc1 nd1 ne1 nf1 ng1 nh1"))
+      .toDF("doc_id", "text")
+      .unionAll(docs.filter(col("doc_id") === 20)
+        .select(lit(90020L).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+      .coalesce(1).write.mode("append").parquet(src)
+    EventStreams.labelDocsStream(s, idx, lbl, src, ckpt)
+    val l0 = graft.ops.Dedup.readBandLabels(s, lbl)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    l0(90020L) shouldBe 20L      // joined the corpus doc's cluster
+    l0.get(91020L) shouldBe None // no near-dup yet → unclustered
+
+    // epoch 1: an exact copy of the epoch-0 NEW doc — only the grown
+    // index (not the original corpus) can cluster it
+    Seq((92020L, "na1 nb1 nc1 nd1 ne1 nf1 ng1 nh1"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(src)
+    EventStreams.labelDocsStream(s, idx, lbl, src, ckpt)
+    val l1 = graft.ops.Dedup.readBandLabels(s, lbl)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    l1(92020L) shouldBe 91020L   // clustered with the earlier arrival
+    l1(91020L) shouldBe 91020L
+    l1(90020L) shouldBe 20L      // earlier cluster carried forward
+
+    // final committed labels ≡ from-scratch rebuild over the grown index
+    val rebuilt = graft.ops.Dedup.buildBandLabels(s, idx, s"$base/labels_rb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    l1 shouldBe rebuilt
+  }
+
   test("line cleaning strips a header the moment ingestion pushes it over df") {
     val s = spark
     import s.implicits._
