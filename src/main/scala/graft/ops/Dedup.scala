@@ -2123,7 +2123,7 @@ object Dedup {
     * contract). Null-signature groups (docs too short to shingle) are
     * excluded — those docs share a storage group but are not near-dups
     * of each other. */
-  private def indexSelfEdges(s: SparkSession, dir: String,
+  private[ops] def indexSelfEdges(s: SparkSession, dir: String,
       minMatch: Int): DataFrame = {
     val members = s.read.parquet(s"$dir/members")
     val live = tombstonesOf(s, dir).fold(members)(t =>

@@ -807,6 +807,25 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
     canon(Dedup.readBandLabels(s, s"$root/labels")) shouldBe canon(l2)
   }
 
+  /** r13: the label build's edge relation must stay equi-join shaped —
+    * the bands self-join is (bucket, bi, bv) equality with the id
+    * inequality as a residual condition, never a cartesian, and the
+    * hot list stays a broadcast anti-join. */
+  test("band labels: index self-edge plan is equi-join, no cartesian") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    val root = Files.createTempDirectory("bandlabelsplan").toString
+    Dedup.saveBandIndex(docs, s"$root/index")
+    val plan = Dedup.indexSelfEdges(s, s"$root/index", 8)
+      .queryExecution.executedPlan.toString
+    withClue(s"indexSelfEdges plan:\n$plan\n") {
+      assert(!plan.contains("CartesianProduct"))
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
   /** r13: deletes invalidate min-labels; the documented remedy is a
     * labels rebuild, which must exclude tombstoned docs and re-anchor
     * a component whose minimum was deleted. */
