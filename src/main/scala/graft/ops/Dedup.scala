@@ -2563,8 +2563,10 @@ object Dedup {
     * baseline; [[embeddingCosBanded]] is the production plan. */
   val embeddingCos: QueryDef =
     QueryDef.sql("dedup_embedding_cos", embCosOracleSql) { (s, d) =>
-      Similarity.pairCosineKernel(
-          corpusScaledEmb(Tables.embeddings(s, d)), 0.99)
+      Similarity.collapsedCosinePairs(
+          corpusScaledEmb(Tables.embeddings(s, d)),
+          "dedup_embedding_cos", intraMin = Some(0.99))(
+          Similarity.pairCosineKernel(_, 0.99))
         .select(col("v1"), col("v2"), (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
         .orderBy(col("v1"), col("v2"))
     }
@@ -2581,9 +2583,10 @@ object Dedup {
     * and DedupSuite pins it on an independent perturbed corpus. */
   val embeddingCosBanded: QueryDef =
     QueryDef.sql("dedup_embedding_cos_banded", embCosOracleSql) { (s, d) =>
-      Similarity.bandedPairCosine(
+      Similarity.collapsedCosinePairs(
           graft.InternalCaches.register(
-            corpusScaledEmb(Tables.embeddings(s, d)).persist()))
+            corpusScaledEmb(Tables.embeddings(s, d)).persist()),
+          "dedup_embedding_cos_banded")(Similarity.bandedPairCosine(_))
         .filter(col("rawcos") >= 0.99)
         .select(col("v1"), col("v2"), (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
         .orderBy(col("v1"), col("v2"))

@@ -481,7 +481,8 @@ object Similarity {
       |WHERE dot / (n1.nrm * n2.nrm) >= 0.35
       |ORDER BY v1, v2""".stripMargin) { (s, d) =>
     val prep = prepared(Tables.embeddings(s, d))
-    pairCosineKernel(prep, 0.35)
+    collapsedCosinePairs(prep, "sim_range_search", intraMin = Some(0.35))(
+        pairCosineKernel(_, 0.35))
       .select(col("v1"), col("v2"), (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
       .orderBy(col("v1"), col("v2"))
   }
@@ -538,6 +539,92 @@ object Similarity {
       .agg(min(col("rawcos0")).as("rawcos"))
   }
 
+  // ------------------------------------------------ content collapse (r13) --
+
+  /** Content collapse for the exact-cosine PAIR family — the
+    * [[graft.ops.HammingBands]] signature-collapse insight applied to
+    * vectors. A duplicate-flooded corpus (the 10× densification fixture
+    * gives every vector 9 byte-identical twins; a 100 TB crawl gives a
+    * boilerplate page millions) multiplies BOTH sides of every
+    * candidate join, so candidate volume grows with density² even
+    * though the DISTINCT vector population didn't grow. Collapse first:
+    * group ids by exact vector content (one window pass), run the pair
+    * route over UNIQUE vectors only, then expand group members back —
+    * an inter-group pair inherits the group pair's cosine (same arrays
+    * ⇒ bit-identical [[dot]]), an intra-group pair scores the group's
+    * self-cosine `dot(v,v)/(nrm·nrm)` (exactly what the uncollapsed
+    * plan computes for twin rows, including the degenerate-norm clamp).
+    * Work becomes O(uniques-bounded candidates + output); the expansion
+    * is output-bound and therefore irreducible. Every route stays EXACT
+    * in the same sense as before (banded recall is a pure function of
+    * vector content, so bucket membership — and hence the emitted pair
+    * SET — is collapse-invariant), which keeps every oracle in the
+    * family route- and collapse-invariant.
+    *
+    * Cost contract (the [[HammingBands.pairs]] rule): one single-row
+    * (n, distinct vectors) pre-pass action per call; when n == u the
+    * corpus is duplicate-free and the window + both expansion joins are
+    * skipped outright — the battery fixtures at 1× are duplicate-free,
+    * so their plans are IDENTICAL to the pre-collapse ones.
+    *
+    * `route` maps a prepared unique-vector relation to (v1, v2, rawcos)
+    * pairs with v1 < v2. `intraMin` is the threshold the route applies
+    * internally (the [[pairCosineKernel]] form) so intra-group pairs
+    * filter identically; routes that emit unfiltered candidates
+    * ([[bandedPairCosine]]) leave it None and the caller's threshold
+    * filter sees intra pairs like any other candidate. */
+  def collapsedCosinePairs(prep: DataFrame, family: String,
+      intraMin: Option[Double] = None)(
+      route: DataFrame => DataFrame): DataFrame = {
+    val nu = prep.agg(count(lit(1)).as("n"),
+      count_distinct(col("v")).as("u")).head()
+    val (n, u) = (nu.getLong(0), nu.getLong(1))
+    // null-vector rows are never counted by count_distinct, so they
+    // force the collapse path, whose null-keyed group joins nothing —
+    // same convention as HammingBands.pairs.
+    if (n == u) route(prep)
+    else {
+      System.err.println(s"[cosine] $family: content collapse — " +
+        s"$n rows -> $u distinct vectors")
+      val gmap = graft.InternalCaches.register(
+        prep.select(col("vec_id"), col("v"), col("nrm"))
+          .withColumn("gid",
+            min(col("vec_id")).over(Window.partitionBy(col("v"))))
+          .persist())
+      val uniq = gmap.filter(col("vec_id") === col("gid"))
+        .select(col("gid").as("vec_id"), col("v"), col("nrm"))
+      expandGroupPairs(route(uniq), gmap, uniq, intraMin)
+    }
+  }
+
+  /** Expand a unique-vector pair relation (v1, v2, rawcos — over group
+    * ids) back to member pairs, plus the intra-group pairs the collapse
+    * folded away. Groups are disjoint and g1 < g2, so every inter cross
+    * pair is distinct; least/greatest restores canonical id order. */
+  private def expandGroupPairs(cross: DataFrame, gmap: DataFrame,
+      uniq: DataFrame, intraMin: Option[Double]): DataFrame = {
+    val members = gmap.select(col("gid"), col("vec_id").as("mid"))
+    val inter = cross
+      .join(members.select(col("gid").as("g1"), col("mid").as("m1")),
+        col("v1") === col("g1"))
+      .join(members.select(col("gid").as("g2"), col("mid").as("m2")),
+        col("v2") === col("g2"))
+      .select(least(col("m1"), col("m2")).as("v1"),
+        greatest(col("m1"), col("m2")).as("v2"), col("rawcos"))
+    // one self-cosine per group — the same expression (and so the same
+    // bits) the uncollapsed plan evaluates for a twin pair
+    val self = uniq.select(col("vec_id").as("sgid"),
+      (dot(col("v"), col("v")) / (col("nrm") * col("nrm"))).as("selfcos"))
+    val intraBase = members.as("x").join(members.as("y"),
+        col("x.gid") === col("y.gid") && col("x.mid") < col("y.mid"))
+      .join(self, col("x.gid") === col("sgid"))
+      .select(col("x.mid").as("v1"), col("y.mid").as("v2"),
+        col("selfcos").as("rawcos"))
+    val intra = intraMin.map(t => intraBase.filter(col("rawcos") >= t))
+      .getOrElse(intraBase)
+    inter.unionAll(intra)
+  }
+
   /** Outcome of the brute-vs-banded density dispatch: the measured LSH
     * candidate volume (pre-dedup pair rows the banded plan would score)
     * against the all-pairs volume, and the route taken. BigInt because
@@ -574,7 +661,8 @@ object Similarity {
       tables: Int = BandTables,
       minLshVectors: Option[Long] = None,
       sharePctPin: Option[Int] = None,
-      buckets: Option[DataFrame] = None): RangeDispatchDecision = {
+      buckets: Option[DataFrame] = None,
+      histogram: Option[DataFrame] = None): RangeDispatchDecision = {
     // Pins beat the session conf — the rule is now centralized in
     // [[graft.DispatchConf]] (r11 verdict #7), shared with the as-of
     // skew dispatch, the IVF quantizer conf, and the Hamming-band
@@ -582,10 +670,19 @@ object Similarity {
     val knobs = graft.DispatchConf(prep.sparkSession, RangeAutoPrefix)
     val minVec = knobs.long("minLshVectors", 4096L, minLshVectors)
     val sharePct = knobs.int("sharePct", 90, sharePctPin)
-    val hist = buckets.getOrElse(lshBucketsMulti(prep, tables))
-      .groupBy(col("tbl"), col("bucket")).count()
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // `histogram`: a pre-aggregated (tbl, bucket, c) relation — the
+    // collapsed path derives the FULL-corpus histogram from unique
+    // buckets weighted by group size (buckets are a pure function of
+    // vector content), so the decision stays collapse-invariant and the
+    // SQL twin's mirrored rule keeps matching.
+    val hist = histogram
+      .map(_.select(col("tbl"), col("bucket"), col("c").cast("long"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))))
+      .getOrElse(buckets.getOrElse(lshBucketsMulti(prep, tables))
+        .groupBy(col("tbl"), col("bucket")).count()
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))))
     val n = hist.filter(_._1 == 0).map(_._3).sum // every vector rides table 0 once
     val probes = probeMasks.filter(_ != 0)
     var lsh = BigInt(0)
@@ -623,24 +720,64 @@ object Similarity {
     * regime where the banded plan had stopped earning its overhead —
     * the twin-flood adversary the r11 10× sweep built. Callers that
     * need a pinned candidate generation (oracle replay, recall
-    * studies) use the direct entry points. Decision cost: one
-    * metadata-sized action at DataFrame-construction time; conf-tunable
-    * under `spark.graft.sim.range.auto.*` ([[RangeAutoPrefix]]). */
+    * studies) use the direct entry points. Decision cost: two
+    * metadata-sized actions at DataFrame-construction time (the
+    * collapse pre-pass + the histogram); conf-tunable under
+    * `spark.graft.sim.range.auto.*` ([[RangeAutoPrefix]]). Both routes
+    * run over content-collapsed uniques ([[collapsedCosinePairs]]) —
+    * the decision itself measures the full-corpus histogram via
+    * group-size weights, so it is collapse-invariant by construction
+    * and the SQL twin needs no mirror of the collapse. */
   def rangeSearchPairs(prep: DataFrame, threshold: Double,
       tables: Int = BandTables,
       minLshVectors: Option[Long] = None,
       sharePctPin: Option[Int] = None): DataFrame = {
-    // ONE bucket pass serves both the dispatch histogram and (on the
-    // banded route) the join sides — unpersisted, the O(n·d) bucket
-    // computation would run once for the decision and again inside
-    // bandedPairCosine (r11 review).
-    val bk = graft.InternalCaches.register(
-      lshBucketsMulti(prep, tables).persist())
-    val d = rangeDispatchDecision(prep, tables, minLshVectors, sharePctPin,
-      Some(bk))
-    if (d.useBrute) { bk.unpersist(); pairCosineKernel(prep, threshold) }
-    else bandedPairCosine(prep, tables, Some(bk))
-      .filter(col("rawcos") >= threshold)
+    // Content collapse first (r13 — the [[collapsedCosinePairs]]
+    // contract): the same single-row pre-pass; duplicate-free corpora
+    // take the pre-collapse plan verbatim.
+    val nu = prep.agg(count(lit(1)).as("n"),
+      count_distinct(col("v")).as("u")).head()
+    val (n, u) = (nu.getLong(0), nu.getLong(1))
+    if (n == u) {
+      // ONE bucket pass serves both the dispatch histogram and (on the
+      // banded route) the join sides — unpersisted, the O(n·d) bucket
+      // computation would run once for the decision and again inside
+      // bandedPairCosine (r11 review).
+      val bk = graft.InternalCaches.register(
+        lshBucketsMulti(prep, tables).persist())
+      val d = rangeDispatchDecision(prep, tables, minLshVectors, sharePctPin,
+        Some(bk))
+      if (d.useBrute) { bk.unpersist(); pairCosineKernel(prep, threshold) }
+      else bandedPairCosine(prep, tables, Some(bk))
+        .filter(col("rawcos") >= threshold)
+    } else {
+      System.err.println(s"[cosine] sim_range_search_auto: content " +
+        s"collapse — $n rows -> $u distinct vectors")
+      val gmap = graft.InternalCaches.register(
+        prep.select(col("vec_id"), col("v"), col("nrm"))
+          .withColumn("gid",
+            min(col("vec_id")).over(Window.partitionBy(col("v"))))
+          .persist())
+      val uniq = gmap.filter(col("vec_id") === col("gid"))
+        .select(col("gid").as("vec_id"), col("v"), col("nrm"))
+      // buckets over UNIQUES only; the dispatch still measures the
+      // FULL-corpus histogram — every member buckets exactly like its
+      // representative, so unique buckets weighted by group size ARE
+      // the uncollapsed histogram, and the decision (plus its SQL twin,
+      // which computes the full histogram) is collapse-invariant.
+      val bk = graft.InternalCaches.register(
+        lshBucketsMulti(uniq, tables).persist())
+      val sizes = gmap.groupBy(col("gid")).agg(count(lit(1)).as("cnt"))
+      val hist = bk.join(sizes, bk("vec_id") === sizes("gid"))
+        .groupBy(col("tbl"), col("bucket")).agg(sum(col("cnt")).as("c"))
+      val d = rangeDispatchDecision(prep, tables, minLshVectors, sharePctPin,
+        histogram = Some(hist))
+      val cross =
+        if (d.useBrute) { bk.unpersist(); pairCosineKernel(uniq, threshold) }
+        else bandedPairCosine(uniq, tables, Some(bk))
+          .filter(col("rawcos") >= threshold)
+      expandGroupPairs(cross, gmap, uniq, Some(threshold))
+    }
   }
 
   /** SQL twin of `lshBucketsMulti(prep, BandTables)` — shared by the
@@ -685,7 +822,7 @@ object Similarity {
         |ORDER BY v1, v2""".stripMargin) { (s, d) =>
       val prep = graft.InternalCaches.register(
       prepared(Tables.embeddings(s, d)).persist())
-      bandedPairCosine(prep)
+      collapsedCosinePairs(prep, "sim_range_search_lsh")(bandedPairCosine(_))
         .filter(col("rawcos") >= 0.35)
         .select(col("v1"), col("v2"), (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
         .orderBy(col("v1"), col("v2"))
