@@ -164,21 +164,15 @@ object Similarity {
     * exact ties break by neighbor id identically in both engines
     * (retires the r5/r6 `round(rawcos, 12)` rule with the ulp wobble
     * it absorbed). */
-  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("v").as("qv"),
-      col("nrm").as("qn"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
-      col("nrm").as("cn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("rawcos").desc, col("neighbor_id"))
-    q.join(c, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rawcos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
-  }
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    collapsedTopK(queries, corpus, k, "cosine_topk") { (q, c) =>
+      q.select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+        .crossJoin(c.select(col("vec_id").as("neighbor_id"),
+          col("v").as("cv"), col("nrm").as("cn")))
+        .select(col("query_id"), col("neighbor_id"),
+          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rawcos"))
+    }
 
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
     * data-prep step): for each anchor, the `k` MOST similar corpus
@@ -189,22 +183,22 @@ object Similarity {
     * scoring channel here is the exact kernel (the oracle-checkable
     * twin); [[hardNegativesIvf]] is the indexed production channel. */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
-      nearDupCut: Double): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("v").as("qv"),
-      col("nrm").as("qn"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
-      col("nrm").as("cn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("rawcos").desc, col("neighbor_id"))
-    q.join(c, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rawcos"))
-      .filter(col("rawcos") < nearDupCut)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
-  }
+      nearDupCut: Double): DataFrame =
+    // The near-dup cut is content-determined, so it filters correctly
+    // at GROUP level inside the route (a twin group's self-cosine ~1 is
+    // cut like every member pair would be); self pairs of a DEGENERATE
+    // group (self-cosine 0 < cut) survive to the wrapper, whose
+    // member-level exclusion drops them — same rows as the uncollapsed
+    // plan either way.
+    collapsedTopK(queries, corpus, k, "hard_negatives") { (q, c) =>
+      q.select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+        .crossJoin(c.select(col("vec_id").as("neighbor_id"),
+          col("v").as("cv"), col("nrm").as("cn")))
+        .select(col("query_id"), col("neighbor_id"),
+          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rawcos"))
+        .filter(col("rawcos") < nearDupCut)
+    }
 
   /** PRODUCTION hard negatives: same contract as [[hardNegatives]] but
     * the candidate channel is the deterministic IVF index instead of
@@ -436,32 +430,31 @@ object Similarity {
       // sum, so min() is a pure dedup). Same r11 BENCH_10X lesson as
       // [[bandedPairCosine]]: dedup-then-fetch shuffles every candidate
       // through two more joins against the vector table, and the LSH
-      // path degenerates exactly when buckets are dense.
-      val tb = lshBucketsMulti(prep)
-        .join(prep.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
-      val q = tb.filter(col("vec_id") % QueryStride === 0)
-        .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"),
-          col("v").as("qv"), col("nrm").as("qn"),
-          explode(probeMasksCol).as("mask"))
-      val c = tb.select(col("vec_id").as("neighbor_id"),
-        col("tbl").as("ctbl"), col("bucket").as("cbucket"),
-        col("v").as("cv"), col("nrm").as("cn"))
-      // raw-cosine rank — cross-engine exact since r11, as in the
-      // brute/IVF paths
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("rawcos").desc, col("neighbor_id"))
-      q.join(c, col("tbl") === col("ctbl") &&
-          col("bucket").bitwiseXOR(col("mask")) === col("cbucket") &&
-          col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rawcos0"))
-        .groupBy(col("query_id"), col("neighbor_id"))
-        .agg(min(col("rawcos0")).as("rawcos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
-        .orderBy(col("query_id"), col("rank"))
+      // path degenerates exactly when buckets are dense. Self pairs and
+      // ranking belong to [[collapsedTopK]] (r13): under collapse they
+      // are member-level concerns, and bucket membership is a pure
+      // function of vector content, so the candidate member-pair set —
+      // and hence the output — is collapse-invariant.
+      collapsedTopK(prep.filter(col("vec_id") % QueryStride === 0), prep, 5,
+          "sim_topk_lsh") { (qs, cs) =>
+        val qtb = lshBucketsMulti(qs)
+          .join(qs.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+        val ctb = lshBucketsMulti(cs)
+          .join(cs.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+        val q = qtb
+          .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"),
+            col("v").as("qv"), col("nrm").as("qn"),
+            explode(probeMasksCol).as("mask"))
+        val c = ctb.select(col("vec_id").as("neighbor_id"),
+          col("tbl").as("ctbl"), col("bucket").as("cbucket"),
+          col("v").as("cv"), col("nrm").as("cn"))
+        q.join(c, col("tbl") === col("ctbl") &&
+            col("bucket").bitwiseXOR(col("mask")) === col("cbucket"))
+          .select(col("query_id"), col("neighbor_id"),
+            (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rawcos0"))
+          .groupBy(col("query_id"), col("neighbor_id"))
+          .agg(min(col("rawcos0")).as("rawcos"))
+      }.orderBy(col("query_id"), col("rank"))
     }
   }
 
@@ -623,6 +616,75 @@ object Similarity {
     val intra = intraMin.map(t => intraBase.filter(col("rawcos") >= t))
       .getOrElse(intraBase)
     inter.unionAll(intra)
+  }
+
+  /** Content collapse for query-vs-corpus cosine TOP-K — the
+    * [[collapsedCosinePairs]] insight for the ranked family. `route`
+    * maps (unique queries, unique corpus) to SCORED candidates
+    * (query_id, neighbor_id, rawcos) with NO self-exclusion and NO
+    * ranking: the wrapper owns both, because under collapse they are
+    * member-level concerns (a query's twin is a legitimate cos-1.0
+    * neighbor; ranks interleave across equal-cosine groups by raw
+    * member id). Group-level candidates MUST include equal-gid pairs —
+    * a group of c twins supplies c−1 self-cosine neighbors to each of
+    * its members.
+    *
+    * Retention bound: per query group, groups at `rank() > k+1` (ties
+    * kept) have ≥ k+1 strictly-better groups, i.e. ≥ k+1 strictly
+    * better member candidates of which self-exclusion can remove at
+    * most one — so no dropped group's member can enter any member
+    * query's top-k. k+1 groups is therefore exact retention, not a
+    * heuristic over-fetch.
+    *
+    * Duplicate-free inputs (one single-row pre-pass per side) take the
+    * member-level route verbatim — the 1× battery plans are unchanged.
+    * Output: (query_id, rank, neighbor_id, cos) with the engine-wide
+    * 1e-6 display floor. */
+  def collapsedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      family: String)(
+      route: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    def dupStats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        count_distinct(col("v")).as("u")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val wMember = Window.partitionBy(col("query_id"))
+      .orderBy(col("rawcos").desc, col("neighbor_id"))
+    def finish(cand: DataFrame): DataFrame = cand
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(wMember))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
+    val (nq, uq) = dupStats(queries)
+    val (nc, uc) = dupStats(corpus)
+    if (nq == uq && nc == uc) finish(route(queries, corpus))
+    else {
+      System.err.println(s"[cosine] $family: content collapse — queries " +
+        s"$nq -> $uq, corpus $nc -> $uc distinct vectors")
+      def collapse(df: DataFrame): DataFrame = graft.InternalCaches.register(
+        df.select(col("vec_id"), col("v"), col("nrm"))
+          .withColumn("gid",
+            min(col("vec_id")).over(Window.partitionBy(col("v"))))
+          .persist())
+      val qg = collapse(queries)
+      val cg = collapse(corpus)
+      def uniq(g: DataFrame): DataFrame = g
+        .filter(col("vec_id") === col("gid"))
+        .select(col("gid").as("vec_id"), col("v"), col("nrm"))
+      val keep = route(uniq(qg), uniq(cg))
+        .withColumn("grank", rank().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("rawcos").desc)))
+        .filter(col("grank") <= k + 1)
+        .drop("grank")
+      finish(keep
+        .join(qg.select(col("gid").as("qgid"), col("vec_id").as("qmid")),
+          col("query_id") === col("qgid"))
+        .join(cg.select(col("gid").as("cgid"), col("vec_id").as("cmid")),
+          col("neighbor_id") === col("cgid"))
+        .select(col("qmid").as("query_id"), col("cmid").as("neighbor_id"),
+          col("rawcos")))
+    }
   }
 
   /** Outcome of the brute-vs-banded density dispatch: the measured LSH

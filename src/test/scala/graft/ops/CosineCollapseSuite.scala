@@ -115,6 +115,88 @@ class CosineCollapseSuite extends SparkSessionSuite {
     graft.InternalCaches.releaseAll()
   }
 
+  /** Member-level top-k reference — the pre-collapse cosineTopK shape,
+    * inlined so the suite pins the collapsed wrapper against an
+    * independent implementation rather than against itself. */
+  private def refTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      cut: Option[Double] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rawcos").desc, col("neighbor_id"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("rawcos"))
+    cut.map(t => scored.filter(col("rawcos") < t)).getOrElse(scored)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
+  }
+
+  private def canonTopK(df: DataFrame): Seq[(Long, Int, Long, Double)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+      .toSeq
+
+  test("collapsed top-k ≡ member-level reference on a duplicate flood " +
+      "(twins rank as cos-1.0 neighbors)") {
+    val prep = floodedPrep(3).persist()
+    try {
+      val queries = prep.filter(col("vec_id") % 50 === 0)
+      val got = canonTopK(Similarity.cosineTopK(queries, prep, 5))
+      got shouldBe canonTopK(refTopK(queries, prep, 5))
+      // every query has 2 exact twins: ranks 1 and 2 must be cos 1.0
+      val byQ = got.groupBy(_._1)
+      byQ.values.foreach { rows =>
+        rows.filter(r => r._2 <= 2).map(_._4) shouldBe Seq(1.0, 1.0)
+      }
+    } finally { prep.unpersist(); graft.InternalCaches.releaseAll() }
+  }
+
+  test("collapsed hard negatives ≡ member-level reference on a flood " +
+      "(the near-dup cut removes twin groups before ranking)") {
+    val prep = floodedPrep(3).persist()
+    try {
+      val queries = prep.filter(col("vec_id") % 50 === 0)
+      val got = canonTopK(Similarity.hardNegatives(queries, prep, 3, 0.95))
+      got shouldBe canonTopK(refTopK(queries, prep, 3, cut = Some(0.95)))
+      got.foreach(_._4 should be < 0.95)
+    } finally { prep.unpersist(); graft.InternalCaches.releaseAll() }
+  }
+
+  test("group retention keeps ALL groups tied at the cutoff rank: " +
+      "permutation corpus where every group has the same cosine to the " +
+      "query") {
+    val s = spark
+    import s.implicits._
+    // query = all-ones; corpus groups = distinct permutations of one
+    // base vector, each duplicated — every group's cosine to the query
+    // is IDENTICAL (dot and norm are permutation-invariant), so the
+    // group-level rank() is one giant tie and k+1 retention must keep
+    // every group, with member ranks breaking by raw neighbor id.
+    val base = Seq(0.9, -0.3, 0.4, 0.1, -0.7, 0.2, 0.6, -0.5)
+    val perms = base.permutations.take(9).toSeq
+    val corpusRows = perms.zipWithIndex.flatMap { case (p, i) =>
+      Seq((i * 10L, p.map(_.toFloat)), (i * 10L + 1L, p.map(_.toFloat)))
+    }
+    val corpus = Similarity.prepared(
+      corpusRows.toDF("vec_id", "embedding")).persist()
+    val queries = Similarity.prepared(
+      Seq((1000L, Seq.fill(8)(1.0f))).toDF("vec_id", "embedding"))
+    try {
+      val got = canonTopK(Similarity.cosineTopK(queries, corpus, 5))
+      got shouldBe canonTopK(refTopK(queries, corpus, 5))
+      // deterministic tie-break: the five smallest corpus ids win
+      got.map(_._3) shouldBe Seq(0L, 1L, 10L, 11L, 20L)
+    } finally { corpus.unpersist(); graft.InternalCaches.releaseAll() }
+  }
+
   test("duplicated degenerate vectors: self-cosine 0 is excluded by the " +
       "threshold, identically to the uncollapsed plan") {
     val s = spark
