@@ -172,7 +172,8 @@ object Similarity {
           col("v").as("cv"), col("nrm").as("cn")))
         .select(col("query_id"), col("neighbor_id"),
           (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rawcos"))
-    }
+    }.select(col("query_id"), col("rank"), col("neighbor_id"),
+      (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
 
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
     * data-prep step): for each anchor, the `k` MOST similar corpus
@@ -198,7 +199,8 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"),
           (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rawcos"))
         .filter(col("rawcos") < nearDupCut)
-    }
+    }.select(col("query_id"), col("rank"), col("neighbor_id"),
+      (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
 
   /** PRODUCTION hard negatives: same contract as [[hardNegatives]] but
     * the candidate channel is the deterministic IVF index instead of
@@ -454,7 +456,9 @@ object Similarity {
             (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("rawcos0"))
           .groupBy(col("query_id"), col("neighbor_id"))
           .agg(min(col("rawcos0")).as("rawcos"))
-      }.orderBy(col("query_id"), col("rank"))
+      }.select(col("query_id"), col("rank"), col("neighbor_id"),
+          (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
     }
   }
 
@@ -638,24 +642,27 @@ object Similarity {
     *
     * Duplicate-free inputs (one single-row pre-pass per side) take the
     * member-level route verbatim — the 1× battery plans are unchanged.
-    * Output: (query_id, rank, neighbor_id, cos) with the engine-wide
-    * 1e-6 display floor. */
+    * Output: (query_id, rank, neighbor_id, <score>) with the route's
+    * RAW score column (named by `score`, ranked ascending when `asc` —
+    * the integer-distance families); display transforms (the 1e-6
+    * cosine floor) are the caller's. Any content-determined score
+    * works: the retention argument only needs one row per group pair. */
   def collapsedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      family: String)(
+      family: String, score: String = "rawcos", asc: Boolean = false)(
       route: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     def dupStats(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)).as("n"),
         count_distinct(col("v")).as("u")).head()
       (r.getLong(0), r.getLong(1))
     }
+    def ord(c: Column): Column = if (asc) c.asc else c.desc
     val wMember = Window.partitionBy(col("query_id"))
-      .orderBy(col("rawcos").desc, col("neighbor_id"))
+      .orderBy(ord(col(score)), col("neighbor_id"))
     def finish(cand: DataFrame): DataFrame = cand
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("rank", row_number().over(wMember))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col(score))
     val (nq, uq) = dupStats(queries)
     val (nc, uc) = dupStats(corpus)
     if (nq == uq && nc == uc) finish(route(queries, corpus))
@@ -674,7 +681,7 @@ object Similarity {
         .select(col("gid").as("vec_id"), col("v"), col("nrm"))
       val keep = route(uniq(qg), uniq(cg))
         .withColumn("grank", rank().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("rawcos").desc)))
+          .orderBy(ord(col(score)))))
         .filter(col("grank") <= k + 1)
         .drop("grank")
       finish(keep
@@ -683,7 +690,7 @@ object Similarity {
         .join(cg.select(col("gid").as("cgid"), col("vec_id").as("cmid")),
           col("neighbor_id") === col("cgid"))
         .select(col("qmid").as("query_id"), col("cmid").as("neighbor_id"),
-          col("rawcos")))
+          col(score)))
     }
   }
 
@@ -2225,38 +2232,40 @@ object Similarity {
       |  FROM dist) t
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-    val f = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        posexplode(transform(col("embedding"), x => x.cast("double")))
-          .as(Seq("pos0", "v")))
-      .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("v"))
-    val fC = graft.InternalCaches.register(f.persist())
-    val stats = fC.groupBy(col("pos"))
-      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-    val codes = fC.join(broadcast(stats), Seq("pos"))
-      .select(col("vec_id"), col("pos"),
-        when(col("mx") === col("mn"), 0L)
-          .otherwise(floor((col("v") - col("mn")) * 255.0
-            / (col("mx") - col("mn")) + 0.5)).as("code"))
-    val q = fC.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("pos"), col("v").as("qv"))
-    val deq = col("mn") + col("code") * (col("mx") - col("mn")) / lit(255.0)
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist_micro"), col("neighbor_id"))
-    codes
-      .join(broadcast(stats), Seq("pos"))
-      .join(broadcast(q), Seq("pos"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        floor((col("qv") - deq) * (col("qv") - deq) * 1e6 + 0.5)
-          .as("dm"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("dm")).as("dist_micro"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("dist_micro"))
-      .orderBy(col("query_id"), col("rank"))
+    // Content collapse (r13): SQ8 codes are a pure function of vector
+    // content GIVEN the range stats, and min/max over a multiset equal
+    // min/max over its distinct set — so stats computed from the unique
+    // corpus are exactly the full-corpus stats, and the whole ADC scan
+    // is collapse-invariant. The 10× densification fixture ran this
+    // query at 79× (r10 record): queries × corpus twins multiply the
+    // scan 100-fold while the distinct population is unchanged.
+    val prep = graft.InternalCaches.register(
+      prepared(Tables.embeddings(s, d)).persist())
+    collapsedTopK(prep.filter(col("vec_id") % 50 === 0), prep, 5,
+        "sim_sq8_topk", score = "dist_micro", asc = true) { (qs, cs) =>
+      val f = cs.select(col("vec_id"), posexplode(col("v")).as(Seq("pos0", "v")))
+        .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("v"))
+      val fC = graft.InternalCaches.register(f.persist())
+      val stats = fC.groupBy(col("pos"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val codes = fC.join(broadcast(stats), Seq("pos"))
+        .select(col("vec_id"), col("pos"),
+          when(col("mx") === col("mn"), 0L)
+            .otherwise(floor((col("v") - col("mn")) * 255.0
+              / (col("mx") - col("mn")) + 0.5)).as("code"))
+      val q = qs.select(col("vec_id").as("query_id"),
+          posexplode(col("v")).as(Seq("pos0", "qv")))
+        .select(col("query_id"), (col("pos0") + 1).as("pos"), col("qv"))
+      val deq = col("mn") + col("code") * (col("mx") - col("mn")) / lit(255.0)
+      codes
+        .join(broadcast(stats), Seq("pos"))
+        .join(broadcast(q), Seq("pos"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          floor((col("qv") - deq) * (col("qv") - deq) * 1e6 + 0.5)
+            .as("dm"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(col("dm")).as("dist_micro"))
+    }.orderBy(col("query_id"), col("rank"))
   }
 
   /** One ingestion round against a persisted IVF index: probe each

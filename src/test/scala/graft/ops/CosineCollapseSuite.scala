@@ -197,6 +197,80 @@ class CosineCollapseSuite extends SparkSessionSuite {
     } finally { corpus.unpersist(); graft.InternalCaches.releaseAll() }
   }
 
+  test("collapsed SQ8 top-k ≡ member-level reference on a duplicate " +
+      "flood (stats are duplicate-invariant)") {
+    import org.apache.spark.sql.expressions.Window
+    val prep = floodedPrep(3).persist()
+    try {
+      // member-level SQ8 reference: the pre-collapse plan, inlined
+      val f = prep.select(col("vec_id"),
+          posexplode(col("v")).as(Seq("pos0", "v")))
+        .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("v"))
+        .persist()
+      val stats = f.groupBy(col("pos"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val codes = f.join(broadcast(stats), Seq("pos"))
+        .select(col("vec_id"), col("pos"),
+          when(col("mx") === col("mn"), 0L)
+            .otherwise(floor((col("v") - col("mn")) * 255.0
+              / (col("mx") - col("mn")) + 0.5)).as("code"))
+      val q = f.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("pos"), col("v").as("qv"))
+      val deq = col("mn") + col("code") * (col("mx") - col("mn")) / lit(255.0)
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist_micro"), col("neighbor_id"))
+      val reference = codes
+        .join(broadcast(stats), Seq("pos"))
+        .join(broadcast(q), Seq("pos"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          floor((col("qv") - deq) * (col("qv") - deq) * 1e6 + 0.5).as("dm"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(col("dm")).as("dist_micro"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("dist_micro"))
+      val got = Similarity.collapsedTopK(
+          prep.filter(col("vec_id") % 50 === 0), prep, 5,
+          "test_sq8", score = "dist_micro", asc = true) { (qs, cs) =>
+        val fu = cs.select(col("vec_id"),
+            posexplode(col("v")).as(Seq("pos0", "v")))
+          .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("v"))
+        val st = fu.groupBy(col("pos"))
+          .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        val cd = fu.join(broadcast(st), Seq("pos"))
+          .select(col("vec_id"), col("pos"),
+            when(col("mx") === col("mn"), 0L)
+              .otherwise(floor((col("v") - col("mn")) * 255.0
+                / (col("mx") - col("mn")) + 0.5)).as("code"))
+        val qq = qs.select(col("vec_id").as("query_id"),
+            posexplode(col("v")).as(Seq("pos0", "qv")))
+          .select(col("query_id"), (col("pos0") + 1).as("pos"), col("qv"))
+        cd.join(broadcast(st), Seq("pos"))
+          .join(broadcast(qq), Seq("pos"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            floor((col("qv") - deq) * (col("qv") - deq) * 1e6 + 0.5).as("dm"))
+          .groupBy(col("query_id"), col("neighbor_id"))
+          .agg(sum(col("dm")).as("dist_micro"))
+      }
+      def canonD(df: DataFrame): Seq[(Long, Int, Long, Long)] = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val gotRows = canonD(got)
+      gotRows shouldBe canonD(reference)
+      // twins dequantize identically, so ranks 1-2 of every query are
+      // its two exact twins at the SAME (asymmetric-quantization-error)
+      // distance — nonzero because the raw query is compared against
+      // its own dequantized code
+      gotRows.groupBy(_._1).values.foreach { rows =>
+        val top2 = rows.filter(_._2 <= 2).map(_._4)
+        top2.distinct.size shouldBe 1
+      }
+      f.unpersist()
+    } finally { prep.unpersist(); graft.InternalCaches.releaseAll() }
+  }
+
   test("duplicated degenerate vectors: self-cosine 0 is excluded by the " +
       "threshold, identically to the uncollapsed plan") {
     val s = spark
