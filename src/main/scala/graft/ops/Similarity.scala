@@ -669,16 +669,16 @@ object Similarity {
     else {
       System.err.println(s"[cosine] $family: content collapse — queries " +
         s"$nq -> $uq, corpus $nc -> $uc distinct vectors")
+      // every input column rides through (routes need nrm, sub, ...);
+      // a representative's vec_id == gid, so uniq just drops the tag
       def collapse(df: DataFrame): DataFrame = graft.InternalCaches.register(
-        df.select(col("vec_id"), col("v"), col("nrm"))
-          .withColumn("gid",
+        df.withColumn("gid",
             min(col("vec_id")).over(Window.partitionBy(col("v"))))
           .persist())
       val qg = collapse(queries)
       val cg = collapse(corpus)
       def uniq(g: DataFrame): DataFrame = g
-        .filter(col("vec_id") === col("gid"))
-        .select(col("gid").as("vec_id"), col("v"), col("nrm"))
+        .filter(col("vec_id") === col("gid")).drop("gid")
       val keep = route(uniq(qg), uniq(cg))
         .withColumn("grank", rank().over(Window.partitionBy(col("query_id"))
           .orderBy(ord(col(score)))))
@@ -2144,35 +2144,34 @@ object Similarity {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val e = pqVectors(s, d)
+    // The codebook keeps its FULL-corpus stride picks (the oracle
+    // mirrors that construction), so it is outside the collapse; given
+    // the codebook, codes and LUT rows are pure functions of vector
+    // content and the quadratic codes×LUT join runs over uniques (r13
+    // — the ADC scan was the 13.5× driver at the 10× twin fixture).
     val cent = pqCodebook(e)
-    // one assignment pass yields BOTH the corpus codes and (filtered to
-    // query rows) the exact per-subspace LUT distances
-    val allPairs = e.select(col("vec_id"), col("v"), col("sub"),
+    def subDists(rel: DataFrame): DataFrame = rel
+      .select(col("vec_id"), col("v"), col("sub"),
         explode(array((0 until 4).map(lit(_)): _*)).as("m"))
       .crossJoin(broadcast(cent))
       .withColumn("d", qSqDist(
         slice(col("v"), col("sub") * col("m") + 1, col("sub")),
         slice(col("cv"), col("csub") * col("m") + 1, col("csub"))))
-    val wAssign = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d"), col("cid"))
-    val codes = allPairs
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("m"), col("cid"))
-    val lut = allPairs.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("m"), col("cid"),
-        expr("(d + 500000) DIV 1000000").as("lm"))
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist_micro"), col("neighbor_id"))
-    codes.join(broadcast(lut), Seq("m", "cid"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("lm")).as("dist_micro"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("dist_micro"))
-      .orderBy(col("query_id"), col("rank"))
+    collapsedTopK(e.filter(col("vec_id") % 50 === 0), e, 5,
+        "sim_pq_topk", score = "dist_micro", asc = true) { (qs, cs) =>
+      val wAssign = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d"), col("cid"))
+      val codes = subDists(cs)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("m"), col("cid"))
+      val lut = subDists(qs)
+        .select(col("vec_id").as("query_id"), col("m"), col("cid"),
+          expr("(d + 500000) DIV 1000000").as("lm"))
+      codes.join(broadcast(lut), Seq("m", "cid"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(col("lm")).as("dist_micro"))
+    }.orderBy(col("query_id"), col("rank"))
   }
 
   /** SCALAR-QUANTIZATION top-k (the FAISS SQ8 leg, completing the ANN

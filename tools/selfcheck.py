@@ -49,6 +49,10 @@ def main(sf_dir: str, out_dir: str) -> None:
                   ) / (1 << 30)
         mem = f"{min(48, max(1, int(ram_gb * 0.75)))}GB"
     con.execute(f"PRAGMA memory_limit='{mem}'")
+    # Optional thread cap so an hours-long 10x compare can share the box
+    # with engine work (default: DuckDB uses every core).
+    if "SELFCHECK_THREADS" in os.environ:
+        con.execute(f"PRAGMA threads={int(os.environ['SELFCHECK_THREADS'])}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
