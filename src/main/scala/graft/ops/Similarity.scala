@@ -2521,12 +2521,59 @@ object Similarity {
       |FROM m3 GROUP BY qid, cand
       |ORDER BY query_id, doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    phraseSearchPlan(docs)
+  }
+
+  /** Phrase-search engine: positional trigram match of each query doc's
+    * probe phrase against the token-position relation, CONTENT-COLLAPSED
+    * (r13 — the vector-collapse insight on text): n_matches and
+    * first_pos are pure functions of (query text, candidate text) — the
+    * token-id dictionary is a content hash, so matching is
+    * dictionary-free — and query SELECTION (`doc_id % QueryStride`,
+    * len ≥ 3) happens at MEMBER level before collapsing to content
+    * groups. All three match joins and the aggregation run once per
+    * (query content, candidate content); members expand back AFTER the
+    * aggregate, so a duplicate flood (the 10× fixture ran this query at
+    * 51×: twin docs multiply both posting lists and query set) is pure
+    * output expansion. There is no self-exclusion in this contract (a
+    * query matches itself at its probe position), so the expansion is
+    * the full member cross product. Duplicate-free corpora skip the
+    * collapse from one single-row pre-pass — the 1× plans are
+    * unchanged. */
+  private[ops] def phraseSearchPlan(docs: DataFrame): DataFrame = {
+    val nu = docs.agg(count(lit(1)).as("n"),
+      count_distinct(col("text")).as("u")).head()
+    val (n, u) = (nu.getLong(0), nu.getLong(1))
+    val dupFree = n == u
+    if (!dupFree)
+      System.err.println(s"[phrase] sim_phrase_search: content collapse " +
+        s"— $n docs -> $u distinct texts")
+    val gmap =
+      if (dupFree) null
+      else graft.InternalCaches.register(
+        docs.withColumn("gid",
+            min(col("doc_id")).over(Window.partitionBy(col("text"))))
+          .persist())
+    val uniqDocs =
+      if (dupFree) docs
+      else gmap.filter(col("doc_id") === col("gid"))
+        .select(col("gid").as("doc_id"), col("text"))
     val enc = graft.InternalCaches.register(
-      Dedup.encodedToks(docs).persist())
+      Dedup.encodedToks(uniqDocs).persist())
     val lens = enc.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
-    val bases = lens
-      .filter(col("len") >= 3 && col("doc_id") % QueryStride === 0)
-      .select(col("doc_id"),
+    // query selection is id-determined (every 50th MEMBER), length
+    // eligibility content-determined: select members, then collapse the
+    // query side onto the same content groups
+    val qsel =
+      if (dupFree) lens
+        .filter(col("len") >= 3 && col("doc_id") % QueryStride === 0)
+        .select(col("doc_id").as("qgid"), col("len"))
+      else gmap.filter(col("doc_id") % QueryStride === 0)
+        .join(lens.withColumnRenamed("doc_id", "gid"), Seq("gid"))
+        .filter(col("len") >= 3)
+        .select(col("gid").as("qgid"), col("len")).distinct()
+    val bases = qsel
+      .select(col("qgid").as("doc_id"),
         when(col("len") >= 7, 5).otherwise(1).as("base"))
     val q = enc.join(bases, Seq("doc_id"))
       .groupBy(col("doc_id"))
@@ -2547,8 +2594,21 @@ object Similarity {
         col("p_doc") === col("cand") && col("p_pos") === col("pos") + 2 &&
           col("p_tid") === col("t3"))
       .select(col("qid"), col("cand"), col("pos"))
-    m3.groupBy(col("qid"), col("cand"))
-      .agg(count(lit(1)).as("n_matches"), min(col("pos")).cast("long").as("first_pos"))
+    val grouped = m3.groupBy(col("qid"), col("cand"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("pos")).cast("long").as("first_pos"))
+    val expanded =
+      if (dupFree) grouped
+      else {
+        val qMembers = gmap.filter(col("doc_id") % QueryStride === 0)
+          .select(col("gid").as("qid"), col("doc_id").as("q_member"))
+        val cMembers = gmap
+          .select(col("gid").as("cand"), col("doc_id").as("c_member"))
+        grouped.join(qMembers, Seq("qid")).join(cMembers, Seq("cand"))
+          .select(col("q_member").as("qid"), col("c_member").as("cand"),
+            col("n_matches"), col("first_pos"))
+      }
+    expanded
       .select(col("qid").as("query_id"), col("cand").as("doc_id"),
         col("n_matches"), col("first_pos"))
       .orderBy(col("query_id"), col("doc_id"))

@@ -271,6 +271,65 @@ class CosineCollapseSuite extends SparkSessionSuite {
     } finally { prep.unpersist(); graft.InternalCaches.releaseAll() }
   }
 
+  test("collapsed phrase search ≡ member-level reference on a document " +
+      "flood (matching is content-determined, selection member-level)") {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val docs = (0 until 3)
+      .map(k => base.select((col("doc_id") + k * 1000000L).as("doc_id"),
+        col("text")))
+      .reduce(_ unionAll _).persist()
+    try {
+      // member-level reference: the pre-collapse plan, inlined
+      val enc = Dedup.encodedToks(docs).persist()
+      val lens = enc.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+      val bases = lens
+        .filter(col("len") >= 3 && col("doc_id") % 50 === 0)
+        .select(col("doc_id"),
+          when(col("len") >= 7, 5).otherwise(1).as("base"))
+      val q = enc.join(bases, Seq("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("pos") === col("base"), col("tid"))).as("t1"),
+          max(when(col("pos") === col("base") + 1, col("tid"))).as("t2"),
+          max(when(col("pos") === col("base") + 2, col("tid"))).as("t3"))
+        .withColumnRenamed("doc_id", "qid")
+      val p = enc.select(col("doc_id").as("p_doc"), col("pos").as("p_pos"),
+        col("tid").as("p_tid"))
+      val m1 = q.join(p, col("p_tid") === col("t1"))
+        .select(col("qid"), col("t2"), col("t3"),
+          col("p_doc").as("cand"), col("p_pos").as("pos"))
+      val m2 = m1.join(p,
+          col("p_doc") === col("cand") && col("p_pos") === col("pos") + 1 &&
+            col("p_tid") === col("t2"))
+        .select(col("qid"), col("t3"), col("cand"), col("pos"))
+      val m3 = m2.join(p,
+          col("p_doc") === col("cand") && col("p_pos") === col("pos") + 2 &&
+            col("p_tid") === col("t3"))
+        .select(col("qid"), col("cand"), col("pos"))
+      val reference = m3.groupBy(col("qid"), col("cand"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("pos")).cast("long").as("first_pos"))
+        .select(col("qid").as("query_id"), col("cand").as("doc_id"),
+          col("n_matches"), col("first_pos"))
+      def canonP(df: DataFrame): Seq[(Long, Long, Long, Long)] = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val got = canonP(Similarity.phraseSearchPlan(docs))
+      got shouldBe canonP(reference)
+      // every query matches its own two twins verbatim: (q, q+1e6)
+      // and (q, q+2e6) rows exist with the query's full n_matches
+      val gotKeys = got.map(t => (t._1, t._2)).toSet
+      val qids = got.map(_._1).distinct.filter(_ < 1000000L)
+      qids should not be empty
+      qids.foreach { qid =>
+        gotKeys should contain((qid, qid + 1000000L))
+        gotKeys should contain((qid, qid + 2000000L))
+      }
+      enc.unpersist()
+    } finally { docs.unpersist(); graft.InternalCaches.releaseAll() }
+  }
+
   test("duplicated degenerate vectors: self-cosine 0 is excluded by the " +
       "threshold, identically to the uncollapsed plan") {
     val s = spark
