@@ -679,19 +679,36 @@ object Similarity {
       val cg = collapse(corpus)
       def uniq(g: DataFrame): DataFrame = g
         .filter(col("vec_id") === col("gid")).drop("gid")
-      val keep = route(uniq(qg), uniq(cg))
-        .withColumn("grank", rank().over(Window.partitionBy(col("query_id"))
-          .orderBy(ord(col(score)))))
-        .filter(col("grank") <= k + 1)
-        .drop("grank")
-      finish(keep
-        .join(qg.select(col("gid").as("qgid"), col("vec_id").as("qmid")),
-          col("query_id") === col("qgid"))
-        .join(cg.select(col("gid").as("cgid"), col("vec_id").as("cmid")),
-          col("neighbor_id") === col("cgid"))
-        .select(col("qmid").as("query_id"), col("cmid").as("neighbor_id"),
-          col(score)))
+      retainExpandRank(route(uniq(qg), uniq(cg)),
+        qg.select(col("gid").as("qgid"), col("vec_id").as("qmid")),
+        cg.select(col("gid").as("cgid"), col("vec_id").as("cmid")),
+        k, score, asc)
     }
+  }
+
+  /** The collapsed-top-k tail, shared with [[ivfTopKDetRaw]]'s collapsed
+    * branch: retain group candidates at rank() <= k+1 per query group
+    * (exact — see [[collapsedTopK]]), expand both member maps, exclude
+    * self pairs, and rank members. `cand` must hold ONE row per
+    * (query_id=group, neighbor_id=group) pair. */
+  private def retainExpandRank(cand: DataFrame, qMembers: DataFrame,
+      cMembers: DataFrame, k: Int, score: String, asc: Boolean): DataFrame = {
+    def ord(c: Column): Column = if (asc) c.asc else c.desc
+    val wMember = Window.partitionBy(col("query_id"))
+      .orderBy(ord(col(score)), col("neighbor_id"))
+    cand
+      .withColumn("grank", rank().over(Window.partitionBy(col("query_id"))
+        .orderBy(ord(col(score)))))
+      .filter(col("grank") <= k + 1)
+      .drop("grank")
+      .join(qMembers, col("query_id") === col("qgid"))
+      .join(cMembers, col("neighbor_id") === col("cgid"))
+      .select(col("qmid").as("query_id"), col("cmid").as("neighbor_id"),
+        col(score))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(wMember))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col(score))
   }
 
   /** Outcome of the brute-vs-banded density dispatch: the measured LSH
@@ -1216,30 +1233,75 @@ object Similarity {
       quantizer: (DataFrame, Int, Int) => DataFrame = rankedCellsAuto)
       : DataFrame = {
     // Persisted: `ranked` (the O(n·ncent) distance + window rank — the
-    // dominant stage) feeds BOTH the cell assignment and the query
+    // LINEAR stage) feeds BOTH the cell assignment and the query
     // probes; unpersisted, the window sort would execute twice in one
     // plan (the SQL twin shares its ranked_cells CTE the same way).
+    // The quantizer always runs over the FULL corpus — centroid picks
+    // are id-determined (stride / trained), exactly what every oracle
+    // mirrors — and the collapse (r13) applies only to the QUADRATIC
+    // probes×assign stage: cell assignment and probe sets are pure
+    // functions of vector content GIVEN the centroids, so candidates
+    // generate once per content pair and members expand back through
+    // [[retainExpandRank]]. Queries must be a subset of `prep` rows
+    // (every caller passes a filter of it).
     val ranked = quantizer(prep, nlist, nprobe).persist()
     graft.InternalCaches.register(ranked)
-    val assign = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-    val probes = ranked
-      .join(queries.select(col("vec_id")), Seq("vec_id"))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("cid").as("cell"))
-    // Rank on the raw cosine — cross-engine exact since r11 ([[dot]]):
-    // both engines hold identical doubles, so rank boundaries cannot
-    // flip on a ulp and neighbor_id breaks exact ties identically.
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("rawcos").desc, col("neighbor_id"))
-    probes.join(assign, Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("rawcos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("rawcos"))
+    val nu = prep.agg(count(lit(1)).as("n"),
+      count_distinct(col("v")).as("u")).head()
+    if (nu.getLong(0) == nu.getLong(1)) {
+      val assign = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      val probes = ranked
+        .join(queries.select(col("vec_id")), Seq("vec_id"))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cid").as("cell"))
+      // Rank on the raw cosine — cross-engine exact since r11 ([[dot]]):
+      // both engines hold identical doubles, so rank boundaries cannot
+      // flip on a ulp and neighbor_id breaks exact ties identically.
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rawcos").desc, col("neighbor_id"))
+      probes.join(assign, Seq("cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("rawcos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("rawcos"))
+    } else {
+      System.err.println(s"[cosine] ivf_topk: content collapse — " +
+        s"${nu.getLong(0)} rows -> ${nu.getLong(1)} distinct vectors")
+      val gmap = graft.InternalCaches.register(
+        prep.select(col("vec_id"), col("v"))
+          .withColumn("gid",
+            min(col("vec_id")).over(Window.partitionBy(col("v"))))
+          .persist())
+      // corpus groups keyed by their rep (a prep row, so in `ranked`);
+      // query groups keyed by their min QUERY member (also in `ranked`)
+      val reps = gmap.filter(col("vec_id") === col("gid"))
+        .select(col("gid"))
+      val assign = ranked.filter(col("rn") === 1)
+        .join(reps, ranked("vec_id") === reps("gid"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      val qMembers = gmap
+        .join(queries.select(col("vec_id")), Seq("vec_id"))
+        .withColumn("qrep",
+          min(col("vec_id")).over(Window.partitionBy(col("gid"))))
+        .select(col("qrep").as("qgid"), col("vec_id").as("qmid"))
+      val qreps = qMembers.select(col("qgid")).distinct()
+      val probes = ranked
+        .join(qreps, ranked("vec_id") === qreps("qgid"))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cid").as("cell"))
+      // one row per group pair: a corpus group has ONE cell, so at most
+      // one of a query's nprobe probe rows can match it
+      val cand = probes.join(assign, Seq("cell"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("rawcos"))
+      retainExpandRank(cand, qMembers,
+        gmap.select(col("gid").as("cgid"), col("vec_id").as("cmid")),
+        k, "rawcos", asc = false)
+    }
   }
 
   def ivfTopKDet(prep: DataFrame, queries: DataFrame, k: Int,

@@ -271,6 +271,50 @@ class CosineCollapseSuite extends SparkSessionSuite {
     } finally { prep.unpersist(); graft.InternalCaches.releaseAll() }
   }
 
+  test("collapsed IVF top-k ≡ member-level reference on a duplicate " +
+      "flood (quantizer stays full-corpus; probes×assign collapse)") {
+    import org.apache.spark.sql.expressions.Window
+    val prep = floodedPrep(3).persist()
+    try {
+      val queries = prep.filter(col("vec_id") % 50 === 0)
+      // member-level reference: ranked cells over the SAME full corpus,
+      // probes and assignment at member level (the pre-collapse plan)
+      val ranked = Similarity.rankedCellsAuto(prep, 8, 2).persist()
+      val assign = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      val probes = ranked.join(queries.select(col("vec_id")), Seq("vec_id"))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cid").as("cell"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rawcos").desc, col("neighbor_id"))
+      val reference = probes.join(assign, Seq("cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+            .as("rawcos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("rawcos"))
+      def canonI(df: DataFrame): Seq[(Long, Int, Long, Double)] =
+        df.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+          .sortBy(t => (t._1, t._2)).toSeq
+      val got = canonI(Similarity.ivfTopKDetRaw(prep, queries, 5,
+        nlist = 8, nprobe = 2))
+      got shouldBe canonI(reference)
+      // twins share every probed cell: ranks 1-2 are the query's twins
+      // at the self-cosine (~1 up to the sqrt-then-square ulp), equal
+      // to each other and strictly above every non-twin neighbor
+      got.groupBy(_._1).values.foreach { rows =>
+        val top2 = rows.filter(_._2 <= 2).map(_._4)
+        top2.distinct.size shouldBe 1
+        top2.head should be > 0.999
+      }
+      ranked.unpersist()
+    } finally { prep.unpersist(); graft.InternalCaches.releaseAll() }
+  }
+
   test("collapsed phrase search ≡ member-level reference on a document " +
       "flood (matching is content-determined, selection member-level)") {
     import org.apache.spark.sql.expressions.Window
