@@ -2480,9 +2480,13 @@ object Dedup {
     s"""WITH $corpusNearSql,
       |$encodedToksSql,
       |$shinglesSql,
+      |gids AS (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS gid
+      |  FROM corpus),
       |shc AS (
       |  SELECT doc_id, x FROM sh
-      |  WHERE x IN (SELECT x FROM sh GROUP BY x HAVING count(*) <= $DfCap)),
+      |  WHERE x IN (SELECT s2.x FROM sh s2 JOIN gids g ON g.doc_id = s2.doc_id
+      |              GROUP BY s2.x HAVING count(DISTINCT g.gid) <= $DfCap)),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
@@ -2495,7 +2499,41 @@ object Dedup {
       |JOIN sizes s2 ON s2.doc_id = i.doc2
       |WHERE i.inter * 1.0 / (s1.sz + s2.sz - i.inter) >= 0.5
       |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
-    val shAll = shingles(encodedToks(corpusNear(Tables.documents(s, d))))
+    ngramJaccardPlan(corpusNear(Tables.documents(s, d)))
+  }
+
+  /** n-gram Jaccard engine, CONTENT-COLLAPSED (r13): the [[DfCap]]
+    * counts DISTINCT document CONTENTS per shingle, not rows — the cap
+    * exists to drop stop-phrases, a property of the distinctive text
+    * population, and the r12-class flood hazard of the per-row count
+    * was that 21 copies of ONE doc pushed every one of its shingles
+    * past the cap and silently dropped ALL the flood's near-dup pairs
+    * (recall degrading to zero on exactly the input dedup exists for).
+    * Over unique contents, df-per-row IS df-per-content, so the cap,
+    * sizes, intersections and Jaccard values all run once per content
+    * pair and members expand back: inter-group values are
+    * content-determined; intra-group pairs share the full shingle set
+    * (jaccard exactly 1, inter = sz). Duplicate-free corpora (one
+    * single-row pre-pass) take the member-level plan verbatim, where
+    * the two df semantics coincide. */
+  private[ops] def ngramJaccardPlan(docs: DataFrame): DataFrame = {
+    val nu = docs.agg(count(lit(1)).as("n"),
+      count_distinct(col("text")).as("u")).head()
+    val dupFree = nu.getLong(0) == nu.getLong(1)
+    if (!dupFree)
+      System.err.println(s"[dedup] dedup_ngram_jaccard: content collapse " +
+        s"— ${nu.getLong(0)} docs -> ${nu.getLong(1)} distinct texts")
+    val gmap =
+      if (dupFree) null
+      else graft.InternalCaches.register(
+        docs.withColumn("gid", min(col("doc_id"))
+            .over(Window.partitionBy(col("text"))))
+          .persist())
+    val uniqDocs =
+      if (dupFree) docs
+      else gmap.filter(col("doc_id") === col("gid"))
+        .select(col("gid").as("doc_id"), col("text"))
+    val shAll = shingles(encodedToks(uniqDocs))
     val rare = shAll.groupBy(col("x")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select(col("x"))
     val sh = graft.InternalCaches.register(shAll.join(rare, Seq("x")).persist())
@@ -2505,7 +2543,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val cross0 = inter
       .join(sizes.as("s1"), col("s1.doc_id") === col("doc1"))
       .join(sizes.as("s2"), col("s2.doc_id") === col("doc2"))
       .select(col("doc1"), col("doc2"), col("inter"),
@@ -2514,7 +2552,35 @@ object Dedup {
           (col("s1.sz") + col("s2.sz") - col("inter")), 6).as("jaccard"))
       .filter(col("inter").cast("double") /
         (col("sz1") + col("sz2") - col("inter")) >= 0.5)
-      .orderBy(col("doc1"), col("doc2"))
+    val result =
+      if (dupFree) cross0
+      else {
+        val members = gmap.select(col("gid"), col("doc_id").as("mid"))
+        // sizes follow their group across the least/greatest id
+        // canonicalization
+        val swap = col("m1") > col("m2")
+        val cross = cross0
+          .join(members.select(col("gid").as("g1"), col("mid").as("m1")),
+            col("doc1") === col("g1"))
+          .join(members.select(col("gid").as("g2"), col("mid").as("m2")),
+            col("doc2") === col("g2"))
+          .select(least(col("m1"), col("m2")).as("doc1"),
+            greatest(col("m1"), col("m2")).as("doc2"),
+            col("inter"),
+            when(swap, col("sz2")).otherwise(col("sz1")).as("sz1"),
+            when(swap, col("sz1")).otherwise(col("sz2")).as("sz2"),
+            col("jaccard"))
+        // intra: identical shingle sets — present iff the group kept
+        // any shingles after the cap (sz join is the existence filter)
+        val intra = members.as("x").join(members.as("y"),
+            col("x.gid") === col("y.gid") && col("x.mid") < col("y.mid"))
+          .join(sizes, col("x.gid") === sizes("doc_id"))
+          .select(col("x.mid").as("doc1"), col("y.mid").as("doc2"),
+            col("sz").as("inter"), col("sz").as("sz1"), col("sz").as("sz2"),
+            round(lit(1.0), 6).as("jaccard"))
+        cross.unionAll(intra)
+      }
+    result.orderBy(col("doc1"), col("doc2"))
   }
 
   /** Oracle for BOTH embedding-cos queries: all qualifying pairs, stated

@@ -168,6 +168,56 @@ class DedupSuite extends SparkSessionSuite {
     * to the star algorithm and still produce exact labels, and the star
     * form alone must converge in O(log n) rounds (12 ≫ log₂ 100 ≈ 7,
     * but ≪ the 99 propagation needs). */
+  test("ngram-Jaccard flood: distinct-content DfCap keeps every near-dup " +
+      "pair a 25-copy flood would have cap-dropped; collapsed ≡ " +
+      "member-level reference") {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+    val docs = (0 until 25)
+      .map(k => base.select((col("doc_id") + k * 100000L).as("doc_id"),
+        col("text")))
+      .reduce(_ unionAll _).persist()
+    try {
+      // member-level reference with the DISTINCT-CONTENT df semantics
+      val gids = docs.withColumn("gid",
+          min(col("doc_id")).over(Window.partitionBy(col("text"))))
+        .select(col("doc_id"), col("gid"))
+      val shAll = Dedup.shingles(Dedup.encodedToks(docs)).persist()
+      val rare = shAll.join(gids, Seq("doc_id"))
+        .groupBy(col("x")).agg(count_distinct(col("gid")).as("df"))
+        .filter(col("df") <= 20).select(col("x"))
+      val sh = shAll.join(rare, Seq("x")).persist()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = sh.as("a").join(sh.as("b"), col("a.x") === col("b.x") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("inter"))
+      val reference = inter
+        .join(sizes.as("s1"), col("s1.doc_id") === col("doc1"))
+        .join(sizes.as("s2"), col("s2.doc_id") === col("doc2"))
+        .select(col("doc1"), col("doc2"), col("inter"),
+          col("s1.sz").as("sz1"), col("s2.sz").as("sz2"),
+          round(col("inter").cast("double") /
+            (col("s1.sz") + col("s2.sz") - col("inter")), 6).as("jaccard"))
+        .filter(col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")) >= 0.5)
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val got = canon(Dedup.ngramJaccardPlan(docs))
+      got shouldBe canon(reference)
+      // recall under flood: every twin pair is present at jaccard 1.0 —
+      // the r12-class defect (per-row df >= 25 > DfCap would have
+      // dropped every shingle of every flooded doc, emptying the result)
+      val intra = got.filter(t => t._2 - t._1 >= 100000L && t._6 == 1.0)
+      intra.size should be >= 100 * 300 / 2 // docs with >=3 tokens, C(25,2) each
+      got.map(t => (t._1, t._2)) should contain((0L, 100000L))
+      shAll.unpersist(); sh.unpersist()
+    } finally { docs.unpersist(); graft.InternalCaches.releaseAll() }
+  }
+
   test("high-diameter path falls back to large-star/small-star") {
     val s = spark
     import s.implicits._
