@@ -53,6 +53,16 @@ def main(sf_dir: str, out_dir: str) -> None:
     # with engine work (default: DuckDB uses every core).
     if "SELFCHECK_THREADS" in os.environ:
         con.execute(f"PRAGMA threads={int(os.environ['SELFCHECK_THREADS'])}")
+    # SELFCHECK_WRITTEN_JOIN_ORDER=1: execute joins in the oracles'
+    # written order. At the 10x densification fixture DuckDB's join-order
+    # optimizer pairs the two flat (vec_id, e, pos) relations on pos
+    # ALONE before the candidate relation - a 2.6e10-row intermediate
+    # that OOM'd 100GB RAM + 80GB spill - while the written order
+    # (candidates first, then the two vector fetches) runs the same
+    # query in seconds. Purely an evaluation-harness knob: results are
+    # plan-independent.
+    if os.environ.get("SELFCHECK_WRITTEN_JOIN_ORDER"):
+        con.execute("SET disabled_optimizers='join_order'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
