@@ -33,6 +33,18 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
+    // Cold-IO robustness (r13 verdict #1): pre-touch every file a query
+    // can scan — fixture parquet AND persisted index/state dirs — so a
+    // cold page cache lands OUTSIDE the timed region. Re-touches after
+    // each prepare are stat-only except for files the prepare rewrote.
+    // SPARK_GRAFT_PRETOUCH=0 restores the raw-cold behavior (used by
+    // the cold-vs-warm adjudication runs themselves).
+    val preTouchOn = sys.env.getOrElse("SPARK_GRAFT_PRETOUCH", "1") != "0"
+    def preTouch(): Unit = if (preTouchOn)
+      PreTouch.touch(PreTouch.benchRoots(sfDir,
+        spark.conf.get("spark.sql.warehouse.dir")))
+    preTouch()
+
     // Warmup: one scan-agg, one multi-join, one array/window-heavy query.
     Seq("q1_pricing_summary", "q17_star_join", "q6_window_sums")
       .foreach(n => try materialize(n) catch { case _: Throwable => () })
@@ -75,6 +87,7 @@ object Bench {
             case e: Throwable =>
               System.err.println(s"[bench] prepare($name) failed: ${e.getMessage}")
           })
+        preTouch() // untimed: pick up files the prepare staged/rewrote
         val t0 = System.nanoTime()
         val ok = try { materialize(name); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -85,6 +98,9 @@ object Bench {
     }
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    if (preTouchOn)
+      System.err.println(f"[bench] pre-touched ${PreTouch.bytesRead / 1e6}%.0f" +
+        " MB of input/state files outside the timed regions")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

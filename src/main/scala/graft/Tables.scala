@@ -182,8 +182,14 @@ object Tables {
     * definition; consumers delegate (r11 review — two private copies
     * had already appeared). */
   private[graft] def fixtureFingerprint(s: SparkSession, d: String,
-      table: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+      table: String): String =
+    pathFingerprint(s, new org.apache.hadoop.fs.Path(s"$d/$table.parquet"))
+
+  /** The same freshness fingerprint for an ARBITRARY file or directory
+    * root (r13 verdict #4: the collapse pre-pass memo keys on the files
+    * its plan scans, which are not always fixture tables). */
+  private[graft] def pathFingerprint(s: SparkSession,
+      p: org.apache.hadoop.fs.Path): String = {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     // RECURSIVE listing (r11 advice): a top-level-only list rendered a
     // nested/partitioned layout as `name:0:mtime` directory entries, so

@@ -1424,13 +1424,26 @@ object Dedup {
     val hot = bandRows.groupBy(col("bi"), col("bv"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > bucketCap)
       .select(col("bi"), col("bv"))
-    val nHot = hot.count()
-    if (nHot > 0)
-      System.err.println(s"[dedup] lshCandidatePairs: dropped $nHot " +
+    // ONE driver action serves both the logged-drop contract and the
+    // guard join (r13 verdict #6: a logging-only count() here paid a
+    // second job per MinHash query, and the broadcast build was a THIRD
+    // evaluation of the hot plan). The hot list is tiny by construction
+    // (it takes > cap distinct-signature docs sharing a band value to
+    // enter), so collecting it is bounded; the rows feed the anti-join
+    // back as a LOCAL relation, and the common no-hot-bucket case drops
+    // the anti-join from the plan outright.
+    val hotRows = hot.collect()
+    if (hotRows.nonEmpty)
+      System.err.println(s"[dedup] lshCandidatePairs: dropped ${hotRows.length} " +
         s"band bucket(s) larger than $bucketCap DISTINCT signatures " +
         "(candidates from them would be quadratic; raise the cap or " +
         "pre-cluster the boilerplate instead)")
-    val kept = bandRows.join(broadcast(hot), Seq("bi", "bv"), "left_anti")
+    val kept =
+      if (hotRows.isEmpty) bandRows
+      else bandRows.join(
+        broadcast(sh.sparkSession.createDataFrame(
+          java.util.Arrays.asList(hotRows: _*), hot.schema)),
+        Seq("bi", "bv"), "left_anti")
     val a = kept.as("a"); val bb = kept.as("b")
     val cand = a.join(bb, col("a.bi") === col("b.bi") &&
         col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
@@ -2124,20 +2137,30 @@ object Dedup {
     * excluded — those docs share a storage group but are not near-dups
     * of each other. */
   private[ops] def indexSelfEdges(s: SparkSession, dir: String,
-      minMatch: Int): DataFrame = {
-    val members = s.read.parquet(s"$dir/members")
+      minMatch: Int, onlyGids: Option[DataFrame] = None): DataFrame = {
+    // `onlyGids` restricts the relation to the given signature groups
+    // (r13 verdict #3 — the delete repair re-solves only the touched
+    // components, so its edge source must cost O(touched), not
+    // O(index)): every component's edges lie entirely within its own
+    // groups, so a semi-join on BOTH sides of the band self-join loses
+    // nothing — a qualifying cross edge between a restricted and an
+    // unrestricted gid would have made them one component, putting both
+    // in the restriction (see deleteWithLabels' containment argument).
+    def restrict(df: DataFrame): DataFrame =
+      onlyGids.fold(df)(g => df.join(g, Seq("gid"), "left_semi"))
+    val members = restrict(s.read.parquet(s"$dir/members"))
     val live = tombstonesOf(s, dir).fold(members)(t =>
       members.join(broadcast(t), Seq("doc_id"), "left_anti"))
     val groups = s.read.parquet(s"$dir/groups")
-    val realG = groups.filter(col("mh0").isNotNull)
+    val realG = restrict(groups.filter(col("mh0").isNotNull))
     val liveReal = live.join(realG.select(col("gid")), Seq("gid"), "left_semi")
     val rmin = liveReal.groupBy(col("gid")).agg(min(col("doc_id")).as("rep"))
     val star = liveReal.join(rmin, Seq("gid"))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc1"), col("doc_id").as("doc2"))
     val hot = s.read.parquet(s"$dir/hot")
-    val cold = s.read.parquet(s"$dir/bands")
-      .join(broadcast(hot), Seq("bi", "bv"), "left_anti")
+    val cold = restrict(s.read.parquet(s"$dir/bands")
+      .join(broadcast(hot), Seq("bi", "bv"), "left_anti"))
     val cand = cold.as("x").join(cold.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.bi") === col("y.bi") &&
           col("x.bv") === col("y.bv") && col("x.gid") < col("y.gid"))
@@ -2277,6 +2300,71 @@ object Dedup {
       fs.mkdirs(new org.apache.hadoop.fs.Path(labelsDir))
     fs.create(labelsIntentPath(labelsDir), true).close()
     appendToBandIndex(dir, batch)
+    writeBandLabels(labels, labelsDir)
+    fs.delete(labelsIntentPath(labelsDir), false)
+    labels
+  }
+
+  /** DELETE-aware incremental label maintenance (r13 verdict #3 — the
+    * last missing lifecycle verb: before this, a delete invalidated
+    * min-labels and the only repair was the full [[buildBandLabels]]
+    * rebuild). Tombstones the batch in the index
+    * ([[deleteFromBandIndex]]) and repairs the labels by re-solving
+    * ONLY the components that contained a deleted doc:
+    *
+    *  1. touched components = labels of the deleted CLUSTERED docs
+    *     (a deleted singleton — absent from the label table — can
+    *     touch nothing: it had no qualifying edge, else it would have
+    *     been labeled);
+    *  2. their post-delete edges come from [[indexSelfEdges]]
+    *     RESTRICTED to the touched components' signature groups —
+    *     sound because a delete only removes nodes, so every
+    *     post-delete edge among a touched component's survivors lay
+    *     within that component before (a qualifying edge between a
+    *     touched and an untouched group would have made them ONE
+    *     component pre-delete, since group signatures are immutable
+    *     and live sets only shrink — contradiction);
+    *  3. the restricted re-solve yields each fragment's new min-label
+    *     — component SPLITS (bridge-doc deleted) and min-doc removal
+    *     (the label itself deleted) emerge naturally, and survivors
+    *     that became singletons drop out by the omission contract;
+    *  4. untouched labels carry forward verbatim through an anti-join.
+    *
+    * Row-identical to a from-scratch [[buildBandLabels]] over the
+    * post-delete index (suite-pinned on bridge-cut / min-delete /
+    * untouched / singleton cases) — the route-invariance contract.
+    * Cost: O(batch + touched members); the untouched corpus is never
+    * shuffled. Crash between the index delete and the labels commit
+    * leaves the labels intent marker: [[readBandLabels]] fails fast
+    * and [[buildBandLabels]] re-derives, labels being derived state. */
+  def deleteWithLabels(s: SparkSession, dir: String, labelsDir: String,
+      deletedDocs: DataFrame, minMatch: Int = 8): DataFrame = {
+    IndexIntent.assertClean(s, dir, "graft.ops.Dedup.compactBandIndex")
+    assertBandFormat(s, dir, "deleteWithLabels")
+    val oldLabels = readBandLabels(s, labelsDir)
+    // the delete verb re-signs the batch for group-count maintenance,
+    // so the full (doc_id, text) rows ride through, not just ids
+    val del = deletedDocs.localCheckpoint(true)
+    val touched = oldLabels
+      .join(del.select(col("doc_id")).distinct(), Seq("doc_id"))
+      .select(col("lbl")).distinct().localCheckpoint(true)
+    val fs = labelsIntentPath(labelsDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.create(labelsIntentPath(labelsDir), true).close()
+    deleteFromBandIndex(dir, del)
+    // members of the touched components (deleted docs included — their
+    // groups need a live-rep re-derivation), mapped to signature groups
+    val touchedDocs = oldLabels.join(touched, Seq("lbl"))
+      .select(col("doc_id"))
+    val touchedGids = s.read.parquet(s"$dir/members")
+      .join(touchedDocs, Seq("doc_id"), "left_semi")
+      .select(col("gid")).distinct().localCheckpoint(true)
+    val solved = connectedComponents(
+      indexSelfEdges(s, dir, minMatch, Some(touchedGids)))
+    val labels = oldLabels.join(touched, Seq("lbl"), "left_anti")
+      .select(col("doc_id"), col("lbl"))
+      .unionAll(solved)
+      .localCheckpoint(true)
     writeBandLabels(labels, labelsDir)
     fs.delete(labelsIntentPath(labelsDir), false)
     labels
@@ -2517,12 +2605,14 @@ object Dedup {
     * single-row pre-pass) take the member-level plan verbatim, where
     * the two df semantics coincide. */
   private[ops] def ngramJaccardPlan(docs: DataFrame): DataFrame = {
-    val nu = docs.agg(count(lit(1)).as("n"),
-      count_distinct(col("text")).as("u")).head()
-    val dupFree = nu.getLong(0) == nu.getLong(1)
+    // memoized + hashed single-row pre-pass — shared engine, see
+    // [[ContentCollapse.dupStats]]
+    val (nDocs, uTexts) =
+      ContentCollapse.dupStats(docs, col("text"), "dedup_ngram_jaccard")
+    val dupFree = nDocs == uTexts
     if (!dupFree)
       System.err.println(s"[dedup] dedup_ngram_jaccard: content collapse " +
-        s"— ${nu.getLong(0)} docs -> ${nu.getLong(1)} distinct texts")
+        s"— $nDocs docs -> $uTexts distinct texts")
     val gmap =
       if (dupFree) null
       else graft.InternalCaches.register(

@@ -159,15 +159,18 @@ object HammingBands {
       sharePctPin: Option[Int] = None): DataFrame = {
     val maxBroadcast = graft.DispatchConf(sigs.sparkSession, ConfPrefix)
       .long("maxBroadcast", 4L * 1000 * 1000, None)
-    val nu = sigs.agg(count(lit(1)).as("n"),
-      count_distinct(col(bandsCol)).as("u")).head()
-    val n = nu.getLong(0)
-    val u = nu.getLong(1)
-    // null-signature rows (ids with no computable signature) are never
-    // counted by count_distinct, so they force n > u — i.e. the
-    // collapse path, whose window groups them into one null-keyed group
-    // that joins nothing. The skip below therefore only fires when
-    // every row carries a distinct non-null signature.
+    // memoized + hashed single-row pre-pass — shared engine, see
+    // [[ContentCollapse.dupStats]]. Null-signature rows (ids with no
+    // computable signature) are never counted by the distinct, so they
+    // force n > u — i.e. the collapse path, which DROPS them before
+    // grouping (r13: the intra expansion emits lit(0) hamming per
+    // group, so a null-keyed GROUP's members would pair as spurious
+    // hamming-0 dups; no current family produces null bands, but the
+    // guard makes the latent semantics match the member-level routes,
+    // where a null signature never matches anything). The skip below
+    // therefore only fires when every row carries a distinct non-null
+    // signature.
+    val (n, u) = ContentCollapse.dupStats(sigs, col(bandsCol), family)
     val dupFree = n == u
 
     // collapse: one representative (min id) per distinct signature.
@@ -178,6 +181,7 @@ object HammingBands {
       if (dupFree) null
       else graft.InternalCaches.register(
         sigs.select(col(idCol).as("hb_id"), col(bandsCol).as("bands"))
+          .filter(col("bands").isNotNull)
           .withColumn("gid",
             min(col("hb_id")).over(Window.partitionBy(col("bands"))))
           .persist())

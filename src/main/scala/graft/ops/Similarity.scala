@@ -573,18 +573,23 @@ object Similarity {
   def collapsedCosinePairs(prep: DataFrame, family: String,
       intraMin: Option[Double] = None)(
       route: DataFrame => DataFrame): DataFrame = {
-    val nu = prep.agg(count(lit(1)).as("n"),
-      count_distinct(col("v")).as("u")).head()
-    val (n, u) = (nu.getLong(0), nu.getLong(1))
+    // memoized + hashed single-row pre-pass — shared engine, see
+    // [[ContentCollapse.dupStats]]
+    val (n, u) = ContentCollapse.dupStats(prep, col("v"), family)
     // null-vector rows are never counted by count_distinct, so they
-    // force the collapse path, whose null-keyed group joins nothing —
-    // same convention as HammingBands.pairs.
+    // force the collapse path, which DROPS them before grouping (r13
+    // advice: the expansion joins on ids, so a null-keyed GROUP's intra
+    // pairs would be emitted — with null rawcos — whenever intraMin is
+    // None; every current caller thresholds on rawcos downstream, but
+    // the contract is that a vectorless row never pairs, exactly what
+    // every member-level route does by scoring it null).
     if (n == u) route(prep)
     else {
       System.err.println(s"[cosine] $family: content collapse — " +
         s"$n rows -> $u distinct vectors")
       val gmap = graft.InternalCaches.register(
         prep.select(col("vec_id"), col("v"), col("nrm"))
+          .filter(col("v").isNotNull)
           .withColumn("gid",
             min(col("vec_id")).over(Window.partitionBy(col("v"))))
           .persist())
@@ -650,11 +655,8 @@ object Similarity {
   def collapsedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       family: String, score: String = "rawcos", asc: Boolean = false)(
       route: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    def dupStats(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)).as("n"),
-        count_distinct(col("v")).as("u")).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    def dupStats(df: DataFrame): (Long, Long) =
+      ContentCollapse.dupStats(df, col("v"), family)
     def ord(c: Column): Column = if (asc) c.asc else c.desc
     val wMember = Window.partitionBy(col("query_id"))
       .orderBy(ord(col(score)), col("neighbor_id"))
@@ -819,11 +821,9 @@ object Similarity {
       minLshVectors: Option[Long] = None,
       sharePctPin: Option[Int] = None): DataFrame = {
     // Content collapse first (r13 — the [[collapsedCosinePairs]]
-    // contract): the same single-row pre-pass; duplicate-free corpora
-    // take the pre-collapse plan verbatim.
-    val nu = prep.agg(count(lit(1)).as("n"),
-      count_distinct(col("v")).as("u")).head()
-    val (n, u) = (nu.getLong(0), nu.getLong(1))
+    // contract): the same memoized single-row pre-pass; duplicate-free
+    // corpora take the pre-collapse plan verbatim.
+    val (n, u) = ContentCollapse.dupStats(prep, col("v"), "sim_range_search_auto")
     if (n == u) {
       // ONE bucket pass serves both the dispatch histogram and (on the
       // banded route) the join sides — unpersisted, the O(n·d) bucket
@@ -1246,9 +1246,10 @@ object Similarity {
     // (every caller passes a filter of it).
     val ranked = quantizer(prep, nlist, nprobe).persist()
     graft.InternalCaches.register(ranked)
-    val nu = prep.agg(count(lit(1)).as("n"),
-      count_distinct(col("v")).as("u")).head()
-    if (nu.getLong(0) == nu.getLong(1)) {
+    // memoized + hashed single-row pre-pass — shared engine, see
+    // [[ContentCollapse.dupStats]]
+    val (nN, nU) = ContentCollapse.dupStats(prep, col("v"), "ivf_topk")
+    if (nN == nU) {
       val assign = ranked.filter(col("rn") === 1)
         .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
       val probes = ranked
@@ -1270,7 +1271,7 @@ object Similarity {
           col("rawcos"))
     } else {
       System.err.println(s"[cosine] ivf_topk: content collapse — " +
-        s"${nu.getLong(0)} rows -> ${nu.getLong(1)} distinct vectors")
+        s"$nN rows -> $nU distinct vectors")
       val gmap = graft.InternalCaches.register(
         prep.select(col("vec_id"), col("v"))
           .withColumn("gid",
@@ -2603,9 +2604,9 @@ object Similarity {
     * collapse from one single-row pre-pass — the 1× plans are
     * unchanged. */
   private[ops] def phraseSearchPlan(docs: DataFrame): DataFrame = {
-    val nu = docs.agg(count(lit(1)).as("n"),
-      count_distinct(col("text")).as("u")).head()
-    val (n, u) = (nu.getLong(0), nu.getLong(1))
+    // memoized + hashed single-row pre-pass — shared engine, see
+    // [[ContentCollapse.dupStats]]
+    val (n, u) = ContentCollapse.dupStats(docs, col("text"), "sim_phrase_search")
     val dupFree = n == u
     if (!dupFree)
       System.err.println(s"[phrase] sim_phrase_search: content collapse " +

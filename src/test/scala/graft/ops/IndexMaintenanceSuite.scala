@@ -852,6 +852,100 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
     after(1020) shouldBe 1020L         //   surviving minimum
   }
 
+  /** r14 (r13 verdict #3): delete-aware incremental label maintenance.
+    * deleteWithLabels must land on exactly the labels a from-scratch
+    * buildBandLabels over the post-delete index produces — pinned on
+    * the four structural cases: a BRIDGE-CUT (deleting the middle doc
+    * of an A–B–C near-dup path splits one component in two), MIN-DELETE
+    * (deleting the label doc re-anchors the survivors), an UNTOUCHED
+    * component carrying through verbatim, and a SINGLETON delete
+    * (touches nothing; survivors of a shrunken pair drop out by the
+    * omission contract). */
+  test("band labels: delete-then-incremental ≡ full rebuild " +
+      "(bridge-cut / min-delete / untouched / singleton)") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import s.implicits._
+    // near-dup PATH: sliding windows over a synthetic token run, the
+    // seed picked (probe drive, r14) so that A–B and B–C each share a
+    // full minhash band (banded candidates, nm 15/14) while A–C shares
+    // NO band — so the operator's own edge relation is exactly the
+    // path A–B–C and deleting B is a bridge cut. Deterministic (pure
+    // function of the texts); the precondition assert below makes any
+    // hash-family change fail loudly.
+    def span(lo: Int, hi: Int): String =
+      (lo to hi).map(i => s"s48t$i w$i").mkString(" ")
+    val base = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    val dropFirst = expr("substring(text, instr(text, ' ') + 1)").as("text")
+    def copyOf(id: Long, newId: Long) = base.filter(col("doc_id") === id)
+      .select(lit(newId).as("doc_id"), dropFirst)
+    val path = Seq(
+      9100L -> span(0, 40), 9101L -> span(10, 50), 9102L -> span(20, 60),
+      // exact twins of the path ends, so a bridge cut leaves two
+      // NON-TRIVIAL fragments instead of two dropped singletons
+      9110L -> span(0, 40), 9112L -> span(20, 60)).toDF("doc_id", "text")
+    val corpus = base // includes singleton docs
+      .unionAll(path)
+      .unionAll(copyOf(20, 1020)).unionAll(copyOf(20, 1021)) // min-delete cluster
+      .unionAll(copyOf(40, 1040)) // untouched pair
+    val root = Files.createTempDirectory("bandlabelsdelinc").toString
+    Dedup.saveBandIndex(corpus, s"$root/index")
+    val l0 = Dedup.buildBandLabels(s, s"$root/index", s"$root/labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // preconditions: the path is ONE component anchored at 9100; the
+    // other clusters are as constructed
+    Seq(9100L, 9101L, 9102L, 9110L, 9112L).foreach(d => l0(d) shouldBe 9100L)
+    Seq(20L, 1020L, 1021L).foreach(d => l0(d) shouldBe 20L)
+    Seq(40L, 1040L).foreach(d => l0(d) shouldBe 40L)
+
+    def rebuildEquiv(got: DataFrame, tag: String): Unit = {
+      val rb = Dedup.buildBandLabels(s, s"$root/index", s"$root/labels_rb_$tag")
+      canon(got) shouldBe canon(rb)
+      canon(Dedup.readBandLabels(s, s"$root/labels")) shouldBe canon(rb)
+    }
+
+    // 1. bridge cut: delete B — the path splits into {9100, 9110} and
+    //    {9102, 9112}; every other component carries through verbatim
+    val d1 = Dedup.deleteWithLabels(s, s"$root/index", s"$root/labels",
+      path.filter(col("doc_id") === 9101L))
+    rebuildEquiv(d1, "d1")
+    val m1 = d1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m1.get(9101L) shouldBe None
+    m1(9110L) shouldBe 9100L
+    m1(9112L) shouldBe 9102L
+    m1(9102L) shouldBe 9102L           // genuinely split, not re-merged
+    m1(1040L) shouldBe 40L             // untouched component untouched
+
+    // 2. min-delete: deleting the label doc re-anchors the survivors
+    val d2 = Dedup.deleteWithLabels(s, s"$root/index", s"$root/labels",
+      base.filter(col("doc_id") === 20L))
+    rebuildEquiv(d2, "d2")
+    val m2 = d2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m2.get(20L) shouldBe None
+    m2(1020L) shouldBe 1020L
+    m2(1021L) shouldBe 1020L
+
+    // 3. singleton delete: touches no component — labels row-identical.
+    // The base corpus has natural near-dup clusters, so the singleton
+    // is COMPUTED: a live base doc absent from the current label table.
+    val baseIds = base.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val singleton = (baseIds - 20L).filterNot(m2.contains).min
+    val d3 = Dedup.deleteWithLabels(s, s"$root/index", s"$root/labels",
+      base.filter(col("doc_id") === singleton))
+    rebuildEquiv(d3, "d3")
+    canon(d3) shouldBe canon(d2)
+
+    // 4. pair shrinks to a singleton: the survivor drops out
+    val d4 = Dedup.deleteWithLabels(s, s"$root/index", s"$root/labels",
+      copyOf(40, 1040))
+    rebuildEquiv(d4, "d4")
+    val m4 = d4.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m4.get(1040L) shouldBe None
+    m4.get(40L) shouldBe None
+    graft.InternalCaches.releaseAll()
+  }
+
   test("ingest-grow queries are idempotent across standalone re-runs") {
     val s = spark
     Seq("dedup_ingest_grow", "sim_ingest_grow").foreach { q =>

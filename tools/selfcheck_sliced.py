@@ -72,6 +72,11 @@ def main(sf_dir: str, out_dir: str, query: str, nslices: int) -> None:
         con.execute(f"PRAGMA memory_limit='{os.environ.get('SELFCHECK_MEM', '60GB')}'")
         if "SELFCHECK_THREADS" in os.environ:
             con.execute(f"PRAGMA threads={int(os.environ['SELFCHECK_THREADS'])}")
+        # mirror selfcheck.py's escape hatch for DuckDB join-order
+        # mis-plans (r13 advice): a slice can hit the same planner trap
+        # as the monolithic run
+        if os.environ.get("SELFCHECK_WRITTEN_JOIN_ORDER"):
+            con.execute("SET disabled_optimizers='join_order'")
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         oracle = con.sql(sql.replace(site, repl.format(n=nslices, i=i))).df()

@@ -44,12 +44,19 @@ def main(out_dir: str, copies: int) -> None:
         for k in range(copies))
     con.execute(
         f"COPY ({ev_parts}) TO '{out_dir}/events.parquet' (FORMAT PARQUET)")
+    # ROW_GROUP_SIZE on documents/embeddings (r13 verdict #2): a single
+    # row group gives DuckDB zero pipeline parallelism on the scan, so
+    # the heavy all-pairs oracles ran SINGLE-THREADED for 40+ minutes —
+    # sim_range_search's 10x compare was still running at round close.
+    # Multiple row groups let the oracle use every core; the engine
+    # reads the same values either way.
     doc_parts = " UNION ALL ".join(
         f"SELECT doc_id + {k * DOC_STRIDE} AS doc_id, text, lang, source, "
         f"n_chars FROM read_parquet('{SRC}/documents.parquet')"
         for k in range(copies))
     con.execute(
-        f"COPY ({doc_parts}) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)")
+        f"COPY ({doc_parts}) TO '{out_dir}/documents.parquet' "
+        "(FORMAT PARQUET, ROW_GROUP_SIZE 8192)")
     # embedding vectors are copied VERBATIM per shifted vec_id — every
     # vector gains copies-1 exact twins, a deliberate tie stress for the
     # ANN/top-k family (any non-deterministic tie-break shows up as a
@@ -59,7 +66,8 @@ def main(out_dir: str, copies: int) -> None:
         f"FROM read_parquet('{SRC}/embeddings.parquet')"
         for k in range(copies))
     con.execute(
-        f"COPY ({vec_parts}) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)")
+        f"COPY ({vec_parts}) TO '{out_dir}/embeddings.parquet' "
+        "(FORMAT PARQUET, ROW_GROUP_SIZE 2048)")
     for t in ["events", "documents", "embeddings"]:
         n = con.sql(f"SELECT count(*) FROM '{out_dir}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
