@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, OneRowRelation, Range}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** THE shared (row count, distinct content) pre-pass behind every
@@ -78,6 +79,67 @@ private[graft] object ContentCollapse {
     if (perLeaf.exists(_.isEmpty)) None
     else Some(perLeaf.flatten.mkString("||"))
   }
+
+  /** Content groups of a duplicated input (r13 verdict #7 — the shared
+    * gmap/members/uniq shape every collapsed family re-implemented):
+    *   - `gmap`: the input rows (all columns) plus `gid` = min id per
+    *     distinct content — null-content rows DROPPED (they never pair;
+    *     see the callers' null conventions);
+    *   - `members`: (gid, mid) — the expansion map;
+    *   - `uniq`: one representative input row per content (its id IS
+    *     the gid). */
+  final case class Groups(gmap: DataFrame, members: DataFrame, uniq: DataFrame)
+
+  /** The collapse entry shape: memoized pre-pass, then None when the
+    * input is duplicate-free (caller runs its member-level plan
+    * VERBATIM — the 1× plan-identity contract) or the one-window-pass
+    * grouping otherwise. `idCol` must be an orderable unique id.
+    * `statsKnown` carries a pre-pass the caller already ran (e.g. for
+    * a dispatch decision) so it isn't re-issued on an uncacheable
+    * plan. */
+  def groupByContent(df: DataFrame, idCol: String, content: Column,
+      family: String, logNoun: String,
+      statsKnown: Option[(Long, Long)] = None): Option[Groups] = {
+    val (n, u) = statsKnown.getOrElse(dupStats(df, content, family))
+    if (n == u) None
+    else {
+      System.err.println(s"[collapse] $family: content collapse — " +
+        s"$n rows -> $u distinct $logNoun")
+      val gmap = graft.InternalCaches.register(
+        df.filter(content.isNotNull)
+          .withColumn("gid", min(col(idCol)).over(Window.partitionBy(content)))
+          .persist())
+      Some(Groups(gmap,
+        gmap.select(col("gid"), col(idCol).as("mid")),
+        gmap.filter(col(idCol) === col("gid"))))
+    }
+  }
+
+  /** Expand a unique-level pair relation (one row per group pair,
+    * `g1Col`/`g2Col` group ids, any symmetric payload columns) back to
+    * member pairs: groups are disjoint and g1 != g2, so every cross
+    * pair is distinct; least/greatest restores `out1 < out2` canonical
+    * order. Payload must be SYMMETRIC in the pair (a cosine, a Hamming
+    * distance) — asymmetric payloads (the Jaccard sizes) need the
+    * caller's own swap logic. */
+  def expandSymmetric(uPairs: DataFrame, members: DataFrame,
+      g1Col: String, g2Col: String, out1: String, out2: String,
+      payload: Seq[String]): DataFrame =
+    uPairs
+      .join(members.select(col("gid").as(g1Col), col("mid").as("__m1")), g1Col)
+      .join(members.select(col("gid").as(g2Col), col("mid").as("__m2")), g2Col)
+      .select(least(col("__m1"), col("__m2")).as(out1) +:
+        greatest(col("__m1"), col("__m2")).as(out2) +:
+        payload.map(col): _*)
+
+  /** All intra-group member pairs (`out1 < out2`) with their gid — the
+    * pure output-expansion relation (identical contents, so the payload
+    * is a per-group constant the caller attaches). */
+  def intraPairs(members: DataFrame, out1: String, out2: String): DataFrame =
+    members.as("x").join(members.as("y"),
+        col("x.gid") === col("y.gid") && col("x.mid") < col("y.mid"))
+      .select(col("x.mid").as(out1), col("y.mid").as(out2),
+        col("x.gid").as("gid"))
 
   /** One row: (total rows, distinct non-null `content` values — hashed,
     * see object doc). Memoized per (session, plan, content, inputs). */

@@ -2605,24 +2605,12 @@ object Dedup {
     * single-row pre-pass) take the member-level plan verbatim, where
     * the two df semantics coincide. */
   private[ops] def ngramJaccardPlan(docs: DataFrame): DataFrame = {
-    // memoized + hashed single-row pre-pass — shared engine, see
-    // [[ContentCollapse.dupStats]]
-    val (nDocs, uTexts) =
-      ContentCollapse.dupStats(docs, col("text"), "dedup_ngram_jaccard")
-    val dupFree = nDocs == uTexts
-    if (!dupFree)
-      System.err.println(s"[dedup] dedup_ngram_jaccard: content collapse " +
-        s"— $nDocs docs -> $uTexts distinct texts")
-    val gmap =
-      if (dupFree) null
-      else graft.InternalCaches.register(
-        docs.withColumn("gid", min(col("doc_id"))
-            .over(Window.partitionBy(col("text"))))
-          .persist())
-    val uniqDocs =
-      if (dupFree) docs
-      else gmap.filter(col("doc_id") === col("gid"))
-        .select(col("gid").as("doc_id"), col("text"))
+    // memoized pre-pass + shared grouping — see
+    // [[ContentCollapse.groupByContent]] (r13 verdict #7)
+    val coll = ContentCollapse.groupByContent(docs, "doc_id",
+      col("text"), "dedup_ngram_jaccard", "texts")
+    val uniqDocs = coll.fold(docs)(
+      _.uniq.select(col("gid").as("doc_id"), col("text")))
     val shAll = shingles(encodedToks(uniqDocs))
     val rare = shAll.groupBy(col("x")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select(col("x"))
@@ -2642,12 +2630,13 @@ object Dedup {
           (col("s1.sz") + col("s2.sz") - col("inter")), 6).as("jaccard"))
       .filter(col("inter").cast("double") /
         (col("sz1") + col("sz2") - col("inter")) >= 0.5)
-    val result =
-      if (dupFree) cross0
-      else {
-        val members = gmap.select(col("gid"), col("doc_id").as("mid"))
+    val result = coll match {
+      case None => cross0
+      case Some(g) =>
+        val members = g.members
         // sizes follow their group across the least/greatest id
-        // canonicalization
+        // canonicalization — an ASYMMETRIC payload, so the shared
+        // expandSymmetric helper does not apply here
         val swap = col("m1") > col("m2")
         val cross = cross0
           .join(members.select(col("gid").as("g1"), col("mid").as("m1")),
@@ -2662,14 +2651,13 @@ object Dedup {
             col("jaccard"))
         // intra: identical shingle sets — present iff the group kept
         // any shingles after the cap (sz join is the existence filter)
-        val intra = members.as("x").join(members.as("y"),
-            col("x.gid") === col("y.gid") && col("x.mid") < col("y.mid"))
-          .join(sizes, col("x.gid") === sizes("doc_id"))
-          .select(col("x.mid").as("doc1"), col("y.mid").as("doc2"),
+        val intra = graft.ops.ContentCollapse.intraPairs(members, "doc1", "doc2")
+          .join(sizes, col("gid") === sizes("doc_id"))
+          .select(col("doc1"), col("doc2"),
             col("sz").as("inter"), col("sz").as("sz1"), col("sz").as("sz2"),
             round(lit(1.0), 6).as("jaccard"))
         cross.unionAll(intra)
-      }
+    }
     result.orderBy(col("doc1"), col("doc2"))
   }
 

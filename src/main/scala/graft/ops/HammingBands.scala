@@ -171,24 +171,20 @@ object HammingBands {
     // therefore only fires when every row carries a distinct non-null
     // signature.
     val (n, u) = ContentCollapse.dupStats(sigs, col(bandsCol), family)
-    val dupFree = n == u
 
-    // collapse: one representative (min id) per distinct signature.
-    // ONE window pass (hash-partition by the band array + min) serves
-    // both the unique-signature table and the member→group map.
-    // Skipped when duplicate-free: every id is its own representative.
-    val gmap =
-      if (dupFree) null
-      else graft.InternalCaches.register(
-        sigs.select(col(idCol).as("hb_id"), col(bandsCol).as("bands"))
-          .filter(col("bands").isNotNull)
-          .withColumn("gid",
-            min(col("hb_id")).over(Window.partitionBy(col("bands"))))
-          .persist())
-    val usig =
-      if (dupFree) sigs.select(col(idCol).as("gid"), col(bandsCol).as("bands"))
-      else gmap.filter(col("hb_id") === col("gid"))
-        .select(col("gid"), col("bands"))
+    // collapse: one representative (min id) per distinct signature —
+    // the shared [[ContentCollapse.groupByContent]] shape (r13 verdict
+    // #7). Skipped when duplicate-free: every id is its own
+    // representative.
+    val grouped =
+      if (n == u) None
+      else ContentCollapse.groupByContent(
+        sigs.select(col(idCol).as("hb_id"), col(bandsCol).as("bands")),
+        "hb_id", col("bands"), family, "signatures",
+        statsKnown = Some((n, u)))
+    val usig = grouped.fold(
+        sigs.select(col(idCol).as("gid"), col(bandsCol).as("bands")))(
+        _.uniq.select(col("gid"), col("bands")))
 
     // inter-group candidates over UNIQUE signatures, routed
     val decision = route match {
@@ -234,29 +230,19 @@ object HammingBands {
           .filter(col("hamming") <= maxHamming)
       }
 
-    if (dupFree)
-      // identity expansion: unique ids ARE the members, g1 < g2 already
-      uPairs.select(col("g1").as("id1"), col("g2").as("id2"), col("hamming"))
-    else {
-      // intra-group pairs: identical signatures, Hamming 0 — pure
-      // output expansion (every such pair is in the result set by
-      // definition)
-      val members = gmap.select(col("gid"), col("hb_id"))
-      val intra = members.as("m1").join(members.as("m2"),
-          col("m1.gid") === col("m2.gid") && col("m1.hb_id") < col("m2.hb_id"))
-        .select(col("m1.hb_id").as("id1"), col("m2.hb_id").as("id2"),
-          lit(0L).as("hamming"))
-      // expand group members back: groups are disjoint and g1 != g2, so
-      // every (member, member) cross pair is distinct; least/greatest
-      // restores the id1 < id2 canonical order
-      val inter = uPairs
-        .join(members.as("e1"), col("g1") === col("e1.gid"))
-        .join(members.as("e2"), col("g2") === col("e2.gid"))
-        .select(
-          least(col("e1.hb_id"), col("e2.hb_id")).as("id1"),
-          greatest(col("e1.hb_id"), col("e2.hb_id")).as("id2"),
-          col("hamming"))
-      inter.unionAll(intra)
+    grouped match {
+      case None =>
+        // identity expansion: unique ids ARE the members, g1 < g2 already
+        uPairs.select(col("g1").as("id1"), col("g2").as("id2"), col("hamming"))
+      case Some(g) =>
+        // intra-group pairs: identical signatures, Hamming 0 — pure
+        // output expansion (every such pair is in the result set by
+        // definition); inter pairs inherit the group pair's distance
+        val intra = ContentCollapse.intraPairs(g.members, "id1", "id2")
+          .select(col("id1"), col("id2"), lit(0L).as("hamming"))
+        ContentCollapse.expandSymmetric(uPairs, g.members,
+            "g1", "g2", "id1", "id2", Seq("hamming"))
+          .unionAll(intra)
     }
   }
 }

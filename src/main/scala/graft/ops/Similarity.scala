@@ -573,55 +573,36 @@ object Similarity {
   def collapsedCosinePairs(prep: DataFrame, family: String,
       intraMin: Option[Double] = None)(
       route: DataFrame => DataFrame): DataFrame = {
-    // memoized + hashed single-row pre-pass — shared engine, see
-    // [[ContentCollapse.dupStats]]
-    val (n, u) = ContentCollapse.dupStats(prep, col("v"), family)
-    // null-vector rows are never counted by count_distinct, so they
-    // force the collapse path, which DROPS them before grouping (r13
-    // advice: the expansion joins on ids, so a null-keyed GROUP's intra
-    // pairs would be emitted — with null rawcos — whenever intraMin is
-    // None; every current caller thresholds on rawcos downstream, but
-    // the contract is that a vectorless row never pairs, exactly what
-    // every member-level route does by scoring it null).
-    if (n == u) route(prep)
-    else {
-      System.err.println(s"[cosine] $family: content collapse — " +
-        s"$n rows -> $u distinct vectors")
-      val gmap = graft.InternalCaches.register(
-        prep.select(col("vec_id"), col("v"), col("nrm"))
-          .filter(col("v").isNotNull)
-          .withColumn("gid",
-            min(col("vec_id")).over(Window.partitionBy(col("v"))))
-          .persist())
-      val uniq = gmap.filter(col("vec_id") === col("gid"))
-        .select(col("gid").as("vec_id"), col("v"), col("nrm"))
-      expandGroupPairs(route(uniq), gmap, uniq, intraMin)
+    // memoized + hashed pre-pass + shared grouping — see
+    // [[ContentCollapse.groupByContent]] (r13 verdict #7). Null-vector
+    // rows force the collapse path, which drops them before grouping
+    // (r13 advice: the expansion joins on ids, so a null-keyed GROUP's
+    // intra pairs would be emitted — with null rawcos — whenever
+    // intraMin is None; the contract is that a vectorless row never
+    // pairs, exactly what every member-level route does by scoring it
+    // null).
+    ContentCollapse.groupByContent(
+        prep.select(col("vec_id"), col("v"), col("nrm")),
+        "vec_id", col("v"), family, "vectors") match {
+      case None => route(prep)
+      case Some(g) => expandGroupPairs(route(g.uniq.drop("gid")), g, intraMin)
     }
   }
 
   /** Expand a unique-vector pair relation (v1, v2, rawcos — over group
     * ids) back to member pairs, plus the intra-group pairs the collapse
-    * folded away. Groups are disjoint and g1 < g2, so every inter cross
-    * pair is distinct; least/greatest restores canonical id order. */
-  private def expandGroupPairs(cross: DataFrame, gmap: DataFrame,
-      uniq: DataFrame, intraMin: Option[Double]): DataFrame = {
-    val members = gmap.select(col("gid"), col("vec_id").as("mid"))
-    val inter = cross
-      .join(members.select(col("gid").as("g1"), col("mid").as("m1")),
-        col("v1") === col("g1"))
-      .join(members.select(col("gid").as("g2"), col("mid").as("m2")),
-        col("v2") === col("g2"))
-      .select(least(col("m1"), col("m2")).as("v1"),
-        greatest(col("m1"), col("m2")).as("v2"), col("rawcos"))
-    // one self-cosine per group — the same expression (and so the same
-    // bits) the uncollapsed plan evaluates for a twin pair
-    val self = uniq.select(col("vec_id").as("sgid"),
+    * folded away (each scored with the group's self-cosine — the same
+    * expression, and so the same bits, the uncollapsed plan evaluates
+    * for a twin pair). */
+  private def expandGroupPairs(cross: DataFrame, g: ContentCollapse.Groups,
+      intraMin: Option[Double]): DataFrame = {
+    val inter = ContentCollapse.expandSymmetric(cross, g.members,
+      "v1", "v2", "v1", "v2", Seq("rawcos"))
+    val self = g.uniq.select(col("gid").as("sgid"),
       (dot(col("v"), col("v")) / (col("nrm") * col("nrm"))).as("selfcos"))
-    val intraBase = members.as("x").join(members.as("y"),
-        col("x.gid") === col("y.gid") && col("x.mid") < col("y.mid"))
-      .join(self, col("x.gid") === col("sgid"))
-      .select(col("x.mid").as("v1"), col("y.mid").as("v2"),
-        col("selfcos").as("rawcos"))
+    val intraBase = ContentCollapse.intraPairs(g.members, "v1", "v2")
+      .join(self, col("gid") === col("sgid"))
+      .select(col("v1"), col("v2"), col("selfcos").as("rawcos"))
     val intra = intraMin.map(t => intraBase.filter(col("rawcos") >= t))
       .getOrElse(intraBase)
     inter.unionAll(intra)
@@ -669,21 +650,26 @@ object Similarity {
     val (nc, uc) = dupStats(corpus)
     if (nq == uq && nc == uc) finish(route(queries, corpus))
     else {
-      System.err.println(s"[cosine] $family: content collapse — queries " +
-        s"$nq -> $uq, corpus $nc -> $uc distinct vectors")
       // every input column rides through (routes need nrm, sub, ...);
-      // a representative's vec_id == gid, so uniq just drops the tag
-      def collapse(df: DataFrame): DataFrame = graft.InternalCaches.register(
-        df.withColumn("gid",
-            min(col("vec_id")).over(Window.partitionBy(col("v"))))
-          .persist())
-      val qg = collapse(queries)
-      val cg = collapse(corpus)
-      def uniq(g: DataFrame): DataFrame = g
-        .filter(col("vec_id") === col("gid")).drop("gid")
-      retainExpandRank(route(uniq(qg), uniq(cg)),
-        qg.select(col("gid").as("qgid"), col("vec_id").as("qmid")),
-        cg.select(col("gid").as("cgid"), col("vec_id").as("cmid")),
+      // a representative's vec_id == gid, so uniq just drops the tag.
+      // A side that is itself duplicate-free skips its window pass and
+      // takes an identity member map — output-identical (every group
+      // is a singleton there).
+      def side(df: DataFrame, nu: (Long, Long), noun: String) =
+        ContentCollapse.groupByContent(df, "vec_id", col("v"),
+          family, noun, statsKnown = Some(nu))
+      def uniqOf(df: DataFrame, g: Option[ContentCollapse.Groups]) =
+        g.fold(df)(_.uniq.drop("gid"))
+      def membersOf(df: DataFrame, g: Option[ContentCollapse.Groups],
+          gidName: String, midName: String) =
+        g.map(_.members.select(col("gid").as(gidName), col("mid").as(midName)))
+          .getOrElse(df.select(col("vec_id").as(gidName),
+            col("vec_id").as(midName)))
+      val qg = side(queries, (nq, uq), "query vectors")
+      val cg = side(corpus, (nc, uc), "corpus vectors")
+      retainExpandRank(route(uniqOf(queries, qg), uniqOf(corpus, cg)),
+        membersOf(queries, qg, "qgid", "qmid"),
+        membersOf(corpus, cg, "cgid", "cmid"),
         k, score, asc)
     }
   }
@@ -823,8 +809,10 @@ object Similarity {
     // Content collapse first (r13 — the [[collapsedCosinePairs]]
     // contract): the same memoized single-row pre-pass; duplicate-free
     // corpora take the pre-collapse plan verbatim.
-    val (n, u) = ContentCollapse.dupStats(prep, col("v"), "sim_range_search_auto")
-    if (n == u) {
+    val grouped = ContentCollapse.groupByContent(
+      prep.select(col("vec_id"), col("v"), col("nrm")),
+      "vec_id", col("v"), "sim_range_search_auto", "vectors")
+    if (grouped.isEmpty) {
       // ONE bucket pass serves both the dispatch histogram and (on the
       // banded route) the join sides — unpersisted, the O(n·d) bucket
       // computation would run once for the decision and again inside
@@ -837,15 +825,8 @@ object Similarity {
       else bandedPairCosine(prep, tables, Some(bk))
         .filter(col("rawcos") >= threshold)
     } else {
-      System.err.println(s"[cosine] sim_range_search_auto: content " +
-        s"collapse — $n rows -> $u distinct vectors")
-      val gmap = graft.InternalCaches.register(
-        prep.select(col("vec_id"), col("v"), col("nrm"))
-          .withColumn("gid",
-            min(col("vec_id")).over(Window.partitionBy(col("v"))))
-          .persist())
-      val uniq = gmap.filter(col("vec_id") === col("gid"))
-        .select(col("gid").as("vec_id"), col("v"), col("nrm"))
+      val g = grouped.get
+      val uniq = g.uniq.drop("gid")
       // buckets over UNIQUES only; the dispatch still measures the
       // FULL-corpus histogram — every member buckets exactly like its
       // representative, so unique buckets weighted by group size ARE
@@ -853,7 +834,7 @@ object Similarity {
       // which computes the full histogram) is collapse-invariant.
       val bk = graft.InternalCaches.register(
         lshBucketsMulti(uniq, tables).persist())
-      val sizes = gmap.groupBy(col("gid")).agg(count(lit(1)).as("cnt"))
+      val sizes = g.members.groupBy(col("gid")).agg(count(lit(1)).as("cnt"))
       val hist = bk.join(sizes, bk("vec_id") === sizes("gid"))
         .groupBy(col("tbl"), col("bucket")).agg(sum(col("cnt")).as("c"))
       val d = rangeDispatchDecision(prep, tables, minLshVectors, sharePctPin,
@@ -862,7 +843,7 @@ object Similarity {
         if (d.useBrute) { bk.unpersist(); pairCosineKernel(uniq, threshold) }
         else bandedPairCosine(uniq, tables, Some(bk))
           .filter(col("rawcos") >= threshold)
-      expandGroupPairs(cross, gmap, uniq, Some(threshold))
+      expandGroupPairs(cross, g, Some(threshold))
     }
   }
 
@@ -1270,21 +1251,16 @@ object Similarity {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("rawcos"))
     } else {
-      System.err.println(s"[cosine] ivf_topk: content collapse — " +
-        s"$nN rows -> $nU distinct vectors")
-      val gmap = graft.InternalCaches.register(
-        prep.select(col("vec_id"), col("v"))
-          .withColumn("gid",
-            min(col("vec_id")).over(Window.partitionBy(col("v"))))
-          .persist())
+      val g = ContentCollapse.groupByContent(
+        prep.select(col("vec_id"), col("v")), "vec_id", col("v"),
+        "ivf_topk", "vectors", statsKnown = Some((nN, nU))).get
       // corpus groups keyed by their rep (a prep row, so in `ranked`);
       // query groups keyed by their min QUERY member (also in `ranked`)
-      val reps = gmap.filter(col("vec_id") === col("gid"))
-        .select(col("gid"))
+      val reps = g.uniq.select(col("gid"))
       val assign = ranked.filter(col("rn") === 1)
         .join(reps, ranked("vec_id") === reps("gid"))
         .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-      val qMembers = gmap
+      val qMembers = g.gmap
         .join(queries.select(col("vec_id")), Seq("vec_id"))
         .withColumn("qrep",
           min(col("vec_id")).over(Window.partitionBy(col("gid"))))
@@ -1300,7 +1276,7 @@ object Similarity {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("rawcos"))
       retainExpandRank(cand, qMembers,
-        gmap.select(col("gid").as("cgid"), col("vec_id").as("cmid")),
+        g.members.select(col("gid").as("cgid"), col("mid").as("cmid")),
         k, "rawcos", asc = false)
     }
   }
@@ -2604,37 +2580,27 @@ object Similarity {
     * collapse from one single-row pre-pass — the 1× plans are
     * unchanged. */
   private[ops] def phraseSearchPlan(docs: DataFrame): DataFrame = {
-    // memoized + hashed single-row pre-pass — shared engine, see
-    // [[ContentCollapse.dupStats]]
-    val (n, u) = ContentCollapse.dupStats(docs, col("text"), "sim_phrase_search")
-    val dupFree = n == u
-    if (!dupFree)
-      System.err.println(s"[phrase] sim_phrase_search: content collapse " +
-        s"— $n docs -> $u distinct texts")
-    val gmap =
-      if (dupFree) null
-      else graft.InternalCaches.register(
-        docs.withColumn("gid",
-            min(col("doc_id")).over(Window.partitionBy(col("text"))))
-          .persist())
-    val uniqDocs =
-      if (dupFree) docs
-      else gmap.filter(col("doc_id") === col("gid"))
-        .select(col("gid").as("doc_id"), col("text"))
+    // memoized pre-pass + shared grouping — see
+    // [[ContentCollapse.groupByContent]] (r13 verdict #7)
+    val coll = ContentCollapse.groupByContent(docs, "doc_id",
+      col("text"), "sim_phrase_search", "texts")
+    val uniqDocs = coll.fold(docs)(
+      _.uniq.select(col("gid").as("doc_id"), col("text")))
     val enc = graft.InternalCaches.register(
       Dedup.encodedToks(uniqDocs).persist())
     val lens = enc.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
     // query selection is id-determined (every 50th MEMBER), length
     // eligibility content-determined: select members, then collapse the
     // query side onto the same content groups
-    val qsel =
-      if (dupFree) lens
+    val qsel = coll match {
+      case None => lens
         .filter(col("len") >= 3 && col("doc_id") % QueryStride === 0)
         .select(col("doc_id").as("qgid"), col("len"))
-      else gmap.filter(col("doc_id") % QueryStride === 0)
+      case Some(g) => g.gmap.filter(col("doc_id") % QueryStride === 0)
         .join(lens.withColumnRenamed("doc_id", "gid"), Seq("gid"))
         .filter(col("len") >= 3)
         .select(col("gid").as("qgid"), col("len")).distinct()
+    }
     val bases = qsel
       .select(col("qgid").as("doc_id"),
         when(col("len") >= 7, 5).otherwise(1).as("base"))
@@ -2660,17 +2626,17 @@ object Similarity {
     val grouped = m3.groupBy(col("qid"), col("cand"))
       .agg(count(lit(1)).as("n_matches"),
         min(col("pos")).cast("long").as("first_pos"))
-    val expanded =
-      if (dupFree) grouped
-      else {
-        val qMembers = gmap.filter(col("doc_id") % QueryStride === 0)
+    val expanded = coll match {
+      case None => grouped
+      case Some(g) =>
+        val qMembers = g.gmap.filter(col("doc_id") % QueryStride === 0)
           .select(col("gid").as("qid"), col("doc_id").as("q_member"))
-        val cMembers = gmap
-          .select(col("gid").as("cand"), col("doc_id").as("c_member"))
+        val cMembers = g.members
+          .select(col("gid").as("cand"), col("mid").as("c_member"))
         grouped.join(qMembers, Seq("qid")).join(cMembers, Seq("cand"))
           .select(col("q_member").as("qid"), col("c_member").as("cand"),
             col("n_matches"), col("first_pos"))
-      }
+    }
     expanded
       .select(col("qid").as("query_id"), col("cand").as("doc_id"),
         col("n_matches"), col("first_pos"))
