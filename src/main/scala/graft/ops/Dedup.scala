@@ -1147,6 +1147,26 @@ object Dedup {
     IndexIntent.end(spark, dir)
   }
 
+  /** ONE driver action for the whole hot-key guard convention (r13
+    * verdict #6 applied family-wide: a logging-only `count()` paid a
+    * second job per query, and the in-plan broadcast build was a THIRD
+    * evaluation of the hot plan). Hot lists are tiny by construction
+    * (it takes > cap co-bucketed keys to enter), so collecting is
+    * bounded; returns None when nothing is hot — the common case, in
+    * which the caller skips the anti-join outright — or the logged,
+    * broadcast-hinted LOCAL relation otherwise (never re-evaluated
+    * in-job). */
+  private def collectedHotGuard(hot: DataFrame,
+      logLine: Int => String): Option[DataFrame] = {
+    val rows = hot.collect()
+    if (rows.isEmpty) None
+    else {
+      System.err.println(logLine(rows.length))
+      Some(broadcast(hot.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), hot.schema)))
+    }
+  }
+
   /** Remove a stale tombstone log (index rebuild in a reused dir). */
   private[ops] def clearTombstones(s: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
@@ -1424,26 +1444,12 @@ object Dedup {
     val hot = bandRows.groupBy(col("bi"), col("bv"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > bucketCap)
       .select(col("bi"), col("bv"))
-    // ONE driver action serves both the logged-drop contract and the
-    // guard join (r13 verdict #6: a logging-only count() here paid a
-    // second job per MinHash query, and the broadcast build was a THIRD
-    // evaluation of the hot plan). The hot list is tiny by construction
-    // (it takes > cap distinct-signature docs sharing a band value to
-    // enter), so collecting it is bounded; the rows feed the anti-join
-    // back as a LOCAL relation, and the common no-hot-bucket case drops
-    // the anti-join from the plan outright.
-    val hotRows = hot.collect()
-    if (hotRows.nonEmpty)
-      System.err.println(s"[dedup] lshCandidatePairs: dropped ${hotRows.length} " +
-        s"band bucket(s) larger than $bucketCap DISTINCT signatures " +
-        "(candidates from them would be quadratic; raise the cap or " +
-        "pre-cluster the boilerplate instead)")
-    val kept =
-      if (hotRows.isEmpty) bandRows
-      else bandRows.join(
-        broadcast(sh.sparkSession.createDataFrame(
-          java.util.Arrays.asList(hotRows: _*), hot.schema)),
-        Seq("bi", "bv"), "left_anti")
+    val kept = collectedHotGuard(hot,
+        n => s"[dedup] lshCandidatePairs: dropped $n " +
+          s"band bucket(s) larger than $bucketCap DISTINCT signatures " +
+          "(candidates from them would be quadratic; raise the cap or " +
+          "pre-cluster the boilerplate instead)")
+      .fold(bandRows)(h => bandRows.join(h, Seq("bi", "bv"), "left_anti"))
     val a = kept.as("a"); val bb = kept.as("b")
     val cand = a.join(bb, col("a.bi") === col("b.bi") &&
         col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
@@ -2269,12 +2275,11 @@ object Dedup {
     val hotB = bexp.groupBy(col("bi"), col("bv"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") > cap)
       .select(col("bi"), col("bv"))
-    val nHotB = hotB.count()
-    if (nHotB > 0)
-      System.err.println(s"[dedup] ingestWithLabels: dropped $nHotB " +
-        s"batch band value(s) with > $cap distinct signatures from the " +
-        "batch-internal pair stage (hot-bucket contract)")
-    val coldB = bexp.join(broadcast(hotB), Seq("bi", "bv"), "left_anti")
+    val coldB = collectedHotGuard(hotB,
+        n => s"[dedup] ingestWithLabels: dropped $n " +
+          s"batch band value(s) with > $cap distinct signatures from the " +
+          "batch-internal pair stage (hot-bucket contract)")
+      .fold(bexp)(h => bexp.join(h, Seq("bi", "bv"), "left_anti"))
     val candB = coldB.as("x").join(coldB.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
           col("x.rep_id") < col("y.rep_id"))
@@ -2793,12 +2798,11 @@ object Dedup {
     val hot = assign.groupBy(col("cell"))
       .agg(count(lit(1)).as("csz")).filter(col("csz") > cellCap)
       .select(col("cell"))
-    val nHot = hot.count()
-    if (nHot > 0)
-      System.err.println(s"[dedup] semanticDedup: $nHot cell(s) larger " +
-        s"than $cellCap vectors excluded from the pair stage (quadratic " +
-        "risk; raise nlist or exact-dedup the hot cluster first)")
-    val cold = assign.join(broadcast(hot), Seq("cell"), "left_anti")
+    val cold = collectedHotGuard(hot,
+        n => s"[dedup] semanticDedup: $n cell(s) larger " +
+          s"than $cellCap vectors excluded from the pair stage (quadratic " +
+          "risk; raise nlist or exact-dedup the hot cluster first)")
+      .fold(assign)(h => assign.join(h, Seq("cell"), "left_anti"))
     val a1 = cold.select(col("cell"), col("vec_id").as("v1"),
       col("v").as("lv"), col("nrm").as("n1"))
     val a2 = cold.select(col("cell"), col("vec_id").as("v2"),
@@ -3009,12 +3013,11 @@ object Dedup {
       .groupBy(col("bi"), col("bv"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > BandBucketCap)
       .select(col("bi"), col("bv"))
-    val nHot = hot.count()
-    if (nHot > 0)
-      System.err.println(s"[dedup] incrementalLsh: dropped $nHot index " +
-        s"band bucket(s) larger than $BandBucketCap docs from the probe " +
-        "(exact-dedup the hot cluster instead)")
-    val idx = idx0.join(broadcast(hot), Seq("bi", "bv"), "left_anti")
+    val idx = collectedHotGuard(hot,
+        n => s"[dedup] incrementalLsh: dropped $n index " +
+          s"band bucket(s) larger than $BandBucketCap docs from the probe " +
+          "(exact-dedup the hot cluster instead)")
+      .fold(idx0)(h => idx0.join(h, Seq("bi", "bv"), "left_anti"))
       .withColumnRenamed("doc_id", "existing_id")
     val probe = bandRows.filter(col("doc_id") >= 50000)
       .withColumnRenamed("doc_id", "incoming_id")
