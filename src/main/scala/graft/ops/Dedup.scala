@@ -1069,8 +1069,17 @@ object Dedup {
     * discipline is assumed throughout (standard for index
     * maintenance; concurrent writers need an external lock or a
     * table format with optimistic commits). */
-  def deleteFromBandIndex(dir: String, deletedDocs: DataFrame): Unit = {
+  def deleteFromBandIndex(dir: String, deletedDocs: DataFrame): DataFrame = {
     val spark = deletedDocs.sparkSession
+    // returned to label maintenance (r14 advice, high): the (bi, bv)
+    // keys this delete flips from hot to cold. Lifting the hot-guard
+    // exclusion ADDS candidate edges between groups that shared the
+    // bucket, so [[deleteWithLabels]]' "deletes only remove edges"
+    // containment argument does not cover them — the caller must
+    // treat every group in a newly-cold bucket as touched. Bounded by
+    // the hot list (hot ≤ buckets over cap, tiny by construction).
+    def noneCold = spark.range(0)
+      .select(lit(0).as("bi"), lit(0L).as("bv"))
     IndexIntent.begin(spark, dir, "deleteFromBandIndex",
       "graft.ops.Dedup.compactBandIndex")
     assertBandFormat(spark, dir, "deleteFromBandIndex")
@@ -1086,7 +1095,7 @@ object Dedup {
       .agg(count(lit(1)).as("m"))
       .withColumn("gbucket", gbucketOf(nBuckets))
       .localCheckpoint(true)
-    if (dg.isEmpty) { IndexIntent.end(spark, dir); return }
+    if (dg.isEmpty) { IndexIntent.end(spark, dir); return noneCold }
     val touchedG = dg.select(col("gbucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val mhNames = (0 until NumHashes).map(j => s"mh$j")
@@ -1118,7 +1127,7 @@ object Dedup {
     // bounded by construction: at most nBuckets distinct small ints
     val touched = negCounts.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    if (touched.nonEmpty) {
+    val newlyCold = if (touched.nonEmpty) {
       val mergedCounts = spark.read.parquet(s"$dir/counts")
         .filter(col("bucket").isin(touched: _*)) // partition-pruned read
         .unionByName(negCounts)
@@ -1132,19 +1141,28 @@ object Dedup {
       // hot re-derives for the touched keys only — out if ≤ cap now, in
       // if still over; untouched hot entries ride through the anti-join
       val touchedKeys = negCounts.select(col("bi"), col("bv")).distinct()
+      val stillHot = mergedCounts.filter(col("cnt") > cap)
+        .select(col("bi"), col("bv"))
+      // hot ∩ touched ∖ still-over-cap = the keys this delete cools —
+      // materialized BEFORE the hot overwrite consumes the old file
+      val cooled = spark.read.parquet(s"$dir/hot")
+        .join(broadcast(touchedKeys), Seq("bi", "bv"), "left_semi")
+        .join(stillHot, Seq("bi", "bv"), "left_anti")
+        .localCheckpoint(true)
       val hot = spark.read.parquet(s"$dir/hot")
         .join(broadcast(touchedKeys), Seq("bi", "bv"), "left_anti")
-        .unionByName(mergedCounts.filter(col("cnt") > cap)
-          .select(col("bi"), col("bv")))
+        .unionByName(stillHot)
         .distinct().localCheckpoint(true)
       hot.write.mode("overwrite").parquet(s"$dir/hot")
-    }
+      cooled
+    } else noneCold
     // the delete is a commit like any other: its negated counts are
     // the version's delta, keeping as-of reconstruction exact (see
     // the SNAPSHOT contract above). Committed even when no group died
     // (the tombstone itself is state a version boundary should cover)
     commitBandSnapshot(spark, dir, Some(negCounts))
     IndexIntent.end(spark, dir)
+    newlyCold
   }
 
   /** ONE driver action for the whole hot-key guard convention (r13
@@ -2125,10 +2143,28 @@ object Dedup {
     s.read.parquet(s"$labelsDir/v$v")
   }
 
+  /** Committed label versions kept by [[writeBandLabels]]' retention
+    * sweep (r14 verdict #4): labels have no as-of contract — only the
+    * latest version is ever read — so sustained ingest must not
+    * accumulate `v$n` dirs unboundedly the way it did before r15. */
+  private val LabelsKeepVersions = 3
+
   private def writeBandLabels(labels: DataFrame, labelsDir: String): Unit = {
     val s = labels.sparkSession
     val v = latestLabelsVersion(s, labelsDir) + 1
     labels.write.mode("overwrite").parquet(s"$labelsDir/v$v")
+    // retention: prune versions ≤ v - keep AFTER the new commit lands
+    // (the just-written v$v has _SUCCESS, so at least one readable
+    // version always survives — a torn dir was never readable, and a
+    // torn dir's number is always latest+1 under the single-writer
+    // contract, so the NEXT commit's overwrite reclaims it).
+    val p = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n.matches("v\\d+") && n.drop(1).toInt <= v - LabelsKeepVersions)
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** The v2 band index's own near-dup edge relation at rep level — the
@@ -2240,8 +2276,19 @@ object Dedup {
     * A crash between the append and the labels commit leaves an
     * intent marker; [[readBandLabels]] then fails fast and
     * [[buildBandLabels]] re-derives. */
+  /** Touched-fraction above which the incremental label verbs fall
+    * back to a full [[buildBandLabels]] rebuild (r14 verdict #2: the
+    * 100× probe showed the incremental route running 2–5× the rebuild
+    * when touched components ≈ corpus — e.g. maximum twin-density,
+    * where every batch doc extends one giant cluster). The verbs are
+    * route-invariant to the rebuild by contract, so the dispatch is
+    * free correctness-wise and caps the worst case at rebuild cost
+    * (+ one labels-sized count job for the fraction itself). */
+  private[ops] val LabelRebuildFraction = 0.4
+
   def ingestWithLabels(s: SparkSession, dir: String, labelsDir: String,
-      batch: DataFrame, minMatch: Int = 8): DataFrame = {
+      batch: DataFrame, minMatch: Int = 8,
+      rebuildFraction: Double = LabelRebuildFraction): DataFrame = {
     IndexIntent.assertClean(s, dir, "graft.ops.Dedup.compactBandIndex")
     assertBandFormat(s, dir, "ingestWithLabels")
     val oldLabels = readBandLabels(s, labelsDir)
@@ -2252,9 +2299,47 @@ object Dedup {
       hot = s.read.parquet(s"$dir/hot"))
     val rmin = parts.liveMembers.groupBy(col("gid"))
       .agg(min(col("doc_id")).as("rep"))
-    val crossE = parts.repEvidence.select(col("rep_id"), col("gid")).distinct()
+    // cross edges materialize FIRST (rep-level, evidence-bounded) and
+    // re-wrap constraint-free — a constraint-bearing LogicalRDD inside
+    // the downstream unions trips the Spark 4.1 Union constraint
+    // rewrite (the [[incrementalCC]] analyzer note)
+    val crossECk = parts.repEvidence.select(col("rep_id"), col("gid")).distinct()
       .join(rmin, Seq("gid"))
       .select(col("rep_id").as("doc1"), col("rep").as("doc2"))
+      .localCheckpoint(true)
+    val crossE = s.createDataFrame(crossECk.rdd, crossECk.schema)
+    val fs = labelsIntentPath(labelsDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(labelsDir)))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(labelsDir))
+    // touched-fraction dispatch (r14 verdict #2): when the batch's
+    // cross edges touch most of the labeled corpus, the incremental
+    // merge costs MORE than re-solving from the grown index — fall
+    // back BEFORE building the batch-internal edge stages (their work
+    // is the rebuild's work). Only cross-edge INDEX reps can touch old
+    // labels: batch doc_ids are new by the append contract, so the
+    // batch-star/internal endpoints never appear in the label table
+    // and the crossE-only fraction is exact. Same crash contract
+    // either way: the labels intent marker covers the append→labels
+    // window, and buildBandLabels (the recovery verb) clears it on
+    // commit.
+    val nOld = oldLabels.count()
+    val nTouched =
+      if (nOld == 0L) 0L
+      else oldLabels.join(
+          oldLabels.join(
+              crossE.select(col("doc2").as("doc_id")).distinct(),
+              Seq("doc_id"))
+            .select(col("lbl")).distinct(),
+          Seq("lbl"), "left_semi").count()
+    if (nOld > 0L && nTouched >= rebuildFraction * nOld) {
+      System.err.println(s"[dedup] ingestWithLabels: batch touches " +
+        s"$nTouched/$nOld labeled docs (≥ $rebuildFraction) — " +
+        "dispatching to full buildBandLabels rebuild")
+      fs.create(labelsIntentPath(labelsDir), true).close()
+      appendToBandIndex(dir, batch)
+      return buildBandLabels(s, dir, labelsDir, minMatch)
+    }
     // batch stars: members inherit their rep's identity — but never
     // through the null-signature group (too-short docs share storage,
     // not similarity)
@@ -2294,15 +2379,15 @@ object Dedup {
     val internalE = candB.join(sa, Seq("p1")).join(sb, Seq("p2"))
       .filter(nm >= minMatch)
       .select(col("p1").as("doc1"), col("p2").as("doc2"))
+    // the full edge set, materialized and re-wrapped constraint-free
+    // (the same analyzer note as crossE; edge tables are near-dup-pair
+    // sized, so the Row re-wrap is cheap)
+    val newEdgesCk = crossE.unionAll(batchStar).unionAll(internalE)
+      .localCheckpoint(true)
+    val newEdges = s.createDataFrame(newEdgesCk.rdd, newEdgesCk.schema)
     // merge FIRST (against the pre-append index state the edges were
     // computed from), materialized before the index mutates
-    val labels = incrementalCC(oldLabels,
-        crossE.unionAll(batchStar).unionAll(internalE))
-      .localCheckpoint(true)
-    val fs = labelsIntentPath(labelsDir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(labelsDir)))
-      fs.mkdirs(new org.apache.hadoop.fs.Path(labelsDir))
+    val labels = incrementalCC(oldLabels, newEdges).localCheckpoint(true)
     fs.create(labelsIntentPath(labelsDir), true).close()
     appendToBandIndex(dir, batch)
     writeBandLabels(labels, labelsDir)
@@ -2328,7 +2413,19 @@ object Dedup {
     *     within that component before (a qualifying edge between a
     *     touched and an untouched group would have made them ONE
     *     component pre-delete, since group signatures are immutable
-    *     and live sets only shrink — contradiction);
+    *     and live sets only shrink — contradiction). ONE exception
+    *     (r14 advice, high): the delete can drop a band bucket's
+    *     distinct-signature count to ≤ cap, and
+    *     [[deleteFromBandIndex]] then removes it from `hot` — lifting
+    *     the hot-guard exclusion ADDS candidate edges between groups
+    *     that shared the bucket, edges no pre-delete component bounds.
+    *     The verb therefore also marks as touched every group in a
+    *     NEWLY-COLD bucket (surfaced by the delete verb) plus every
+    *     component any of those groups' docs belonged to: both
+    *     endpoints of any bucket-cooling edge are groups IN the cooled
+    *     bucket, so the widened restriction contains them, and the
+    *     component closure keeps the carry-forward/re-solve partition
+    *     exact;
     *  3. the restricted re-solve yields each fragment's new min-label
     *     — component SPLITS (bridge-doc deleted) and min-doc removal
     *     (the label itself deleted) emerge naturally, and survivors
@@ -2343,27 +2440,68 @@ object Dedup {
     * leaves the labels intent marker: [[readBandLabels]] fails fast
     * and [[buildBandLabels]] re-derives, labels being derived state. */
   def deleteWithLabels(s: SparkSession, dir: String, labelsDir: String,
-      deletedDocs: DataFrame, minMatch: Int = 8): DataFrame = {
+      deletedDocs: DataFrame, minMatch: Int = 8,
+      rebuildFraction: Double = LabelRebuildFraction): DataFrame = {
     IndexIntent.assertClean(s, dir, "graft.ops.Dedup.compactBandIndex")
     assertBandFormat(s, dir, "deleteWithLabels")
     val oldLabels = readBandLabels(s, labelsDir)
     // the delete verb re-signs the batch for group-count maintenance,
     // so the full (doc_id, text) rows ride through, not just ids
     val del = deletedDocs.localCheckpoint(true)
-    val touched = oldLabels
+    val touchedDel = oldLabels
       .join(del.select(col("doc_id")).distinct(), Seq("doc_id"))
       .select(col("lbl")).distinct().localCheckpoint(true)
     val fs = labelsIntentPath(labelsDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.create(labelsIntentPath(labelsDir), true).close()
-    deleteFromBandIndex(dir, del)
+    val cooled = deleteFromBandIndex(dir, del)
+    // hot→cold flip repair (r14 advice): a bucket the delete dropped
+    // to ≤ cap leaves the hot list, and the lifted exclusion ADDS
+    // candidate edges between the groups sharing it — so those groups
+    // (and the components their docs belonged to) are touched as well,
+    // even when no deleted doc was anywhere near them. Bounded: the
+    // cooled list ≤ the hot list, and the bucket prefilter keeps the
+    // bands read partition-pruned.
+    val (touched, extraGids) =
+      if (cooled.isEmpty) (touchedDel, None)
+      else {
+        val nBuckets = readBandMeta(s, dir)._1
+        val coolBuckets = cooled.collect()
+          .map(r => (math.floorMod(r.getLong(1), nBuckets.toLong)).toInt)
+          .distinct.toSeq
+        val gids = s.read.parquet(s"$dir/bands")
+          .filter(col("bucket").isin(coolBuckets: _*))
+          .join(broadcast(cooled), Seq("bi", "bv"), "left_semi")
+          .select(col("gid")).distinct().localCheckpoint(true)
+        val cooledDocs = s.read.parquet(s"$dir/members")
+          .join(gids, Seq("gid"), "left_semi").select(col("doc_id"))
+        val cooledLbls = oldLabels
+          .join(cooledDocs, Seq("doc_id"), "left_semi")
+          .select(col("lbl")).distinct()
+        (touchedDel.unionAll(cooledLbls).distinct().localCheckpoint(true),
+          Some(gids))
+      }
     // members of the touched components (deleted docs included — their
     // groups need a live-rep re-derivation), mapped to signature groups
     val touchedDocs = oldLabels.join(touched, Seq("lbl"))
       .select(col("doc_id"))
-    val touchedGids = s.read.parquet(s"$dir/members")
+    val memberGids = s.read.parquet(s"$dir/members")
       .join(touchedDocs, Seq("doc_id"), "left_semi")
-      .select(col("gid")).distinct().localCheckpoint(true)
+      .select(col("gid"))
+    val touchedGids = extraGids.fold(memberGids)(memberGids.unionAll)
+      .distinct().localCheckpoint(true)
+    // touched-fraction dispatch (r14 verdict #2) — see ingestWithLabels;
+    // the labels intent marker is already up, and buildBandLabels (the
+    // recovery verb) clears it on commit, so the crash contract holds
+    // on either route.
+    val nTouchedG = touchedGids.count()
+    val nGroups = s.read.parquet(s"$dir/groups").count()
+    if (nGroups > 0L && nTouchedG >= rebuildFraction * nGroups) {
+      System.err.println(s"[dedup] deleteWithLabels: delete touches " +
+        s"$nTouchedG/$nGroups signature groups (≥ $rebuildFraction) — " +
+        "dispatching to full buildBandLabels rebuild")
+      return buildBandLabels(s, dir, labelsDir, minMatch)
+    }
     val solved = connectedComponents(
       indexSelfEdges(s, dir, minMatch, Some(touchedGids)))
     val labels = oldLabels.join(touched, Seq("lbl"), "left_anti")

@@ -946,6 +946,147 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
     graft.InternalCaches.releaseAll()
   }
 
+  /** r15 (r14 advice, high): a delete that drops a band bucket to
+    * EXACTLY cap removes it from `hot`, and the lifted hot-guard
+    * exclusion adds candidate edges between the remaining groups in
+    * the bucket — groups whose components contained NO deleted doc.
+    * deleteWithLabels must treat those as touched (the newly-cold
+    * extension), or the merge a rebuild performs is silently missed.
+    *
+    * Fixture (probe drive, r15; deterministic — pure function of the
+    * texts, preconditions asserted loudly): X and Y are near-dups
+    * (nm 15, minMatch 15) sharing exactly one band value; Z shares
+    * that same band value but is NOT a near-dup of either (nm 14 to
+    * both). With cap=2 the bucket holds 3 distinct signatures → hot →
+    * no X–Y candidate → X and Y are unlabeled singletons. Deleting
+    * the (also-singleton) Z drops the bucket to 2 = cap → cold → the
+    * X–Y edge exists in the post-delete index, yet neither X nor Y is
+    * in any pre-delete component. */
+  test("band labels: delete that cools a hot bucket to exactly cap " +
+      "merges the bucket's untouched survivors (≡ full rebuild)") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import s.implicits._
+    def span(seed: String, lo: Int, hi: Int): String =
+      (lo to hi).map(i => s"${seed}t$i w$i").mkString(" ")
+    val xText = span("s48", 0, 40)
+    val yText = span("s48", 10, 50)
+    val zText = (0 until 6).map(k => s"z47q$k x47r$k").mkString(" ") +
+      " " + xText
+    val tText = span("s99", 0, 40)
+    val corpus = Seq(
+      7100L -> xText, 7101L -> yText, 7102L -> zText,
+      7200L -> tText, 7201L -> tText // untouched exact-twin pair
+    ).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("bandlabelscool").toString
+    Dedup.saveBandIndex(corpus, s"$root/index", cap = 2)
+    // preconditions (any minhash-family change fails here, loudly):
+    // exactly ONE hot bucket — the X/Y/Z-shared band value over cap
+    val hot0 = s.read.parquet(s"$root/index/hot").collect()
+    hot0.length shouldBe 1
+    val l0 = Dedup.buildBandLabels(s, s"$root/index", s"$root/labels",
+      minMatch = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ...and under the hot guard only the twin pair is clustered:
+    // X, Y, Z are singletons with no pre-delete component
+    l0 shouldBe Map(7200L -> 7200L, 7201L -> 7200L)
+
+    // rebuildFraction 1.1 forces the INCREMENTAL route — on this tiny
+    // corpus the cooled gids alone cross the default dispatch
+    // threshold, and the rebuild route cannot miss the merge
+    val d = Dedup.deleteWithLabels(s, s"$root/index", s"$root/labels",
+      corpus.filter(col("doc_id") === 7102L), minMatch = 15,
+      rebuildFraction = 1.1)
+    // the bucket cooled: hot is now empty
+    s.read.parquet(s"$root/index/hot").count() shouldBe 0L
+    val rb = Dedup.buildBandLabels(s, s"$root/index", s"$root/labels_rb",
+      minMatch = 15)
+    canon(d) shouldBe canon(rb)
+    canon(Dedup.readBandLabels(s, s"$root/labels")) shouldBe canon(rb)
+    val m = d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m shouldBe Map(
+      7100L -> 7100L, 7101L -> 7100L, // the newly-exposed merge
+      7200L -> 7200L, 7201L -> 7200L) // untouched pair verbatim
+    graft.InternalCaches.releaseAll()
+  }
+
+  /** r15 (r14 verdict #2): the touched-fraction dispatch must be
+    * route-invariant — forcing the rebuild route (fraction 0.0) and
+    * forcing the incremental route (fraction 1.1) land on identical
+    * labels, for both lifecycle verbs. */
+  test("label verbs: touched-fraction dispatch is route-invariant") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 150)
+    val dropFirst = expr("substring(text, instr(text, ' ') + 1)").as("text")
+    def copyOf(id: Long, newId: Long) = docs.filter(col("doc_id") === id)
+      .select(lit(newId).as("doc_id"), dropFirst)
+    val base = docs.unionAll(copyOf(20, 1020)).unionAll(copyOf(40, 1040))
+    val batch = copyOf(20, 2020).unionAll(copyOf(60, 2060))
+    val del = docs.filter(col("doc_id") === 20L)
+    def route(f: Double, tag: String): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+      val root = Files.createTempDirectory(s"dispatch$tag").toString
+      Dedup.saveBandIndex(base, s"$root/index")
+      Dedup.buildBandLabels(s, s"$root/index", s"$root/labels")
+      val li = Dedup.ingestWithLabels(s, s"$root/index", s"$root/labels",
+        batch, rebuildFraction = f)
+      val ld = Dedup.deleteWithLabels(s, s"$root/index", s"$root/labels",
+        del, rebuildFraction = f)
+      (canon(li), canon(ld))
+    }
+    val (iInc, dInc) = route(1.1, "inc")   // incremental forced
+    val (iRb, dRb) = route(0.0, "rb")      // rebuild forced
+    iInc should not be empty
+    iRb shouldBe iInc
+    dRb shouldBe dInc
+    graft.InternalCaches.releaseAll()
+  }
+
+  /** r15 (r14 verdict #4): label-version retention. writeBandLabels
+    * keeps the newest K=3 committed versions and prunes older dirs at
+    * commit time; read-latest survives GC, and a torn (no-_SUCCESS)
+    * version dir never breaks reads — the next commit's overwrite
+    * reclaims it. */
+  test("band labels: version GC keeps last 3, read-latest survives, " +
+      "torn dir reclaimed") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    val dropFirst = expr("substring(text, instr(text, ' ') + 1)").as("text")
+    def copyOf(id: Long, newId: Long) = docs.filter(col("doc_id") === id)
+      .select(lit(newId).as("doc_id"), dropFirst)
+    val root = Files.createTempDirectory("labelgc").toString
+    Dedup.saveBandIndex(docs, s"$root/index")
+    Dedup.buildBandLabels(s, s"$root/index", s"$root/labels") // v1
+    def versions: Seq[String] = {
+      val d = Paths.get(s"$root/labels")
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      Files.list(d).forEach(p => out += p.getFileName.toString)
+      out.filter(_.matches("v\\d+")).sorted.toSeq
+    }
+    versions shouldBe Seq("v1")
+    var last: DataFrame = null
+    Seq(3000L, 3001L, 3002L, 3003L).zipWithIndex.foreach { case (id, i) =>
+      last = Dedup.ingestWithLabels(s, s"$root/index", s"$root/labels",
+        copyOf(20 + 10 * (i % 2), id), rebuildFraction = 1.1) // v2..v5
+    }
+    versions shouldBe Seq("v3", "v4", "v5")
+    canon(Dedup.readBandLabels(s, s"$root/labels")) shouldBe canon(last)
+    // torn next-version dir (crash mid-write): unreadable, ignored...
+    Files.createDirectories(Paths.get(s"$root/labels/v6"))
+    Files.createFile(Paths.get(s"$root/labels/v6/part-junk.parquet"))
+    canon(Dedup.readBandLabels(s, s"$root/labels")) shouldBe canon(last)
+    // ...and the next commit overwrites exactly that dir
+    val l6 = Dedup.ingestWithLabels(s, s"$root/index", s"$root/labels",
+      copyOf(60, 3060), rebuildFraction = 1.1)
+    versions shouldBe Seq("v4", "v5", "v6")
+    canon(Dedup.readBandLabels(s, s"$root/labels")) shouldBe canon(l6)
+    graft.InternalCaches.releaseAll()
+  }
+
   test("ingest-grow queries are idempotent across standalone re-runs") {
     val s = spark
     Seq("dedup_ingest_grow", "sim_ingest_grow").foreach { q =>
