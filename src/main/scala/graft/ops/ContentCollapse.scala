@@ -41,14 +41,41 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object ContentCollapse {
 
+  /** Capacity of the stats memo — var only so the eviction suite can
+    * exercise the LRU order with a tiny cap. */
+  private[graft] var statsCacheCap = 512
+
   /** (session token, plan semanticHash, content expr, input fingerprint)
-    * -> (n, u). Entries are two longs; the map clears past 512 keys. */
-  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, String, String), (Long, Long)]()
+    * -> (n, u). Entries are two longs. ACCESS-ORDERED LRU (r14 verdict
+    * #6): past the cap the eldest-by-access entry is evicted — the old
+    * wholesale clear() would thrash the memo a >cap battery had just
+    * built. All access goes through the synchronized wrapper (an
+    * access-ordered get is a structural mutation). */
+  private val statsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Int, String, String), (Long, Long)](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int, String, String),
+            (Long, Long)]): Boolean = size() > statsCacheCap
+    })
 
   /** Pre-pass actions actually computed (cache misses + uncacheable) —
-    * the suite's observable for memo-hit/invalidation pinning. */
+    * the suite's observable for memo-hit/invalidation pinning. The
+    * per-family breakdown exists because suites assert DELTAS: a
+    * concurrent suite bumping the global counter must not flake a
+    * family-scoped assertion (r14 advice). */
   private[graft] val prePassComputes = new java.util.concurrent.atomic.AtomicLong
+  private val familyComputes = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  private[graft] def computesOf(family: String): Long = {
+    val a = familyComputes.get(family)
+    if (a == null) 0L else a.get()
+  }
+
+  /** Test hook: the eviction-order suite needs a known-empty map (the
+    * LRU evicts one entry per insertion, so leftover entries would
+    * absorb the evictions the test pins). */
+  private[graft] def clearStatsCache(): Unit = statsCache.clear()
 
   /** Stable per-session token: the `AsOfSkew.sessionToken` convention
     * (WeakHashMap + UUID — a dead session's token can never be minted
@@ -147,6 +174,8 @@ private[graft] object ContentCollapse {
     val s = df.sparkSession
     def compute(): (Long, Long) = {
       prePassComputes.incrementAndGet()
+      familyComputes.computeIfAbsent(family,
+        _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
       val r = df.agg(count(lit(1)).as("n"),
         count_distinct(when(content.isNotNull, xxhash64(content))).as("u"))
         .head()
@@ -164,8 +193,7 @@ private[graft] object ContentCollapse {
         if (hit != null) hit
         else {
           val v = compute()
-          if (statsCache.size() >= 512) statsCache.clear()
-          statsCache.put(key, v)
+          statsCache.put(key, v) // LRU-bounded (removeEldestEntry)
           v
         }
     }

@@ -64,8 +64,14 @@ def main(sf_dir: str, out_dir: str) -> None:
     if os.environ.get("SELFCHECK_WRITTEN_JOIN_ORDER"):
         con.execute("SET disabled_optimizers='join_order'")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # synth_scale writes an oracle-only small-row-group copy under
+        # oracle/ (scan parallelism for the heavy all-pairs oracles)
+        # while the engine-facing file keeps default row groups —
+        # prefer the oracle copy when present (same values either way)
+        src = f"{sf_dir}/oracle/{t}.parquet"
+        if not os.path.exists(src):
+            src = f"{sf_dir}/{t}.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
