@@ -2299,27 +2299,19 @@ object Dedup {
       hot = s.read.parquet(s"$dir/hot"))
     val rmin = parts.liveMembers.groupBy(col("gid"))
       .agg(min(col("doc_id")).as("rep"))
-    // cross edges materialize FIRST (rep-level, evidence-bounded) and
-    // re-wrap constraint-free — a constraint-bearing LogicalRDD inside
-    // the downstream unions trips the Spark 4.1 Union constraint
-    // rewrite (the [[incrementalCC]] analyzer note)
-    val crossECk = parts.repEvidence.select(col("rep_id"), col("gid")).distinct()
-      .join(rmin, Seq("gid"))
-      .select(col("rep_id").as("doc1"), col("rep").as("doc2"))
-      .localCheckpoint(true)
-    val crossE = s.createDataFrame(crossECk.rdd, crossECk.schema)
     val fs = labelsIntentPath(labelsDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(labelsDir)))
       fs.mkdirs(new org.apache.hadoop.fs.Path(labelsDir))
     // touched-fraction dispatch (r14 verdict #2): when the batch's
-    // cross edges touch most of the labeled corpus, the incremental
+    // evidence touches most of the labeled corpus, the incremental
     // merge costs MORE than re-solving from the grown index — fall
-    // back BEFORE building the batch-internal edge stages (their work
-    // is the rebuild's work). Only cross-edge INDEX reps can touch old
-    // labels: batch doc_ids are new by the append contract, so the
-    // batch-star/internal endpoints never appear in the label table
-    // and the crossE-only fraction is exact. Same crash contract
+    // back BEFORE building any edge stage (their work is the rebuild's
+    // work). The fraction needs only the evidence GIDS: batch doc_ids
+    // are new by the append contract (never in the label table), and a
+    // gid's members share one signature hence one component, so
+    // "component contains an evidence gid member" ≡ "component
+    // contains the cross edge's rep endpoint". Same crash contract
     // either way: the labels intent marker covers the append→labels
     // window, and buildBandLabels (the recovery verb) clears it on
     // commit.
@@ -2328,7 +2320,10 @@ object Dedup {
       if (nOld == 0L) 0L
       else oldLabels.join(
           oldLabels.join(
-              crossE.select(col("doc2").as("doc_id")).distinct(),
+              parts.liveMembers.join(
+                  parts.repEvidence.select(col("gid")).distinct(),
+                  Seq("gid"), "left_semi")
+                .select(col("doc_id")),
               Seq("doc_id"))
             .select(col("lbl")).distinct(),
           Seq("lbl"), "left_semi").count()
@@ -2340,6 +2335,15 @@ object Dedup {
       appendToBandIndex(dir, batch)
       return buildBandLabels(s, dir, labelsDir, minMatch)
     }
+    // cross edges, materialized and re-wrapped constraint-free — a
+    // constraint-bearing LogicalRDD inside the downstream unions trips
+    // the Spark 4.1 Union constraint rewrite (the [[incrementalCC]]
+    // analyzer note)
+    val crossECk = parts.repEvidence.select(col("rep_id"), col("gid")).distinct()
+      .join(rmin, Seq("gid"))
+      .select(col("rep_id").as("doc1"), col("rep").as("doc2"))
+      .localCheckpoint(true)
+    val crossE = s.createDataFrame(crossECk.rdd, crossECk.schema)
     // batch stars: members inherit their rep's identity — but never
     // through the null-signature group (too-short docs share storage,
     // not similarity)
