@@ -60,25 +60,108 @@ SLICE_RULES = {
 }
 
 
+# STAGED two-phase comparison (r15): for oracles whose heavy per-id
+# work is separable but whose FINAL aggregation is global, a plain
+# output slice is unsound — mm_cdc_dedup's `shared` CTE counts distinct
+# media per chunk hash across the WHOLE corpus. Phase 1 computes the
+# per-media intermediate (`chunks`) one id-residue slice at a time into
+# an accumulator table in a file-backed DuckDB (the memory hog is the
+# per-byte rolling-hash window, which now holds 1/n of the corpus);
+# phase 2 runs the untouched global tail over the accumulated
+# intermediate and compares the full output once. The oracle contract
+# is untouched — the per-slice SQL is the ORIGINAL prefix with a
+# residue predicate injected at the corpus seed, and the tail is the
+# original text verbatim.
+STAGED_RULES = {
+    "mm_cdc_dedup": {
+        "site": "FROM documents)",
+        "repl": "FROM documents WHERE doc_id % {n} = {i})",
+        "split_at": "chunks AS (",      # prefix CTEs run per slice
+        "tail_at": "shared AS (",       # global tail runs once
+        "slice_select": (
+            "SELECT media_id, cid,\n"
+            "  md5(string_agg(CAST(b AS VARCHAR), ',' ORDER BY pos)) AS ch,\n"
+            "  count(*) AS clen\n"
+            "FROM cids GROUP BY media_id, cid"),
+    },
+}
+
+
+def connect_views(sf_dir: str, db: str = ":memory:"):
+    con = duckdb.connect(db)
+    con.execute("PRAGMA temp_directory='/tmp/duckdb_sliced_spill'")
+    con.execute(
+        f"PRAGMA memory_limit='{os.environ.get('SELFCHECK_MEM', '60GB')}'")
+    if "SELFCHECK_THREADS" in os.environ:
+        con.execute(f"PRAGMA threads={int(os.environ['SELFCHECK_THREADS'])}")
+    if os.environ.get("SELFCHECK_WRITTEN_JOIN_ORDER"):
+        con.execute("SET disabled_optimizers='join_order'")
+    for t in TABLES:
+        # prefer the oracle-only small-row-group copy (scan parallelism)
+        src = f"{sf_dir}/oracle/{t}.parquet"
+        if not os.path.exists(src):
+            src = f"{sf_dir}/{t}.parquet"
+        # OR REPLACE: a file-backed accumulator db persists views
+        # across the staged mode's per-slice reconnects
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'")
+    return con
+
+
+def main_staged(sf_dir: str, out_dir: str, query: str, nslices: int) -> None:
+    r = STAGED_RULES[query]
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))[query]
+    assert r["site"] in sql and r["split_at"] in sql and r["tail_at"] in sql
+    prefix = sql[:sql.index(r["split_at"])].rstrip().rstrip(",")
+    tail = sql[sql.index(r["tail_at"]):]
+    db = "/tmp/duckdb_staged_acc.duckdb"
+    for p in (db, db + ".wal"):
+        if os.path.exists(p):
+            os.remove(p)
+    for i in range(nslices):
+        con = connect_views(sf_dir, db)  # fresh per slice: an OOM'd
+        # DuckDB process is poisoned (allocator refuses even KB blocks)
+        slice_sql = (prefix + "\n" +
+                     r["slice_select"]).replace(
+            r["site"], r["repl"].format(n=nslices, i=i))
+        if i == 0:
+            con.execute(f"CREATE TABLE chunks_acc AS {slice_sql}")
+        else:
+            con.execute(f"INSERT INTO chunks_acc {slice_sql}")
+        n = con.sql("SELECT count(*) FROM chunks_acc").fetchone()[0]
+        con.close()
+        print(f"stage {query} slice {i}/{nslices} (acc {n} rows)",
+              flush=True)
+    con = connect_views(sf_dir, db)
+    oracle = con.sql(
+        "WITH chunks AS (SELECT * FROM chunks_acc),\n" + tail).df()
+    con.close()
+    got = pd.read_parquet(f"{out_dir}/{query}")
+    a, b = canon(got), canon(oracle)
+    if list(a.columns) != list(b.columns) or len(a) != len(b):
+        print(f"FAIL {query}: shape {len(a)}x{list(a.columns)} vs "
+              f"{len(b)}x{list(b.columns)}")
+        sys.exit(1)
+    try:
+        pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                      check_exact=True)
+    except AssertionError as e:
+        print(f"FAIL {query}: {e}")
+        sys.exit(1)
+    print(f"PASS {query} ({len(a)} rows, staged over {nslices} slices)")
+
+
 def main(sf_dir: str, out_dir: str, query: str, nslices: int) -> None:
+    if query in STAGED_RULES:
+        return main_staged(sf_dir, out_dir, query, nslices)
     site, repl, dump_slice = SLICE_RULES[query]
     sql = json.load(open(f"{out_dir}/oracle_sql.json"))[query]
     assert site in sql, f"injection site not found in {query} oracle"
     dump = pd.read_parquet(f"{out_dir}/{query}")
     seen = 0
     for i in range(nslices):
-        con = duckdb.connect()  # fresh per slice: bounded, self-cleaning
-        con.execute("PRAGMA temp_directory='/tmp/duckdb_sliced_spill'")
-        con.execute(f"PRAGMA memory_limit='{os.environ.get('SELFCHECK_MEM', '60GB')}'")
-        if "SELFCHECK_THREADS" in os.environ:
-            con.execute(f"PRAGMA threads={int(os.environ['SELFCHECK_THREADS'])}")
-        # mirror selfcheck.py's escape hatch for DuckDB join-order
-        # mis-plans (r13 advice): a slice can hit the same planner trap
-        # as the monolithic run
-        if os.environ.get("SELFCHECK_WRITTEN_JOIN_ORDER"):
-            con.execute("SET disabled_optimizers='join_order'")
-        for t in TABLES:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # fresh connection per slice: bounded, self-cleaning (and the
+        # join-order escape hatch + oracle/-copy preference ride along)
+        con = connect_views(sf_dir)
         oracle = con.sql(sql.replace(site, repl.format(n=nslices, i=i))).df()
         con.close()
         got = dump_slice(dump, nslices, i)
