@@ -290,10 +290,17 @@ object Pipeline {
       sh.filter(col("doc_id") % 100 === 0).select(col("g")).distinct()
         .persist())
     // build: one tiny aggregate over the benchmark side (a driver
-    // scalar, like the one-row stats reads elsewhere); sized for the
-    // eval set, NOT the corpus
+    // scalar, like the one-row stats reads elsewhere); sized from the
+    // MEASURED eval-set cardinality, not a constant (r15): the bench
+    // side derives from the corpus here, so a hard-coded expected-item
+    // count silently degrades the FPP as the fixture scales — every
+    // extra false positive is a row the exact verify join must absorb.
+    // bench is persisted, so the count is one cheap action; capped at
+    // Spark's own runtime-filter ceiling (4M) past which the verify
+    // join should shuffle instead anyway.
+    val benchN = math.min(math.max(bench.count(), 1L), 4000000L)
     val bf = bench.select(Shim.column(
-      new BloomFilterAggregate(Shim.expression(xxhash64(col("g"))), 100000L)
+      new BloomFilterAggregate(Shim.expression(xxhash64(col("g"))), benchN)
         .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
     val mightContain = Shim.column(new BloomFilterMightContain(
