@@ -641,8 +641,12 @@ object Pipeline {
     * 100 TB shape: one tokenize+hash pass feeds both count tables
     * (NB-bounded) and the scoring join; the log-ratio table is NB
     * rows — broadcast; per-doc reduction shuffles on doc_id; the
-    * histogram aggregate is NB-bounded. Nothing scales worse than
-    * the corpus scan. */
+    * quartile selection runs its global cumulative window over a
+    * ≤65536-bucket quantized histogram (r15 — the per-WEIGHT histogram
+    * has corpus cardinality, so the pre-r15 cumsum over it was a
+    * corpus-sized single partition), refining per-weight inside the
+    * one boundary bucket only. Nothing scales worse than the corpus
+    * scan. */
   val dsirSelect: QueryDef = {
     val NB = 4096L
     QueryDef.sql(
@@ -709,20 +713,52 @@ object Pipeline {
           round(sum(col("lr")) / lit(1000000000.0), 6).as("w"))
         .persist())
       val kdf = docw.agg(floor(count(lit(1)) / 4).cast("long").as("k"))
-      val hist = docw.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      // cumulative window over the HISTOGRAM (≤ NB-ish rows), not the corpus
-      val cum = hist.withColumn("cum",
-        sum(col("cnt")).over(Window.orderBy(col("w").desc)))
-      val thr = cum.crossJoin(broadcast(kdf))
+      // exact top-quartile selection with a BOUNDED global window
+      // (r15): the per-weight histogram has CORPUS cardinality
+      // (distinct per-doc weights), so a cumulative window over it is
+      // a corpus-sized single partition at 100 TB — the one global
+      // window the r14 plan audit's "NB-bounded" claim missed. Coarse
+      // pass first: quantize w into ≤65536 fixed buckets (one min/max
+      // action over the persisted docw), run the cumsum over the
+      // bucket histogram (≤65536 rows at ANY corpus size), and locate
+      // the single bucket holding the k-boundary; only THAT bucket's
+      // per-weight histogram gets the original refinement (its weights
+      // span 1/65536 of the range; equal weights always share a bucket
+      // — the quantization is monotone — so every tie of the threshold
+      // weight is visible to the quota rule). Selection is identical:
+      // top-k by (w desc, doc_id asc).
+      val mm = docw.agg(min(col("w")), max(col("w"))).head()
+      val (wLo, wHi) =
+        if (mm.isNullAt(0)) (0.0, 0.0)
+        else (mm.getDouble(0), mm.getDouble(1))
+      val cbCol =
+        if (wHi == wLo) lit(0)
+        else least(lit(65535),
+          floor((col("w") - lit(wLo)) / lit(wHi - wLo) * 65536)).cast("int")
+      val docb = docw.withColumn("cb", cbCol)
+      val bcum = docb.groupBy(col("cb")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("cb").desc)))
+      val tb = bcum.crossJoin(broadcast(kdf))
         .filter(col("cum") - col("cnt") < col("k") && col("cum") >= col("k"))
+        .select(col("cb").as("tb"),
+          (col("k") - (col("cum") - col("cnt"))).as("bquota"))
+      val wcum = docb.join(broadcast(tb), col("cb") === col("tb"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("w").desc)))
+      val thr = wcum.crossJoin(broadcast(tb))
+        .filter(col("cum") - col("cnt") < col("bquota") &&
+          col("cum") >= col("bquota"))
         .select(col("w").as("thr_w"),
-          (col("k") - (col("cum") - col("cnt"))).as("quota"))
-      val r = docw.withColumn("rn", row_number().over(
+          (col("bquota") - (col("cum") - col("cnt"))).as("quota"))
+      val r = docb.withColumn("rn", row_number().over(
         Window.partitionBy(col("w")).orderBy(col("doc_id"))))
-      r.crossJoin(broadcast(thr))
+      r.crossJoin(broadcast(tb.select(col("tb"))))
+        .crossJoin(broadcast(thr))
         .select(col("doc_id"), col("n_toks"), col("w").as("weight"),
-          when(col("w") > col("thr_w") ||
-            (col("w") === col("thr_w") && col("rn") <= col("quota")), 1)
+          when(col("cb") > col("tb") ||
+            (col("cb") === col("tb") &&
+              (col("w") > col("thr_w") ||
+                (col("w") === col("thr_w") && col("rn") <= col("quota")))), 1)
             .otherwise(0).as("selected"))
         .orderBy(col("doc_id"))
     }
