@@ -2157,12 +2157,17 @@ object Dedup {
     // (the just-written v$v has _SUCCESS, so at least one readable
     // version always survives — a torn dir was never readable, and a
     // torn dir's number is always latest+1 under the single-writer
-    // contract, so the NEXT commit's overwrite reclaims it).
+    // contract, so the NEXT commit's overwrite reclaims it). Deployment
+    // knob `spark.graft.labels.keepVersions` (the [[graft.DispatchConf]]
+    // surface); clamped ≥ 1 so a zero conf can never leave the dir
+    // unreadable.
+    val keep = math.max(1, graft.DispatchConf(s, "spark.graft.labels.")
+      .int("keepVersions", LabelsKeepVersions))
     val p = new org.apache.hadoop.fs.Path(labelsDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
-      if (n.matches("v\\d+") && n.drop(1).toInt <= v - LabelsKeepVersions)
+      if (n.matches("v\\d+") && n.drop(1).toInt <= v - keep)
         fs.delete(st.getPath, true)
     }
   }
@@ -2283,12 +2288,17 @@ object Dedup {
     * where every batch doc extends one giant cluster). The verbs are
     * route-invariant to the rebuild by contract, so the dispatch is
     * free correctness-wise and caps the worst case at rebuild cost
-    * (+ one labels-sized count job for the fraction itself). */
+    * (+ one labels-sized count job for the fraction itself).
+    * Deployment knob: `spark.graft.labels.rebuildFraction` (the
+    * [[graft.DispatchConf]] surface); an explicit argument pins it
+    * per the engine's pin rule. */
   private[ops] val LabelRebuildFraction = 0.4
 
   def ingestWithLabels(s: SparkSession, dir: String, labelsDir: String,
       batch: DataFrame, minMatch: Int = 8,
-      rebuildFraction: Double = LabelRebuildFraction): DataFrame = {
+      rebuildFraction: Option[Double] = None): DataFrame = {
+    val rebuildFrac = graft.DispatchConf(s, "spark.graft.labels.")
+      .double("rebuildFraction", LabelRebuildFraction, rebuildFraction)
     IndexIntent.assertClean(s, dir, "graft.ops.Dedup.compactBandIndex")
     assertBandFormat(s, dir, "ingestWithLabels")
     val oldLabels = readBandLabels(s, labelsDir)
@@ -2327,9 +2337,9 @@ object Dedup {
               Seq("doc_id"))
             .select(col("lbl")).distinct(),
           Seq("lbl"), "left_semi").count()
-    if (nOld > 0L && nTouched >= rebuildFraction * nOld) {
+    if (nOld > 0L && nTouched >= rebuildFrac * nOld) {
       System.err.println(s"[dedup] ingestWithLabels: batch touches " +
-        s"$nTouched/$nOld labeled docs (≥ $rebuildFraction) — " +
+        s"$nTouched/$nOld labeled docs (≥ $rebuildFrac) — " +
         "dispatching to full buildBandLabels rebuild")
       fs.create(labelsIntentPath(labelsDir), true).close()
       appendToBandIndex(dir, batch)
@@ -2445,7 +2455,9 @@ object Dedup {
     * and [[buildBandLabels]] re-derives, labels being derived state. */
   def deleteWithLabels(s: SparkSession, dir: String, labelsDir: String,
       deletedDocs: DataFrame, minMatch: Int = 8,
-      rebuildFraction: Double = LabelRebuildFraction): DataFrame = {
+      rebuildFraction: Option[Double] = None): DataFrame = {
+    val rebuildFrac = graft.DispatchConf(s, "spark.graft.labels.")
+      .double("rebuildFraction", LabelRebuildFraction, rebuildFraction)
     IndexIntent.assertClean(s, dir, "graft.ops.Dedup.compactBandIndex")
     assertBandFormat(s, dir, "deleteWithLabels")
     val oldLabels = readBandLabels(s, labelsDir)
@@ -2500,9 +2512,9 @@ object Dedup {
     // on either route.
     val nTouchedG = touchedGids.count()
     val nGroups = s.read.parquet(s"$dir/groups").count()
-    if (nGroups > 0L && nTouchedG >= rebuildFraction * nGroups) {
+    if (nGroups > 0L && nTouchedG >= rebuildFrac * nGroups) {
       System.err.println(s"[dedup] deleteWithLabels: delete touches " +
-        s"$nTouchedG/$nGroups signature groups (≥ $rebuildFraction) — " +
+        s"$nTouchedG/$nGroups signature groups (≥ $rebuildFrac) — " +
         "dispatching to full buildBandLabels rebuild")
       return buildBandLabels(s, dir, labelsDir, minMatch)
     }

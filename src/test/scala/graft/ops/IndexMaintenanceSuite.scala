@@ -997,7 +997,7 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
     // threshold, and the rebuild route cannot miss the merge
     val d = Dedup.deleteWithLabels(s, s"$root/index", s"$root/labels",
       corpus.filter(col("doc_id") === 7102L), minMatch = 15,
-      rebuildFraction = 1.1)
+      rebuildFraction = Some(1.1))
     // the bucket cooled: hot is now empty
     s.read.parquet(s"$root/index/hot").count() shouldBe 0L
     val rb = Dedup.buildBandLabels(s, s"$root/index", s"$root/labels_rb",
@@ -1031,9 +1031,9 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
       Dedup.saveBandIndex(base, s"$root/index")
       Dedup.buildBandLabels(s, s"$root/index", s"$root/labels")
       val li = Dedup.ingestWithLabels(s, s"$root/index", s"$root/labels",
-        batch, rebuildFraction = f)
+        batch, rebuildFraction = Some(f))
       val ld = Dedup.deleteWithLabels(s, s"$root/index", s"$root/labels",
-        del, rebuildFraction = f)
+        del, rebuildFraction = Some(f))
       (canon(li), canon(ld))
     }
     val (iInc, dInc) = route(1.1, "inc")   // incremental forced
@@ -1071,7 +1071,7 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
     var last: DataFrame = null
     Seq(3000L, 3001L, 3002L, 3003L).zipWithIndex.foreach { case (id, i) =>
       last = Dedup.ingestWithLabels(s, s"$root/index", s"$root/labels",
-        copyOf(20 + 10 * (i % 2), id), rebuildFraction = 1.1) // v2..v5
+        copyOf(20 + 10 * (i % 2), id), rebuildFraction = Some(1.1)) // v2..v5
     }
     versions shouldBe Seq("v3", "v4", "v5")
     canon(Dedup.readBandLabels(s, s"$root/labels")) shouldBe canon(last)
@@ -1081,7 +1081,7 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
     canon(Dedup.readBandLabels(s, s"$root/labels")) shouldBe canon(last)
     // ...and the next commit overwrites exactly that dir
     val l6 = Dedup.ingestWithLabels(s, s"$root/index", s"$root/labels",
-      copyOf(60, 3060), rebuildFraction = 1.1)
+      copyOf(60, 3060), rebuildFraction = Some(1.1))
     versions shouldBe Seq("v4", "v5", "v6")
     canon(Dedup.readBandLabels(s, s"$root/labels")) shouldBe canon(l6)
     graft.InternalCaches.releaseAll()
