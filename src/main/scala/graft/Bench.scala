@@ -75,6 +75,24 @@ object Bench {
     }.getOrElse(1)
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Executor task CPU time per query (r15 verdict #2): wall-clock is
+    // hostage to box load — every cross-round level question (316 vs
+    // 274 s records on identical code) dissolves against a channel the
+    // scheduler queue can't inflate. Sum of TaskMetrics.executorCpuTime
+    // over the tasks each timed materialization runs; cpu_s is the
+    // REGRESSION GATE, wall stays the latency report. The listener bus
+    // is async, so a task finishing right at the boundary can smear
+    // into the next query's bucket — noise well under the run-to-run
+    // wall spread this channel exists to reject.
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) taskCpuNs.addAndGet(m.executorCpuTime)
+        }
+      })
     // INTERLEAVED passes (r14 verdict #1): the r14 committed record
     // shipped a ~35 s blip on four ADJACENT queries because the runs
     // loop was query-outer — all N samples of a query ran back-to-back,
@@ -86,6 +104,7 @@ object Bench {
     // are unchanged: cache release, prepare, pre-touch all run
     // (untimed) before every timed materialization exactly as before.
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val cpuSamples = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 1 to runs; name <- selected) {
       InternalCaches.releaseAll() // paired release of operator-internal persists
       spark.catalog.clearCache() // isolate queries from each other's state
@@ -98,15 +117,22 @@ object Bench {
             System.err.println(s"[bench] prepare($name) failed: ${e.getMessage}")
         })
       preTouch() // untimed: pick up files the prepare staged/rewrote
+      val c0 = taskCpuNs.get()
       val t0 = System.nanoTime()
       val ok = try { materialize(name); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
+      val dc = (taskCpuNs.get() - c0) / 1e9
       samples(name) = (if (ok) dt else -1.0) :: samples.getOrElse(name, Nil)
+      cpuSamples(name) =
+        (if (ok) dc else -1.0) :: cpuSamples.getOrElse(name, Nil)
     }
-    val results = selected.map { name =>
-      val good = samples.getOrElse(name, Nil).filter(_ >= 0).sorted
-      name -> (if (good.isEmpty) -1.0 else good(good.length / 2))
-    }
+    def medians(m: scala.collection.Map[String, List[Double]]) =
+      selected.map { name =>
+        val good = m.getOrElse(name, Nil).filter(_ >= 0).sorted
+        name -> (if (good.isEmpty) -1.0 else good(good.length / 2))
+      }
+    val results = medians(samples)
+    val cpuResults = medians(cpuSamples)
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     if (preTouchOn)
@@ -114,9 +140,13 @@ object Bench {
         " MB of input/state files outside the timed regions")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val cq = cpuResults.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val cpuTotal = cpuResults.collect { case (_, v) if v >= 0 => v }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cpu_s":$cq,"cpu_s_total":$cpuTotal,""" +
       s""""sf":"$sfDir","runs_per_query":$runs,""" +
       s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd}"""
     // The driver captures stdout with a bounded tail that can truncate the

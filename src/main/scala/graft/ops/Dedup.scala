@@ -769,8 +769,18 @@ object Dedup {
     (row.getInt(0), row.getInt(1))
   }
 
-  def appendToBandIndex(dir: String, batch: DataFrame): Unit = {
+  def appendToBandIndex(dir: String, batch: DataFrame): DataFrame = {
     val spark = batch.sparkSession
+    // returned to label maintenance (r15 advice, medium — the heating
+    // mirror of [[deleteFromBandIndex]]'s cooled keys): the (bi, bv)
+    // keys this append pushes over the cap, hot for the first time.
+    // The new hot-guard exclusion REMOVES candidate edges between
+    // groups that shared the bucket — merges the pre-append labels
+    // already performed — so [[ingestWithLabels]] must re-solve every
+    // component with a member in a newly-hot bucket against the grown
+    // index. Bounded by the batch's touched band values.
+    def noneHot = spark.range(0)
+      .select(lit(0).as("bi"), lit(0L).as("bv"))
     // intent marker precedes the first mutation: any crash inside this
     // verb leaves the marker and every later probe/verb refuses the
     // torn directory (see [[IndexIntent]])
@@ -786,7 +796,7 @@ object Dedup {
       .agg(min(col("doc_id")).as("bgid"), count(lit(1)).as("m"))
       .withColumn("gbucket", gbucketOf(nBuckets))
       .localCheckpoint(true)
-    if (bg.isEmpty) { IndexIntent.end(spark, dir); return }
+    if (bg.isEmpty) { IndexIntent.end(spark, dir); return noneHot }
     // bounded by construction: at most nBuckets distinct small ints
     val touchedG = bg.select(col("gbucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -840,7 +850,7 @@ object Dedup {
       .localCheckpoint(true)
     val touched = batchCounts.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    if (touched.nonEmpty) {
+    val newlyHot = if (touched.nonEmpty) {
       val mergedCounts = spark.read.parquet(s"$dir/counts")
         .filter(col("bucket").isin(touched: _*)) // partition-pruned read
         .unionByName(batchCounts)
@@ -851,18 +861,26 @@ object Dedup {
       mergedCounts.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").parquet(s"$dir/counts")
+      val overCap = mergedCounts.filter(col("cnt") > cap)
+        .select(col("bi"), col("bv"))
+      // over-cap ∖ old hot = the keys this append HEATS — materialized
+      // BEFORE the hot overwrite consumes the old file
+      val heated = overCap
+        .join(spark.read.parquet(s"$dir/hot"), Seq("bi", "bv"), "left_anti")
+        .localCheckpoint(true)
       val hot = spark.read.parquet(s"$dir/hot")
-        .unionByName(mergedCounts.filter(col("cnt") > cap)
-          .select(col("bi"), col("bv")))
+        .unionByName(overCap)
         .distinct().localCheckpoint(true)
       hot.write.mode("overwrite").parquet(s"$dir/hot")
-    }
+      heated
+    } else noneHot
     // each append commits a snapshot: manifest of the (append-only)
     // live files + this batch's counts as an immutable delta. Committed
     // even when the delta is empty (all-already-live batch): the
     // manifest must still list the new sig/members files
     commitBandSnapshot(spark, dir, Some(batchCounts))
     IndexIntent.end(spark, dir)
+    newlyHot
   }
 
   // ------------------------------------------- band-index snapshots --
@@ -2149,10 +2167,43 @@ object Dedup {
     * accumulate `v$n` dirs unboundedly the way it did before r15. */
   private val LabelsKeepVersions = 3
 
+  /** Row count of a committed labels version, persisted at commit
+    * time (r15 verdict #3): the touched-fraction dispatch needs the
+    * label-corpus size per batch, and counting the labels table per
+    * ingest is a corpus-sized job against the "cost tracks the batch"
+    * contract. Written as an underscore-prefixed sidecar inside the
+    * version dir (invisible to parquet readers, GC'd with its
+    * version); None for pre-sidecar versions — callers fall back to
+    * the count once, and the next commit persists it. */
+  private def readLabelsCount(s: SparkSession, labelsDir: String): Option[Long] = {
+    val v = latestLabelsVersion(s, labelsDir)
+    if (v == 0) return None
+    val p = new org.apache.hadoop.fs.Path(labelsDir, s"v$v/_N_LABELS")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val txt = new String(
+          in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        Some(txt.trim.toLong)
+      } finally in.close()
+    }
+  }
+
   private def writeBandLabels(labels: DataFrame, labelsDir: String): Unit = {
     val s = labels.sparkSession
     val v = latestLabelsVersion(s, labelsDir) + 1
     labels.write.mode("overwrite").parquet(s"$labelsDir/v$v")
+    // the count rides the commit (every caller hands a materialized
+    // localCheckpoint, so this is a block count, not a recompute) —
+    // see [[readLabelsCount]]
+    val cp = new org.apache.hadoop.fs.Path(labelsDir, s"v$v/_N_LABELS")
+    val cfs = cp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = cfs.create(cp, true)
+    try out.write(labels.count().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     // retention: prune versions ≤ v - keep AFTER the new commit lands
     // (the just-written v$v has _SUCCESS, so at least one readable
     // version always survives — a torn dir was never readable, and a
@@ -2325,9 +2376,19 @@ object Dedup {
     // either way: the labels intent marker covers the append→labels
     // window, and buildBandLabels (the recovery verb) clears it on
     // commit.
-    val nOld = oldLabels.count()
+    //
+    // Cost of the pre-pass (r15 verdict #3 + advice): the label-corpus
+    // size is persisted at commit time (`_N_LABELS`, written by
+    // writeBandLabels), so the fraction needs ONE semi-join count —
+    // never a per-batch corpus count — and a fraction > 1.0 is an
+    // explicit opt-out (nTouched ≤ nOld makes dispatch impossible), so
+    // the pre-pass is skipped outright.
+    val skipDispatch = rebuildFrac > 1.0
+    val nOld =
+      if (skipDispatch) 0L
+      else readLabelsCount(s, labelsDir).getOrElse(oldLabels.count())
     val nTouched =
-      if (nOld == 0L) 0L
+      if (skipDispatch || nOld == 0L) 0L
       else oldLabels.join(
           oldLabels.join(
               parts.liveMembers.join(
@@ -2374,11 +2435,28 @@ object Dedup {
     val hotB = bexp.groupBy(col("bi"), col("bv"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") > cap)
       .select(col("bi"), col("bv"))
+    // the batch-internal stage honors the INDEX's hot list too (r15
+    // advice, medium): a batch pair whose only shared band value is
+    // already hot in the index gets no candidate from the grown
+    // index's [[indexSelfEdges]], so admitting it here would make the
+    // incremental route merge what the rebuild route keeps split —
+    // observable route-dependence under the dispatch. Pre-append hot
+    // only; band values this batch HEATS are repaired post-append
+    // (the newly-hot re-solve below). Semi-join first keeps the
+    // collected guard batch-bounded.
+    val bexpCold = collectedHotGuard(
+        s.read.parquet(s"$dir/hot")
+          .join(bexp.select(col("bi"), col("bv")).distinct(),
+            Seq("bi", "bv"), "left_semi"),
+        n => s"[dedup] ingestWithLabels: dropped $n index-hot band " +
+          "value(s) from the batch-internal pair stage (hot-bucket " +
+          "contract, rebuild-route alignment)")
+      .fold(bexp)(h => bexp.join(h, Seq("bi", "bv"), "left_anti"))
     val coldB = collectedHotGuard(hotB,
         n => s"[dedup] ingestWithLabels: dropped $n " +
           s"batch band value(s) with > $cap distinct signatures from the " +
           "batch-internal pair stage (hot-bucket contract)")
-      .fold(bexp)(h => bexp.join(h, Seq("bi", "bv"), "left_anti"))
+      .fold(bexpCold)(h => bexpCold.join(h, Seq("bi", "bv"), "left_anti"))
     val candB = coldB.as("x").join(coldB.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
           col("x.rep_id") < col("y.rep_id"))
@@ -2403,10 +2481,60 @@ object Dedup {
     // computed from), materialized before the index mutates
     val labels = incrementalCC(oldLabels, newEdges).localCheckpoint(true)
     fs.create(labelsIntentPath(labelsDir), true).close()
-    appendToBandIndex(dir, batch)
-    writeBandLabels(labels, labelsDir)
+    val heatedKeys = appendToBandIndex(dir, batch)
+    val heated = heatedKeys.collect()
+    // cold→hot flip repair (r15 advice, medium — the mirror of
+    // deleteWithLabels' cooled-bucket extension): a band value this
+    // append pushed over the cap leaves [[indexSelfEdges]] on the
+    // GROWN index, REMOVING candidate edges between the groups that
+    // shared it — edges the pre-append labels (and this batch's merge)
+    // legitimately used. The incremental merge's connectivity is a
+    // SUPERSET of the grown-index rebuild's (every rebuild candidate
+    // passes a stage above: grown-cold ⊆ pre-append-cold), so every
+    // rebuild component lies inside one merged component and the only
+    // components that can differ are those with a member in a newly-hot
+    // band value — re-solve exactly those against the grown index and
+    // carry the rest forward verbatim, the deleteWithLabels splice.
+    // Bounded: heated ≤ the band values this batch touched.
+    val finalLabels =
+      if (heated.isEmpty) labels
+      else {
+        System.err.println(s"[dedup] ingestWithLabels: batch heats " +
+          s"${heated.length} band value(s) over the cap — re-solving " +
+          "their components against the grown index (rebuild-route " +
+          "alignment)")
+        val heatedDf = broadcast(s.createDataFrame(
+          java.util.Arrays.asList(heated: _*), heatedKeys.schema))
+        val nBuckets = readBandMeta(s, dir)._1
+        val heatBuckets = heated
+          .map(r => math.floorMod(r.getLong(1), nBuckets.toLong).toInt)
+          .distinct.toSeq
+        val gids = s.read.parquet(s"$dir/bands")
+          .filter(col("bucket").isin(heatBuckets: _*))
+          .join(heatedDf, Seq("bi", "bv"), "left_semi")
+          .select(col("gid")).distinct().localCheckpoint(true)
+        val heatedDocs = s.read.parquet(s"$dir/members")
+          .join(gids, Seq("gid"), "left_semi").select(col("doc_id"))
+        val touchedLbl = labels
+          .join(heatedDocs, Seq("doc_id"), "left_semi")
+          .select(col("lbl")).distinct().localCheckpoint(true)
+        val touchedDocs = labels.join(touchedLbl, Seq("lbl"))
+          .select(col("doc_id"))
+        val memberGids = s.read.parquet(s"$dir/members")
+          .join(touchedDocs, Seq("doc_id"), "left_semi")
+          .select(col("gid"))
+        val touchedGids = memberGids.unionAll(gids)
+          .distinct().localCheckpoint(true)
+        val solved = connectedComponents(
+          indexSelfEdges(s, dir, minMatch, Some(touchedGids)))
+        labels.join(touchedLbl, Seq("lbl"), "left_anti")
+          .select(col("doc_id"), col("lbl"))
+          .unionAll(solved)
+          .localCheckpoint(true)
+      }
+    writeBandLabels(finalLabels, labelsDir)
     fs.delete(labelsIntentPath(labelsDir), false)
-    labels
+    finalLabels
   }
 
   /** DELETE-aware incremental label maintenance (r13 verdict #3 — the
@@ -2509,9 +2637,13 @@ object Dedup {
     // touched-fraction dispatch (r14 verdict #2) — see ingestWithLabels;
     // the labels intent marker is already up, and buildBandLabels (the
     // recovery verb) clears it on commit, so the crash contract holds
-    // on either route.
-    val nTouchedG = touchedGids.count()
-    val nGroups = s.read.parquet(s"$dir/groups").count()
+    // on either route. A fraction > 1.0 is the explicit opt-out
+    // (touchedGids ⊆ groups makes dispatch impossible): skip both
+    // count jobs outright (r15 advice).
+    val skipDispatch = rebuildFrac > 1.0
+    val nTouchedG = if (skipDispatch) 0L else touchedGids.count()
+    val nGroups =
+      if (skipDispatch) 0L else s.read.parquet(s"$dir/groups").count()
     if (nGroups > 0L && nTouchedG >= rebuildFrac * nGroups) {
       System.err.println(s"[dedup] deleteWithLabels: delete touches " +
         s"$nTouchedG/$nGroups signature groups (≥ $rebuildFrac) — " +

@@ -644,8 +644,11 @@ object Pipeline {
     * quartile selection runs its global cumulative window over a
     * ≤65536-bucket quantized histogram (r15 — the per-WEIGHT histogram
     * has corpus cardinality, so the pre-r15 cumsum over it was a
-    * corpus-sized single partition), refining per-weight inside the
-    * one boundary bucket only. Nothing scales worse than the corpus
+    * corpus-sized single partition), ITERATING the quantization inside
+    * the boundary bucket until its distinct-weight count fits the
+    * refinement cap (r16 — distribution-independent: one outlier
+    * weight can no longer make the refinement window corpus-sized;
+    * see [[weightThreshold]]). Nothing scales worse than the corpus
     * scan. */
   val dsirSelect: QueryDef = {
     val NB = 4096L
@@ -712,56 +715,107 @@ object Pipeline {
         .agg(count(lit(1)).as("n_toks"),
           round(sum(col("lr")) / lit(1000000000.0), 6).as("w"))
         .persist())
-      val kdf = docw.agg(floor(count(lit(1)) / 4).cast("long").as("k"))
-      // exact top-quartile selection with a BOUNDED global window
-      // (r15): the per-weight histogram has CORPUS cardinality
-      // (distinct per-doc weights), so a cumulative window over it is
-      // a corpus-sized single partition at 100 TB — the one global
-      // window the r14 plan audit's "NB-bounded" claim missed. Coarse
-      // pass first: quantize w into ≤65536 fixed buckets (one min/max
-      // action over the persisted docw), run the cumsum over the
-      // bucket histogram (≤65536 rows at ANY corpus size), and locate
-      // the single bucket holding the k-boundary; only THAT bucket's
-      // per-weight histogram gets the original refinement (its weights
-      // span 1/65536 of the range; equal weights always share a bucket
-      // — the quantization is monotone — so every tie of the threshold
-      // weight is visible to the quota rule). Selection is identical:
-      // top-k by (w desc, doc_id asc).
-      val mm = docw.agg(min(col("w")), max(col("w"))).head()
-      val (wLo, wHi) =
-        if (mm.isNullAt(0)) (0.0, 0.0)
-        else (mm.getDouble(0), mm.getDouble(1))
-      val cbCol =
-        if (wHi == wLo) lit(0)
-        else least(lit(65535),
-          floor((col("w") - lit(wLo)) / lit(wHi - wLo) * 65536)).cast("int")
-      val docb = docw.withColumn("cb", cbCol)
-      val bcum = docb.groupBy(col("cb")).agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("cb").desc)))
-      val tb = bcum.crossJoin(broadcast(kdf))
-        .filter(col("cum") - col("cnt") < col("k") && col("cum") >= col("k"))
-        .select(col("cb").as("tb"),
-          (col("k") - (col("cum") - col("cnt"))).as("bquota"))
-      val wcum = docb.join(broadcast(tb), col("cb") === col("tb"))
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("w").desc)))
-      val thr = wcum.crossJoin(broadcast(tb))
-        .filter(col("cum") - col("cnt") < col("bquota") &&
-          col("cum") >= col("bquota"))
-        .select(col("w").as("thr_w"),
-          (col("bquota") - (col("cum") - col("cnt"))).as("quota"))
-      val r = docb.withColumn("rn", row_number().over(
+      // exact top-quartile selection with every global window BOUNDED
+      // at any corpus size AND any weight distribution (r15 found the
+      // corpus-cardinality per-weight window; r16 closes the r15
+      // residue — one outlier weight used to compress the whole corpus
+      // into quantization bucket 0, making the in-bucket refinement
+      // window corpus-sized again). [[weightThreshold]] iterates the
+      // quantization until the boundary bucket's DISTINCT-weight count
+      // fits the refinement cap; selection is identical: top-k by
+      // (w desc, doc_id asc), ties at the threshold weight resolved by
+      // the quota rule.
+      val k = docw.agg(floor(count(lit(1)) / 4).cast("long")).head().getLong(0)
+      val r = docw.withColumn("rn", row_number().over(
         Window.partitionBy(col("w")).orderBy(col("doc_id"))))
-      r.crossJoin(broadcast(tb.select(col("tb"))))
-        .crossJoin(broadcast(thr))
-        .select(col("doc_id"), col("n_toks"), col("w").as("weight"),
-          when(col("cb") > col("tb") ||
-            (col("cb") === col("tb") &&
-              (col("w") > col("thr_w") ||
-                (col("w") === col("thr_w") && col("rn") <= col("quota")))), 1)
-            .otherwise(0).as("selected"))
-        .orderBy(col("doc_id"))
+      if (k == 0L)
+        // oracle semantics: an empty threshold relation (k = 0 never
+        // satisfies cum − cnt < k) cross-joins to zero rows
+        r.select(col("doc_id"), col("n_toks"), col("w").as("weight"),
+            lit(0).as("selected"))
+          .filter(lit(false)).orderBy(col("doc_id"))
+      else {
+        val (thrW, tieQuota, _) = weightThreshold(docw, k)
+        r.select(col("doc_id"), col("n_toks"), col("w").as("weight"),
+            when(col("w") > thrW ||
+              (col("w") === thrW && col("rn") <= tieQuota), 1)
+              .otherwise(0).as("selected"))
+          .orderBy(col("doc_id"))
+      }
     }
+  }
+
+  /** Exact (threshold weight, tie quota) of the top-`k` rows of `docw`
+    * by (w desc, doc_id asc) — the DSIR quartile boundary — with every
+    * global window bounded regardless of corpus size or weight
+    * distribution (r15 verdict #1: linear one-shot quantization lets a
+    * single outlier weight collapse everything else into bucket 0, and
+    * the per-weight refinement window is corpus-sized again).
+    *
+    * Iterated quantization: per level, bucket the current boundary
+    * interval's rows into `nBuckets` equal-width buckets (histogram ≤
+    * nBuckets rows — the only global window), locate the single bucket
+    * holding the k-boundary, deduct the fully-selected buckets above
+    * it from the quota, and descend. Stops — and refines per-weight,
+    * a ≤ `maxRefine`-row window — once the boundary bucket's
+    * DISTINCT-weight count fits. Equal weights share a bucket at every
+    * level (the quantization is a monotone function of w), so the
+    * threshold weight's ties are always fully visible to the quota
+    * rule. Terminates: the interval shrinks nBuckets× per level and
+    * DSIR weights live on a 6-decimal grid, so the distinct count
+    * drops under any cap within ~3 levels even for a 1e12 outlier;
+    * the level cap and the no-FP-progress guard make the exit
+    * unconditional for arbitrary doubles (the fallback refinement is
+    * still exact — just unbounded, the documented impossibility under
+    * grid weights). Membership in the boundary chain is tracked as a
+    * re-evaluated PREDICATE (never interval bounds), so FP edge drift
+    * between assignment and filtering cannot occur. Returns the level
+    * count for scale tests. Caller guarantees k ≥ 1 and docw nonempty.
+    */
+  private[ops] def weightThreshold(docw: DataFrame, k: Long,
+      nBuckets: Int = 65536, maxRefine: Long = 65536L): (Double, Long, Int) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Column
+    val mm = docw.agg(min(col("w")), max(col("w"))).head()
+    var curLo = mm.getDouble(0)
+    var curHi = mm.getDouble(1)
+    var quota = k
+    var inB: Column = lit(true)
+    var levels = 0
+    while (levels < 64) {
+      levels += 1
+      if (curHi == curLo) return (curLo, quota, levels)
+      val width = curHi - curLo
+      val sb = greatest(lit(0), least(lit(nBuckets - 1),
+        floor((col("w") - lit(curLo)) / lit(width) * nBuckets))).cast("int")
+      val brow = docw.filter(inB)
+        .groupBy(sb.as("cb"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("w")).as("ndw"))
+        .withColumn("cum",
+          sum(col("cnt")).over(Window.orderBy(col("cb").desc)))
+        .filter(col("cum") - col("cnt") < quota && col("cum") >= quota)
+        .head()
+      val tb = brow.getInt(0)
+      quota -= brow.getLong(3) - brow.getLong(1) // minus the buckets above
+      inB = inB && (sb === lit(tb))
+      val newLo = curLo + tb.toDouble * width / nBuckets
+      val newHi = newLo + width / nBuckets
+      if (brow.getLong(2) <= maxRefine || levels >= 63 ||
+          (newLo == curLo && newHi == curHi)) {
+        val wrow = docw.filter(inB)
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum",
+            sum(col("cnt")).over(Window.orderBy(col("w").desc)))
+          .filter(col("cum") - col("cnt") < quota && col("cum") >= quota)
+          .head()
+        return (wrow.getDouble(0),
+          quota - (wrow.getLong(2) - wrow.getLong(1)), levels)
+      }
+      curLo = newLo
+      curHi = newHi
+    }
+    throw new IllegalStateException(
+      "weightThreshold: level cap exceeded without refinement")
   }
 
   /** LEAKAGE-SAFE SPLITTING — train/val/test assignment where every

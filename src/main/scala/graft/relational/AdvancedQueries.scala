@@ -1119,19 +1119,29 @@ object AdvancedQueries {
     * once by joining (x,y)⋈(y,z) and closing with (x,z) — two
     * equi-joins, never an open wedge explosion beyond the true wedge
     * count. Every join is on vertex keys, so the whole thing shuffles
-    * like any keyed join at 100 TB; on skewed (heavy-hitter) graphs
-    * the production refinement orders vertices by DEGREE instead of id
-    * so hubs sit on the closing side — same plan shape, one extra
-    * degree pass. Pure integer arithmetic end-to-end. */
+    * like any keyed join at 100 TB; vertices are ordered by DEGREE
+    * (r16), so hub wedges sit on the closing side and total wedge work
+    * is O(m^1.5) regardless of skew. Pure integer arithmetic.
+    *
+    * Graph (r16): the original three modular-hash families produced
+    * ZERO triangles at every fixture size — the oracle was comparing
+    * all-zero counts, and no wedge ever closed. The derivation now
+    * mixes ring edges (v→v+1, v→v+2 — every consecutive trio closes),
+    * century-anchor hubs (v→v−v%100, degree ~100: anchor–v–v+1
+    * triangles), and a deliberately NON-closing global hub (every 7th
+    * doc → 0) whose wedges only degree ordering keeps off the wedge
+    * pivot. */
   val triangles: QueryDef = QueryDef.sql(
     "adv_triangles",
     """WITH nn AS (SELECT count(*) AS n FROM documents),
       |edges0 AS (
-      |  SELECT doc_id AS src, (doc_id*7 + 1) % (SELECT n FROM nn) AS dst FROM documents
+      |  SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
       |  UNION ALL
-      |  SELECT doc_id, (doc_id*13 + 3) % (SELECT n FROM nn) FROM documents
+      |  SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM documents
       |  UNION ALL
-      |  SELECT doc_id, (doc_id*29 + 11) % (SELECT n FROM nn) FROM documents),
+      |  SELECT doc_id, doc_id - doc_id % 100 FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 0 FROM documents WHERE doc_id % 7 = 0),
       |und AS (
       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       |  FROM edges0 WHERE src <> dst),
@@ -1151,20 +1161,49 @@ object AdvancedQueries {
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val nodes = Tables.documents(s, d).select(col("doc_id"))
     val n = nodes.count()
-    val edges0 = Seq((7L, 1L), (13L, 3L), (29L, 11L)).map { case (m, c) =>
-      nodes.select(col("doc_id").as("src"),
-        ((col("doc_id") * m + c) % n).as("dst"))
-    }.reduce(_ unionAll _)
+    val edges0 = nodes.select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % n).as("dst"))
+      .unionAll(nodes.select(col("doc_id").as("src"),
+        ((col("doc_id") + 2) % n).as("dst")))
+      .unionAll(nodes.select(col("doc_id").as("src"),
+        (col("doc_id") - col("doc_id") % 100).as("dst")))
+      .unionAll(nodes.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("src"), lit(0L).as("dst")))
     val und = edges0.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .localCheckpoint() // read twice: degree pass + orientation
+    // DEGREE-ORDERED orientation (r16, r15 verdict #4): orienting
+    // wedges by node id leaves a hot node of degree d with O(d²)
+    // wedges — the classic skew exposure. Orient every edge from its
+    // lower-(degree, id) endpoint instead: each triangle x<y<z (in
+    // rank order) is found exactly once as the wedge (x→y, x→z)
+    // closed by x's two HIGHER-rank neighbors' edge (y→z), and the
+    // oriented out-degree is O(√m) amortized, bounding total wedges at
+    // O(m^1.5) corpus-wide regardless of skew. The per-node triangle
+    // COUNT is orientation-invariant, so the oracle is unchanged.
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dv"))
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = und
+      .join(deg.select(col("v").as("a"), col("dv").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("dv").as("db")), Seq("b"))
+      .select(
+        when(aLower, col("a")).otherwise(col("b")).as("u"),
+        when(aLower, col("b")).otherwise(col("a")).as("w"),
+        when(aLower, col("db")).otherwise(col("da")).as("dw"))
       .localCheckpoint() // read three times by the wedge/closing joins
-    val tri = und.as("e1")
-      .join(und.as("e2"), col("e2.a") === col("e1.b"))
-      .join(und.as("e3"),
-        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tri = o.as("e1")
+      .join(o.as("e2"),
+        col("e2.u") === col("e1.u") &&
+          (col("e1.dw") < col("e2.dw") ||
+            (col("e1.dw") === col("e2.dw") && col("e1.w") < col("e2.w"))))
+      .join(o.as("e3"),
+        col("e3.u") === col("e1.w") && col("e3.w") === col("e2.w"))
+      .select(col("e1.u").as("x"), col("e1.w").as("y"), col("e2.w").as("z"))
     val members = tri.select(col("x").as("v"))
       .unionAll(tri.select(col("y").as("v")))
       .unionAll(tri.select(col("z").as("v")))

@@ -851,11 +851,19 @@ object EventStreams {
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > graft.ops.Dedup.BandBucketCap)
       .select(col("bi"), col("bv"))
+    // the static corpus side is materialized ONCE (r16): these plans
+    // sit inside the streaming query, and an unpersisted static side
+    // is re-derived — the whole corpus tokenize→shingle→minhash — by
+    // EVERY micro-batch, so per-batch cost silently tracked the corpus
+    // instead of the batch (invisible at fixture scale where the
+    // staged source is 1–2 triggers; quadratic under sustained ingest)
     val idx = bandRows.join(broadcast(hot), Seq("bi", "bv"), "left_anti")
       .withColumnRenamed("doc_id", "existing_id")
+      .localCheckpoint(true)
     val ssig = (0 until h).foldLeft(
       sig.withColumnRenamed("doc_id", "existing_id"))((acc, j) =>
       acc.withColumnRenamed(s"mh$j", s"smh$j"))
+      .localCheckpoint(true)
     val stream = s.readStream.schema(docSchema)
       .parquet(ensureStagedIn(s, lshStagedDir(d),
         fixtureFingerprint(s, d, "documents"))(stageLshBatch(s, d)))

@@ -1011,6 +1011,119 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
     graft.InternalCaches.releaseAll()
   }
 
+  /** r16 (r15 advice, medium — the heating MIRROR of the cooling case
+    * above): an ingest that pushes a band bucket OVER the cap adds it
+    * to `hot`, and the new hot-guard exclusion REMOVES the candidate
+    * edges the pre-ingest labels were built from — a rebuild over the
+    * grown index SPLITS components the incremental merge would keep.
+    * ingestWithLabels must re-solve every component with a member in a
+    * newly-hot bucket against the grown index, or the same call
+    * returns different labels depending on the dispatch route.
+    *
+    * Fixture (same deterministic texts as the cooling case): X and Y
+    * are near-dups (nm 15 at minMatch 15) sharing exactly one band
+    * value; Z shares that band value but is a near-dup of neither
+    * (nm 14). cap=2: the index over {X, Y, twins} has the shared
+    * bucket at exactly cap → cold → X–Y clustered. Ingesting Z heats
+    * it to 3 > cap → the X–Y candidate vanishes from the grown index
+    * → the rebuild (and therefore BOTH routes) must split X and Y back
+    * to singletons, twins carried forward verbatim. */
+  test("band labels: ingest that heats a bucket over the cap splits " +
+      "the bucket's components (≡ full rebuild, either route)") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import s.implicits._
+    def span(seed: String, lo: Int, hi: Int): String =
+      (lo to hi).map(i => s"${seed}t$i w$i").mkString(" ")
+    val xText = span("s48", 0, 40)
+    val yText = span("s48", 10, 50)
+    val zText = (0 until 6).map(k => s"z47q$k x47r$k").mkString(" ") +
+      " " + xText
+    val tText = span("s99", 0, 40)
+    val base = Seq(
+      7100L -> xText, 7101L -> yText,
+      7200L -> tText, 7201L -> tText // untouched exact-twin pair
+    ).toDF("doc_id", "text")
+    val zBatch = Seq(7102L -> zText).toDF("doc_id", "text")
+    def route(f: Double, tag: String): Seq[Seq[Any]] = {
+      val root = Files.createTempDirectory(s"bandlabelsheat$tag").toString
+      Dedup.saveBandIndex(base, s"$root/index", cap = 2)
+      // preconditions, loudly: nothing hot yet, X–Y clustered
+      s.read.parquet(s"$root/index/hot").count() shouldBe 0L
+      val l0 = Dedup.buildBandLabels(s, s"$root/index", s"$root/labels",
+        minMatch = 15)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      l0 shouldBe Map(7100L -> 7100L, 7101L -> 7100L,
+        7200L -> 7200L, 7201L -> 7200L)
+      val li = Dedup.ingestWithLabels(s, s"$root/index", s"$root/labels",
+        zBatch, minMatch = 15, rebuildFraction = Some(f))
+      // the shared bucket heated: exactly one hot entry now
+      s.read.parquet(s"$root/index/hot").count() shouldBe 1L
+      // ≡ a from-scratch rebuild over the grown index
+      val rb = Dedup.buildBandLabels(s, s"$root/index", s"$root/labels_rb",
+        minMatch = 15)
+      canon(li) shouldBe canon(rb)
+      canon(Dedup.readBandLabels(s, s"$root/labels")) shouldBe canon(rb)
+      canon(li)
+    }
+    val inc = route(1.1, "inc") // incremental route forced
+    val rbr = route(0.0, "rb")  // rebuild route forced
+    rbr shouldBe inc
+    // the split itself: X and Y lost their only cold shared bucket —
+    // singletons again — and the twin pair rides through untouched
+    inc.map(r => r(0).asInstanceOf[Long] -> r(1).asInstanceOf[Long])
+      .toMap shouldBe Map(7200L -> 7200L, 7201L -> 7200L)
+    graft.InternalCaches.releaseAll()
+  }
+
+  /** r16 (r15 verdict #3 + advice): the dispatch pre-pass must track
+    * the BATCH, not the corpus — the label-corpus size comes from the
+    * `_N_LABELS` sidecar persisted at commit time (one semi-join count
+    * per ingest, no corpus count), and a pinned fraction > 1.0 (the
+    * explicit incremental opt-out) skips the probe jobs outright. */
+  test("labels dispatch pre-pass: sidecar count + frac>1.0 short-circuit") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    val dropFirst = expr("substring(text, instr(text, ' ') + 1)").as("text")
+    def copyOf(id: Long, newId: Long) = docs.filter(col("doc_id") === id)
+      .select(lit(newId).as("doc_id"), dropFirst)
+    def jobsDuring(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      s.sparkContext.addSparkListener(l)
+      // the listener bus is async and has no public drain — a short
+      // settle is enough for a job-START counter (jobs were submitted
+      // synchronously inside body)
+      try { body; Thread.sleep(2000) }
+      finally s.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    def run(f: Double, tag: String): Int = {
+      val root = Files.createTempDirectory(s"labeljobs$tag").toString
+      Dedup.saveBandIndex(docs.unionAll(copyOf(20, 1020)), s"$root/index")
+      Dedup.buildBandLabels(s, s"$root/index", s"$root/labels")
+      // the commit persisted the corpus size beside the version
+      val v = Paths.get(s"$root/labels")
+      val sidecars = Files.list(v).filter(p =>
+        Files.exists(p.resolve("_N_LABELS"))).count()
+      sidecars should be >= 1L
+      jobsDuring {
+        Dedup.ingestWithLabels(s, s"$root/index", s"$root/labels",
+          copyOf(20, 2020), rebuildFraction = Some(f))
+      }
+    }
+    val probed = run(0.99, "probe") // sidecar nOld + ONE semi-join count
+    val skipped = run(1.1, "skip")  // no pre-pass jobs at all
+    skipped should be < probed
+    graft.InternalCaches.releaseAll()
+  }
+
   /** r15 (r14 verdict #2): the touched-fraction dispatch must be
     * route-invariant — forcing the rebuild route (fraction 0.0) and
     * forcing the incremental route (fraction 1.1) land on identical

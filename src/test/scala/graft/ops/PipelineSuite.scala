@@ -194,6 +194,53 @@ class PipelineSuite extends SparkSessionSuite {
     cursor.foreach { case (doc, n) => n shouldBe docToks(doc).length }
   }
 
+  /** r16 (r15 verdict #1): the DSIR quartile boundary must stay exact
+    * with BOUNDED windows under an adversarial weight distribution —
+    * one extreme outlier stretches the quantization range so every
+    * other weight collapses into bucket 0, and the r15 one-shot scheme
+    * then ran its per-weight refinement window over the whole corpus
+    * again. [[Pipeline.weightThreshold]] iterates the quantization
+    * until the boundary bucket's distinct-weight count fits the
+    * refinement cap; each case pins selection ≡ brute-force top-k by
+    * (w desc, doc_id asc), and the level count proves the recursion
+    * actually engaged. */
+  test("dsir weightThreshold: outlier-collapsed weights recurse to a " +
+      "bounded refinement and stay exact top-k") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def check(docw: org.apache.spark.sql.DataFrame, k: Long,
+        nB: Int, mR: Long): Int = {
+      val expect = docw.orderBy(col("w").desc, col("doc_id"))
+        .limit(k.toInt)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val (thrW, tieQ, levels) = Pipeline.weightThreshold(docw, k, nB, mR)
+      val got = docw.withColumn("rn", row_number().over(
+          Window.partitionBy(col("w")).orderBy(col("doc_id"))))
+        .filter(col("w") > thrW || (col("w") === thrW && col("rn") <= tieQ))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      got shouldBe expect
+      got.size shouldBe k
+      levels
+    }
+    // production shape: a 1e12 outlier + 100k distinct 6-decimal grid
+    // weights — level 0 puts all 100k (> the 65536 refinement cap) in
+    // bucket 0, so the iteration MUST descend, and the selection is
+    // still the exact top quartile
+    val adv = (1L to 100000L).map(i => (i, i * 1e-6)) :+ ((100001L, 1e12))
+    check(adv.toDF("doc_id", "w"), 25000L, 65536, 65536L) should be > 1
+    // deep recursion at toy widths: 4-bucket quantization, refinement
+    // capped at 8 distinct weights, 1000-weight grid + outlier
+    val toy = (1L to 1000L).map(i => (i, i * 1e-6)) :+ ((1001L, 1e9))
+    check(toy.toDF("doc_id", "w"), 250L, 4, 8L) should be > 2
+    // ties at the threshold weight: the quota rule picks lowest doc_ids
+    val ties = (1L to 200L).map(i => (i, (i % 10).toDouble))
+    check(ties.toDF("doc_id", "w"), 50L, 65536, 65536L) should be >= 1
+    // all-equal weights: zero-width interval exits level 1
+    val flat = (1L to 40L).map(i => (i, 0.5))
+    check(flat.toDF("doc_id", "w"), 10L, 65536, 65536L) shouldBe 1
+  }
+
   test("sequence packing fills every window except the last exactly") {
     val rows = Pipeline.packSequences.fn(spark, "/root/testdata/sf0.001")
       .groupBy(col("seq_id")).agg(sum(col("span_len")).as("fill"))

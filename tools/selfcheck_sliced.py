@@ -113,7 +113,21 @@ def main_staged(sf_dir: str, out_dir: str, query: str, nslices: int) -> None:
     assert r["site"] in sql and r["split_at"] in sql and r["tail_at"] in sql
     prefix = sql[:sql.index(r["split_at"])].rstrip().rstrip(",")
     tail = sql[sql.index(r["tail_at"]):]
-    db = "/tmp/duckdb_staged_acc.duckdb"
+    # desync guard (r15 advice): slice_select hand-duplicates the
+    # oracle's sliced CTE body — if the oracle ever changes, fail HERE
+    # with both texts, not later as a confusing value mismatch.
+    body = sql[sql.index(r["split_at"]) + len(r["split_at"]):
+               sql.index(r["tail_at"])].rstrip().rstrip(",").rstrip()
+    assert body.endswith(")"), f"unexpected CTE shape: ...{body[-40:]!r}"
+    body = body[:-1]
+    norm = lambda t: " ".join(t.split())
+    assert norm(body) == norm(r["slice_select"]), (
+        f"STAGED_RULES[{query!r}].slice_select desynchronized from the "
+        f"oracle's sliced CTE body:\n--- oracle ---\n{body}\n"
+        f"--- rule ---\n{r['slice_select']}")
+    # per-process, per-query accumulator path: two concurrent staged
+    # runs must not clobber each other's state mid-run (r15 advice)
+    db = f"/tmp/duckdb_staged_acc_{query}_{os.getpid()}.duckdb"
     for p in (db, db + ".wal"):
         if os.path.exists(p):
             os.remove(p)
@@ -135,6 +149,9 @@ def main_staged(sf_dir: str, out_dir: str, query: str, nslices: int) -> None:
     oracle = con.sql(
         "WITH chunks AS (SELECT * FROM chunks_acc),\n" + tail).df()
     con.close()
+    for p in (db, db + ".wal"):
+        if os.path.exists(p):
+            os.remove(p)
     got = pd.read_parquet(f"{out_dir}/{query}")
     a, b = canon(got), canon(oracle)
     if list(a.columns) != list(b.columns) or len(a) != len(b):
