@@ -942,7 +942,12 @@ object EventStreams {
       .parquet(sourceDir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        // materialized ONCE: probe and append both consume the batch,
+        // and an unpersisted foreachBatch frame re-reads the source
+        // files per consumer (the 100× probe showed numInputRows at
+        // exactly 2× the batch)
         val b = batch.select(col("doc_id"), col("text"))
+          .localCheckpoint(true)
         graft.ops.Dedup.probeLineIndex(s, indexDir, b)
           .withColumn("epoch", lit(epoch))
           .write.mode("append").parquet(outDir)
