@@ -88,7 +88,12 @@ object RelationalQueries {
     val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(s, d)
     val l = Tables.lineitem(s, d)
-    o.join(broadcast(c), col("c_custkey") === col("o_custkey"))
+    // customer is NOT broadcast-hinted (r16): it scales with the
+    // corpus (a ~1.5 B-row "dim" at 100 TB lineitem) — the planner
+    // auto-broadcasts the filtered segment at fixture scale (same
+    // plan) and shuffle-joins at real scale. Only the fixed-cardinality
+    // dims (nation 25, region 5) keep explicit hints engine-wide.
+    o.join(c, col("c_custkey") === col("o_custkey"))
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"))
       .agg(
@@ -386,8 +391,10 @@ object RelationalQueries {
     val r = Tables.region(s, d); val n = Tables.nation(s, d)
     val c = Tables.customer(s, d); val o = Tables.orders(s, d)
     val l = Tables.lineitem(s, d)
+    // customer unhinted (the q3 note: corpus-scaled); nation/region
+    // keep hints (fixed 25/5 rows at ANY corpus size)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))

@@ -419,8 +419,14 @@ object EventStreams {
       .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
     val nat = Tables.nation(s, d)
       .select(col("n_nationkey"), col("n_name"))
+    // nation (25 rows) is broadcast-HINTED — bounded by construction.
+    // customer is NOT (r16): it scales with the corpus, and a hint
+    // would force a corpus-sized broadcast per micro-batch at 100 TB;
+    // unhinted, the planner auto-broadcasts it at fixture scale (under
+    // the 10 MB threshold — same plan, suite/oracle unchanged) and
+    // shuffles it at real scale
     val enriched = ev
-      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .join(cust, col("user_id") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .select(col("event_id"), col("epoch"), col("user_id"),
         col("c_mktsegment").as("segment"), col("n_name").as("nation"))
@@ -878,9 +884,17 @@ object EventStreams {
     val nMatch = (0 until h)
       .map(j => when(col(s"mh$j") === col(s"smh$j"), 1).otherwise(0))
       .reduce(_ + _)
+    // the index and signature sides are NOT broadcast-hinted (r16):
+    // both scale with the CORPUS, and the hints forced a corpus-sized
+    // broadcast per micro-batch — invisible at fixture scale (the
+    // planner auto-broadcasts them under the threshold anyway, so the
+    // fixture plan is unchanged), a per-batch corpus ship at 100 TB.
+    // Unhinted, large sides shuffle on their join keys like the batch
+    // probe flavors; the bucket-pruned PERSISTED index probe remains
+    // the production-scale path
     val evidence = probe
-      .join(broadcast(idx), Seq("bi", "bv"))
-      .join(broadcast(ssig), Seq("existing_id"))
+      .join(idx, Seq("bi", "bv"))
+      .join(ssig, Seq("existing_id"))
       .withColumn("n_match", nMatch)
       .filter(col("n_match") >= 8)
       .select(col("incoming_id"), col("existing_id"), col("bi"),
