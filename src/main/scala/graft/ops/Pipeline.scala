@@ -788,9 +788,15 @@ object Pipeline {
       val width = curHi - curLo
       val sb = greatest(lit(0), least(lit(nBuckets - 1),
         floor((col("w") - lit(curLo)) / lit(width) * nBuckets))).cast("int")
+      // the distinct-weight count only gates the RECURSION decision —
+      // selection stays exact whichever way it falls — so the
+      // single-pass HLL estimate beats an exact countDistinct's
+      // two-phase expand over the corpus-sized level-0 histogram; at
+      // ±5% rsd the refinement window is bounded at ~1.05× the cap
       val brow = docw.filter(inB)
         .groupBy(sb.as("cb"))
-        .agg(count(lit(1)).as("cnt"), countDistinct(col("w")).as("ndw"))
+        .agg(count(lit(1)).as("cnt"),
+          approx_count_distinct(col("w")).as("ndw"))
         .withColumn("cum",
           sum(col("cnt")).over(Window.orderBy(col("cb").desc)))
         .filter(col("cum") - col("cnt") < quota && col("cum") >= quota)

@@ -239,6 +239,17 @@ class PipelineSuite extends SparkSessionSuite {
     // all-equal weights: zero-width interval exits level 1
     val flat = (1L to 40L).map(i => (i, 0.5))
     check(flat.toDF("doc_id", "w"), 10L, 65536, 65536L) shouldBe 1
+    // mixed-sign weights (DSIR weights are log-ratios — negative is
+    // the COMMON case) with a negative outlier stretching the range
+    // downward: the k-boundary sits in the top bucket's narrow slice
+    val mixed = (1L to 2000L).map(i => (i, (i - 1000L) * 1e-6)) :+
+      ((2001L, -1e9))
+    check(mixed.toDF("doc_id", "w"), 500L, 16, 64L) should be > 1
+    // every doc at the SAME extreme outlier value except a grid tail:
+    // the boundary bucket is a pure tie block, quota rule exact
+    val tiedOut = (1L to 100L).map(i => (i, 1e12)) ++
+      (101L to 300L).map(i => (i, i * 1e-6))
+    check(tiedOut.toDF("doc_id", "w"), 150L, 65536, 65536L) should be >= 1
   }
 
   test("sequence packing fills every window except the last exactly") {
