@@ -80,19 +80,44 @@ object Bench {
     // 274 s records on identical code) dissolves against a channel the
     // scheduler queue can't inflate. Sum of TaskMetrics.executorCpuTime
     // over the tasks each timed materialization runs; cpu_s is the
-    // REGRESSION GATE, wall stays the latency report. The listener bus
-    // is async, so a task finishing right at the boundary can smear
-    // into the next query's bucket — noise well under the run-to-run
-    // wall spread this channel exists to reject.
-    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = e.taskMetrics
-          if (m != null) taskCpuNs.addAndGet(m.executorCpuTime)
+    // REGRESSION GATE, wall stays the latency report.
+    //
+    // r17 (measurement fix, r16 advice #1): attribution is BY JOB GROUP,
+    // not by wall-clock window deltas on one global counter — the old
+    // scheme systematically charged late task-end events from the
+    // untimed prepare/pre-touch stages (and the previous query) to the
+    // timed window. Each timed materialization runs under job group
+    // "q:<name>#<pass>" and each prepare under "prep:<name>" (discarded);
+    // tasks whose stage carries no group (streaming micro-batches run on
+    // their own threads, which don't inherit the group) fall back to the
+    // query whose timed window is open — the old behavior, now confined
+    // to the only tasks that need it. Per-query cpu is read after the
+    // whole run settles, so boundary smear is gone, not just reduced.
+    val cpuByKey = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+    val stageKey = new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+    @volatile var fallbackKey = "warmup"
+    val cpuListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        g.foreach(k => e.stageIds.foreach(sid => stageKey.put(sid, k)))
+      }
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          val k = Option(stageKey.get(Integer.valueOf(e.stageId)))
+            .getOrElse(fallbackKey)
+          cpuByKey
+            .computeIfAbsent(k,
+              _ => new java.util.concurrent.atomic.AtomicLong(0L))
+            .addAndGet(m.executorCpuTime)
         }
-      })
+      }
+    }
+    spark.sparkContext.addSparkListener(cpuListener)
     // INTERLEAVED passes (r14 verdict #1): the r14 committed record
     // shipped a ~35 s blip on four ADJACENT queries because the runs
     // loop was query-outer — all N samples of a query ran back-to-back,
@@ -104,8 +129,11 @@ object Bench {
     // are unchanged: cache release, prepare, pre-touch all run
     // (untimed) before every timed materialization exactly as before.
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    val cpuSamples = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (_ <- 1 to runs; name <- selected) {
+    val okByKey = scala.collection.mutable.Map.empty[String, Boolean]
+    for (pass <- 1 to runs; name <- selected) {
+      // untimed housekeeping + staging runs under a discarded job group,
+      // so its task CPU can no longer smear into any query's bucket
+      spark.sparkContext.setJobGroup(s"prep:$name", s"prepare $name")
       InternalCaches.releaseAll() // paired release of operator-internal persists
       spark.catalog.clearCache() // isolate queries from each other's state
       // One-time input staging runs OUTSIDE the timed region. A staging
@@ -117,14 +145,25 @@ object Bench {
             System.err.println(s"[bench] prepare($name) failed: ${e.getMessage}")
         })
       preTouch() // untimed: pick up files the prepare staged/rewrote
-      val c0 = taskCpuNs.get()
+      val key = s"q:$name#$pass"
+      spark.sparkContext.setJobGroup(key, name)
+      fallbackKey = key
       val t0 = System.nanoTime()
       val ok = try { materialize(name); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
-      val dc = (taskCpuNs.get() - c0) / 1e9
+      spark.sparkContext.clearJobGroup()
       samples(name) = (if (ok) dt else -1.0) :: samples.getOrElse(name, Nil)
-      cpuSamples(name) =
-        (if (ok) dc else -1.0) :: cpuSamples.getOrElse(name, Nil)
+      okByKey(key) = ok
+    }
+    // let the async listener bus settle before reading the cpu buckets
+    Thread.sleep(2000)
+    spark.sparkContext.removeSparkListener(cpuListener)
+    val cpuSamples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (pass <- 1 to runs; name <- selected) {
+      val key = s"q:$name#$pass"
+      val ns = Option(cpuByKey.get(key)).map(_.get()).getOrElse(0L)
+      val dc = if (okByKey.getOrElse(key, false)) ns / 1e9 else -1.0
+      cpuSamples(name) = dc :: cpuSamples.getOrElse(name, Nil)
     }
     def medians(m: scala.collection.Map[String, List[Double]]) =
       selected.map { name =>

@@ -19,11 +19,34 @@ import org.apache.spark.sql.DataFrame
 object InternalCaches {
   private val registered =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val pinnedRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
 
   /** Register a persisted frame for later release; returns it. */
   private[graft] def register(df: DataFrame): DataFrame = {
     registered.add(df)
     df
+  }
+
+  /** Pin a multiply-consumed derivation EAGERLY (r16 verdict #1): an
+    * eager localCheckpoint materializes once, truncates lineage, and
+    * stores at MEMORY_AND_DISK — so (a) concurrent first consumers can
+    * never each recompute the derivation while the lazy cache is still
+    * filling (the sim_bm25 cpu_s 12→104 swing on identical code), and
+    * (b) memory pressure EVICTS TO DISK instead of dropping blocks and
+    * recomputing (persist() bounds nothing once its blocks are gone).
+    * The backing RDD is registered so [[releaseAll]] frees the blocks
+    * deterministically. Contract difference vs [[register]]: a pinned
+    * frame has NO lineage — it must not be consumed after release
+    * (Bench/Verify release only after the query fully materializes,
+    * and every suite releases after its assertions). */
+  private[graft] def pinEager(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    cp.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => pinnedRdds.add(lr.rdd)
+      case _ => () // unexpected shape: blocks still freed by the ContextCleaner
+    }
+    cp
   }
 
   /** Unpersist every registered frame (idempotent, safe while lazy
@@ -42,6 +65,17 @@ object InternalCaches {
         case scala.util.control.NonFatal(_) => // cache is gone either way
       }
       df = registered.poll()
+    }
+    // pinned (localCheckpoint'd) frames: Dataset.unpersist is a no-op on
+    // them, so the checkpoint blocks are freed through the backing RDD
+    var rdd = pinnedRdds.poll()
+    while (rdd != null) {
+      try {
+        if (!rdd.sparkContext.isStopped) rdd.unpersist(blocking)
+      } catch {
+        case scala.util.control.NonFatal(_) => // blocks are gone either way
+      }
+      rdd = pinnedRdds.poll()
     }
   }
 }

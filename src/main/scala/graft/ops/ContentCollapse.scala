@@ -132,10 +132,11 @@ private[graft] object ContentCollapse {
     else {
       System.err.println(s"[collapse] $family: content collapse — " +
         s"$n rows -> $u distinct $logNoun")
-      val gmap = graft.InternalCaches.register(
+      // pinned eagerly (r16 verdict #1): gmap feeds the member map and
+      // the unique-representative side of every collapsed plan
+      val gmap = graft.InternalCaches.pinEager(
         df.filter(content.isNotNull)
-          .withColumn("gid", min(col(idCol)).over(Window.partitionBy(content)))
-          .persist())
+          .withColumn("gid", min(col(idCol)).over(Window.partitionBy(content))))
       Some(Groups(gmap,
         gmap.select(col("gid"), col(idCol).as("mid")),
         gmap.filter(col(idCol) === col("gid"))))

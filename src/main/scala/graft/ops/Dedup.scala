@@ -400,10 +400,10 @@ object Dedup {
     IndexIntent.assertClean(s, dir,
       "a rebuild (graft.ops.Dedup.saveLineIndex over the full corpus)")
     val nBuckets = s.read.parquet(s"$dir/meta").head().getInt(0)
-    val lines = lineRowsOf(batch)
-      .withColumn("bucket", pmod(xxhash64(col("lh")), lit(nBuckets)).cast("int"))
-      .persist()
-    graft.InternalCaches.register(lines)
+    // pinned eagerly (r16 verdict #1): consumed by the touched-bucket
+    // collect and the boiler join — eviction-immune, never recomputed
+    val lines = graft.InternalCaches.pinEager(lineRowsOf(batch)
+      .withColumn("bucket", pmod(xxhash64(col("lh")), lit(nBuckets)).cast("int")))
     // bounded by construction: at most nBuckets distinct small ints
     val touched = lines.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -1342,22 +1342,19 @@ object Dedup {
     // (null keys compare equal in partitioning) and their null bands
     // join nothing, same as before.
     val sigKey = (0 until h).map(j => col(s"mh$j"))
-    val signedG = graft.InternalCaches.register(signed
+    val signedG = graft.InternalCaches.pinEager(signed
       .withColumn("rep_id", min(col("incoming_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(sigKey: _*)))
-      .persist())
+        org.apache.spark.sql.expressions.Window.partitionBy(sigKey: _*))))
     val memberMap = signedG
       .select(col("incoming_id").as("member_id"), col("rep_id"))
     val reps = signedG.filter(col("incoming_id") === col("rep_id"))
-    val probe = reps.select(
+    val probe = graft.InternalCaches.pinEager(reps.select(
       (col("incoming_id") +: (0 until h).map(j => col(s"mh$j"))) :+
         explode(array((0 until Bands).map(b =>
           struct(lit(b).as("bi"), col(s"band$b").as("bv"))): _*)).as("band"): _*)
       .select((col("incoming_id") +: (0 until h).map(j => col(s"mh$j"))) :+
         col("band.bi").as("bi") :+ col("band.bv").as("bv"): _*)
-      .withColumn("bucket", pmod(col("bv"), lit(nBuckets)).cast("int"))
-      .persist()
-    graft.InternalCaches.register(probe)
+      .withColumn("bucket", pmod(col("bv"), lit(nBuckets)).cast("int")))
     // bounded by construction: at most nBuckets distinct small ints.
     // Docs too short to shingle carry null bands (they can match
     // nothing) — filtered here, not collected: a null would NPE getInt.
@@ -1466,10 +1463,9 @@ object Dedup {
   private def lshCollapsed(sh: DataFrame, bucketCap: Int): LshCollapsed = {
     // one window pass serves both the member→group map and the
     // unique-signature table (the HammingBands.pairs shape)
-    val g = graft.InternalCaches.register(signatures(sh)
+    val g = graft.InternalCaches.pinEager(signatures(sh)
       .withColumn("gid",
-        min(col("doc_id")).over(Window.partitionBy(mhCols: _*)))
-      .persist())
+        min(col("doc_id")).over(Window.partitionBy(mhCols: _*))))
     val members = g.select(col("doc_id"), col("gid"))
     val usig = g.filter(col("doc_id") === col("gid"))
     val bandRows = bandRowsOf(usig)
@@ -1646,26 +1642,28 @@ object Dedup {
   /** [[substringDedup]]'s engine over any (doc_id, text) frame — exposed
     * for library use and suite-level planting. */
   private[graft] def substringSpanDedup(corpus: DataFrame): DataFrame = {
-    val se = graft.InternalCaches.register(corpus
+    // each stage below is consumed twice (se: sliding windows + token
+    // reassembly; win: dup agg + hits join; hits: nwin + coverage) — all
+    // pinned eagerly (r16 verdict #1) so concurrent consumers read
+    // materialized blocks instead of racing the lazy cache into
+    // re-tokenizing, and eviction goes to disk, never to recompute
+    val se = graft.InternalCaches.pinEager(corpus
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"),
-        tokHash(col("tok")).as("tid"))
-      .persist())
+        tokHash(col("tok")).as("tid")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val win = graft.InternalCaches.register(se
+    val win = graft.InternalCaches.pinEager(se
       .select(Seq(col("doc_id"), col("pos"), col("tid")) ++
         (2 to SubLen).map(i => lead(col("tid"), i - 1).over(w).as(s"t$i")): _*)
       .filter(col(s"t$SubLen").isNotNull)
       .select(col("doc_id"), col("pos"),
-        subWhash(col("tid"), i => col(s"t$i")).as("whash"))
-      .persist())
+        subWhash(col("tid"), i => col(s"t$i")).as("whash")))
     val dup = win.groupBy(col("whash"))
       .agg(countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("canon"))
       .filter(col("df") >= 2)
       .select(col("whash"), col("canon"))
-    val hits = graft.InternalCaches.register(win.join(dup, Seq("whash"))
-      .select(col("doc_id"), col("pos"), col("canon"))
-      .persist())
+    val hits = graft.InternalCaches.pinEager(win.join(dup, Seq("whash"))
+      .select(col("doc_id"), col("pos"), col("canon")))
     val nwin = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
     val cov = hits
       .select(col("doc_id"), col("canon"),
@@ -2903,9 +2901,15 @@ object Dedup {
     val uniqDocs = coll.fold(docs)(
       _.uniq.select(col("gid").as("doc_id"), col("text")))
     val shAll = shingles(encodedToks(uniqDocs))
-    val rare = shAll.groupBy(col("x")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfCap).select(col("x"))
-    val sh = graft.InternalCaches.register(shAll.join(rare, Seq("x")).persist())
+    // df cap as a window count over x — ONE pass over the (uncached)
+    // shingle derivation instead of a groupBy twin + join that computed
+    // it twice; surviving rows identical. Pinned eagerly (r16 verdict
+    // #1): three consumers (sizes + both self-join sides) would
+    // otherwise race the lazy cache into re-tokenizing concurrently.
+    val sh = graft.InternalCaches.pinEager(shAll
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("x"))))
+      .filter(col("df") <= DfCap)
+      .select(col("doc_id"), col("x")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.x") === col("b.x") &&
@@ -3019,8 +3023,8 @@ object Dedup {
   val embeddingCosBanded: QueryDef =
     QueryDef.sql("dedup_embedding_cos_banded", embCosOracleSql) { (s, d) =>
       Similarity.collapsedCosinePairs(
-          graft.InternalCaches.register(
-            corpusScaledEmb(Tables.embeddings(s, d)).persist()),
+          graft.InternalCaches.pinEager(
+            corpusScaledEmb(Tables.embeddings(s, d))),
           "dedup_embedding_cos_banded")(Similarity.bandedPairCosine(_))
         .filter(col("rawcos") >= 0.99)
         .select(col("v1"), col("v2"), (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
@@ -3034,7 +3038,7 @@ object Dedup {
     * [[Similarity.ivfStride]] — centroid count independent of n, r6;
     * ties broken by centroid id). Shared by [[semanticDedup]] and the
     * invariant tests. Output: (vec_id, v, nrm, cell). */
-  private[ops] def semanticAssign(prep: DataFrame,
+  private[graft] def semanticAssign(prep: DataFrame,
       nlist: Int = Similarity.IvfNlist): DataFrame =
     Similarity.rankedCellsAuto(prep, nlist, upTo = 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
@@ -3077,8 +3081,9 @@ object Dedup {
   private[ops] def semanticDedup(prep: DataFrame, threshold: Double,
       nlist: Int = Similarity.IvfNlist,
       cellCap: Int = SemCellCap): DataFrame = {
-    val assign = graft.InternalCaches.register(
-      semanticAssign(prep, nlist).persist())
+    // pinned eagerly (r16 verdict #1): the nearest-centroid assignment
+    // is consumed by the hot-cell agg and both pair-stage sides
+    val assign = graft.InternalCaches.pinEager(semanticAssign(prep, nlist))
     // hot-cell guard: the hot list is tiny by construction (it takes
     // > cap co-clustered vectors to enter), so the anti-join broadcasts
     val hot = assign.groupBy(col("cell"))
@@ -3284,8 +3289,10 @@ object Dedup {
     val docs = Tables.documents(s, d)
     val corpus = docs.select(col("doc_id"), col("text"))
       .unionAll(incomingLshBatch(docs))
-    val sig = graft.InternalCaches.register(
-      signatures(shingles(encodedToks(corpus))).persist())
+    // pinned eagerly (r16 verdict #1): the MinHash signing is consumed
+    // by the index side, the hot-guard dedup, and the probe side
+    val sig = graft.InternalCaches.pinEager(
+      signatures(shingles(encodedToks(corpus))))
     val bandRows = bandRowsOf(sig)
     // the same hot-bucket guard lshCandidatePairs enforces, applied to
     // the INDEX side: a batch doc probing a boilerplate bucket of b

@@ -182,9 +182,15 @@ object HammingBands {
         sigs.select(col(idCol).as("hb_id"), col(bandsCol).as("bands")),
         "hb_id", col("bands"), family, "signatures",
         statsKnown = Some((n, u)))
-    val usig = grouped.fold(
+    // pinned eagerly (r16 verdict #1 / r17): the unique-signature table
+    // is consumed up to four times in one plan (the dispatch histogram,
+    // both candidate-join sides, and the two Hamming-verify joins) —
+    // unpinned, EACH consumer recomputed the full signature derivation
+    // (tokenize + per-bit votes for SimHash, per-byte block hashes for
+    // the media families), the dominant per-query cost
+    val usig = graft.InternalCaches.pinEager(grouped.fold(
         sigs.select(col(idCol).as("gid"), col(bandsCol).as("bands")))(
-        _.uniq.select(col("gid"), col("bands")))
+        _.uniq.select(col("gid"), col("bands"))))
 
     // inter-group candidates over UNIQUE signatures, routed
     val decision = route match {

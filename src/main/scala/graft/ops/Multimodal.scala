@@ -461,13 +461,16 @@ object Multimodal {
             floor((j + 1) * col("n") / 64.0).cast("long") - 1),
           lit(0L), (h, k) => (h * 131L + byteAt(k) * byteAt(k)) % P)
       val pows = array((0 until 8).map(i => lit(1L << i)): _*)
-      val sigs = graft.InternalCaches.register(corpus
+      // pinned eagerly (r16 verdict #1): the per-byte band signature is
+      // the query's dominant cost and HammingBands.pairs consumes it
+      // more than once — a lazy persist let concurrent consumers (or an
+      // eviction) recompute the whole byte scan
+      val sigs = graft.InternalCaches.pinEager(corpus
         .select(col("media_id"),
           transform(sequence(lit(0L), lit(7L)), b =>
             aggregate(sequence(lit(0L), lit(7L)), lit(0L),
               (a, k) => a + (blockHash(b * 8 + k) % 2L) *
-                element_at(pows, (k + 1).cast("int")))).as("bands"))
-        .persist())
+                element_at(pows, (k + 1).cast("int")))).as("bands")))
       // collapse + density dispatch ([[HammingBands]]): exact twins
       // (the densification adversary — this family ran 26.2× at the
       // r11 10× fixture) collapse to one signature before any pairing;
@@ -676,7 +679,8 @@ object Multimodal {
           ((x1 - x0 + 1) * (y1 - y0 + 1)).as("cp"))
       }
       val pows = array((0 until 8).map(i => lit(1L << i)): _*)
-      val sigs = graft.InternalCaches.register(corpus
+      // pinned eagerly — same rationale as mm_fuzzy_dedup's signature
+      val sigs = graft.InternalCaches.pinEager(corpus
         .withColumn("cells",
           transform(sequence(lit(0L), lit(63L)), c => cellOf(c)))
         .withColumn("ts",
@@ -689,8 +693,7 @@ object Multimodal {
               val bit = when(cell.getField("cs") * col("tp") >
                 col("ts") * cell.getField("cp"), 1L).otherwise(0L)
               a + bit * element_at(pows, (k + 1).cast("int"))
-            })).as("bands"))
-        .persist())
+            })).as("bands")))
       // collapse + density dispatch ([[HammingBands]]): the r11 10×
       // densification fixture drove this family 47.5× through the old
       // uncollapsed band join; unique-signature candidate generation
@@ -868,8 +871,12 @@ object Multimodal {
           out
         }
       }
-    val chunks = graft.InternalCaches.register(
-      spark.createDataFrame(chunkRows, chunkSchema).persist())
+    // pinned eagerly (r16 verdict #1): the per-byte CDC chunker is the
+    // query's dominant cost and is consumed twice (shared-chunk agg +
+    // join-back) — the lazy persist let the two consumers race into
+    // chunking the corpus twice
+    val chunks = graft.InternalCaches.pinEager(
+      spark.createDataFrame(chunkRows, chunkSchema))
     // chunks below 8 bytes are never "shared": CDC implementations
     // impose a minimum chunk size for exactly this reason — tiny
     // chunks collide by value, not by content overlap
@@ -960,7 +967,8 @@ object Multimodal {
             lit(0L), (a, k) => a + byteAt(k) * byteAt(k))))
           .as(Seq("f", "energy")))
       .select(col("media_id"), col("f").cast("long").as("f"), col("energy"))
-    val frC = graft.InternalCaches.register(fr.persist())
+    // pinned eagerly: consumed by the total-energy agg and the join
+    val frC = graft.InternalCaches.pinEager(fr)
     val tot = frC.groupBy(col("media_id"))
       .agg(sum(col("energy")).as("te"), count(lit(1)).as("nf"))
     val act = frC.join(tot, Seq("media_id"))

@@ -286,9 +286,10 @@ object Pipeline {
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("toks")) - 3),
           i => array_join(slice(col("toks"), i, lit(4)), " "))).as("g"))
-    val bench = graft.InternalCaches.register(
-      sh.filter(col("doc_id") % 100 === 0).select(col("g")).distinct()
-        .persist())
+    // pinned eagerly (r16 verdict #1): consumed by the sizing count
+    // and the bloom build/probe
+    val bench = graft.InternalCaches.pinEager(
+      sh.filter(col("doc_id") % 100 === 0).select(col("g")).distinct())
     // build: one tiny aggregate over the benchmark side (a driver
     // scalar, like the one-row stats reads elsewhere); sized from the
     // MEASURED eval-set cardinality, not a constant (r15): the bench
@@ -695,11 +696,12 @@ object Pipeline {
         |FROM r CROSS JOIN thr t
         |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val occ = graft.InternalCaches.register(Tables.documents(s, d)
+      // pinned eagerly (r16 verdict #1): four consumers (cr, ct, tot,
+      // the doc-weight join) raced the lazy cache into re-tokenizing
+      val occ = graft.InternalCaches.pinEager(Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           explode(transform(split(col("text"), " "),
-            t => Dedup.tokHash(t) % NB)).as("b"))
-        .persist())
+            t => Dedup.tokHash(t) % NB)).as("b")))
       val cr = occ.groupBy(col("b")).agg(count(lit(1)).as("cr"))
       val ct = occ.filter(col("lang") === "en")
         .groupBy(col("b")).agg(count(lit(1)).as("ct"))
@@ -710,11 +712,12 @@ object Pipeline {
           round((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("ctt") + NB))
             - log((col("cr") + lit(1.0)) / (col("crt") + NB))) * 1000000000L)
             .cast("long").as("lr"))
-      val docw = graft.InternalCaches.register(occ.join(lrt, Seq("b"))
+      // pinned eagerly: the iterated quantization re-reads doc weights
+      // once per refinement level
+      val docw = graft.InternalCaches.pinEager(occ.join(lrt, Seq("b"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_toks"),
-          round(sum(col("lr")) / lit(1000000000.0), 6).as("w"))
-        .persist())
+          round(sum(col("lr")) / lit(1000000000.0), 6).as("w")))
       // exact top-quartile selection with every global window BOUNDED
       // at any corpus size AND any weight distribution (r15 found the
       // corpus-cardinality per-weight window; r16 closes the r15

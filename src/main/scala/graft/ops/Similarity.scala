@@ -270,8 +270,8 @@ object Similarity {
       |SELECT query_id, rank, neighbor_id, floor(rawcos * 1e6 + 0.5) / 1e6 AS cos
       |FROM hard WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-    val prep = graft.InternalCaches.register(
-      Dedup.corpusScaledEmb(Tables.embeddings(s, d)).persist())
+    val prep = graft.InternalCaches.pinEager(
+      Dedup.corpusScaledEmb(Tables.embeddings(s, d)))
     val anchors = prep.filter(col("vec_id") % 25 === 0 && col("vec_id") < 10000)
     hardNegatives(anchors, prep, 3, 0.99)
       .orderBy(col("query_id"), col("rank"))
@@ -373,8 +373,8 @@ object Similarity {
       |SELECT query_id, rank, neighbor_id, floor(rawcos * 1e6 + 0.5) / 1e6 AS cos
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-    val prep = graft.InternalCaches.register(
-      prepared(Tables.embeddings(s, d)).persist())
+    val prep = graft.InternalCaches.pinEager(
+      prepared(Tables.embeddings(s, d)))
     val queries = prep.filter(col("vec_id") % 50 === 0)
     cosineTopK(queries, prep, 5)
       .orderBy(col("query_id"), col("rank"))
@@ -424,8 +424,8 @@ object Similarity {
         |SELECT query_id, rank, neighbor_id, floor(rawcos * 1e6 + 0.5) / 1e6 AS cos
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-      val prep = graft.InternalCaches.register(
-      prepared(Tables.embeddings(s, d)).persist())
+      val prep = graft.InternalCaches.pinEager(
+      prepared(Tables.embeddings(s, d)))
       // Vectors ride INTO the bucket join and the cosine is computed
       // inline; the cross-table/probe dedup runs after, on the scalar
       // (identical on every duplicate — same arrays, same positional
@@ -817,8 +817,8 @@ object Similarity {
       // banded route) the join sides — unpersisted, the O(n·d) bucket
       // computation would run once for the decision and again inside
       // bandedPairCosine (r11 review).
-      val bk = graft.InternalCaches.register(
-        lshBucketsMulti(prep, tables).persist())
+      val bk = graft.InternalCaches.pinEager(
+        lshBucketsMulti(prep, tables))
       val d = rangeDispatchDecision(prep, tables, minLshVectors, sharePctPin,
         Some(bk))
       if (d.useBrute) { bk.unpersist(); pairCosineKernel(prep, threshold) }
@@ -832,8 +832,8 @@ object Similarity {
       // representative, so unique buckets weighted by group size ARE
       // the uncollapsed histogram, and the decision (plus its SQL twin,
       // which computes the full histogram) is collapse-invariant.
-      val bk = graft.InternalCaches.register(
-        lshBucketsMulti(uniq, tables).persist())
+      val bk = graft.InternalCaches.pinEager(
+        lshBucketsMulti(uniq, tables))
       val sizes = g.members.groupBy(col("gid")).agg(count(lit(1)).as("cnt"))
       val hist = bk.join(sizes, bk("vec_id") === sizes("gid"))
         .groupBy(col("tbl"), col("bucket")).agg(sum(col("cnt")).as("c"))
@@ -887,8 +887,8 @@ object Similarity {
         |JOIN norms n2 ON n2.vec_id = v2
         |WHERE dot / (n1.nrm * n2.nrm) >= 0.35
         |ORDER BY v1, v2""".stripMargin) { (s, d) =>
-      val prep = graft.InternalCaches.register(
-      prepared(Tables.embeddings(s, d)).persist())
+      val prep = graft.InternalCaches.pinEager(
+      prepared(Tables.embeddings(s, d)))
       collapsedCosinePairs(prep, "sim_range_search_lsh")(bandedPairCosine(_))
         .filter(col("rawcos") >= 0.35)
         .select(col("v1"), col("v2"), (floor(col("rawcos") * 1e6 + 0.5) / 1e6).as("cos"))
@@ -955,8 +955,8 @@ object Similarity {
       |JOIN norms n2 ON n2.vec_id = v2
       |WHERE dot / (n1.nrm * n2.nrm) >= 0.35
       |ORDER BY v1, v2""".stripMargin) { (s, d) =>
-    val prep = graft.InternalCaches.register(
-      prepared(Tables.embeddings(s, d)).persist())
+    val prep = graft.InternalCaches.pinEager(
+      prepared(Tables.embeddings(s, d)))
     // thresholds PINNED to the literals the twin inlines — a session
     // knob must never flip this oracle-checked route
     rangeSearchPairs(prep, 0.35, minLshVectors = Some(4096L),
@@ -1071,7 +1071,7 @@ object Similarity {
     * (upTo = 1) so the two operators can never drift onto different
     * clusterings — the single-definition rule the SQL twins already
     * follow via their shared CTE block. */
-  private[ops] def rankedCells(prep: DataFrame, nlist: Int,
+  private[graft] def rankedCells(prep: DataFrame, nlist: Int,
       upTo: Int): DataFrame =
     rankedCellsWithCentroids(prep, ivfCentroidTable(prep, nlist), upTo)
 
@@ -1225,8 +1225,7 @@ object Similarity {
     // generate once per content pair and members expand back through
     // [[retainExpandRank]]. Queries must be a subset of `prep` rows
     // (every caller passes a filter of it).
-    val ranked = quantizer(prep, nlist, nprobe).persist()
-    graft.InternalCaches.register(ranked)
+    val ranked = graft.InternalCaches.pinEager(quantizer(prep, nlist, nprobe))
     // memoized + hashed single-row pre-pass — shared engine, see
     // [[ContentCollapse.dupStats]]
     val (nN, nU) = ContentCollapse.dupStats(prep, col("v"), "ivf_topk")
@@ -1354,8 +1353,8 @@ object Similarity {
       |SELECT query_id, rank, neighbor_id, floor(rawcos * 1e6 + 0.5) / 1e6 AS cos
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-    val prep = graft.InternalCaches.register(
-      prepared(Tables.embeddings(s, d)).persist())
+    val prep = graft.InternalCaches.pinEager(
+      prepared(Tables.embeddings(s, d)))
     val queries = prep.filter(col("vec_id") % QueryStride === 0)
     // IvfNprobe=6 of IvfNlist=8 cells ⇒ recall@5 = 0.84 vs brute force
     // on the (unstructured) fixture corpus (r5; re-measured unchanged
@@ -1482,8 +1481,8 @@ object Similarity {
       |SELECT query_id, rank, neighbor_id, floor(rawcos * 1e6 + 0.5) / 1e6 AS cos
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-    val prep = graft.InternalCaches.register(
-      prepared(Tables.embeddings(s, d)).persist())
+    val prep = graft.InternalCaches.pinEager(
+      prepared(Tables.embeddings(s, d)))
     val queries = prep.filter(col("vec_id") % QueryStride === 0)
     ivfTopKDet2(prep, queries, 5, nlist = IvfNlist, nprobe = IvfNprobe,
         coarseProbe = Ivf2CoarseProbe)
@@ -1553,9 +1552,14 @@ object Similarity {
     val docs = Tables.documents(s, d)
     val shAll = Dedup.shingles(Dedup.encodedToks(
       docs.select(col("doc_id"), col("text"))))
-    val rare = shAll.groupBy(col("x")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= Dedup.DfCap).select(col("x"))
-    val shc = graft.InternalCaches.register(shAll.join(rare, Seq("x")).persist())
+    // df cap as a window count over x — ONE pass over the (uncached)
+    // shingle derivation instead of a groupBy twin + join that computed
+    // it twice; the surviving rows are identical. Pinned eagerly (r16
+    // verdict #1): the query/candidate sides consume shc concurrently.
+    val shc = graft.InternalCaches.pinEager(shAll
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("x"))))
+      .filter(col("df") <= Dedup.DfCap)
+      .select(col("doc_id"), col("x")))
     val qt = shc.filter(col("doc_id") % QueryStride === 0)
       .select(col("doc_id").as("qid"), col("x"))
     val ct = shc.select(col("doc_id").as("cand"), col("x"))
@@ -1566,8 +1570,8 @@ object Similarity {
       .groupBy(col("qid"), col("cand")).agg(count(lit(1)).as("overlap"))
       .withColumn("rl", row_number().over(wl)).filter(col("rl") <= FusionDepth)
       .select(col("qid"), col("cand"), col("rl"))
-    val prep = graft.InternalCaches.register(
-      prepared(Tables.embeddings(s, d)).persist())
+    val prep = graft.InternalCaches.pinEager(
+      prepared(Tables.embeddings(s, d)))
     val vecr = ivfTopKDet(prep, prep.filter(col("vec_id") % QueryStride === 0),
         FusionDepth, nlist = IvfNlist, nprobe = IvfNprobe)
       .select(col("query_id").as("vqid"), col("neighbor_id").as("vcand"),
@@ -1638,12 +1642,18 @@ object Similarity {
       |FROM scored QUALIFY rank <= 10
       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val sh = Dedup.shingles(Dedup.encodedToks(docs)).withColumnRenamed("x", "tid")
-    val terms = graft.InternalCaches.register(
-      sh.groupBy(col("doc_id"), col("tid"))
-        .agg(count(lit(1)).as("tf")).persist())
-    val lens = graft.InternalCaches.register(
-      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("len")).persist())
+    // ONE shingle pass serves every consumer (r16 verdict #1 / r17):
+    // [[Dedup.shingles]] is DISTINCT on (doc_id, x) by construction, so
+    // the old `terms` groupBy recounted a constant tf = 1 through a full
+    // extra exchange, and `lens` re-derived the whole tokenization a
+    // second time. Both now read the pinned shingle table — eager, so
+    // the 2–4 concurrent consumers can never race the lazy cache into
+    // recomputing the tokenization (the r16 cpu_s 12→104 swing), and
+    // eviction under pressure goes to disk, not to recompute.
+    val sh = graft.InternalCaches.pinEager(
+      Dedup.shingles(Dedup.encodedToks(docs)).withColumnRenamed("x", "tid"))
+    val terms = sh.withColumn("tf", lit(1L))
+    val lens = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
     val st = lens.agg(count(lit(1)).as("n"),
       round(sum(col("len")) * 1.0 / count(lit(1)), 9).as("avgdl")).head()
     val nDocs = st.getLong(0)
@@ -2277,13 +2287,13 @@ object Similarity {
     // is collapse-invariant. The 10× densification fixture ran this
     // query at 79× (r10 record): queries × corpus twins multiply the
     // scan 100-fold while the distinct population is unchanged.
-    val prep = graft.InternalCaches.register(
-      prepared(Tables.embeddings(s, d)).persist())
+    val prep = graft.InternalCaches.pinEager(
+      prepared(Tables.embeddings(s, d)))
     collapsedTopK(prep.filter(col("vec_id") % 50 === 0), prep, 5,
         "sim_sq8_topk", score = "dist_micro", asc = true) { (qs, cs) =>
       val f = cs.select(col("vec_id"), posexplode(col("v")).as(Seq("pos0", "v")))
         .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("v"))
-      val fC = graft.InternalCaches.register(f.persist())
+      val fC = graft.InternalCaches.pinEager(f)
       val stats = fC.groupBy(col("pos"))
         .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
       val codes = fC.join(broadcast(stats), Seq("pos"))
@@ -2324,10 +2334,9 @@ object Similarity {
     // ONE representative per distinct vector probes and members inherit
     // its verdict. Exact, and the cell join's probe side now scales
     // with DISTINCT batch vectors.
-    val gmap = graft.InternalCaches.register(batch
+    val gmap = graft.InternalCaches.pinEager(batch
       .withColumn("__rep",
-        min(col("vec_id")).over(Window.partitionBy(col("v"))))
-      .persist())
+        min(col("vec_id")).over(Window.partitionBy(col("v")))))
     val reps = gmap.filter(col("vec_id") === col("__rep")).drop("__rep")
     val rejectedReps = topKFromIvfIndex(s, dir, reps, k = 1, nprobe = nprobe)
       .filter(col("cos") >= cut)
@@ -2447,8 +2456,8 @@ object Similarity {
       |ORDER BY vec_id""".stripMargin)(stageIvfIngestGrowIndex) { (s, d) =>
     def withNrm(df: DataFrame): DataFrame = df.withColumn("nrm",
       sqrt(greatest(dot(col("v"), col("v")), lit(1.0))))
-    val prep = graft.InternalCaches.register(
-      prepared(Tables.embeddings(s, d)).persist())
+    val prep = graft.InternalCaches.pinEager(
+      prepared(Tables.embeddings(s, d)))
     val b1 = withNrm(prep.filter(col("vec_id") % 25 === 0)
       .select((col("vec_id") + 20000).as("vec_id"),
         transform(col("v"), x => x * 1.01 + 0.0001).as("v"))
@@ -2586,8 +2595,10 @@ object Similarity {
       col("text"), "sim_phrase_search", "texts")
     val uniqDocs = coll.fold(docs)(
       _.uniq.select(col("gid").as("doc_id"), col("text")))
-    val enc = graft.InternalCaches.register(
-      Dedup.encodedToks(uniqDocs).persist())
+    // pinned eagerly (r16 verdict #1): five consumers (lens, the query
+    // projection, and the three positional match joins) would otherwise
+    // race the lazy cache and re-tokenize concurrently
+    val enc = graft.InternalCaches.pinEager(Dedup.encodedToks(uniqDocs))
     val lens = enc.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
     // query selection is id-determined (every 50th MEMBER), length
     // eligibility content-determined: select members, then collapse the
@@ -2953,8 +2964,8 @@ object Similarity {
       |SELECT query_id, rank, neighbor_id, floor(rawcos * 1e6 + 0.5) / 1e6 AS cos
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-    val prep = graft.InternalCaches.register(
-      prepared(Tables.embeddings(s, d)).persist())
+    val prep = graft.InternalCaches.pinEager(
+      prepared(Tables.embeddings(s, d)))
     val queries = prep.filter(col("vec_id") % QueryStride === 0)
     ivfTopKDetKm(prep, queries, 5)
       .orderBy(col("query_id"), col("rank"))

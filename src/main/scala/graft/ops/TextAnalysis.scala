@@ -1002,12 +1002,12 @@ object TextAnalysis {
     val ents0 = Tables.part(s, d)
       .groupBy(col("p_name").as("nm"))
       .agg(min(col("p_partkey")).cast("long").as("id"))
-    val ents = graft.InternalCaches.register(ents0.select(col("id"), col("nm"))
+    // pinned eagerly (r16 verdict #1): both self-join sides consume it
+    val ents = graft.InternalCaches.pinEager(ents0.select(col("id"), col("nm"))
       .unionAll(ents0.filter(col("id") % 5 === 0)
         .select((col("id") + 100000).as("id"),
           concat(expr("substring(nm, 1, 2)"), expr("substring(nm, 4, 1000)"))
-            .as("nm")))
-      .persist())
+            .as("nm"))))
     // names shorter than 3 chars yield NO grams: Spark's sequence
     // counts DOWN when start > stop (sequence(1,0) = [1,0] — the same
     // hazard the bpeTrain pass guards), while DuckDB's

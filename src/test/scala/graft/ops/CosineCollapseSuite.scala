@@ -106,12 +106,17 @@ class CosineCollapseSuite extends SparkSessionSuite {
         Similarity.pairCosineKernel(_, 0.35))
       .queryExecution.executedPlan.toString
     plan should not include "Window"
+    // r17: the collapse window runs eagerly inside the gmap pin, so it
+    // no longer appears in the RESULT plan — the collapse path's
+    // structural signature there is the inter ∪ intra Union (the
+    // dup-free skip emits the kernel's pairs directly, no Union)
+    plan should not include "Union"
     // and a flooded corpus DOES take the collapse path
     val plan2 = Similarity.collapsedCosinePairs(
         floodedPrep(2), "test_collapse", intraMin = Some(0.35))(
         Similarity.pairCosineKernel(_, 0.35))
       .queryExecution.executedPlan.toString
-    plan2 should include("Window")
+    plan2 should include("Union")
     graft.InternalCaches.releaseAll()
   }
 

@@ -100,13 +100,18 @@ class HammingBandsSuite extends SparkSessionSuite {
       "suite-dupfree", route = Some(false))
     collected(df) shouldBe reference(spread, 3)
     df.queryExecution.executedPlan.toString should not include "Window"
-    // a corpus with one duplicate takes the collapse path (Window)
+    // r17: the collapse window runs eagerly inside the gmap pin, so it
+    // no longer appears in the RESULT plan — the collapse path's
+    // structural signature there is the intra-pair Union (dup-free
+    // plans emit uPairs directly, no Union)
+    df.queryExecution.executedPlan.toString should not include "Union"
+    // a corpus with one duplicate takes the collapse path
     val dup = sigDf((0L until 300L) :+ 9000L,
       i => spreadSig(if (i == 9000L) 0L else i))
     val df2 = HammingBands.pairs(dup, "id", "bands", 4, 3,
       "suite-dup", route = Some(false))
     collected(df2) shouldBe reference(dup, 3)
-    df2.queryExecution.executedPlan.toString should include("Window")
+    df2.queryExecution.executedPlan.toString should include("Union")
   }
 
   /** r12 advice (medium): the brute route's broadcast hint is gated on

@@ -1097,10 +1097,20 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
           n.incrementAndGet()
       }
       s.sparkContext.addSparkListener(l)
-      // the listener bus is async and has no public drain — a short
-      // settle is enough for a job-START counter (jobs were submitted
-      // synchronously inside body)
-      try { body; Thread.sleep(2000) }
+      // the listener bus is async and has no public drain — poll the
+      // counter to stability instead of one fixed sleep (r16 advice:
+      // a slow bus could under-count behind a 2 s nap)
+      try {
+        body
+        var last = -1
+        var stableFor = 0
+        var waited = 0
+        while (stableFor < 5 && waited < 50) { // 1 s stable, 10 s cap
+          Thread.sleep(200)
+          waited += 1
+          if (n.get() == last) stableFor += 1 else { stableFor = 0; last = n.get() }
+        }
+      }
       finally s.sparkContext.removeSparkListener(l)
       n.get()
     }
@@ -1110,8 +1120,12 @@ class IndexMaintenanceSuite extends SparkSessionSuite {
       Dedup.buildBandLabels(s, s"$root/index", s"$root/labels")
       // the commit persisted the corpus size beside the version
       val v = Paths.get(s"$root/labels")
-      val sidecars = Files.list(v).filter(p =>
-        Files.exists(p.resolve("_N_LABELS"))).count()
+      // try-with-resources equivalent: Files.list leaks an open dir fd
+      // unless closed (r16 advice)
+      val listing = Files.list(v)
+      val sidecars =
+        try listing.filter(p => Files.exists(p.resolve("_N_LABELS"))).count()
+        finally listing.close()
       sidecars should be >= 1L
       jobsDuring {
         Dedup.ingestWithLabels(s, s"$root/index", s"$root/labels",

@@ -52,7 +52,14 @@ class PlanAuditSuite extends SparkSessionSuite {
   test("IVF assignment broadcasts the fixed-budget centroid table") {
     val n = graft.Tables.embeddings(spark, dir).count()
     val stride = graft.ops.Similarity.ivfStride(n)
-    val plan = physicalPlan("sim_topk_ivf")
+    // r17: the ranked-cell assignment is pinned (eager localCheckpoint)
+    // inside ivfTopKDet, so the QUERY plan shows its output as an RDD
+    // leaf — audit the assignment STAGE's own plan, which is what
+    // executes inside the pin
+    val prep = graft.ops.Similarity.prepared(graft.Tables.embeddings(spark, dir))
+    val plan = graft.ops.Similarity.rankedCells(prep,
+        graft.ops.Similarity.IvfNlist, graft.ops.Similarity.IvfNprobe)
+      .queryExecution.executedPlan.toString
     withClue(plan) {
       assert(plan.contains("BroadcastExchange"))
       // the centroid-selection filter with the derived stride sits on
@@ -66,20 +73,28 @@ class PlanAuditSuite extends SparkSessionSuite {
     * only broadcast-nested-loop (the bounded fixed-budget crossJoin)
     * and no corpus-level cartesian anywhere. */
   test("semantic dedup pairs via cell equi-join, bounded centroid broadcast") {
+    // r17: the assignment stage is pinned (eager localCheckpoint) inside
+    // semanticDedup, so the QUERY plan consumes it as an RDD leaf — the
+    // pair stage is audited on the query plan, the assignment's bounded
+    // centroid broadcast on its own stage plan (what executes in the pin)
     val plan = physicalPlan("dedup_semantic")
     withClue(plan) {
       assert(!plan.contains("CartesianProduct"))
-      // the assignment (with its one bounded centroid crossJoin) is a
-      // SINGLE cached stage: every textual BroadcastNestedLoopJoin is
-      // the InMemoryRelation printing its cached plan at a reuse site,
-      // so occurrences never exceed the cached-scan count
-      assert(plan.contains("InMemoryTableScan"))
-      assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <=
-        "InMemoryTableScan".r.findAllIn(plan).size)
-      assert(plan.contains("BroadcastExchange"))
+      // post-pin, no corpus-level nested-loop join may remain anywhere
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
       // the pair stage joins on the cell column (hash or sort-merge)
       assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*cell".r
         .findFirstIn(plan).isDefined)
+    }
+    val prep = graft.ops.Similarity.prepared(graft.Tables.embeddings(spark, dir))
+    val assignPlan = graft.ops.Dedup.semanticAssign(prep,
+        graft.ops.Similarity.IvfNlist)
+      .queryExecution.executedPlan.toString
+    withClue(assignPlan) {
+      assert(!assignPlan.contains("CartesianProduct"))
+      // exactly the one bounded fixed-budget centroid crossJoin
+      assert("BroadcastNestedLoopJoin".r.findAllIn(assignPlan).size <= 1)
+      assert(assignPlan.contains("BroadcastExchange"))
     }
   }
 

@@ -128,9 +128,17 @@ def main_staged(sf_dir: str, out_dir: str, query: str, nslices: int) -> None:
     # per-process, per-query accumulator path: two concurrent staged
     # runs must not clobber each other's state mid-run (r15 advice)
     db = f"/tmp/duckdb_staged_acc_{query}_{os.getpid()}.duckdb"
-    for p in (db, db + ".wal"):
-        if os.path.exists(p):
-            os.remove(p)
+
+    def _rm_acc():
+        for p in (db, db + ".wal"):
+            if os.path.exists(p):
+                os.remove(p)
+
+    _rm_acc()
+    # r16 advice: the accumulator db must not outlive a failed/interrupted
+    # run (pids recycle, so stale multi-GB files were never reclaimed)
+    import atexit
+    atexit.register(_rm_acc)
     for i in range(nslices):
         con = connect_views(sf_dir, db)  # fresh per slice: an OOM'd
         # DuckDB process is poisoned (allocator refuses even KB blocks)
@@ -149,9 +157,7 @@ def main_staged(sf_dir: str, out_dir: str, query: str, nslices: int) -> None:
     oracle = con.sql(
         "WITH chunks AS (SELECT * FROM chunks_acc),\n" + tail).df()
     con.close()
-    for p in (db, db + ".wal"):
-        if os.path.exists(p):
-            os.remove(p)
+    _rm_acc()
     got = pd.read_parquet(f"{out_dir}/{query}")
     a, b = canon(got), canon(oracle)
     if list(a.columns) != list(b.columns) or len(a) != len(b):
