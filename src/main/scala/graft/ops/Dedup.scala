@@ -400,10 +400,14 @@ object Dedup {
     IndexIntent.assertClean(s, dir,
       "a rebuild (graft.ops.Dedup.saveLineIndex over the full corpus)")
     val nBuckets = s.read.parquet(s"$dir/meta").head().getInt(0)
-    // pinned eagerly (r16 verdict #1): consumed by the touched-bucket
-    // collect and the boiler join — eviction-immune, never recomputed
-    val lines = graft.InternalCaches.pinEager(lineRowsOf(batch)
-      .withColumn("bucket", pmod(xxhash64(col("lh")), lit(nBuckets)).cast("int")))
+    // lazy persist is RIGHT here (r17): the touched-bucket collect just
+    // below materializes every partition before any other consumer runs
+    // (no concurrency race), the frame is batch-bounded (cheap to
+    // recompute on the rare eviction), and an eager checkpoint would
+    // add a whole extra job to a latency-bound lifecycle verb
+    val lines = graft.InternalCaches.register(lineRowsOf(batch)
+      .withColumn("bucket", pmod(xxhash64(col("lh")), lit(nBuckets)).cast("int"))
+      .persist())
     // bounded by construction: at most nBuckets distinct small ints
     val touched = lines.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -1342,19 +1346,24 @@ object Dedup {
     // (null keys compare equal in partitioning) and their null bands
     // join nothing, same as before.
     val sigKey = (0 until h).map(j => col(s"mh$j"))
-    val signedG = graft.InternalCaches.pinEager(signed
+    // lazy persist (see probeLineIndex): the touched-bucket collect on
+    // `probe` below materializes this whole chain before any other
+    // consumer — pinning would only add jobs to a latency-bound verb
+    val signedG = graft.InternalCaches.register(signed
       .withColumn("rep_id", min(col("incoming_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(sigKey: _*))))
+        org.apache.spark.sql.expressions.Window.partitionBy(sigKey: _*)))
+      .persist())
     val memberMap = signedG
       .select(col("incoming_id").as("member_id"), col("rep_id"))
     val reps = signedG.filter(col("incoming_id") === col("rep_id"))
-    val probe = graft.InternalCaches.pinEager(reps.select(
+    val probe = graft.InternalCaches.register(reps.select(
       (col("incoming_id") +: (0 until h).map(j => col(s"mh$j"))) :+
         explode(array((0 until Bands).map(b =>
           struct(lit(b).as("bi"), col(s"band$b").as("bv"))): _*)).as("band"): _*)
       .select((col("incoming_id") +: (0 until h).map(j => col(s"mh$j"))) :+
         col("band.bi").as("bi") :+ col("band.bv").as("bv"): _*)
-      .withColumn("bucket", pmod(col("bv"), lit(nBuckets)).cast("int")))
+      .withColumn("bucket", pmod(col("bv"), lit(nBuckets)).cast("int"))
+      .persist())
     // bounded by construction: at most nBuckets distinct small ints.
     // Docs too short to shingle carry null bands (they can match
     // nothing) — filtered here, not collected: a null would NPE getInt.

@@ -486,24 +486,52 @@ object TextAnalysis {
       |JOIN trimax tm ON tm.doc_id = b.doc_id
       |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val t = docs.select(col("doc_id"), toks.as("toks"))
-    val base = t.select(col("doc_id"), size(col("toks")).as("n_tokens"),
-      size(array_distinct(col("toks"))).as("n_distinct"))
-    def grams(n: Int): DataFrame = {
-      val parts = (0 until n).map(o => element_at(col("toks"), col("i") + o))
-      val g = concat(parts.flatMap(p => Seq(p, lit(" "))).dropRight(1): _*)
-      t.select(col("doc_id"),
-          explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"),
-          col("toks"))
-        .select(col("doc_id"), g.as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    }
-    val bimax = grams(2).groupBy(col("doc_id"))
-      .agg(max(col("c")).as("max_bi"), sum(col("c")).as("n_bi"))
-    val trimax = grams(3).groupBy(col("doc_id"))
-      .agg(max(col("c")).as("max_tri"), sum(col("c")).as("n_tri"),
-        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tri"))
-    base.join(bimax, Seq("doc_id")).join(trimax, Seq("doc_id"))
+    // r17 (guide §2.4): every statistic here is PER-DOC, so nothing has
+    // to cross an exchange — the old plan exploded bigrams AND trigrams
+    // through two (doc, gram) hash aggregations + two per-doc rollups +
+    // two joins (4 exchanges, gram rows amplified n_tokens×). Map-side
+    // instead: build each gram array, sort it, and fold run-lengths
+    // with one `aggregate` HOF per order — max run = top-gram count,
+    // runs > 1 accumulate the duplicate mass. Values are the same
+    // integers the hash aggregation counted; only the plan changed.
+    // The ONE remaining exchange below carries the compact doc rows
+    // (not exploded grams): a purely map-side fold would inherit the
+    // scan's partitioning — a single-row-group fixture file is ONE
+    // task, serializing the fold (measured: cpu −35%, wall +60% at
+    // sf0.1) — so spread by doc_id at the session's shuffle
+    // parallelism (AQE-coalesced at scale, never a local constant).
+    val t = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), toks.as("toks"))
+    def gramArr(n: Int): Column =
+      transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => concat((0 until n)
+          .map(o => element_at(col("toks"), i + o))
+          .flatMap(p => Seq(p, lit(" "))).dropRight(1): _*))
+    // fold over the SORTED gram array: equal grams are adjacent, so a
+    // running (prev, run) pair yields max multiplicity and Σ_{c>1} c
+    def runStats(arr: Column): Column =
+      aggregate(array_sort(arr),
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("best"), lit(0L).as("dup")),
+        (acc, x) => {
+          val run = when(acc.getField("prev") <=> x,
+            acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"),
+            (acc.getField("dup") +
+              when(run === 2L, 2L).when(run > 2L, 1L).otherwise(0L))
+              .as("dup"))
+        })
+    t.select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        gramArr(2).as("bg"), gramArr(3).as("tg"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        runStats(col("bg")).as("r2"), size(col("bg")).cast("long").as("n_bi"),
+        runStats(col("tg")).as("r3"), size(col("tg")).cast("long").as("n_tri"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("r2.best").as("max_bi"), col("n_bi"),
+        col("r3.best").as("max_tri"), col("n_tri"),
+        col("r3.dup").as("dup_tri"))
       .select(col("doc_id"), col("n_tokens"),
         round((col("n_tokens") - col("n_distinct")).cast("double")
           / col("n_tokens"), 6).as("dup_token_frac"),

@@ -1471,6 +1471,11 @@ object AdvancedQueries {
     val w = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = vf.withColumn("cum", sum(col("c")).over(w))
+    // r17 note: replacing `tot` with an unordered max-over-g window on
+    // cum was tried and REVERTED — the extra whole-partition window
+    // pass measured +17% wall / +14% cpu vs re-aggregating the (tiny)
+    // per-group totals and broadcast-joining them (min-of-alternated
+    // 3-run A/B at sf0.1).
     val tot = vf.groupBy(col("g")).agg(sum(col("c")).as("n"))
     def pick(q: Double): Column =
       min(when(col("cum") >= ceil(lit(q) * col("n")), col("v")))
