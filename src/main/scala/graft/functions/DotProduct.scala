@@ -198,6 +198,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(HyperLogLogAgg.registration)
     e.injectFunction(NormalizeText.registration)
     e.injectFunction(BinaryBytes.registration)
+    e.injectFunction(GramRunStats.registration)
     e.injectOptimizerRule(_ => DotProductRewrite)
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     e.injectOptimizerRule(_ => graft.plans.AsOfJoinOptimization.PushLeftFilters)

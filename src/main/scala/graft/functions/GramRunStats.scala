@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-row n-gram multiplicity statistics over a token array —
+  * `gram_run_stats(toks, n)` returns
+  * `struct(best BIGINT, dup BIGINT, total BIGINT)` where, over the
+  * space-joined n-grams of `toks`,
+  *
+  *  - `best`  = the maximum multiplicity of any gram (0 when no grams),
+  *  - `dup`   = Σ over grams with multiplicity c > 1 of c
+  *              (the duplicated-gram mass),
+  *  - `total` = the gram count, max(len − n + 1, 0).
+  *
+  * Replaces an `aggregate(array_sort(transform(sequence(…))))` fold:
+  * higher-order functions are CodegenFallback, so that fold was
+  * interpreted per ELEMENT (measured 3.3× the task-CPU of the hash
+  * aggregation it replaced at sf0.1), while this expression is one
+  * compiled hash-map pass per ROW — the per-row fallback call is
+  * amortized over the whole gram loop. Gram identity is the exact
+  * space-joined token string (`UTF8String.concatWs`), identical to the
+  * `concat(tok_i, ' ', …)` grams of both the previous plans and the
+  * DuckDB oracle; tokens come from `split(text, ' ')` so they cannot
+  * contain the separator, making (token-sequence equality) ≡
+  * (joined-string equality). Exact integers — no floats anywhere. */
+case class GramRunStats(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType | LongType) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "gram_run_stats expects (array<string> tokens, foldable int n)")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("best", LongType, nullable = false),
+    StructField("dup", LongType, nullable = false),
+    StructField("total", LongType, nullable = false)))
+
+  @transient private lazy val n: Int = right.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"gram_run_stats: n must be an integer literal, got $other")
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(toksAny: Any, nAny: Any): Any = {
+    val arr = toksAny.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val total = math.max(len - n + 1, 0)
+    if (total == 0) return InternalRow(0L, 0L, 0L)
+    // multiplicity per gram; long[1] cells avoid per-increment boxing
+    val counts = new java.util.HashMap[UTF8String, Array[Long]](total * 2)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < total) {
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      val g = UTF8String.concatWs(space, parts: _*)
+      val cell = counts.get(g)
+      if (cell == null) counts.put(g, Array(1L)) else cell(0) += 1L
+      i += 1
+    }
+    var best = 0L
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c > best) best = c
+      if (c > 1L) dup += c
+    }
+    InternalRow(best, dup, total.toLong)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GramRunStats =
+    copy(left = newLeft, right = newRight)
+}
+
+object GramRunStats {
+  /** Registration triple for [[GraftExtensions]]. */
+  val registration: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      ExpressionInfo, Seq[Expression] => Expression) = (
+    new org.apache.spark.sql.catalyst.FunctionIdentifier("gram_run_stats"),
+    new ExpressionInfo(classOf[GramRunStats].getName, "gram_run_stats"),
+    (exprs: Seq[Expression]) => GramRunStats(exprs.head, exprs(1)))
+}

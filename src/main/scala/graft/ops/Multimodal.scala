@@ -836,12 +836,28 @@ object Multimodal {
     val chunkRows = corpus.select(col("media_id"), col("body")).rdd
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        val hexDigits = "0123456789abcdef".toCharArray
+        // 131^7 mod P per byte value, so the window hash ROLLS (drop the
+        // oldest byte, push the new one — 2 mult-mods per position) instead
+        // of re-evaluating the 8-term polynomial (8 mult-mods) at every
+        // byte. Same mod-P integers, same boundaries; r17 per-task-work
+        // pass (guide §1.2 step 2 — this loop is the query's hot path).
+        val pow7 = {
+          var p7 = 1L
+          var t = 0
+          while (t < 7) { p7 = (p7 * 131) % P; t += 1 }
+          Array.tabulate(256)(b => (b * p7) % P)
+        }
         it.flatMap { r =>
           val id = r.getLong(0)
-          val body = r.getSeq[Long](1)
-          val n = body.length
+          val bodySeq = r.getSeq[Long](1)
+          val n = bodySeq.length
+          // one unboxing pass; the loops below index a primitive array
+          val body = new Array[Long](n)
+          var c = 0
+          while (c < n) { body(c) = bodySeq(c); c += 1 }
           val out = scala.collection.mutable.ArrayBuffer[Row]()
-          val sb = new StringBuilder
+          val sb = new java.lang.StringBuilder
           var start = 0
           def emit(endExcl: Int): Unit = {
             sb.setLength(0)
@@ -852,20 +868,30 @@ object Multimodal {
               j += 1
             }
             md.reset()
-            val hex = md.digest(sb.toString.getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString
-            out += Row(id, hex, (endExcl - start).toLong)
+            val dig = md.digest(sb.toString.getBytes("UTF-8"))
+            val hex = new Array[Char](dig.length * 2)
+            var h = 0
+            while (h < dig.length) {
+              hex(2 * h) = hexDigits((dig(h) >> 4) & 0xf)
+              hex(2 * h + 1) = hexDigits(dig(h) & 0xf)
+              h += 1
+            }
+            out += Row(id, new String(hex), (endExcl - start).toLong)
             start = endExcl
           }
-          var i = 0
-          while (i < n) {
-            if (i >= 7) { // 1-based pos >= 8: window body[i-7..i]
-              var hh = body(i - 7)
-              var j = i - 6
-              while (j <= i) { hh = (hh * 131 + body(j)) % P; j += 1 }
+          if (n >= 8) {
+            // seed the rolling hash on the first full window body[0..7]
+            var hh = body(0)
+            var j = 1
+            while (j <= 7) { hh = (hh * 131 + body(j)) % P; j += 1 }
+            if (hh % 16 == 0) emit(8)
+            var i = 8
+            while (i < n) {
+              // drop body[i-8] (its coefficient is 131^7), push body[i]
+              hh = ((hh - pow7(body(i - 8).toInt) + P) % P * 131 + body(i)) % P
               if (hh % 16 == 0) emit(i + 1)
+              i += 1
             }
-            i += 1
           }
           if (start < n) emit(n)
           out

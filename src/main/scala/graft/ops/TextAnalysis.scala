@@ -498,39 +498,28 @@ object TextAnalysis {
     // (not exploded grams): a purely map-side fold would inherit the
     // scan's partitioning — a single-row-group fixture file is ONE
     // task, serializing the fold (measured: cpu −35%, wall +60% at
-    // sf0.1) — so spread by doc_id at the session's shuffle
-    // parallelism (AQE-coalesced at scale, never a local constant).
-    val t = docs.repartition(col("doc_id"))
+    // sf0.1). The width must be EXPLICIT: a width-less repartition(col)
+    // is AQE-coalescible, and these doc rows are small enough that AQE
+    // folds them back to one partition — re-serializing the fold it
+    // exists to spread (measured: wall +75% vs the explicit width).
+    // defaultParallelism follows the session's core count, so the
+    // spread stays scale-adaptive, never a local constant.
+    // The per-doc statistics run through the native `gram_run_stats`
+    // expression (one compiled hash-map pass per row): the first r17
+    // form of this rewrite folded `aggregate(array_sort(transform(…)))`,
+    // but higher-order functions are CodegenFallback — interpreted per
+    // ELEMENT — and the fold measured 3.3× the task-CPU of the hash
+    // aggregation it replaced. The native pass keeps the shuffle win
+    // (zero gram rows cross an exchange) without the interpretation tax.
+    val t = docs.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), toks.as("toks"))
-    def gramArr(n: Int): Column =
-      transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-        i => concat((0 until n)
-          .map(o => element_at(col("toks"), i + o))
-          .flatMap(p => Seq(p, lit(" "))).dropRight(1): _*))
-    // fold over the SORTED gram array: equal grams are adjacent, so a
-    // running (prev, run) pair yields max multiplicity and Σ_{c>1} c
-    def runStats(arr: Column): Column =
-      aggregate(array_sort(arr),
-        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
-          lit(0L).as("best"), lit(0L).as("dup")),
-        (acc, x) => {
-          val run = when(acc.getField("prev") <=> x,
-            acc.getField("run") + 1L).otherwise(lit(1L))
-          struct(x.as("prev"), run.as("run"),
-            greatest(acc.getField("best"), run).as("best"),
-            (acc.getField("dup") +
-              when(run === 2L, 2L).when(run > 2L, 1L).otherwise(0L))
-              .as("dup"))
-        })
     t.select(col("doc_id"), size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct"),
-        gramArr(2).as("bg"), gramArr(3).as("tg"))
+        expr("gram_run_stats(toks, 2)").as("r2"),
+        expr("gram_run_stats(toks, 3)").as("r3"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        runStats(col("bg")).as("r2"), size(col("bg")).cast("long").as("n_bi"),
-        runStats(col("tg")).as("r3"), size(col("tg")).cast("long").as("n_tri"))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        col("r2.best").as("max_bi"), col("n_bi"),
-        col("r3.best").as("max_tri"), col("n_tri"),
+        col("r2.best").as("max_bi"), col("r2.total").as("n_bi"),
+        col("r3.best").as("max_tri"), col("r3.total").as("n_tri"),
         col("r3.dup").as("dup_tri"))
       .select(col("doc_id"), col("n_tokens"),
         round((col("n_tokens") - col("n_distinct")).cast("double")

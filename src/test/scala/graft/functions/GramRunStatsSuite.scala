@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.fm.SparkSessionSuite
+import org.apache.spark.sql.functions._
+
+class GramRunStatsSuite extends SparkSessionSuite {
+
+  /** Brute-force reference: space-joined n-grams counted in plain
+    * Scala — the semantics both previous ta_repetition plans (the
+    * (doc, gram) hash aggregation and the sorted-array fold) computed,
+    * and the DuckDB oracle still computes. */
+  private def ref(toks: Seq[String], n: Int): (Long, Long, Long) = {
+    val total = math.max(toks.length - n + 1, 0)
+    val counts = toks.sliding(n).filter(_.length == n)
+      .map(_.mkString(" ")).toSeq.groupBy(identity).map(_._2.size.toLong)
+    val best = if (counts.isEmpty) 0L else counts.max
+    val dup = counts.filter(_ > 1L).sum
+    (best, dup, total.toLong)
+  }
+
+  test("gram_run_stats equals brute-force gram counting") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(17)
+    // edge shapes: empty, shorter than n, exactly n, all-identical
+    // tokens (max run), high-duplication, and random mixes
+    val docs: Seq[Seq[String]] =
+      Seq(Seq.empty[String], Seq("a"), Seq("a", "b"), Seq("a", "a", "a"),
+        Seq("x", "y", "x", "y", "x", "y")) ++
+      Seq.fill(300) {
+        val n = rng.nextInt(40)
+        val vocab = 1 + rng.nextInt(6) // small vocab => many repeated grams
+        (0 until n).map(_ => s"t${rng.nextInt(vocab)}")
+      }
+    for (n <- Seq(2, 3)) {
+      val got = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("id", "toks")
+        .select(col("id"), expr(s"gram_run_stats(toks, $n)").as("r"))
+        .select(col("id"), col("r.best"), col("r.dup"), col("r.total"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      docs.zipWithIndex.foreach { case (d, i) =>
+        withClue(s"n=$n doc=$i toks=${d.take(12).mkString(",")}") {
+          got(i.toLong) shouldBe ref(d, n)
+        }
+      }
+    }
+  }
+
+  test("gram_run_stats null array yields null") {
+    val s = spark
+    import s.implicits._
+    val got = Seq((1L, Some(Seq("a", "b"))), (2L, None))
+      .toDF("id", "toks")
+      .select(col("id"), expr("gram_run_stats(toks, 2)").as("r"))
+      .orderBy(col("id")).collect()
+    got(0).isNullAt(1) shouldBe false
+    got(1).isNullAt(1) shouldBe true
+  }
+}
