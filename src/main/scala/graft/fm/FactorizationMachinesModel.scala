@@ -149,11 +149,11 @@ class FactorizationMachinesModel(
       .join(params, col("__fm_fid") === col("__fm_pid"), "left_outer")
       .select(col(sid) +: inputCols.map(col) :+
         (coalesce(col("__fm_w"), lit(0.0)) * col("__fm_x")).as("__fm_wixi") :+
-        org.apache.spark.sql.functions
-          .transform(coalesce(col("__fm_v"), zeroArr),
-            v => v * col("__fm_x")).as("__fm_vfxi") :+
-        (aggregate(coalesce(col("__fm_v"), zeroArr), lit(0.0),
-          (a, v) => a + v * v)
+        // native codegen'd array math when available (r17, brief rule 4
+        // — the HOF forms are interpreted per element); bit-identical
+        FmNative.arrScale(coalesce(col("__fm_v"), zeroArr), col("__fm_x"))
+          .as("__fm_vfxi") :+
+        (FmNative.sqSum(coalesce(col("__fm_v"), zeroArr))
           * col("__fm_x") * col("__fm_x")).as("__fm_vi2xi2") :+
         when(col("__fm_pid").isNotNull, 1L).otherwise(0L).as("__fm_isReal"): _*)
 
@@ -194,9 +194,10 @@ class FactorizationMachinesModel(
       .select(
         col(sid),
         (col("strength") * col("featureValue")).as("wixi"),
-        org.apache.spark.sql.functions
-          .transform(col("vecArr"), v => v * col("featureValue")).as("vfxi"),
-        (aggregate(col("vecArr"), lit(0.0), (a, v) => a + v * v)
+        // native codegen'd array math when available (r17, brief rule 4
+        // — the HOF forms are interpreted per element); bit-identical
+        FmNative.arrScale(col("vecArr"), col("featureValue")).as("vfxi"),
+        (FmNative.sqSum(col("vecArr"))
           * col("featureValue") * col("featureValue")).as("vi2xi2"))
 
     // Per-sample reduction: sum of wixi, sum of vi2xi2, and the k

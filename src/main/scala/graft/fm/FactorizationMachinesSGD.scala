@@ -240,15 +240,18 @@ class FactorizationMachinesSGD(override val uid: String)
           transform(sequence(lit(0), lit(k - 1)),
             f => hashGaussian(col("featureId"), f, sdv) * sd)).as("vecArr"))
 
-    // Per-row FM terms (Model:173-181, native expressions).
+    // Per-row FM terms (Model:173-181). The array math runs as the
+    // codegen'd native expressions (graft.functions.FmArrayOps) when the
+    // session has GraftExtensions — the HOF forms are CodegenFallback,
+    // interpreted per element on every (sample, feature) row of every
+    // epoch (r17, brief rule 4). Same FP order, bit-identical values
+    // (oracle- and golden-gated); the HOF twin serves plain sessions.
     val terms = exploded.select(
       col("label"), col("sampleId"), col("featureId"), col("x"),
       col("vecArr"),
       (col("strength") * col("x")).as("wixi"),
-      org.apache.spark.sql.functions
-        .transform(col("vecArr"), v => v * col("x")).as("vfxi"),
-      (aggregate(col("vecArr"), lit(0.0), (a, v) => a + v * v)
-        * col("x") * col("x")).as("vi2xi2"))
+      FmNative.arrScale(col("vecArr"), col("x")).as("vfxi"),
+      (FmNative.sqSum(col("vecArr")) * col("x") * col("x")).as("vi2xi2"))
 
     // Per-sample sums broadcast back onto every feature row. Two
     // value-identical shapes (both accumulate doubles in arbitrary
@@ -303,11 +306,9 @@ class FactorizationMachinesSGD(override val uid: String)
         (Seq(
           col("featureId"),
           (col("x") * col("residual")).as("gw"),
-          org.apache.spark.sql.functions.transform(
-            sequence(lit(0), lit(k - 1)),
-            f => (col("x") * element_at(array((0 until k).map(i => col(s"_vfs$i")): _*), f + 1)
-              - element_at(col("vecArr"), f + 1) * col("x") * col("x"))
-              * col("residual")).as("gv"),
+          FmNative.gradV(col("vecArr"),
+            array((0 until k).map(i => col(s"_vfs$i")): _*),
+            col("x"), col("residual")).as("gv"),
           (col("residual") * col("residual") / col("cnt")).as("lossShare"))
           ++ interceptCols): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -356,13 +357,13 @@ class FactorizationMachinesSGD(override val uid: String)
         mergedKey.as("id"),
         soft(coalesce(col("strength"), hashGaussian(mergedKey, lit(-1), sdv) * sd)
           - coalesce(col("dW"), lit(0.0))).as("strength"),
-        zip_with(
+        FmNative.softUpdate(
           coalesce(col("vecArr"),
             org.apache.spark.sql.functions.transform(
               sequence(lit(0), lit(k - 1)),
               f => hashGaussian(mergedKey, f, sdv) * sd)),
           coalesce(col("dV"), zeroArr),
-          (v, g) => soft(v - g)).as("vecArr"))
+          shrinkage).as("vecArr"))
 
     // Eager: materializes before the caller drops the old table AND cuts
     // the (otherwise exponentially duplicated) logical plan to a leaf.

@@ -199,6 +199,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(NormalizeText.registration)
     e.injectFunction(BinaryBytes.registration)
     e.injectFunction(GramRunStats.registration)
+    FmArrayOps.registrations.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => DotProductRewrite)
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     e.injectOptimizerRule(_ => graft.plans.AsOfJoinOptimization.PushLeftFilters)
