@@ -58,6 +58,77 @@ case class GramRunStats(left: Expression, right: Expression)
     val len = arr.numElements()
     val total = math.max(len - n + 1, 0)
     if (total == 0) return InternalRow(0L, 0L, 0L)
+    // Fast path: intern tokens to dense ids and count PACKED long gram
+    // keys in a primitive open-addressing table — zero allocation per
+    // gram. The first r17 form of this expression concatWs'd a fresh
+    // gram string per position and re-hashed its bytes on every map
+    // probe (UTF8String does not cache hashCode), which made the pass
+    // allocation-bound: its cpu_s swung 4.4 (solo) → 10.0 (full
+    // battery, heap pressure) on identical code. Token bytes are now
+    // hashed ONCE each (interning over the array's own zero-copy
+    // UTF8String views), and a gram is an n-digit base-`len` long —
+    // well-defined because ids < len and len^3 < 2^63 under the guard.
+    // (token-sequence equality) ≡ (id-tuple equality) ≡ (packed-key
+    // equality), so multiplicities are identical to the joined-string
+    // grams of the oracle. Guards route to the string path: a null
+    // token (concat_ws skip semantics), len ≥ 2^20 (packing would
+    // overflow), n > 3 (unused here, strings stay correct).
+    if (n <= 3 && len < (1 << 20)) {
+      val ids = new Array[Int](len)
+      val tcap = Integer.highestOneBit(math.max(len, 4)) * 4
+      val tkeys = new Array[UTF8String](tcap)
+      val tids = new Array[Int](tcap)
+      val tmask = tcap - 1
+      var nextId = 0
+      var i = 0
+      var sawNull = false
+      while (i < len && !sawNull) {
+        val t = arr.getUTF8String(i)
+        if (t == null) sawNull = true
+        else {
+          var h = t.hashCode & tmask
+          while (tkeys(h) != null && !tkeys(h).equals(t)) h = (h + 1) & tmask
+          if (tkeys(h) == null) { tkeys(h) = t; tids(h) = nextId; nextId += 1 }
+          ids(i) = tids(h)
+          i += 1
+        }
+      }
+      if (!sawNull) {
+        val gcap = Integer.highestOneBit(math.max(total, 4)) * 4
+        val gmask = gcap - 1
+        val gkeys = new Array[Long](gcap)
+        val gcnt = new Array[Long](gcap)
+        java.util.Arrays.fill(gkeys, -1L)
+        val base = len.toLong
+        var p = 0
+        while (p < total) {
+          var key = 0L
+          var j = 0
+          while (j < n) { key = key * base + ids(p + j); j += 1 }
+          val x = key * -7046029254386353131L // Mix64 odd constant
+          var h = ((x ^ (x >>> 32)).toInt) & gmask
+          while (gkeys(h) != -1L && gkeys(h) != key) h = (h + 1) & gmask
+          if (gkeys(h) == -1L) { gkeys(h) = key; gcnt(h) = 1L }
+          else gcnt(h) += 1L
+          p += 1
+        }
+        var best = 0L
+        var dup = 0L
+        var h = 0
+        while (h < gcap) {
+          if (gkeys(h) != -1L) {
+            val c = gcnt(h)
+            if (c > best) best = c
+            if (c > 1L) dup += c
+          }
+          h += 1
+        }
+        return InternalRow(best, dup, total.toLong)
+      }
+    }
+    // String path: exact concat_ws(' ') gram identity, kept for the
+    // guard cases above — same integers as the fast path whenever both
+    // apply (property-pinned in GramRunStatsSuite).
     // multiplicity per gram; long[1] cells avoid per-increment boxing
     val counts = new java.util.HashMap[UTF8String, Array[Long]](total * 2)
     val parts = new Array[UTF8String](n)

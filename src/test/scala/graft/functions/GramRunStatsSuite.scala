@@ -31,8 +31,17 @@ class GramRunStatsSuite extends SparkSessionSuite {
         val n = rng.nextInt(40)
         val vocab = 1 + rng.nextInt(6) // small vocab => many repeated grams
         (0 until n).map(_ => s"t${rng.nextInt(vocab)}")
+      } ++
+      // long docs stress the packed-key open-addressing fast path
+      // (probe chains, id interning at scale); tiny vocab forces heavy
+      // gram multiplicity
+      Seq.fill(4) {
+        val vocab = 2 + rng.nextInt(60)
+        (0 until 3000 + rng.nextInt(3000)).map(_ => s"w${rng.nextInt(vocab)}")
       }
-    for (n <- Seq(2, 3)) {
+    // n = 2, 3 run the packed fast path; n = 4 runs the string path
+    // (the guard route), pinning both to the same reference
+    for (n <- Seq(2, 3, 4)) {
       val got = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
         .toDF("id", "toks")
         .select(col("id"), expr(s"gram_run_stats(toks, $n)").as("r"))
