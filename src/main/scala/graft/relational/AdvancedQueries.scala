@@ -1392,7 +1392,15 @@ object AdvancedQueries {
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        visited = visited.unionAll(next).localCheckpoint(true)
+        // visited is APPEND-ONLY and `next` is already eagerly
+        // checkpointed, so the union stays LAZY: a union of ≤maxHops
+        // checkpointed leaves. Re-checkpointing the union (the pre-r17
+        // form) rewrote ALL visited rows every round — O(V·hops) writes
+        // for a set the next anti-join only needs to READ; the lazy
+        // union reads the same blocks with zero per-round rewrite and
+        // one fewer job per hop. (pageRank/CC keep their per-round
+        // checkpoints: their state MUTATES, so lineage must be cut.)
+        visited = visited.unionAll(next)
         frontier = next
       }
     }
