@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's one-line JSON from a bounded stdout
+// tail; sbt's "[success] Total time..." epilogue trailed the line in
+// every round to date and the parse came back null (r17 verdict #1).
+// Suppress it so graft.Bench's println is the last stdout line.
+Global / showSuccess := false
+// Inherit the forked JVM's stdout/stderr directly: the logger strategy
+// would re-emit the bench's stdout JSON with an "[info] " prefix (and
+// interleave app stderr into stdout as "[error] ..." lines), breaking
+// last-line parseability in non-tty invocations.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / excludeLintKeys ++= Set(run / outputStrategy, Global / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

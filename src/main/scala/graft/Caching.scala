@@ -39,14 +39,41 @@ object InternalCaches {
     * deterministically. Contract difference vs [[register]]: a pinned
     * frame has NO lineage — it must not be consumed after release
     * (Bench/Verify release only after the query fully materializes,
-    * and every suite releases after its assertions). */
+    * and every suite releases after its assertions).
+    *
+    * CLUSTER FAULT-TOLERANCE (r17 verdict #5): a localCheckpoint's
+    * blocks live only on executor-local storage with no lineage — on a
+    * real cluster, losing an executor that holds pinned blocks FAILS
+    * the consuming job instead of recomputing. That is the right trade
+    * for short-lived intermediates on a single box (this bench) and
+    * for restartable queries, but a multi-hour 100 TB job pinning a
+    * corpus derivation should opt into RELIABLE checkpointing:
+    * `spark.graft.pin.reliable=true` routes pins through
+    * `Dataset.checkpoint(eager = true)`, which persists the blocks to
+    * the fault-tolerant `SparkContext.setCheckpointDir` location
+    * (HDFS/object store) and survives executor loss. The knob defaults
+    * OFF: locally the reliable path only adds a write+read through the
+    * checkpoint dir, and the bench must stay comparable round-over-
+    * round. Reliable checkpoint files are reclaimed by the
+    * ContextCleaner (`spark.cleaner.referenceTracking.cleanCheckpoints`)
+    * rather than [[releaseAll]]. */
   private[graft] def pinEager(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(true)
-    cp.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => pinnedRdds.add(lr.rdd)
-      case _ => () // unexpected shape: blocks still freed by the ContextCleaner
+    val reliable = DispatchConf(df.sparkSession, "spark.graft.pin.")
+      .bool("reliable", dflt = false)
+    if (reliable) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "spark.graft.pin.reliable=true requires " +
+          "SparkContext.setCheckpointDir (an HDFS/object-store path " +
+          "that survives executor loss)")
+      df.checkpoint(eager = true)
+    } else {
+      val cp = df.localCheckpoint(true)
+      cp.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => pinnedRdds.add(lr.rdd)
+        case _ => () // unexpected shape: blocks still freed by the ContextCleaner
+      }
+      cp
     }
-    cp
   }
 
   /** Unpersist every registered frame (idempotent, safe while lazy

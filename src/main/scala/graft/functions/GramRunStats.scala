@@ -26,9 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * amortized over the whole gram loop. Gram identity is the exact
   * space-joined token string (`UTF8String.concatWs`), identical to the
   * `concat(tok_i, ' ', …)` grams of both the previous plans and the
-  * DuckDB oracle; tokens come from `split(text, ' ')` so they cannot
-  * contain the separator, making (token-sequence equality) ≡
-  * (joined-string equality). Exact integers — no floats anywhere. */
+  * DuckDB oracle — for ANY input: the packed-key fast path only runs
+  * when no token contains the ' ' separator (token-sequence equality ≡
+  * joined-string equality is guaranteed then; a separator-bearing
+  * token, where the two identities can diverge, routes the row to the
+  * joined-string path — r17 advice). n must be >= 1 (validated).
+  * Exact integers — no floats anywhere. */
 case class GramRunStats(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
@@ -44,11 +47,19 @@ case class GramRunStats(left: Expression, right: Expression)
     StructField("dup", LongType, nullable = false),
     StructField("total", LongType, nullable = false)))
 
-  @transient private lazy val n: Int = right.eval(null) match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(
-      s"gram_run_stats: n must be an integer literal, got $other")
+  @transient private lazy val n: Int = {
+    val v = right.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"gram_run_stats: n must be an integer literal, got $other")
+    }
+    // fail fast (r17 advice): n <= 0 previously returned degenerate
+    // packed-key counts on the fast path and threw
+    // NegativeArraySizeException on the string path — invalid-n
+    // behavior differed by row shape
+    require(v >= 1, s"gram_run_stats: n must be >= 1, got $v")
+    v
   }
 
   private val space = UTF8String.fromString(" ")
@@ -69,10 +80,16 @@ case class GramRunStats(left: Expression, right: Expression)
     // UTF8String views), and a gram is an n-digit base-`len` long —
     // well-defined because ids < len and len^3 < 2^63 under the guard.
     // (token-sequence equality) ≡ (id-tuple equality) ≡ (packed-key
-    // equality), so multiplicities are identical to the joined-string
-    // grams of the oracle. Guards route to the string path: a null
-    // token (concat_ws skip semantics), len ≥ 2^20 (packing would
-    // overflow), n > 3 (unused here, strings stay correct).
+    // equality) — PROVIDED no token contains the ' ' separator, since
+    // the string path (and the DuckDB oracle) use space-JOINED gram
+    // identity, where e.g. ["a b","c"] and ["a","b c"] collide (r17
+    // advice: the in-repo callers tokenize with split(text, ' '), so
+    // their tokens are separator-free, but the registered SQL function
+    // must hold for any input). Guards route to the string path: a
+    // null token (concat_ws skip semantics), a token containing the
+    // separator (checked once per DISTINCT token at intern time),
+    // len ≥ 2^20 (packing would overflow), n > 3 (unused here,
+    // strings stay correct).
     if (n <= 3 && len < (1 << 20)) {
       val ids = new Array[Int](len)
       val tcap = Integer.highestOneBit(math.max(len, 4)) * 4
@@ -88,9 +105,14 @@ case class GramRunStats(left: Expression, right: Expression)
         else {
           var h = t.hashCode & tmask
           while (tkeys(h) != null && !tkeys(h).equals(t)) h = (h + 1) & tmask
-          if (tkeys(h) == null) { tkeys(h) = t; tids(h) = nextId; nextId += 1 }
-          ids(i) = tids(h)
-          i += 1
+          if (tkeys(h) == null) {
+            // separator check once per DISTINCT token, at intern time
+            // (n = 1 grams are the tokens themselves — both identities
+            // coincide, no check needed)
+            if (n > 1 && t.contains(space)) sawNull = true
+            else { tkeys(h) = t; tids(h) = nextId; nextId += 1 }
+          }
+          if (!sawNull) { ids(i) = tids(h); i += 1 }
         }
       }
       if (!sawNull) {

@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Deduplication operators for training-data pipelines (north star;
   * SURVEY §2.14): exact (hash-groupBy), MinHash+LSH, SimHash, n-gram
@@ -289,11 +290,24 @@ object Dedup {
       .groupBy(col("lh"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .withColumn("bucket", pmod(xxhash64(col("lh")), lit(nBuckets)).cast("int"))
+      .repartition(col("bucket")) // one file per partition (r18, guide §6)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/counts")
     Seq(nBuckets).toDF("n_buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")
+    lineMetaCache.remove(dir) // rebuild may change the modulus
     IndexIntent.end(spark, dir)
   }
+
+  /** Line-index bucket modulus, cached per directory (the
+    * [[readBandMeta]] rationale: an immutable one-row constant cost a
+    * parquet-head driver round-trip per verb; [[saveLineIndex]], the
+    * only writer, invalidates). */
+  private val lineMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def readLineMeta(s: SparkSession, dir: String): Int =
+    lineMetaCache.computeIfAbsent(dir, _ =>
+      Integer.valueOf(s.read.parquet(s"$dir/meta").head().getInt(0))
+    ).intValue
 
   /** INCREMENTAL maintenance for a [[saveLineIndex]] directory: count
     * the batch's lines, merge the counts into the touched bucket
@@ -309,7 +323,7 @@ object Dedup {
     // counts state detectable by every later probe/verb ([[IndexIntent]])
     IndexIntent.begin(spark, dir, "appendToLineIndex",
       "a rebuild (graft.ops.Dedup.saveLineIndex over the full corpus)")
-    val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val nBuckets = readLineMeta(spark, dir)
     val batchCounts = lineRowsOf(batch)
       .groupBy(col("lh")).agg(countDistinct(col("doc_id")).as("df"))
       .withColumn("bucket", pmod(xxhash64(col("lh")), lit(nBuckets)).cast("int"))
@@ -318,14 +332,14 @@ object Dedup {
     val touched = batchCounts.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.nonEmpty) {
-      val merged = spark.read.parquet(s"$dir/counts")
+      val merged = spark.read.schema(lineCountsSchema).parquet(s"$dir/counts")
         .filter(col("bucket").isin(touched: _*)) // partition-pruned read
         .unionByName(batchCounts)
         .groupBy(col("bucket"), col("lh"))
         .agg(sum(col("df")).as("df"))
         // materialize BEFORE overwriting the partitions being read
         .localCheckpoint(true)
-      merged.write.mode("overwrite")
+      merged.repartition(col("bucket")).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").parquet(s"$dir/counts")
     }
@@ -349,7 +363,7 @@ object Dedup {
     IndexIntent.begin(spark, dir, "deleteFromLineIndex",
       "a rebuild (graft.ops.Dedup.saveLineIndex over the corpus minus " +
       "the deletions)")
-    val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val nBuckets = readLineMeta(spark, dir)
     val negCounts = lineRowsOf(deletedDocs)
       .groupBy(col("lh")).agg((-countDistinct(col("doc_id"))).as("df"))
       .withColumn("bucket", pmod(xxhash64(col("lh")), lit(nBuckets)).cast("int"))
@@ -358,14 +372,14 @@ object Dedup {
     val touched = negCounts.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.nonEmpty) {
-      val merged = spark.read.parquet(s"$dir/counts")
+      val merged = spark.read.schema(lineCountsSchema).parquet(s"$dir/counts")
         .filter(col("bucket").isin(touched: _*)) // partition-pruned read
         .unionByName(negCounts)
         .groupBy(col("bucket"), col("lh"))
         .agg(sum(col("df")).as("df"))
         // materialize BEFORE overwriting the partitions being read
         .localCheckpoint(true)
-      merged.write.mode("overwrite")
+      merged.repartition(col("bucket")).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").parquet(s"$dir/counts")
     }
@@ -399,7 +413,7 @@ object Dedup {
       minDf: Int = LineDf): DataFrame = {
     IndexIntent.assertClean(s, dir,
       "a rebuild (graft.ops.Dedup.saveLineIndex over the full corpus)")
-    val nBuckets = s.read.parquet(s"$dir/meta").head().getInt(0)
+    val nBuckets = readLineMeta(s, dir)
     // lazy persist is RIGHT here (r17): the touched-bucket collect just
     // below materializes every partition before any other consumer runs
     // (no concurrency race), the frame is batch-bounded (cheap to
@@ -411,7 +425,7 @@ object Dedup {
     // bounded by construction: at most nBuckets distinct small ints
     val touched = lines.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val boiler = s.read.parquet(s"$dir/counts")
+    val boiler = s.read.schema(lineCountsSchema).parquet(s"$dir/counts")
       .filter(col("bucket").isin(touched: _*)) // partition-pruned read
       .filter(col("df") >= minDf)
       .select(col("lh").as("blh"))
@@ -611,6 +625,67 @@ object Dedup {
 
   private def mhCols: Seq[Column] = (0 until NumHashes).map(j => col(s"mh$j"))
 
+  /** Run independent Spark actions concurrently and wait for all
+    * (guide §2.6 — the lifecycle verbs' component writes are mutually
+    * independent once their inputs are checkpointed, and their cost is
+    * commit-protocol latency, not compute). A FRESH pool per call:
+    * worker threads are created from the calling thread during submit,
+    * so Spark's inheritable thread-locals (job group / description —
+    * what the bench's cpu attribution keys on) propagate correctly,
+    * which a shared lazy pool would get wrong after its first use.
+    * The first failure propagates after all actions settle. */
+  private def concurrently(actions: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      actions.length,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-verb-write")
+        t.setDaemon(true)
+        t
+      })
+    try {
+      val futs = actions.map(a =>
+        java.util.concurrent.CompletableFuture.runAsync(() => a(), pool))
+      try java.util.concurrent.CompletableFuture
+        .allOf(futs: _*).join()
+      catch {
+        case e: java.util.concurrent.CompletionException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
+    } finally pool.shutdown()
+  }
+
+  // ---- pinned component schemas (r18, guide §1.2 per-verb latency):
+  // an explicit read schema skips the footer-sampling job EVERY
+  // spark.read.parquet otherwise runs before any execution — the
+  // ingest lifecycle verbs paid 10+ such single-task driver
+  // round-trips per query (measured with graft.tools.JobProfile:
+  // dedup_ingest_labels ran 113 jobs, ~14 of them schema inference).
+  // The layouts are fixed by the v2 format tag, so the schemas are
+  // compile-time constants; partition columns (bucket/gbucket) are
+  // declared in-place, which Spark honors for directory reads.
+  private def mhFields: Seq[StructField] =
+    (0 until NumHashes).map(j => StructField(s"mh$j", LongType))
+  private lazy val sigSchema =
+    StructType(StructField("doc_id", LongType) +: mhFields)
+  private lazy val membersSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("gid", LongType)))
+  private lazy val hotSchema = StructType(Seq(
+    StructField("bi", IntegerType), StructField("bv", LongType)))
+  private lazy val bandsSchema = StructType(Seq(
+    StructField("gid", LongType), StructField("bi", IntegerType),
+    StructField("bv", LongType), StructField("bucket", IntegerType)))
+  private lazy val groupsSchema = StructType((mhFields :+
+    StructField("gid", LongType)) ++ Seq(
+    StructField("live_cnt", LongType), StructField("gbucket", IntegerType)))
+  private lazy val bandCountsSchema = StructType(Seq(
+    StructField("bi", IntegerType), StructField("bv", LongType),
+    StructField("cnt", LongType), StructField("bucket", IntegerType)))
+  private lazy val labelsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lbl", LongType)))
+  private lazy val lineCountsSchema = StructType(Seq(
+    StructField("lh", StringType), StructField("df", LongType),
+    StructField("bucket", IntegerType)))
+
   /** Group-table partition key: signatures hash-bucket by their full
     * 16-hash content so the append/delete merges read only touched
     * partitions (a collision here only co-locates two groups in one
@@ -671,6 +746,7 @@ object Dedup {
     // read back rather than re-supplied
     Seq((nBuckets, cap)).toDF("n_buckets", "cap")
       .write.mode("overwrite").parquet(s"$dir/meta")
+    bandMetaCache.remove(dir) // rebuild may change the modulus/cap
     rebuildDerivedFromSig(spark, dir, nBuckets, cap)
     // a rebuild starts snapshot history over: v1 = the full build
     clearBandSnapshots(spark, dir)
@@ -686,7 +762,7 @@ object Dedup {
     * left behind. One window pass serves members and the unique rows. */
   private def rebuildDerivedFromSig(spark: SparkSession, dir: String,
       nBuckets: Int, cap: Int): Unit = {
-    val sig = spark.read.parquet(s"$dir/sig")
+    val sig = spark.read.schema(sigSchema).parquet(s"$dir/sig")
     val g = sig.withColumn("gid",
       min(col("doc_id")).over(Window.partitionBy(mhCols: _*)))
       .localCheckpoint(true)
@@ -714,7 +790,7 @@ object Dedup {
     // band rows: the incremental path ([[appendToBandIndex]]) merges
     // ONLY the touched partitions, so the over-cap list stays
     // maintainable at O(batch) without rescanning the corpus
-    val counts = spark.read.parquet(s"$dir/bands")
+    val counts = spark.read.schema(bandsSchema).parquet(s"$dir/bands")
       .groupBy(col("bucket"), col("bi"), col("bv"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
@@ -766,14 +842,25 @@ object Dedup {
     * append ADMITTED docs (the [[probeBandIndex]] survivors);
     * re-appending an already-indexed doc_id would duplicate its rows,
     * as in any append-only log. */
-  /** (n_buckets, cap) persisted by [[saveBandIndex]]. */
-  private def readBandMeta(s: SparkSession, dir: String): (Int, Int) = {
-    val row = s.read.parquet(s"$dir/meta")
-      .select(col("n_buckets"), col("cap")).head()
-    (row.getInt(0), row.getInt(1))
-  }
+  /** (n_buckets, cap) persisted by [[saveBandIndex]], cached per
+    * directory (r18, guide §1.2 per-task → per-VERB work): the meta row
+    * is immutable for the life of an index build, yet every verb stage
+    * re-read it with a one-row parquet job — 3-4 driver round-trips per
+    * ingest verb for a constant. [[saveBandIndex]] (the only writer)
+    * invalidates its dir; staging dirs are per-process by construction
+    * ([[ingestGrowDir]]), so no cross-process writer exists to go
+    * stale against. */
+  private val bandMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  private def readBandMeta(s: SparkSession, dir: String): (Int, Int) =
+    bandMetaCache.computeIfAbsent(dir, _ => {
+      val row = s.read.parquet(s"$dir/meta")
+        .select(col("n_buckets"), col("cap")).head()
+      (row.getInt(0), row.getInt(1))
+    })
 
-  def appendToBandIndex(dir: String, batch: DataFrame): DataFrame = {
+  def appendToBandIndex(dir: String, batch: DataFrame,
+      preSigned: Option[DataFrame] = None): DataFrame = {
     val spark = batch.sparkSession
     // returned to label maintenance (r15 advice, medium — the heating
     // mirror of [[deleteFromBandIndex]]'s cooled keys): the (bi, bv)
@@ -792,18 +879,26 @@ object Dedup {
       "graft.ops.Dedup.compactBandIndex")
     assertBandFormat(spark, dir, "appendToBandIndex")
     val (nBuckets, cap) = readBandMeta(spark, dir)
-    // one materialization of the batch signatures feeds every append
-    val sig = corpusSignatures(batch).localCheckpoint(true)
-    sig.write.mode("append").parquet(s"$dir/sig")
+    // one materialization of the batch signatures feeds every append.
+    // `preSigned` (r18, guide §2.4): the ingest verbs' probe stage has
+    // ALREADY signed the batch map-side (probeParts.signedSig, value-
+    // identical to corpusSignatures — suite-pinned); re-running the
+    // full tokenize → shingle → groupBy pipeline here was a redundant
+    // whole-batch pass + shuffle per verb.
+    val sig = preSigned.getOrElse(corpusSignatures(batch))
+      .localCheckpoint(true)
+    // (the sig append itself runs in the concurrent write batch below)
     // batch signature groups: multiplicity + batch-local representative
     val bg = sig.groupBy(mhCols: _*)
       .agg(min(col("doc_id")).as("bgid"), count(lit(1)).as("m"))
       .withColumn("gbucket", gbucketOf(nBuckets))
       .localCheckpoint(true)
-    if (bg.isEmpty) { IndexIntent.end(spark, dir); return noneHot }
-    // bounded by construction: at most nBuckets distinct small ints
+    // bounded by construction: at most nBuckets distinct small ints.
+    // One collect serves both the emptiness gate (previously a separate
+    // isEmpty job) and the partition-pruning list.
     val touchedG = bg.select(col("gbucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
+    if (touchedG.isEmpty) { IndexIntent.end(spark, dir); return noneHot }
     // GROUP MERGE — the heart of the v2 collapse: a batch signature is
     // NEW (no group row), REVIVED (row with live_cnt = 0: every member
     // deleted since it was last live), or ALREADY LIVE. Only new
@@ -812,7 +907,7 @@ object Dedup {
     // an indexed signature is zero new candidate information — the
     // flood fix).
     val mhNames = (0 until NumHashes).map(j => s"mh$j")
-    val old = spark.read.parquet(s"$dir/groups")
+    val old = spark.read.schema(groupsSchema).parquet(s"$dir/groups")
       .filter(col("gbucket").isin(touchedG: _*)) // partition-pruned read
     val merged = old.join(bg.withColumnRenamed("gbucket", "bg_gbucket"),
         mhNames, "full_outer")
@@ -827,24 +922,44 @@ object Dedup {
           col("gid").isNull.as("brand_new")): _*)
       // materialize BEFORE overwriting the partitions being read
       .localCheckpoint(true)
-    merged.select((col("gbucket") +: mhNames.map(col)) :+ col("gid") :+
-        col("new_live").as("live_cnt"): _*)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gbucket").parquet(s"$dir/groups")
+    // The four component writes below (groups overwrite, sig append,
+    // members append, bands append) are INDEPENDENT of each other once
+    // `sig` and `merged` are materialized: each reads only the two
+    // checkpoints and writes its own subdirectory. Run them as
+    // concurrent jobs (guide §2.6 — overlap independent jobs): a
+    // lifecycle verb's cost at fixture scale is sequential job count ×
+    // commit-protocol latency, and these four writes were ~40% of it.
+    // Bytes written, crash contract (intent marker is already up; any
+    // torn subset = torn directory = recovery verb), and determinism
+    // are unchanged — only the wall-clock overlap is new.
     // every batch doc maps to its group's representative — gid comes
-    // from the MERGE (an already-indexed signature keeps its gid)
-    sig.join(merged.select((mhNames.map(col) :+ col("gid")): _*), mhNames)
-      .select(col("doc_id"), col("gid"))
-      .write.mode("append").parquet(s"$dir/members")
+    // from the MERGE (an already-indexed signature keeps its gid);
     // band rows append for BRAND-NEW signatures only (a revived group's
     // rows are already on disk; re-appending would double its evidence)
     def bandsOf(src: DataFrame): DataFrame =
       bandRowsOf(src.select((col("gid").as("doc_id") +: mhCols): _*))
         .withColumnRenamed("doc_id", "gid")
         .withColumn("bucket", pmod(col("bv"), lit(nBuckets)).cast("int"))
-    bandsOf(merged.filter(col("brand_new")))
-      .write.mode("append").partitionBy("bucket").parquet(s"$dir/bands")
+    // one file per touched bucket/partition on every write (r18, guide
+    // §6 — the build path's repartition-by-partition-value convention
+    // applied to the append: un-repartitioned, every shuffle task wrote
+    // its own sliver into each bucket dir, fragmenting the index by up
+    // to ~32 files per append and paying the commit-protocol rename
+    // per file)
+    concurrently(
+      () => merged.select((col("gbucket") +: mhNames.map(col)) :+ col("gid") :+
+          col("new_live").as("live_cnt"): _*)
+        .repartition(col("gbucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gbucket").parquet(s"$dir/groups"),
+      () => sig.write.mode("append").parquet(s"$dir/sig"),
+      () => sig.join(merged.select((mhNames.map(col) :+ col("gid")): _*), mhNames)
+        .select(col("doc_id"), col("gid"))
+        .write.mode("append").parquet(s"$dir/members"),
+      () => bandsOf(merged.filter(col("brand_new")))
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$dir/bands"))
     // +1 distinct-signature count per band bucket per NEWLY-LIVE
     // signature (brand-new or revived — revived recompute their band
     // values from the signature columns, the same arithmetic)
@@ -855,28 +970,42 @@ object Dedup {
     val touched = batchCounts.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val newlyHot = if (touched.nonEmpty) {
-      val mergedCounts = spark.read.parquet(s"$dir/counts")
+      val mergedCounts = spark.read.schema(bandCountsSchema).parquet(s"$dir/counts")
         .filter(col("bucket").isin(touched: _*)) // partition-pruned read
         .unionByName(batchCounts)
         .groupBy(col("bucket"), col("bi"), col("bv"))
         .agg(sum(col("cnt")).as("cnt"))
         // materialize BEFORE overwriting the partitions being read
         .localCheckpoint(true)
-      mergedCounts.write.mode("overwrite")
+      mergedCounts.repartition(col("bucket")).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").parquet(s"$dir/counts")
+      // hot-list maintenance on the DRIVER (r18, guide §1.2 — per-verb
+      // job latency): both sides are tiny by construction (> cap
+      // DISTINCT signatures per band value; the probe already collects
+      // hot-derived frames via collectedHotGuard), yet this block paid
+      // three cluster round-trips per append — heated anti-join
+      // checkpoint, union-distinct checkpoint, unconditional hot
+      // rewrite. Now: one collect of the over-cap keys; in the common
+      // no-heat append the old-hot read AND the hot rewrite are skipped
+      // outright (counts only grow on append, so hot can only change
+      // when this batch pushes some key over the cap for the first
+      // time). Same rows on disk and same heated keys returned.
       val overCap = mergedCounts.filter(col("cnt") > cap)
-        .select(col("bi"), col("bv"))
-      // over-cap ∖ old hot = the keys this append HEATS — materialized
-      // BEFORE the hot overwrite consumes the old file
-      val heated = overCap
-        .join(spark.read.parquet(s"$dir/hot"), Seq("bi", "bv"), "left_anti")
-        .localCheckpoint(true)
-      val hot = spark.read.parquet(s"$dir/hot")
-        .unionByName(overCap)
-        .distinct().localCheckpoint(true)
-      hot.write.mode("overwrite").parquet(s"$dir/hot")
-      heated
+        .select(col("bi"), col("bv")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      import spark.implicits._
+      if (overCap.isEmpty) noneHot
+      else {
+        val oldHot = spark.read.schema(hotSchema).parquet(s"$dir/hot")
+          .select(col("bi"), col("bv")).collect()
+          .map(r => (r.getInt(0), r.getLong(1)))
+        val heated = (overCap.toSet -- oldHot).toSeq.sorted
+        if (heated.nonEmpty)
+          (oldHot.toSeq ++ heated).distinct.toDF("bi", "bv")
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/hot")
+        heated.toDF("bi", "bv")
+      }
     } else noneHot
     // each append commits a snapshot: manifest of the (append-only)
     // live files + this batch's counts as an immutable delta. Committed
@@ -1121,7 +1250,7 @@ object Dedup {
     val touchedG = dg.select(col("gbucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val mhNames = (0 until NumHashes).map(j => s"mh$j")
-    val old = spark.read.parquet(s"$dir/groups")
+    val old = spark.read.schema(groupsSchema).parquet(s"$dir/groups")
       .filter(col("gbucket").isin(touchedG: _*)) // partition-pruned read
     // left join: a deleted signature must already be indexed (the
     // delete contract); unmatched old rows pass through unchanged
@@ -1137,6 +1266,7 @@ object Dedup {
       .localCheckpoint(true)
     merged.select((col("gbucket") +: mhNames.map(col)) :+ col("gid") :+
         col("new_live").as("live_cnt"): _*)
+      .repartition(col("gbucket")) // one file per touched partition (r18)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("gbucket").parquet(s"$dir/groups")
@@ -1150,14 +1280,14 @@ object Dedup {
     val touched = negCounts.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val newlyCold = if (touched.nonEmpty) {
-      val mergedCounts = spark.read.parquet(s"$dir/counts")
+      val mergedCounts = spark.read.schema(bandCountsSchema).parquet(s"$dir/counts")
         .filter(col("bucket").isin(touched: _*)) // partition-pruned read
         .unionByName(negCounts)
         .groupBy(col("bucket"), col("bi"), col("bv"))
         .agg(sum(col("cnt")).as("cnt"))
         // materialize BEFORE overwriting the partitions being read
         .localCheckpoint(true)
-      mergedCounts.write.mode("overwrite")
+      mergedCounts.repartition(col("bucket")).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").parquet(s"$dir/counts")
       // hot re-derives for the touched keys only — out if ≤ cap now, in
@@ -1167,11 +1297,11 @@ object Dedup {
         .select(col("bi"), col("bv"))
       // hot ∩ touched ∖ still-over-cap = the keys this delete cools —
       // materialized BEFORE the hot overwrite consumes the old file
-      val cooled = spark.read.parquet(s"$dir/hot")
+      val cooled = spark.read.schema(hotSchema).parquet(s"$dir/hot")
         .join(broadcast(touchedKeys), Seq("bi", "bv"), "left_semi")
         .join(stillHot, Seq("bi", "bv"), "left_anti")
         .localCheckpoint(true)
-      val hot = spark.read.parquet(s"$dir/hot")
+      val hot = spark.read.schema(hotSchema).parquet(s"$dir/hot")
         .join(broadcast(touchedKeys), Seq("bi", "bv"), "left_anti")
         .unionByName(stillHot)
         .distinct().localCheckpoint(true)
@@ -1287,10 +1417,10 @@ object Dedup {
     IndexIntent.assertClean(s, dir, "graft.ops.Dedup.compactBandIndex")
     assertBandFormat(s, dir, "probeBandIndex")
     probeAgainst(s, dir, batch, minMatch,
-      sig = s.read.parquet(s"$dir/sig"),
-      bands = s.read.parquet(s"$dir/bands"),
-      members = s.read.parquet(s"$dir/members"),
-      hot = s.read.parquet(s"$dir/hot"))
+      sig = s.read.schema(sigSchema).parquet(s"$dir/sig"),
+      bands = s.read.schema(bandsSchema).parquet(s"$dir/bands"),
+      members = s.read.schema(membersSchema).parquet(s"$dir/members"),
+      hot = s.read.schema(hotSchema).parquet(s"$dir/hot"))
   }
 
   /** [[probeBandIndex]]'s engine against explicit snapshot frames —
@@ -1313,7 +1443,17 @@ object Dedup {
       // band0..N): the collapsed probe side, exposed so label
       // maintenance ([[ingestWithLabels]]) can build batch-internal
       // rep-level edges without re-signing the batch
-      reps: DataFrame)
+      reps: DataFrame,
+      // one (doc_id, mh0..15) row per shingle-able batch doc, backed by
+      // the probe's PERSISTED map-side signing — value-identical to
+      // corpusSignatures(batch) (suite-pinned equivalence; short docs
+      // carry null signatures there and no row here, matching the
+      // groupBy formulation's absence). Exposed so the ingest verbs'
+      // append stage reuses the probe's signing instead of re-running
+      // the full tokenize → shingle → groupBy pipeline over the batch
+      // (r18, guide §2.4: the second signing was a whole redundant pass
+      // + shuffle per verb).
+      signedSig: DataFrame)
 
   private def probeAgainst(s: SparkSession, dir: String, batch: DataFrame,
       minMatch: Int, sig: DataFrame, bands: DataFrame, members: DataFrame,
@@ -1408,7 +1548,10 @@ object Dedup {
     val repRows = reps.select(col("incoming_id").as("rep_id") +:
       ((0 until h).map(j => col(s"mh$j")) ++
         (0 until Bands).map(b => col(s"band$b"))): _*)
-    ProbeParts(repEvidence, memberMap, liveMembers, repRows)
+    val signedSig = signedG.filter(col("mh0").isNotNull)
+      .select(col("incoming_id").as("doc_id") +:
+        (0 until h).map(j => col(s"mh$j")): _*)
+    ProbeParts(repEvidence, memberMap, liveMembers, repRows, signedSig)
   }
 
   /** One SELF-GROWING ingestion round against a persisted band index
@@ -1438,10 +1581,10 @@ object Dedup {
     // duplicate-flooded batch probing a duplicate-flooded index costs
     // O(distinct signatures + batch), not O(flood²).
     val parts = probeParts(s, dir, batch, minMatch,
-      sig = s.read.parquet(s"$dir/sig"),
-      bands = s.read.parquet(s"$dir/bands"),
-      members = s.read.parquet(s"$dir/members"),
-      hot = s.read.parquet(s"$dir/hot"))
+      sig = s.read.schema(sigSchema).parquet(s"$dir/sig"),
+      bands = s.read.schema(bandsSchema).parquet(s"$dir/bands"),
+      members = s.read.schema(membersSchema).parquet(s"$dir/members"),
+      hot = s.read.schema(hotSchema).parquet(s"$dir/hot"))
     val rejectedReps = parts.repEvidence
       .join(parts.liveMembers.select(col("gid")), Seq("gid"), "left_semi")
       .select(col("rep_id")).distinct()
@@ -1450,7 +1593,12 @@ object Dedup {
       .select(col("member_id").as("doc_id")).distinct()
     val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    appendToBandIndex(dir, admitted)
+    // the probe already signed the whole batch map-side — the append
+    // reuses those signatures restricted to the admitted docs instead
+    // of re-signing (r18; semi-join against the checkpointed admitted
+    // set, so the rejected-set subquery is not re-evaluated either)
+    appendToBandIndex(dir, admitted, Some(parts.signedSig
+      .join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")))
     admitted
   }
 
@@ -2165,7 +2313,7 @@ object Dedup {
     val v = latestLabelsVersion(s, labelsDir)
     require(v > 0,
       s"no committed labels under '$labelsDir' — run buildBandLabels")
-    s.read.parquet(s"$labelsDir/v$v")
+    s.read.schema(labelsSchema).parquet(s"$labelsDir/v$v")
   }
 
   /** Committed label versions kept by [[writeBandLabels]]' retention
@@ -2253,18 +2401,18 @@ object Dedup {
     // in the restriction (see deleteWithLabels' containment argument).
     def restrict(df: DataFrame): DataFrame =
       onlyGids.fold(df)(g => df.join(g, Seq("gid"), "left_semi"))
-    val members = restrict(s.read.parquet(s"$dir/members"))
+    val members = restrict(s.read.schema(membersSchema).parquet(s"$dir/members"))
     val live = tombstonesOf(s, dir).fold(members)(t =>
       members.join(broadcast(t), Seq("doc_id"), "left_anti"))
-    val groups = s.read.parquet(s"$dir/groups")
+    val groups = s.read.schema(groupsSchema).parquet(s"$dir/groups")
     val realG = restrict(groups.filter(col("mh0").isNotNull))
     val liveReal = live.join(realG.select(col("gid")), Seq("gid"), "left_semi")
     val rmin = liveReal.groupBy(col("gid")).agg(min(col("doc_id")).as("rep"))
     val star = liveReal.join(rmin, Seq("gid"))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc1"), col("doc_id").as("doc2"))
-    val hot = s.read.parquet(s"$dir/hot")
-    val cold = restrict(s.read.parquet(s"$dir/bands")
+    val hot = s.read.schema(hotSchema).parquet(s"$dir/hot")
+    val cold = restrict(s.read.schema(bandsSchema).parquet(s"$dir/bands")
       .join(broadcast(hot), Seq("bi", "bv"), "left_anti"))
     val cand = cold.as("x").join(cold.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.bi") === col("y.bi") &&
@@ -2361,10 +2509,10 @@ object Dedup {
     assertBandFormat(s, dir, "ingestWithLabels")
     val oldLabels = readBandLabels(s, labelsDir)
     val parts = probeParts(s, dir, batch, minMatch,
-      sig = s.read.parquet(s"$dir/sig"),
-      bands = s.read.parquet(s"$dir/bands"),
-      members = s.read.parquet(s"$dir/members"),
-      hot = s.read.parquet(s"$dir/hot"))
+      sig = s.read.schema(sigSchema).parquet(s"$dir/sig"),
+      bands = s.read.schema(bandsSchema).parquet(s"$dir/bands"),
+      members = s.read.schema(membersSchema).parquet(s"$dir/members"),
+      hot = s.read.schema(hotSchema).parquet(s"$dir/hot"))
     val rmin = parts.liveMembers.groupBy(col("gid"))
       .agg(min(col("doc_id")).as("rep"))
     val fs = labelsIntentPath(labelsDir)
@@ -2410,7 +2558,7 @@ object Dedup {
         s"$nTouched/$nOld labeled docs (≥ $rebuildFrac) — " +
         "dispatching to full buildBandLabels rebuild")
       fs.create(labelsIntentPath(labelsDir), true).close()
-      appendToBandIndex(dir, batch)
+      appendToBandIndex(dir, batch, Some(parts.signedSig))
       return buildBandLabels(s, dir, labelsDir, minMatch)
     }
     // cross edges, materialized and re-wrapped constraint-free — a
@@ -2452,7 +2600,7 @@ object Dedup {
     // (the newly-hot re-solve below). Semi-join first keeps the
     // collected guard batch-bounded.
     val bexpCold = collectedHotGuard(
-        s.read.parquet(s"$dir/hot")
+        s.read.schema(hotSchema).parquet(s"$dir/hot")
           .join(bexp.select(col("bi"), col("bv")).distinct(),
             Seq("bi", "bv"), "left_semi"),
         n => s"[dedup] ingestWithLabels: dropped $n index-hot band " +
@@ -2488,7 +2636,8 @@ object Dedup {
     // computed from), materialized before the index mutates
     val labels = incrementalCC(oldLabels, newEdges).localCheckpoint(true)
     fs.create(labelsIntentPath(labelsDir), true).close()
-    val heatedKeys = appendToBandIndex(dir, batch)
+    // the probe already signed the batch — reuse (see ingestIntoBandIndex)
+    val heatedKeys = appendToBandIndex(dir, batch, Some(parts.signedSig))
     val heated = heatedKeys.collect()
     // cold→hot flip repair (r15 advice, medium — the mirror of
     // deleteWithLabels' cooled-bucket extension): a band value this
@@ -2516,18 +2665,18 @@ object Dedup {
         val heatBuckets = heated
           .map(r => math.floorMod(r.getLong(1), nBuckets.toLong).toInt)
           .distinct.toSeq
-        val gids = s.read.parquet(s"$dir/bands")
+        val gids = s.read.schema(bandsSchema).parquet(s"$dir/bands")
           .filter(col("bucket").isin(heatBuckets: _*))
           .join(heatedDf, Seq("bi", "bv"), "left_semi")
           .select(col("gid")).distinct().localCheckpoint(true)
-        val heatedDocs = s.read.parquet(s"$dir/members")
+        val heatedDocs = s.read.schema(membersSchema).parquet(s"$dir/members")
           .join(gids, Seq("gid"), "left_semi").select(col("doc_id"))
         val touchedLbl = labels
           .join(heatedDocs, Seq("doc_id"), "left_semi")
           .select(col("lbl")).distinct().localCheckpoint(true)
         val touchedDocs = labels.join(touchedLbl, Seq("lbl"))
           .select(col("doc_id"))
-        val memberGids = s.read.parquet(s"$dir/members")
+        val memberGids = s.read.schema(membersSchema).parquet(s"$dir/members")
           .join(touchedDocs, Seq("doc_id"), "left_semi")
           .select(col("gid"))
         val touchedGids = memberGids.unionAll(gids)
@@ -2620,11 +2769,11 @@ object Dedup {
         val coolBuckets = cooled.collect()
           .map(r => (math.floorMod(r.getLong(1), nBuckets.toLong)).toInt)
           .distinct.toSeq
-        val gids = s.read.parquet(s"$dir/bands")
+        val gids = s.read.schema(bandsSchema).parquet(s"$dir/bands")
           .filter(col("bucket").isin(coolBuckets: _*))
           .join(broadcast(cooled), Seq("bi", "bv"), "left_semi")
           .select(col("gid")).distinct().localCheckpoint(true)
-        val cooledDocs = s.read.parquet(s"$dir/members")
+        val cooledDocs = s.read.schema(membersSchema).parquet(s"$dir/members")
           .join(gids, Seq("gid"), "left_semi").select(col("doc_id"))
         val cooledLbls = oldLabels
           .join(cooledDocs, Seq("doc_id"), "left_semi")
@@ -2636,7 +2785,7 @@ object Dedup {
     // groups need a live-rep re-derivation), mapped to signature groups
     val touchedDocs = oldLabels.join(touched, Seq("lbl"))
       .select(col("doc_id"))
-    val memberGids = s.read.parquet(s"$dir/members")
+    val memberGids = s.read.schema(membersSchema).parquet(s"$dir/members")
       .join(touchedDocs, Seq("doc_id"), "left_semi")
       .select(col("gid"))
     val touchedGids = extraGids.fold(memberGids)(memberGids.unionAll)
@@ -2650,7 +2799,7 @@ object Dedup {
     val skipDispatch = rebuildFrac > 1.0
     val nTouchedG = if (skipDispatch) 0L else touchedGids.count()
     val nGroups =
-      if (skipDispatch) 0L else s.read.parquet(s"$dir/groups").count()
+      if (skipDispatch) 0L else s.read.schema(groupsSchema).parquet(s"$dir/groups").count()
     if (nGroups > 0L && nTouchedG >= rebuildFrac * nGroups) {
       System.err.println(s"[dedup] deleteWithLabels: delete touches " +
         s"$nTouchedG/$nGroups signature groups (≥ $rebuildFrac) — " +

@@ -56,6 +56,61 @@ class GramRunStatsSuite extends SparkSessionSuite {
     }
   }
 
+  test("gram_run_stats guard inputs: null / empty / separator tokens") {
+    val s = spark
+    import s.implicits._
+    // Joined-string reference with concat_ws null-skip semantics — the
+    // intended semantics for ALL inputs (r17 advice: the fast path must
+    // route rows where token-tuple identity and joined-string identity
+    // diverge to the string path, not silently count them differently).
+    def refG(toks: Seq[Option[String]], n: Int): (Long, Long, Long) = {
+      val total = math.max(toks.length - n + 1, 0)
+      val counts = toks.sliding(n).filter(_.length == n)
+        .map(_.flatten.mkString(" ")).toSeq
+        .groupBy(identity).map(_._2.size.toLong)
+      val best = if (counts.isEmpty) 0L else counts.max
+      val dup = counts.filter(_ > 1L).sum
+      (best, dup, total.toLong)
+    }
+    val docs: Seq[Seq[Option[String]]] = Seq(
+      // separator-bearing tokens: ["a b","c"] and ["a","b c"] join to
+      // the SAME gram "a b c" — tuple identity would split them
+      Seq(Some("a b"), Some("c"), Some("a"), Some("b c"), Some("a b")),
+      // null elements (concat_ws skips them in the join)
+      Seq(Some("a"), None, Some("a"), Some("a"), None, Some("a")),
+      // empty-string tokens (kept by concat_ws, unlike nulls)
+      Seq(Some(""), Some("a"), Some(""), Some("a"), Some("")),
+      // mixes of all three guard classes
+      Seq(Some("x y"), None, Some(""), Some("x"), Some("y"), Some("x y"),
+        Some("x"), Some("y")),
+      Seq(Some(" "), Some(" "), Some(" "), Some("q")))
+    for (n <- Seq(1, 2, 3, 4)) {
+      val got = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("id", "toks")
+        .select(col("id"), expr(s"gram_run_stats(toks, $n)").as("r"))
+        .select(col("id"), col("r.best"), col("r.dup"), col("r.total"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      docs.zipWithIndex.foreach { case (d, i) =>
+        withClue(s"n=$n doc=$i toks=${d.take(12).mkString(",")}") {
+          got(i.toLong) shouldBe refG(d, n)
+        }
+      }
+    }
+  }
+
+  test("gram_run_stats rejects n < 1") {
+    val s = spark
+    import s.implicits._
+    for (bad <- Seq(0, -1)) {
+      val e = intercept[Exception] {
+        Seq((1L, Seq("a", "b", "c"))).toDF("id", "toks")
+          .select(expr(s"gram_run_stats(toks, $bad)")).collect()
+      }
+      e.getMessage should include("n must be >= 1")
+    }
+  }
+
   test("gram_run_stats null array yields null") {
     val s = spark
     import s.implicits._
