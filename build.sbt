@@ -41,4 +41,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.warehouse.dir=/tmp/graft-warehouse",
   "-Dderby.system.home=/tmp/graft-derby",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 154-query battery generates thousands of codegen classes; at the
+  // JVM's default 240m ReservedCodeCacheSize, cold-method flushing
+  // evicts still-needed compiled methods between a query's bench
+  // passes and the interpreter ramp is re-paid every pass (measured:
+  // ta_repetition's interpreted-fallback gram loop is 12 cpu-s cold vs
+  // 1.3 warm, and its full-battery cpu sat at 8.8 — A/B'd to ~solo
+  // with the larger cache, r18). Any long-lived codegen-heavy Spark
+  // driver wants this; env-overridable like the heap.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )

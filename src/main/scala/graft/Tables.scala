@@ -228,6 +228,36 @@ object Tables {
 
 /** Session-level execution knobs shared across modules. */
 object Knobs {
+  /** Run independent Spark actions concurrently and wait for all
+    * (guide §2.6 — lifecycle verbs and foreachBatch bodies issue
+    * several mutually independent writes whose cost is commit-protocol
+    * latency, not compute; overlapping them back-fills idle cores). A
+    * FRESH pool per call: worker threads are created from the calling
+    * thread during submit, so Spark's inheritable thread-locals (job
+    * group / description — what the bench's cpu attribution keys on)
+    * propagate correctly, which a shared lazy pool would get wrong
+    * after its first use. The first failure propagates after all
+    * actions settle. */
+  private[graft] def concurrently(actions: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      actions.length,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-verb-write")
+        t.setDaemon(true)
+        t
+      })
+    try {
+      val futs = actions.map(a =>
+        java.util.concurrent.CompletableFuture.runAsync(() => a(), pool))
+      try java.util.concurrent.CompletableFuture
+        .allOf(futs: _*).join()
+      catch {
+        case e: java.util.concurrent.CompletionException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
+    } finally pool.shutdown()
+  }
+
   /** Runs `body` against a SCOPED child session whose single divergence
     * from `spark` is `spark.sql.shuffle.partitions` capped at `cap`.
     * For stages whose data is orders of magnitude smaller than the

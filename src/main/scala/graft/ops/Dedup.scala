@@ -625,34 +625,10 @@ object Dedup {
 
   private def mhCols: Seq[Column] = (0 until NumHashes).map(j => col(s"mh$j"))
 
-  /** Run independent Spark actions concurrently and wait for all
-    * (guide §2.6 — the lifecycle verbs' component writes are mutually
-    * independent once their inputs are checkpointed, and their cost is
-    * commit-protocol latency, not compute). A FRESH pool per call:
-    * worker threads are created from the calling thread during submit,
-    * so Spark's inheritable thread-locals (job group / description —
-    * what the bench's cpu attribution keys on) propagate correctly,
-    * which a shared lazy pool would get wrong after its first use.
-    * The first failure propagates after all actions settle. */
-  private def concurrently(actions: (() => Unit)*): Unit = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      actions.length,
-      (r: Runnable) => {
-        val t = new Thread(r, "graft-verb-write")
-        t.setDaemon(true)
-        t
-      })
-    try {
-      val futs = actions.map(a =>
-        java.util.concurrent.CompletableFuture.runAsync(() => a(), pool))
-      try java.util.concurrent.CompletableFuture
-        .allOf(futs: _*).join()
-      catch {
-        case e: java.util.concurrent.CompletionException =>
-          throw Option(e.getCause).getOrElse(e)
-      }
-    } finally pool.shutdown()
-  }
+  /** See [[graft.Knobs.concurrently]] — shared by the lifecycle verbs
+    * and the streaming foreachBatch bodies. */
+  private def concurrently(actions: (() => Unit)*): Unit =
+    graft.Knobs.concurrently(actions: _*)
 
   // ---- pinned component schemas (r18, guide §1.2 per-verb latency):
   // an explicit read schema skips the footer-sampling job EVERY

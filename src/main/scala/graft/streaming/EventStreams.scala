@@ -1127,25 +1127,31 @@ object EventStreams {
           .withColumn("st", col("base") + col("loc_end") - col("n_tokens"))
           .withColumn("en", col("base") + col("loc_end"))
           .localCheckpoint(true)
-        pos
-          .select(col("shard"), col("doc_id"), col("st"), col("en"),
-            explode(expr(
-              s"sequence(st DIV $StPackBudget, (en - 1) DIV $StPackBudget)"))
-              .as("seq_id"))
-          .select(col("shard"), col("seq_id"), col("doc_id"),
-            (greatest(col("st"), col("seq_id") * StPackBudget)
-              - col("seq_id") * StPackBudget).as("seq_off"),
-            (least(col("en"), (col("seq_id") + 1) * StPackBudget)
-              - greatest(col("st"), col("seq_id") * StPackBudget))
-              .as("span_len"),
-            when(expr(s"(en - 1) DIV $StPackBudget > st DIV $StPackBudget"),
-              1L).otherwise(0L).as("is_split"))
-          .withColumn("epoch", lit(epoch))
-          .write.mode("append").parquet(outDir)
-        pos.groupBy(col("shard"))
-          .agg((max(col("base")) + sum(col("n_tokens"))).as("off"))
-          .withColumn("epoch", lit(epoch))
-          .write.mode("append").parquet(stateDir)
+        // the two per-epoch writes (assignments, new offsets) are
+        // independent once `pos` is checkpointed — overlap their
+        // commit-protocol latency (r18, guide §2.6; measured via
+        // graft.tools.StreamProfile: addBatch is 87-93% of every
+        // micro-batch and these writes are most of it)
+        graft.Knobs.concurrently(
+          () => pos
+            .select(col("shard"), col("doc_id"), col("st"), col("en"),
+              explode(expr(
+                s"sequence(st DIV $StPackBudget, (en - 1) DIV $StPackBudget)"))
+                .as("seq_id"))
+            .select(col("shard"), col("seq_id"), col("doc_id"),
+              (greatest(col("st"), col("seq_id") * StPackBudget)
+                - col("seq_id") * StPackBudget).as("seq_off"),
+              (least(col("en"), (col("seq_id") + 1) * StPackBudget)
+                - greatest(col("st"), col("seq_id") * StPackBudget))
+                .as("span_len"),
+              when(expr(s"(en - 1) DIV $StPackBudget > st DIV $StPackBudget"),
+                1L).otherwise(0L).as("is_split"))
+            .withColumn("epoch", lit(epoch))
+            .write.mode("append").parquet(outDir),
+          () => pos.groupBy(col("shard"))
+            .agg((max(col("base")) + sum(col("n_tokens"))).as("off"))
+            .withColumn("epoch", lit(epoch))
+            .write.mode("append").parquet(stateDir))
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -12,6 +12,13 @@ object JobProfile {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // optional 3rd arg: a regex of queries to run UNTIMED first — the
+    // "battery conditioning" reproduction for session-age-sensitive
+    // cpu (r17 verdict #3: ta_repetition's cpu is 1.3 solo / 8.8 in
+    // the full battery at local[32], and only a conditioned session
+    // reproduces it)
+    val warm = args.lift(2).map(_.r)
+    val reps = args.lift(3).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
@@ -47,14 +54,66 @@ object JobProfile {
         Option(jobs.get(e.jobId)).foreach(_.end = e.time)
     })
 
+    // battery conditioning (untimed): run the warm set twice, with the
+    // bench's own per-query housekeeping
+    warm.foreach { re =>
+      val ws = graft.SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => re.findFirstIn(n).isDefined && n != name)
+      for (pass <- 1 to 2; w <- ws) {
+        graft.InternalCaches.releaseAll()
+        spark.catalog.clearCache()
+        graft.SparkEntry.prepares.get(w).foreach(p =>
+          try p(spark, sfDir) catch { case _: Throwable => () })
+        try graft.SparkEntry.queries(w)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
+      graft.InternalCaches.releaseAll()
+      spark.catalog.clearCache()
+      System.err.println(s"[profile] conditioned with ${ws.size} queries x2")
+    }
+
+    // per-stage task metrics for the TARGET query's jobs
+    val stageCpu = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.atomic.AtomicLong]()
+    val stageRun = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.atomic.AtomicLong]()
+    val stageGc = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.atomic.AtomicLong]()
+    val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+        stageName.put(e.stageInfo.stageId,
+          e.stageInfo.name.take(60) + " [" + e.stageInfo.details.linesIterator
+            .filter(_.contains("graft")).take(1).mkString.trim.take(60) + "]")
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          stageCpu.computeIfAbsent(e.stageId,
+            _ => new java.util.concurrent.atomic.AtomicLong)
+            .addAndGet(m.executorCpuTime)
+          stageRun.computeIfAbsent(e.stageId,
+            _ => new java.util.concurrent.atomic.AtomicLong)
+            .addAndGet(m.executorRunTime)
+          stageGc.computeIfAbsent(e.stageId,
+            _ => new java.util.concurrent.atomic.AtomicLong)
+            .addAndGet(m.jvmGCTime)
+        }
+      }
+    })
+
     // prepare (untimed in the bench) — run it, then mark the boundary
     graft.SparkEntry.prepares.get(name).foreach(p => p(spark, sfDir))
     val boundary = jobs.size()
     System.err.println(s"[profile] prepare ran ${boundary} jobs")
     val t0 = System.nanoTime()
-    graft.SparkEntry.queries(name)(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
-    val dt = (System.nanoTime() - t0) / 1e9
+    for (_ <- 1 to reps) {
+      graft.InternalCaches.releaseAll()
+      spark.catalog.clearCache()
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+    }
+    val dt = (System.nanoTime() - t0) / 1e9 / reps
     Thread.sleep(1000)
     import scala.jdk.CollectionConverters._
     val rows = jobs.values.asScala.toSeq.sortBy(_.id)
@@ -64,6 +123,13 @@ object JobProfile {
       val d = (j.end - j.start) / 1000.0
       val tag = if (j.id < boundary) "prep " else "query"
       println(f"  $tag job ${j.id}%3d ${d}%7.3f s  ${j.tasks}%4d tasks  ${j.site.trim.take(110)}")
+    }
+    println("-- per-stage cpu/run (timed target only):")
+    stageCpu.asScala.toSeq.sortBy(_._1).foreach { case (sid, cpu) =>
+      val run = Option(stageRun.get(sid)).map(_.get).getOrElse(0L)
+      val gc = Option(stageGc.get(sid)).map(_.get).getOrElse(0L)
+      println(f"  stage $sid%4d cpu ${cpu.get / 1e9}%7.3f s  run ${run / 1e3}%8.3f s  gc ${gc / 1e3}%6.3f s  " +
+        stageName.getOrDefault(sid, ""))
     }
     spark.stop()
   }
